@@ -14,8 +14,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects unless
+      // read as raw nanos; `ts` therefore arrives as LongType nanoseconds
+      // (DuckDB oracle equivalent: epoch_ns(ts)).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** Register all tables of a scale-factor dir as temp views. Idempotent. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
