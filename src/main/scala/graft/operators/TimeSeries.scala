@@ -1,8 +1,239 @@
 package graft.operators
 
+import graft.Tables
+import graft.functions.{Kernels, Sax}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Time-series operator pack over the `events` table (SURVEY §2.4/§2.5
+  * kernels re-expressed on the relational surface, treating each user's
+  * event stream as a light curve: ts → time, value → magnitude).
+  *
+  * `ts` arrives as LongType nanoseconds (see Tables). Oracle side uses
+  * `epoch_ns(ts)` for the identical integer. Time math is done in seconds
+  * (`(ts - min)/1e9`) so rounded aggregates are far from FP boundaries.
+  *
+  * Scale notes: every query here is a single shuffle on `user_id` (window
+  * or groupBy); the kernel queries build bounded in-row arrays (one user's
+  * curve) — the 100 TB axis is users, not points-per-user.
+  */
 object TimeSeries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  private val byTs = Seq(col("ts"), col("event_id"))
+
+  /** Equal-width time binning per user (ekvi-PAA columnar analogue,
+    * `data_analysis.py:54-140`): 20 bins over the user's [min,max] span,
+    * mean relative time + mean value per occupied bin.
+    */
+  def q30TsBinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    ev(spark, dir)
+      .withColumn("mn", min(col("ts")).over(w))
+      .withColumn("mx", max(col("ts")).over(w))
+      .withColumn("rel_s", (col("ts") - col("mn")) / 1e9)
+      .withColumn("span_s", (col("mx") - col("mn")) / 1e9)
+      .withColumn("bin", least(floor(col("rel_s") / (col("span_s") / 20.0)), lit(19L)))
+      // whole-second sum is an exact integer on both engines — no FP boundary
+      .withColumn("rel_sec", expr("(ts - mn) div 1000000000"))
+      .groupBy(col("user_id"), col("bin"))
+      .agg(sum(col("rel_sec")).as("sum_t_s"),
+        round(avg(col("value")), 6).as("avg_v"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Abbe value per user via lag windows (`data_analysis.py:167-193` as pure
+    * SQL): n/(2(n-1)) · Σ(Δv)² / Σ(v-v̄)².
+    */
+  def q31AbbePerUser(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(byTs: _*)
+    val base = ev(spark, dir)
+      .withColumn("d", col("value") - lag(col("value"), 1).over(wOrd))
+    val stats = base.groupBy(col("user_id")).agg(
+      count(col("value")).as("n"),
+      sum(col("d") * col("d")).as("sum_d2"),
+      (sum(col("value") * col("value")) -
+        sum(col("value")) * sum(col("value")) / count(col("value"))).as("sum_c2"))
+    stats.filter(col("n") > 1)
+      .select(col("user_id"), col("n"),
+        round(col("n") / (lit(2.0) * (col("n") - 1)) * col("sum_d2") / col("sum_c2"), 6)
+          .as("abbe"))
+  }
+
+  /** Positional PAA frames per user (`to_PAA` columnar analogue): 10 frames
+    * by row position, mean value per frame.
+    */
+  def q32PaaFrames(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(byTs: _*)
+    val wAll = Window.partitionBy(col("user_id"))
+    ev(spark, dir)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .withColumn("frame", floor((col("rn") - 1) * 10 / col("cnt")))
+      .groupBy(col("user_id"), col("frame"))
+      .agg(round(avg(col("value")), 6).as("avg_v"), count(lit(1)).as("n"))
+  }
+
+  /** Sliding 5-row mean per user (SAX sliding-window shape, §2.5). */
+  def q33Sliding(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(byTs: _*)
+    ev(spark, dir)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("slide_mean", round(avg(col("value")).over(wOrd.rowsBetween(-4, 0)), 6))
+      .select(col("user_id"), col("rn"), col("slide_mean"))
+  }
+
+  /** Skewness/kurtosis per event_type with scipy's biased Fisher semantics
+    * (`kurtosis_desc.py`/`skewness_desc.py`) — two-pass centered moments so
+    * both engines do the numerically identical thing.
+    */
+  def q34Moments(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+    val means = e.groupBy(col("event_type").as("et")).agg(avg(col("value")).as("m"))
+    e.join(broadcast(means), col("event_type") === col("et"))
+      .withColumn("c", col("value") - col("m"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(
+          (sum(pow(col("c"), 3)) / count(lit(1))) /
+            pow(sum(pow(col("c"), 2)) / count(lit(1)), 1.5), 6).as("skew"),
+        round(
+          (sum(pow(col("c"), 4)) / count(lit(1))) /
+            pow(sum(pow(col("c"), 2)) / count(lit(1)), 2.0) - 3.0, 6).as("kurtosis"))
+  }
+
+  /** Per-user summary stats (`getMeanMag`/`getStdMag`, population σ). */
+  def q35UserStats(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 6).as("mean_v"),
+        round(stddev_pop(col("value")), 6).as("std_v"),
+        round(min(col("value")), 6).as("min_v"),
+        round(max(col("value")), 6).as("max_v"))
+
+  /** Gap-based sessionization (streaming-style stateful op in batch form):
+    * new session when >30 min since the previous event; per-session count
+    * and duration.
+    */
+  def q36Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(byTs: _*)
+    val gapNs = 30L * 60 * 1000000000L
+    ev(spark, dir)
+      .withColumn("prev", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("ts") - col("prev") > gapNs, 1).otherwise(0))
+      .withColumn("session", sum(col("new_sess")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session"))
+      .agg(count(lit(1)).as("n_events"),
+        round((max(col("ts")) - min(col("ts"))) / 1e9, 3).as("duration_s"))
+  }
+
+  /** Full kernel feature extraction per user through the real Scala kernels
+    * (rows-only check; exact kernel parity is pinned by the golden specs):
+    * Abbe, SAX word, variogram slope, curve density over the user's curve.
+    */
+  def q37KernelFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val abbeU = udf((t: Seq[Double], v: Seq[Double]) =>
+      Kernels.curveAbbe(t.toArray, v.toArray, Some(50)))
+    val saxU = udf((v: Seq[Double]) => Sax.toLetterRep(v.toArray, 8, 10).word)
+    val slopeU = udf((t: Seq[Double], v: Seq[Double]) =>
+      Kernels.variogramSlope(t.toArray, v.toArray, 1.0))
+    val densU = udf((t: Seq[Double], v: Seq[Double]) =>
+      Kernels.curveDensity(t.toArray, v.toArray))
+    ev(spark, dir)
+      .withColumn("t_days", col("ts") / lit(86400e9)) // days since epoch
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("t_days").as("t"), col("value").as("v"))))
+        .as("pts"))
+      .select(col("user_id"), col("pts.t").as("t"), col("pts.v").as("v"))
+      .filter(size(col("t")) > 10)
+      .select(col("user_id"),
+        abbeU(col("t"), col("v")).as("abbe"),
+        saxU(col("v")).as("sax_word"),
+        slopeU(col("t"), col("v")).as("vario_slope"),
+        densU(col("t"), col("v")).as("density"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_ts_bin_agg" -> q30TsBinAgg,
+    "q31_abbe_per_user" -> q31AbbePerUser,
+    "q32_paa_frames" -> q32PaaFrames,
+    "q33_sliding" -> q33Sliding,
+    "q34_moments" -> q34Moments,
+    "q35_user_stats" -> q35UserStats,
+    "q36_sessionize" -> q36Sessionize,
+    "q37_kernel_features" -> q37KernelFeatures)
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_ts_bin_agg" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn, value,
+        |    min(epoch_ns(ts)) OVER (PARTITION BY user_id) AS mn,
+        |    max(epoch_ns(ts)) OVER (PARTITION BY user_id) AS mx
+        |  FROM events),
+        |b AS (
+        |  SELECT user_id, value, (tsn - mn) // 1000000000 AS rel_sec,
+        |    least(floor(((tsn - mn) / 1e9) / (((mx - mn) / 1e9) / 20.0)), 19) AS bin
+        |  FROM e)
+        |SELECT user_id, CAST(bin AS BIGINT) AS bin,
+        |  CAST(sum(rel_sec) AS BIGINT) AS sum_t_s,
+        |  round(avg(value), 6) AS avg_v, count(*) AS n
+        |FROM b GROUP BY user_id, bin""".stripMargin,
+    "q31_abbe_per_user" ->
+      """WITH d AS (
+        |  SELECT user_id, value,
+        |    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, count(value) AS n, sum(d * d) AS sum_d2,
+        |    sum(value * value) - sum(value) * sum(value) / count(value) AS sum_c2
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id, n, round(n / (2.0 * (n - 1)) * sum_d2 / sum_c2, 6) AS abbe
+        |FROM s WHERE n > 1""".stripMargin,
+    "q32_paa_frames" ->
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM events)
+        |SELECT user_id, CAST(floor((rn - 1) * 10 / cnt) AS BIGINT) AS frame,
+        |  round(avg(value), 6) AS avg_v, count(*) AS n
+        |FROM r GROUP BY user_id, frame""".stripMargin,
+    "q33_sliding" ->
+      """SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS slide_mean
+        |FROM events""".stripMargin,
+    "q34_moments" ->
+      """WITH m AS (SELECT event_type AS et, avg(value) AS m FROM events GROUP BY 1),
+        |c AS (SELECT event_type, value - m AS c FROM events JOIN m ON event_type = et)
+        |SELECT event_type, count(*) AS n,
+        |  round((sum(pow(c, 3)) / count(*)) / pow(sum(pow(c, 2)) / count(*), 1.5), 6) AS skew,
+        |  round((sum(pow(c, 4)) / count(*)) / pow(sum(pow(c, 2)) / count(*), 2.0) - 3.0, 6) AS kurtosis
+        |FROM c GROUP BY event_type""".stripMargin,
+    "q35_user_stats" ->
+      """SELECT user_id, count(*) AS n, round(avg(value), 6) AS mean_v,
+        |  round(stddev_pop(value), 6) AS std_v, round(min(value), 6) AS min_v,
+        |  round(max(value), 6) AS max_v
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q36_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, tsn, event_id,
+        |    sum(CASE WHEN prev IS NULL OR tsn - prev > 1800000000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+        |  FROM g)
+        |SELECT user_id, CAST(session AS BIGINT) AS session, count(*) AS n_events,
+        |  round((max(tsn) - min(tsn)) / 1e9, 3) AS duration_s
+        |FROM s GROUP BY user_id, session""".stripMargin)
 }
