@@ -1,8 +1,118 @@
 package graft.operators
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Text-analysis operators over `documents` — the training-data-pipeline
+  * surface (language ID, quality scoring, token counting, fingerprinting).
+  * All token math uses single-space splits, identical on both engines.
+  *
+  * Scale notes: every query is embarrassingly per-row (narrow projection of
+  * `text`), so it pipelines inside one WholeStageCodegen span with no
+  * shuffle except final small aggregations.
+  */
 object TextAnalysis {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracleSql: Map[String, String] = Map()
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  /** Token counting: whitespace tokens + distinct tokens + char length. */
+  def q40TokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_computed"),
+        size(col("tokens")).as("n_tokens"),
+        size(array_distinct(col("tokens"))).as("n_distinct"))
+
+  /** Quality scoring (`length / punct / stopword ratios`): single-pass
+    * per-row expressions; ratios are single IEEE divisions — identical on
+    * both engines without rounding.
+    */
+  def q41Quality(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    docs(spark, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("n_tok", size(col("tokens")))
+      .withColumn("stop_hits",
+        size(filter(col("tokens"), t => t.isInCollection(stop))))
+      .withColumn("mean_tok_len",
+        (length(col("text")) - (col("n_tok") - 1)).cast("double") / col("n_tok"))
+      .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tok"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("tokens"))).cast("double") / col("n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("stop_hits"),
+        col("mean_tok_len"), col("stop_ratio"), col("distinct_ratio"))
+  }
+
+  /** Language ID by marker-token hits (n-gram heuristic, simplified to
+    * token markers): per-language score, argmax prediction with
+    * deterministic tie order en > de > fr.
+    */
+  def q42LangId(spark: SparkSession, dir: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "a", "of"),
+      "de" -> Seq("der", "die", "und"),
+      "fr" -> Seq("le", "la", "et"))
+    val base = docs(spark, dir).withColumn("tokens", split(col("text"), " "))
+    val scored = markers.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang",
+        size(filter(col("tokens"), t => t.isInCollection(words))))
+    }
+    scored.withColumn("pred_lang",
+      when(col("score_en") >= col("score_de") && col("score_en") >= col("score_fr"), "en")
+        .when(col("score_de") >= col("score_fr"), "de")
+        .otherwise("fr"))
+      .select(col("doc_id"), col("score_en"), col("score_de"), col("score_fr"),
+        col("pred_lang"))
+  }
+
+  /** Document fingerprinting: md5 content hash + a 60-bit numeric
+    * fingerprint from the hash prefix (portable across engines).
+    */
+  def q43Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("fingerprint",
+        conv(substring(col("content_hash"), 1, 15), 16, 10).cast("long"))
+      .select(col("doc_id"), col("content_hash"), col("fingerprint"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_token_count" -> q40TokenCount,
+    "q41_quality" -> q41Quality,
+    "q42_lang_id" -> q42LangId,
+    "q43_fingerprint" -> q43Fingerprint)
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_token_count" ->
+      """SELECT doc_id, length(text) AS n_chars_computed,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct
+        |FROM documents""".stripMargin,
+    "q41_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents)
+        |SELECT doc_id, len(tokens) AS n_tok,
+        |  len(list_filter(tokens, t -> t IN ('the','a','of','and','to'))) AS stop_hits,
+        |  CAST(length(text) - (len(tokens) - 1) AS DOUBLE) / len(tokens) AS mean_tok_len,
+        |  CAST(len(list_filter(tokens, t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        |    / len(tokens) AS stop_ratio,
+        |  CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) AS distinct_ratio
+        |FROM t""".stripMargin,
+    "q42_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    len(list_filter(tokens, x -> x IN ('the','a','of'))) AS score_en,
+        |    len(list_filter(tokens, x -> x IN ('der','die','und'))) AS score_de,
+        |    len(list_filter(tokens, x -> x IN ('le','la','et'))) AS score_fr
+        |  FROM t)
+        |SELECT doc_id, score_en, score_de, score_fr,
+        |  CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+        |       WHEN score_de >= score_fr THEN 'de' ELSE 'fr' END AS pred_lang
+        |FROM s""".stripMargin,
+    "q43_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  ('0x' || substr(md5(text), 1, 15))::BIGINT AS fingerprint
+        |FROM documents""".stripMargin)
 }
