@@ -334,4 +334,28 @@ object Kernels {
   /** python3 round(): half-even on the exact binary value. */
   def pyRound(v: Double, digits: Int): Double =
     BigDecimal(v).setScale(digits, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+
+  private def centralMoment(x: Array[Double], k: Int): Double = {
+    val n = x.length
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x(i); i += 1 }
+    val m = s / n
+    var acc = 0.0
+    i = 0
+    while (i < n) { acc += math.pow(x(i) - m, k); i += 1 }
+    acc / n
+  }
+
+  /** scipy.stats.skew default semantics (biased): m3 / m2^1.5
+    * (`skewness_desc.py:37-62`).
+    */
+  def skewness(x: Array[Double]): Double =
+    centralMoment(x, 3) / math.pow(centralMoment(x, 2), 1.5)
+
+  /** scipy.stats.kurtosis default semantics (Fisher, biased): m4/m2² − 3
+    * (`kurtosis_desc.py:37-61`).
+    */
+  def kurtosis(x: Array[Double]): Double =
+    centralMoment(x, 4) / math.pow(centralMoment(x, 2), 2.0) - 3.0
 }

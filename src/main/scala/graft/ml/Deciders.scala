@@ -1,0 +1,289 @@
+package graft.ml
+
+import breeze.linalg.{det, inv, DenseMatrix => BDM, DenseVector => BDV}
+import org.apache.spark.ml.classification._
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deciders (SURVEY §2.9): binary classifiers with the reference's
+  * learn/evaluate/threshold contract (`superv_base_decider.py:40-100`,
+  * `base_decider.py:114-131`): `learn` takes a labeled feature DataFrame
+  * (`features: Vector, label: Double` with 1 = searched, 0 = contamination);
+  * `evaluate` appends `prob_<name>` = P(class 1), with NaN coerced to 0.
+  *
+  * MLlib-backed deciders train distributed; QDA/LDA are closed-form
+  * estimators (one `treeAggregate` over the data, tiny driver-side solve,
+  * broadcast-able model — ideal at scale since feature dimension is small).
+  *
+  * Documented semantic deltas vs the reference (survey §2.9):
+  * SVCDec→LogisticRegression (no RBF-SVC in MLlib), AdaBoostDec→GBT,
+  * ExtraTreesDec→RandomForest with feature subsampling.
+  */
+trait Decider extends Serializable {
+  def name: String
+  def threshold: Double
+  def learn(train: DataFrame): DeciderModel
+}
+
+trait DeciderModel extends Serializable {
+  def name: String
+  def threshold: Double
+
+  /** Append `prob_<name>` ∈ [0,1]; NaN→0 (`superv_base_decider.py:98-99`). */
+  def evaluate(df: DataFrame): DataFrame
+
+  protected def finishProb(df: DataFrame, raw: org.apache.spark.sql.Column): DataFrame =
+    df.withColumn(s"prob_$name", when(isnan(raw) || raw.isNull, 0.0).otherwise(raw))
+}
+
+/** Wrap of an MLlib ProbabilisticClassifier: probability vector's class-1
+  * component is the membership probability.
+  */
+private[ml] class ProbClassifierModelWrap(
+    val name: String, val threshold: Double,
+    model: org.apache.spark.ml.Model[_], hardPrediction: Boolean = false)
+    extends DeciderModel {
+  private val probU = udf((v: Vector) => v(1))
+  override def evaluate(df: DataFrame): DataFrame = {
+    val scored = model.asInstanceOf[org.apache.spark.ml.Transformer]
+      .transform(df)
+    val raw =
+      if (hardPrediction) col("prediction") // TreeDec quirk: hard labels
+      else probU(col("probability"))
+    finishProb(scored, raw).drop("rawPrediction", "probability", "prediction")
+  }
+}
+
+/** `GaussianNBDec` (`supervised_deciders.py:26-34`). */
+class GaussianNBDec(val threshold: Double = 0.5) extends Decider {
+  val name = "GaussianNBDec"
+  def learn(train: DataFrame): DeciderModel =
+    new ProbClassifierModelWrap(name, threshold,
+      new NaiveBayes().setModelType("gaussian").fit(train))
+}
+
+/** `TreeDec` — evaluate returns HARD predictions, a reference quirk
+  * (`supervised_deciders.py:102-117`).
+  */
+class TreeDec(val threshold: Double = 0.5, maxDepth: Int = 5) extends Decider {
+  val name = "TreeDec"
+  def learn(train: DataFrame): DeciderModel =
+    new ProbClassifierModelWrap(name, threshold,
+      new DecisionTreeClassifier().setMaxDepth(maxDepth).setSeed(42).fit(train),
+      hardPrediction = true)
+}
+
+/** `RandomForestDec` (`supervised_deciders.py:146-171`). */
+class RandomForestDec(val threshold: Double = 0.5, numTrees: Int = 20) extends Decider {
+  val name = "RandomForestDec"
+  def learn(train: DataFrame): DeciderModel =
+    new ProbClassifierModelWrap(name, threshold,
+      new RandomForestClassifier().setNumTrees(numTrees).setSeed(42).fit(train))
+}
+
+/** `ExtraTreesDec` stand-in: RF with per-node feature subsampling
+  * (documented delta — MLlib has no extremely-randomized trees).
+  */
+class ExtraTreesDec(val threshold: Double = 0.5, numTrees: Int = 20) extends Decider {
+  val name = "ExtraTreesDec"
+  def learn(train: DataFrame): DeciderModel =
+    new ProbClassifierModelWrap(name, threshold,
+      new RandomForestClassifier().setNumTrees(numTrees)
+        .setFeatureSubsetStrategy("sqrt").setSeed(7).fit(train))
+}
+
+/** `GradBoostDec` (`supervised_deciders.py:119-144`). */
+class GradBoostDec(val threshold: Double = 0.5, maxIter: Int = 20) extends Decider {
+  val name = "GradBoostDec"
+  def learn(train: DataFrame): DeciderModel =
+    new ProbClassifierModelWrap(name, threshold,
+      new GBTClassifier().setMaxIter(maxIter).setSeed(42).fit(train))
+}
+
+/** `AdaBoostDec` stand-in via GBT (documented delta — no SAMME in MLlib). */
+class AdaBoostDec(val threshold: Double = 0.5, maxIter: Int = 30) extends Decider {
+  val name = "AdaBoostDec"
+  def learn(train: DataFrame): DeciderModel =
+    new ProbClassifierModelWrap(name, threshold,
+      new GBTClassifier().setMaxIter(maxIter).setStepSize(0.5).setSeed(13).fit(train))
+}
+
+/** `SVCDec` stand-in: logistic regression gives the probabilistic linear
+  * boundary (documented delta — LinearSVC has no probabilities, no RBF).
+  */
+class SVCDec(val threshold: Double = 0.5) extends Decider {
+  val name = "SVCDec"
+  def learn(train: DataFrame): DeciderModel =
+    new ProbClassifierModelWrap(name, threshold,
+      new LogisticRegression().setMaxIter(100).fit(train))
+}
+
+/** `NeuronDecider`: MLP `[dim, hidden, 2]` with softmax out ≈ the keras
+  * Dense(h, relu) → Dense(1, sigmoid) (`neuron_decider.py:124-131`).
+  */
+class NeuronDecider(val threshold: Double = 0.5, hidden: Int = 10,
+                    maxIter: Int = 150) extends Decider {
+  val name = "NeuronDecider"
+  def learn(train: DataFrame): DeciderModel = {
+    val dim = train.select("features").head().getAs[Vector](0).size
+    new ProbClassifierModelWrap(name, threshold,
+      new MultilayerPerceptronClassifier()
+        .setLayers(Array(dim, hidden, 2)).setMaxIter(maxIter).setSeed(42)
+        .fit(train))
+  }
+}
+
+/** Gaussian discriminant sufficient statistics per class. */
+private[ml] final case class GaussianClass(
+    prior: Double, mean: Array[Double], invCov: Array[Array[Double]], logDet: Double) {
+  def logLikelihood(x: Array[Double]): Double = {
+    val d = mean.length
+    val c = new Array[Double](d)
+    var i = 0
+    while (i < d) { c(i) = x(i) - mean(i); i += 1 }
+    var quad = 0.0
+    i = 0
+    while (i < d) {
+      var j = 0
+      var s = 0.0
+      while (j < d) { s += invCov(i)(j) * c(j); j += 1 }
+      quad += c(i) * s
+      i += 1
+    }
+    math.log(prior) - 0.5 * logDet - 0.5 * quad
+  }
+}
+
+private[ml] object GaussianFit {
+  /** (n, Σx, Σxxᵀ) for one class — a single distributed pass. */
+  def moments(df: DataFrame, label: Double): (Long, BDV[Double], BDM[Double]) = {
+    val rows = df.filter(col("label") === label).select("features")
+      .rdd.map(_.getAs[Vector](0).toArray)
+    val d = rows.first().length
+    val (n, sx, sxx) = rows.treeAggregate((0L, BDV.zeros[Double](d), BDM.zeros[Double](d, d)))(
+      seqOp = { case ((cnt, s, m), x) =>
+        val v = BDV(x)
+        (cnt + 1, s + v, m + (v * v.t))
+      },
+      combOp = { case ((c1, s1, m1), (c2, s2, m2)) => (c1 + c2, s1 + s2, m1 + m2) })
+    (n, sx, sxx)
+  }
+
+  def gaussian(n: Long, sx: BDV[Double], sxx: BDM[Double], total: Long,
+               covOverride: Option[BDM[Double]] = None, reg: Double = 1e-6): GaussianClass = {
+    val mean = sx / n.toDouble
+    val cov = covOverride.getOrElse {
+      val c = (sxx / n.toDouble) - (mean * mean.t)
+      c + (BDM.eye[Double](mean.length) * reg)
+    }
+    GaussianClass(n.toDouble / total, mean.toArray,
+      inv(cov).toArray.grouped(mean.length).toArray.transpose, // breeze column-major
+      math.log(det(cov)))
+  }
+
+  def probUdf(g0: GaussianClass, g1: GaussianClass) =
+    udf((v: Vector) => {
+      val x = v.toArray
+      val l0 = g0.logLikelihood(x)
+      val l1 = g1.logLikelihood(x)
+      val m = math.max(l0, l1)
+      val e0 = math.exp(l0 - m)
+      val e1 = math.exp(l1 - m)
+      e1 / (e0 + e1)
+    })
+}
+
+private[ml] class GaussianDiscriminantModel(
+    val name: String, val threshold: Double,
+    g0: GaussianClass, g1: GaussianClass) extends DeciderModel {
+  override def evaluate(df: DataFrame): DataFrame =
+    finishProb(df, GaussianFit.probUdf(g0, g1)(col("features")))
+}
+
+/** `QDADec`: per-class mean + covariance, closed form
+  * (`supervised_deciders.py:38-49` — no MLlib equivalent).
+  */
+class QDADec(val threshold: Double = 0.5) extends Decider {
+  val name = "QDADec"
+  def learn(train: DataFrame): DeciderModel = {
+    val (n0, sx0, sxx0) = GaussianFit.moments(train, 0.0)
+    val (n1, sx1, sxx1) = GaussianFit.moments(train, 1.0)
+    val total = n0 + n1
+    new GaussianDiscriminantModel(name, threshold,
+      GaussianFit.gaussian(n0, sx0, sxx0, total),
+      GaussianFit.gaussian(n1, sx1, sxx1, total))
+  }
+}
+
+/** `LDADec`: shared (pooled) covariance linear discriminant
+  * (`supervised_deciders.py:12-23` — no MLlib LDA classifier).
+  */
+class LDADec(val threshold: Double = 0.5) extends Decider {
+  val name = "LDADec"
+  def learn(train: DataFrame): DeciderModel = {
+    val (n0, sx0, sxx0) = GaussianFit.moments(train, 0.0)
+    val (n1, sx1, sxx1) = GaussianFit.moments(train, 1.0)
+    val total = n0 + n1
+    val d = sx0.length
+    val m0 = sx0 / n0.toDouble
+    val m1 = sx1 / n1.toDouble
+    // pooled covariance with ML (1/N) normalization + ridge
+    val pooled = ((sxx0 - (m0 * m0.t) * n0.toDouble) +
+      (sxx1 - (m1 * m1.t) * n1.toDouble)) / total.toDouble +
+      (BDM.eye[Double](d) * 1e-6)
+    new GaussianDiscriminantModel(name, threshold,
+      GaussianFit.gaussian(n0, sx0, sxx0, total, Some(pooled)),
+      GaussianFit.gaussian(n1, sx1, sxx1, total, Some(pooled)))
+  }
+}
+
+/** `CustomDecider` (`deciders/custom_decider.py:5-108`): per-dimension
+  * (lo, hi) boundaries with open ends; probability = 1.0/0.0.
+  */
+class CustomDecider(val boundaries: Seq[(Option[Double], Option[Double])],
+                    val threshold: Double = 0.5) extends Decider {
+  val name = "CustomDecider"
+  def learn(train: DataFrame): DeciderModel = model // no learning
+  def model: DeciderModel = {
+    val b = boundaries
+    val thr = threshold
+    new DeciderModel {
+      val name = "CustomDecider"
+      val threshold: Double = thr
+      override def evaluate(df: DataFrame): DataFrame = {
+        val u = udf((v: Vector) => {
+          val ok = b.zipWithIndex.forall { case ((lo, hi), i) =>
+            lo.forall(v(i) > _) && hi.forall(v(i) < _)
+          }
+          if (ok) 1.0 else 0.0
+        })
+        finishProb(df, u(col("features")))
+      }
+    }
+  }
+}
+
+/** `KMeansDecider` (`unsupervised/k_means_decider.py:8-21`): unsupervised;
+  * `evaluate` yields the membership degree of the cluster richer in
+  * searched-like objects — here, distance-based soft score to the nearest
+  * centroid, normalized like the reference's cluster-id output scaled to
+  * [0,1].
+  */
+class KMeansDecider(val threshold: Double = 0.5, k: Int = 2) extends Decider {
+  val name = "KMeansDecider"
+  def learn(train: DataFrame): DeciderModel = {
+    val model = new KMeans().setK(k).setSeed(42).fit(train)
+    val thr = threshold
+    new DeciderModel {
+      val name = "KMeansDecider"
+      val threshold: Double = thr
+      override def evaluate(df: DataFrame): DataFrame = {
+        val scored = model.transform(df)
+        finishProb(scored, col("prediction").cast("double") / (k - 1).toDouble)
+          .drop("prediction")
+      }
+    }
+  }
+}

@@ -1,0 +1,237 @@
+package graft.ml
+
+import graft.functions.{Comparative, Kernels}
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Descriptors (SURVEY §2.8): feature-extraction Transformers over the star
+  * DataFrame (schema `graft.model.Star`). Each appends one or more double
+  * columns named by `outputCols` — the Spark equivalent of the reference's
+  * per-descriptor `LABEL` columns in the feature matrix
+  * (`stars_filter.py:190-199`).
+  *
+  * Stars without a light curve yield null features
+  * (`base_descriptor.py:49-65` NONE_VALUE), which the filter later drops
+  * (`stars_filter.py:203` dropna).
+  *
+  * Scale: every descriptor is a per-row kernel over the in-row LC arrays —
+  * embarrassingly parallel across stars, no shuffle. Comparative descriptors
+  * evaluate against a handful of template curves captured in the UDF closure
+  * (broadcast with the task binary; 1–50 templates per the reference).
+  */
+abstract class Descriptor(override val uid: String) extends Transformer {
+  def outputCols: Seq[String]
+
+  protected def lcTime: Column = col("lightCurves").getItem(0).getField("time")
+  protected def lcMag: Column = col("lightCurves").getItem(0).getField("mag")
+  protected def hasLc: Column = size(col("lightCurves")) > 0
+
+  /** Guard: null when the star has no LC (NONE_VALUE semantics). */
+  protected def lcFeature(feature: Column): Column =
+    when(hasLc, feature).otherwise(lit(null))
+
+  override def transformSchema(schema: StructType): StructType =
+    outputCols.foldLeft(schema)((s, c) => s.add(StructField(c, DoubleType)))
+
+  override def copy(extra: ParamMap): Transformer = this
+}
+
+/** Abbe value of the ekvi-PAA-reduced curve (`abbe_value_descr.py:4-49`);
+  * `bins=None` → curve length (no reduction path difference matters:
+  * `getAbbe` without bins uses raw mags).
+  */
+class AbbeValueDescr(val bins: Option[Int] = None,
+                     override val uid: String = Identifiable.randomUID("abbeValue"))
+    extends Descriptor(uid) {
+  override val outputCols: Seq[String] = Seq("abbe_value")
+  override def transform(df: Dataset[_]): DataFrame = {
+    val b = bins
+    val u = udf((t: Seq[Double], m: Seq[Double]) =>
+      Kernels.curveAbbe(t.toArray, m.toArray, b))
+    df.withColumn("abbe_value", lcFeature(u(lcTime, lcMag)))
+  }
+}
+
+/** Kurtosis of the (optionally reduced) mags (`kurtosis_desc.py:8-61`). */
+class KurtosisDescr(val bins: Option[Int] = None, val absolute: Boolean = false,
+                    override val uid: String = Identifiable.randomUID("kurtosis"))
+    extends Descriptor(uid) {
+  override val outputCols: Seq[String] = Seq("kurtosis")
+  override def transform(df: Dataset[_]): DataFrame = {
+    val (b, abs0) = (bins, absolute)
+    val u = udf((t: Seq[Double], m: Seq[Double]) => {
+      val mags = b match {
+        case Some(bb) => Kernels.ekviPaa(t.toArray, m.toArray, Some(bb.toDouble))._2
+        case None     => m.toArray
+      }
+      val k = Kernels.kurtosis(mags)
+      if (abs0) math.abs(k) else k
+    })
+    df.withColumn("kurtosis", lcFeature(u(lcTime, lcMag)))
+  }
+}
+
+/** Skewness of the (optionally reduced) mags (`skewness_desc.py:8-62`). */
+class SkewnessDescr(val bins: Option[Int] = None, val absolute: Boolean = false,
+                    override val uid: String = Identifiable.randomUID("skewness"))
+    extends Descriptor(uid) {
+  override val outputCols: Seq[String] = Seq("skewness")
+  override def transform(df: Dataset[_]): DataFrame = {
+    val (b, abs0) = (bins, absolute)
+    val u = udf((t: Seq[Double], m: Seq[Double]) => {
+      val mags = b match {
+        case Some(bb) => Kernels.ekviPaa(t.toArray, m.toArray, Some(bb.toDouble))._2
+        case None     => m.toArray
+      }
+      val s = Kernels.skewness(mags)
+      if (abs0) math.abs(s) else s
+    })
+    df.withColumn("skewness", lcFeature(u(lcTime, lcMag)))
+  }
+}
+
+/** Points per time unit after ekvi-PAA (`curve_density_descr.py:7-35`). */
+class CurveDensityDescr(override val uid: String = Identifiable.randomUID("curveDensity"))
+    extends Descriptor(uid) {
+  override val outputCols: Seq[String] = Seq("curve_density")
+  override def transform(df: Dataset[_]): DataFrame = {
+    val u = udf((t: Seq[Double], m: Seq[Double]) =>
+      Kernels.curveDensity(t.toArray, m.toArray))
+    df.withColumn("curve_density", lcFeature(u(lcTime, lcMag)))
+  }
+}
+
+/** Slope of the (log-)variogram linear fit (`variogram_slope_descr.py:5-54`). */
+class VariogramSlopeDescr(val daysPerBin: Double, val absolute: Boolean = false,
+                          override val uid: String = Identifiable.randomUID("varioSlope"))
+    extends Descriptor(uid) {
+  override val outputCols: Seq[String] = Seq("variogram_slope")
+  override def transform(df: Dataset[_]): DataFrame = {
+    val (dpb, abs0) = (daysPerBin, absolute)
+    val u = udf((t: Seq[Double], m: Seq[Double]) =>
+      Kernels.variogramSlope(t.toArray, m.toArray, dpb, abs0))
+    df.withColumn("variogram_slope", lcFeature(u(lcTime, lcMag)))
+  }
+}
+
+/** (ra, dec) projection (`position_descriptor.py:4-27`). */
+class PositionDescriptor(override val uid: String = Identifiable.randomUID("position"))
+    extends Descriptor(uid) {
+  override val outputCols: Seq[String] = Seq("ra", "dec")
+  override def transform(df: Dataset[_]): DataFrame =
+    df.withColumn("ra", col("coo").getField("ra"))
+      .withColumn("dec", col("coo").getField("dec"))
+}
+
+/** Magnitude differences from `more` (`color_index_descr.py:5-98`).
+  * Deliberate deviation from the reference's falsy-zero bug (magnitude 0.0
+  * treated as missing, survey §7.5.7): we null-check instead.
+  */
+class ColorIndexDescr(val colors: Seq[(String, String)],
+                      override val uid: String = Identifiable.randomUID("colorIndex"))
+    extends Descriptor(uid) {
+  override val outputCols: Seq[String] =
+    colors.map { case (a, b) => s"${b}-${a}" }
+  override def transform(df: Dataset[_]): DataFrame =
+    colors.foldLeft(df.toDF()) { case (d, (a, b)) =>
+      d.withColumn(s"${b}-${a}",
+        element_at(col("more"), b).cast("double") -
+          element_at(col("more"), a).cast("double"))
+    }
+}
+
+/** Arbitrary `more` attributes as floats (`property_desc.py:4-70`). */
+class PropertyDescr(val attributeNames: Seq[String],
+                    override val uid: String = Identifiable.randomUID("property"))
+    extends Descriptor(uid) {
+  override val outputCols: Seq[String] = attributeNames
+  override def transform(df: Dataset[_]): DataFrame =
+    attributeNames.foldLeft(df.toDF()) { (d, a) =>
+      d.withColumn(a, element_at(col("more"), a).cast("double"))
+    }
+}
+
+/** The normalized reduced curve itself as `bins` feature columns
+  * (`curve_descr.py:12-121`). PCA reduction is deliberately NOT fitted
+  * lazily on the evaluated batch (reference statefulness quirk, survey
+  * §7.5.9) — use `org.apache.spark.ml.feature.PCA` on the assembled vector
+  * as a pipeline stage instead.
+  */
+class CurveDescr(val bins: Int, val height: Option[Int] = None,
+                 override val uid: String = Identifiable.randomUID("curveDescr"))
+    extends Descriptor(uid) {
+  override val outputCols: Seq[String] =
+    (1 to bins).map(i => s"curve_point_$i")
+  override def transform(df: Dataset[_]): DataFrame = {
+    val (b, h) = (bins, height)
+    val u = udf((t: Seq[Double], m: Seq[Double]) => {
+      val (_, yEkvi) = Kernels.ekviPaa(t.toArray, m.toArray)
+      var y = if (yEkvi.length > b) Kernels.paa(yEkvi, b) else Kernels.paa(m.toArray, b)
+      val range = y.max - y.min
+      y = h match {
+        case Some(hh) => y.map(v => math.rint(hh * v / range)) // np round = half-even
+        case None     => y.map(_ / range)
+      }
+      val mean = y.sum / y.length
+      y.map(_ - mean)
+    })
+    val withArr = df.withColumn("_curve", when(hasLc, u(lcTime, lcMag)).otherwise(lit(null)))
+    outputCols.zipWithIndex.foldLeft(withArr) { case (d, (c, i)) =>
+      d.withColumn(c, col("_curve").getItem(i))
+    }.drop("_curve")
+  }
+}
+
+/** Shared shape of the three comparative SAX descriptors (§2.8): pairwise
+  * dissimilarity vs template curves aggregated by `meth`.
+  */
+abstract class ComparativeDescr(uid: String) extends Descriptor(uid) {
+  def templates: Seq[(Array[Double], Array[Double])]
+  def meth: String
+  protected def pairFn: (Array[Double], Array[Double], Array[Double], Array[Double]) => Double
+
+  override def transform(df: Dataset[_]): DataFrame = {
+    val (tmpl, m, pf) = (templates, meth, pairFn)
+    val u = udf((t: Seq[Double], mag: Seq[Double]) =>
+      Comparative.feature(t.toArray, mag.toArray, tmpl, m)(pf))
+    df.withColumn(outputCols.head, lcFeature(u(lcTime, lcMag)))
+  }
+}
+
+/** SAX dissimilarity of light curves vs templates (`curves_shape_descr.py`). */
+class CurvesShapeDescr(val templates: Seq[(Array[Double], Array[Double])],
+                       val daysPerBin: Double, val alphabetSize: Int,
+                       val slide: Option[Double] = Some(0.25),
+                       val meth: String = "average",
+                       override val uid: String = Identifiable.randomUID("curvesShape"))
+    extends ComparativeDescr(uid) {
+  override val outputCols: Seq[String] = Seq("curves_shape_dissim")
+  override protected def pairFn = (st, sm, ct, cm) =>
+    Comparative.curvesShapePair(st, sm, ct, cm, daysPerBin, alphabetSize, slide)
+}
+
+/** SAX dissimilarity of LC histograms (`hist_shape_descr.py`). */
+class HistShapeDescr(val templates: Seq[(Array[Double], Array[Double])],
+                     val bins: Int, val alphabetSize: Int,
+                     val slide: Boolean = false, val meth: String = "average",
+                     override val uid: String = Identifiable.randomUID("histShape"))
+    extends ComparativeDescr(uid) {
+  override val outputCols: Seq[String] = Seq("hist_shape_dissim")
+  override protected def pairFn = (st, sm, ct, cm) =>
+    Comparative.histShapePair(st, sm, ct, cm, bins, alphabetSize, slide)
+}
+
+/** SAX dissimilarity of LC variograms (`variogram_shape_descr.py`). */
+class VariogramShapeDescr(val templates: Seq[(Array[Double], Array[Double])],
+                          val bins: Int, val alphabetSize: Int,
+                          val slide: Boolean = false, val meth: String = "average",
+                          override val uid: String = Identifiable.randomUID("varioShape"))
+    extends ComparativeDescr(uid) {
+  override val outputCols: Seq[String] = Seq("vario_shape_dissim")
+  override protected def pairFn = (st, sm, ct, cm) =>
+    Comparative.varioShapePair(st, sm, ct, cm, bins, alphabetSize, slide)
+}

@@ -1,0 +1,176 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The composite filter (SURVEY §2.10, `stars_filter.py:13-389`):
+  * descriptor fan-out → feature matrix (NaN rows dropped) → N deciders →
+  * probability combine → threshold.
+  *
+  * Spark shape: descriptors are chained Transformers (all per-row kernels —
+  * one codegen stage, no shuffle), features assembled into a Vector, each
+  * decider trains on the same cached training DataFrame. Evaluation joins
+  * nothing: probabilities are appended columns.
+  *
+  * Deviation (survey §7.5.5, deliberate): rows are keyed by `starId`, never
+  * by position, so the NaN-drop can't misalign status bookkeeping.
+  */
+class StarsFilter(val descriptors: Seq[Descriptor], val deciders: Seq[Decider]) {
+
+  val featureCols: Seq[String] = descriptors.flatMap(_.outputCols)
+
+  /** Descriptor fan-out + NaN-row drop (`getSpaceCoordinates`,
+    * `stars_filter.py:170-205`).
+    */
+  def spaceCoordinates(stars: DataFrame): DataFrame = {
+    val withFeatures = descriptors.foldLeft(stars)((df, d) => d.transform(df).toDF())
+    val noNan = featureCols.foldLeft(withFeatures) { (df, c) =>
+      df.filter(col(c).isNotNull && !isnan(col(c)))
+    }
+    new VectorAssembler()
+      .setInputCols(featureCols.toArray)
+      .setOutputCol("features")
+      .transform(noNan)
+  }
+
+  /** Train every decider on searched (label 1) vs contamination (label 0)
+    * (`learn`, `stars_filter.py:150-168`).
+    */
+  def learn(searched: DataFrame, others: DataFrame): StarsFilterModel = {
+    val train = spaceCoordinates(searched).withColumn("label", lit(1.0))
+      .unionByName(spaceCoordinates(others).withColumn("label", lit(0.0)))
+      .select("features", "label")
+      .cache()
+    try {
+      require(train.filter(col("label") === 1.0).limit(1).count() > 0 &&
+        train.filter(col("label") === 0.0).limit(1).count() > 0,
+        "Decider can't be learned on an empty sample")
+      val models = deciders.map(_.learn(train))
+      new StarsFilterModel(descriptors, models, featureCols)
+    } finally train.unpersist()
+  }
+}
+
+class StarsFilterModel(val descriptors: Seq[Descriptor],
+                       val models: Seq[DeciderModel],
+                       val featureCols: Seq[String]) extends Serializable {
+
+  private def filterInstance = new StarsFilter(descriptors, Nil)
+
+  def probCols: Seq[String] = models.map(m => s"prob_${m.name}")
+
+  /** The `getAllPredictions` column contract (`stars_filter.py:264-288`):
+    * feature columns, per-decider probability + passed flag, and the AND'd
+    * `passed` column.
+    */
+  def getAllPredictions(stars: DataFrame): DataFrame = {
+    val coords = filterInstance.spaceCoordinates(stars)
+    val scored = models.foldLeft(coords)((df, m) => m.evaluate(df))
+    val withPassed = models.foldLeft(scored) { (df, m) =>
+      df.withColumn(s"passed_${m.name}", col(s"prob_${m.name}") > m.threshold)
+    }
+    val allPassed = models.map(m => col(s"passed_${m.name}"))
+      .reduce(_ && _)
+    withPassed.withColumn("passed", allPassed)
+  }
+
+  /** Combined probability (`evaluateCoordinates`, `stars_filter.py:290-327`):
+    * meth ∈ lowest/mean/highest, rounded to 2 decimals like the reference.
+    */
+  def evaluateCoordinates(scored: DataFrame, meth: String = "mean"): DataFrame = {
+    val ps = probCols.map(col)
+    val combined: Column = meth match {
+      case "lowest"  => least(ps: _*)
+      case "highest" => greatest(ps: _*)
+      case "mean"    => ps.reduce(_ + _) / ps.length
+      case other     => throw new IllegalArgumentException(s"Invalid method $other")
+    }
+    scored.withColumn("combined_prob", round(combined, 2))
+  }
+
+  /** `filterStars` (`stars_filter.py:77-117`): keep stars whose combined
+    * probability ≥ MEAN of decider thresholds; pass_method all/mean/one →
+    * lowest/mean/highest combine.
+    */
+  def filterStars(stars: DataFrame, passMethod: String = "all"): DataFrame = {
+    val meth = passMethod match {
+      case "all"  => "lowest"
+      case "mean" => "mean"
+      case "one"  => "highest"
+      case other  => throw new IllegalArgumentException(s"Invalid filtering method $other")
+    }
+    val threshold = models.map(_.threshold).sum / models.length
+    val scored = models.foldLeft(filterInstance.spaceCoordinates(stars))(
+      (df, m) => m.evaluate(df))
+    evaluateCoordinates(scored, meth).filter(col("combined_prob") >= threshold)
+  }
+
+  /** Confusion-matrix statistics per decider + column-wise mean
+    * (`base_decider.py:133-197`, `stars_filter.py:330-368`): one row per
+    * decider plus a `mean` row; rates rounded to 3 decimals like the
+    * reference.
+    */
+  def getStatistic(searched: DataFrame, others: DataFrame): DataFrame = {
+    val s = getAllPredictions(searched).cache()
+    val o = getAllPredictions(others).cache()
+    try {
+      val rightNum = s.count().toDouble
+      val wrongNum = o.count().toDouble
+      val rows = models.map { m =>
+        val tp = s.filter(col(s"prob_${m.name}") >= m.threshold).count().toDouble
+        val tn = o.filter(col(s"prob_${m.name}") < m.threshold).count().toDouble
+        val fp = wrongNum - tn
+        val fn = rightNum - tp
+        val precision = if (tp + fp > 0) tp / (tp + fp) else 0.0
+        (m.name,
+          math.rint(precision * 1000) / 1000,
+          (tp + tn) / (rightNum + wrongNum),
+          2 * tp / (2 * tp + fp + fn),
+          math.rint(tp / rightNum * 1000) / 1000,
+          math.rint(tn / wrongNum * 1000) / 1000,
+          math.rint((1 - tn / wrongNum) * 1000) / 1000,
+          math.rint((1 - tp / rightNum) * 1000) / 1000)
+      }
+      val spark = searched.sparkSession
+      import spark.implicits._
+      val perDecider = rows.toDF("decider", "precision", "accuracy", "f1_score",
+        "true_positive_rate", "true_negative_rate",
+        "false_positive_rate", "false_negative_rate")
+      val meanRow = perDecider.groupBy()
+        .agg(lit("mean").as("decider"),
+          avg("precision").as("precision"), avg("accuracy").as("accuracy"),
+          avg("f1_score").as("f1_score"),
+          avg("true_positive_rate").as("true_positive_rate"),
+          avg("true_negative_rate").as("true_negative_rate"),
+          avg("false_positive_rate").as("false_positive_rate"),
+          avg("false_negative_rate").as("false_negative_rate"))
+      perDecider.unionByName(meanRow)
+    } finally { s.unpersist(); o.unpersist() }
+  }
+
+  /** ROC sweep (`getROC`, `stars_filter.py:370-376`): n thresholds in
+    * [0.01, 0.99] → (threshold, fpr, tpr) in one aggregation pass over the
+    * scored data (not n passes).
+    */
+  def roc(searched: DataFrame, others: DataFrame, nPoints: Int = 20): DataFrame = {
+    val spark = searched.sparkSession
+    val s = evaluateCoordinates(
+      models.foldLeft(filterInstance.spaceCoordinates(searched))((df, m) => m.evaluate(df)))
+      .withColumn("label", lit(1))
+    val o = evaluateCoordinates(
+      models.foldLeft(filterInstance.spaceCoordinates(others))((df, m) => m.evaluate(df)))
+      .withColumn("label", lit(0))
+    val scored = s.unionByName(o).select("combined_prob", "label")
+    val thresholds = spark.range(0, nPoints)
+      .select((lit(0.01) + col("id") * (0.99 - 0.01) / (nPoints - 1)).as("thr"))
+    scored.crossJoin(broadcast(thresholds))
+      .groupBy("thr")
+      .agg(
+        (sum(when(col("combined_prob") >= col("thr") && col("label") === 1, 1)
+          .otherwise(0)) / sum(col("label"))).as("tpr"),
+        (sum(when(col("combined_prob") >= col("thr") && col("label") === 0, 1)
+          .otherwise(0)) / sum(lit(1) - col("label"))).as("fpr"))
+      .orderBy("thr")
+  }
+}

@@ -1,0 +1,158 @@
+package graft.sources
+
+import graft.functions.Kernels
+import graft.model.{Coordinates, LightCurveData, Star}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query spec (SURVEY §1.1): the reference's query dict
+  * (`db_tier/base_query.py:33-35`) — equality, (lo, hi) ranges, and cone
+  * parameters — as a typed map.
+  */
+final case class QuerySpec(params: Map[String, String]) {
+  def get(key: String): Option[String] = params.get(key)
+  def double(key: String): Option[Double] = params.get(key).flatMap(_.toDoubleOption)
+  def range(key: String): Option[(Double, Double)] =
+    for {
+      lo <- double(s"${key}_min")
+      hi <- double(s"${key}_max")
+    } yield (lo, hi)
+}
+
+/** Connector contract (`db_tier/base_query.py:13-36`): queries → star
+  * DataFrame. Offline connectors read local fixtures; the remote-archive
+  * pushdown seam (DataSource V2 `SupportsPushDownFilters` emitting ADQL,
+  * SURVEY §2.1 TapClient) is the designed extension point, not implemented
+  * in the zero-egress build.
+  */
+trait StarsConnector extends Serializable {
+  def getStars(spark: SparkSession, queries: Seq[QuerySpec]): Dataset[Star]
+}
+
+/** Registry (`db_tier/stars_provider.py:17-44` PackageReader replacement —
+  * an explicit Scala map instead of reflection scanning).
+  */
+object StarsProvider {
+  private var registry: Map[String, StarsConnector] = Map(
+    "FileManager" -> new FileManagerConnector)
+
+  def register(name: String, connector: StarsConnector): Unit =
+    synchronized { registry += name -> connector }
+
+  def getProvider(name: String): StarsConnector =
+    registry.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"Unresolved connector $name; available: ${registry.keys.mkString(", ")}"))
+}
+
+/** `FileManager` (`db_tier/connectors/file_manager.py:16-107`): loads stars
+  * from a directory of `.dat` 3-column text light curves, FITS files, or a
+  * parquet dataset of the star schema. Query keys: `path`, `suffix`
+  * (dat|fits|parquet), `files_limit`, `star_class`, `db_ident`.
+  *
+  * Scale: both readers are per-file parallel tasks (text lines carry
+  * `input_file_name`, FITS arrives via the `binaryFile` source); no driver
+  * loop over files.
+  */
+class FileManagerConnector extends StarsConnector {
+
+  override def getStars(spark: SparkSession, queries: Seq[QuerySpec]): Dataset[Star] = {
+    import spark.implicits._
+    queries.map { q =>
+      val path = q.get("path").getOrElse(
+        throw new IllegalArgumentException("FileManager needs 'path'"))
+      val suffix = q.get("suffix").getOrElse("dat")
+      val ds = suffix match {
+        case "dat"     => readDat(spark, path, q)
+        case "fits"    => readFits(spark, path, q)
+        case "parquet" => spark.read.parquet(path).as[Star]
+        case other     => throw new IllegalArgumentException(s"Unknown suffix $other")
+      }
+      val limited = q.get("files_limit").flatMap(_.toIntOption) match {
+        case Some(n) => ds.orderBy("starId").limit(n) // deterministic "first N"
+        case None    => ds
+      }
+      limited
+    }.reduce(_ unionByName _)
+  }
+
+  /** `.dat`: whitespace-separated `time mag err` with optional comment
+    * lines; bad values scrubbed and rounded 5/3/3 by the cleaning kernel
+    * (`file_manager.py:194-233` + `light_curve.py:196-204`); star name from
+    * the file name (`parseFileName`, `file_manager.py:247-253`).
+    */
+  private def readDat(spark: SparkSession, path: String, q: QuerySpec): Dataset[Star] = {
+    import spark.implicits._
+    val starClass = q.get("star_class")
+    val db = q.get("db_ident")
+    spark.read.textFile(s"$path/*.dat")
+      .select(input_file_name().as("file"), col("value"))
+      .groupBy(col("file"))
+      .agg(collect_list(col("value")).as("lines"))
+      .as[(String, Seq[String])]
+      .map { case (file, lines) =>
+        val name = file.split("/").last.stripSuffix(".dat")
+        val rows = lines.iterator
+          .map(_.trim)
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map(_.split("\\s+"))
+          .filter(_.length >= 2)
+          .flatMap { a =>
+            val bad = Set("-99", "-99.0", "99", "N/A")
+            if (a.take(3).exists(bad)) None
+            else for {
+              t <- a(0).toDoubleOption
+              m <- a(1).toDoubleOption
+              e <- if (a.length > 2) a(2).toDoubleOption else Some(0.0)
+            } yield (t, m, e)
+          }.toArray
+        val (t, m, e) = Kernels.cleanLc(rows.map(_._1), rows.map(_._2), rows.map(_._3))
+        Star(name, None,
+          db.map(d => Map(d -> name)).getOrElse(Map.empty),
+          Map.empty, Map.empty, starClass,
+          Seq(LightCurveData(t, m, e, Map.empty)))
+      }
+  }
+
+  /** FITS via the `binaryFile` source + the pure [[Fits]] parser. */
+  private def readFits(spark: SparkSession, path: String, q: QuerySpec): Dataset[Star] = {
+    import spark.implicits._
+    val starClass = q.get("star_class")
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.fits")
+      .load(path)
+      .select("content")
+      .as[Array[Byte]]
+      .map { bytes =>
+        val s = Fits.readStar(bytes)
+        starClass.map(c => s.copy(starClass = Some(c))).getOrElse(s)
+      }
+  }
+}
+
+/** Cone search post-filter (`db_tier/base_query.py:38-83`): exact spherical
+  * separation < delta (stars without coordinates pass, dist = ∞ in the
+  * reference → here null distance passes); `nearest` → global top-1.
+  */
+object ConeSearch {
+  def apply(stars: DataFrame, ra: Double, dec: Double, deltaDeg: Double,
+            nearest: Boolean = false): DataFrame = {
+    val d = lit(2.0) * asin(sqrt(
+      pow(sin(radians(col("coo.dec") - dec) / 2), 2) +
+        cos(radians(col("coo.dec"))) * cos(lit(math.toRadians(dec))) *
+        pow(sin(radians(col("coo.ra") - ra) / 2), 2)))
+    val withDist = stars.withColumn("dist_deg", degrees(d))
+    val filtered = withDist.filter(col("dist_deg").isNull || col("dist_deg") < deltaDeg)
+    if (nearest) filtered.orderBy(col("dist_deg").asc_nulls_last).limit(1)
+    else filtered
+  }
+
+  /** Cone → box rewrite (`_getRanges`, `base_query.py:85-91`): the sargable
+    * prefilter pushed to the source; faithfully does NOT scale ra by
+    * cos(dec).
+    */
+  def boxFilter(stars: DataFrame, ra: Double, dec: Double, deltaDeg: Double): DataFrame =
+    stars.filter(
+      col("coo.ra").between(ra - deltaDeg, ra + deltaDeg) &&
+        col("coo.dec").between(dec - deltaDeg, dec + deltaDeg))
+}

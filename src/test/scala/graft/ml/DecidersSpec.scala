@@ -1,0 +1,63 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Decider separability, mirroring the reference's
+  * `test/stars_processing/test_deciders.py`: two random 7-dim clusters
+  * offset by +1; a trained decider must assign clearly higher probability
+  * to the searched cluster.
+  */
+class DecidersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(42)
+  private val dim = 7
+
+  private def cluster(offset: Double, n: Int): DataFrame =
+    (1 to n).map { _ =>
+      Tuple1(Vectors.dense(Array.fill(dim)(rng.nextDouble() + offset)))
+    }.toDF("features")
+
+  private lazy val searched = cluster(1.0, 100).withColumn("label", lit(1.0)).cache()
+  private lazy val others = cluster(0.0, 100).withColumn("label", lit(0.0)).cache()
+  private lazy val train = searched.unionByName(others).cache()
+
+  private def separation(decider: Decider): Double = {
+    val m = decider.learn(train)
+    val ps = m.evaluate(searched).agg(avg(col(s"prob_${m.name}"))).head().getDouble(0)
+    val po = m.evaluate(others).agg(avg(col(s"prob_${m.name}"))).head().getDouble(0)
+    ps - po
+  }
+
+  // The reference asserts > 0.95 for sklearn deciders on the same geometry.
+  for (d <- Seq(
+    new GaussianNBDec(), new TreeDec(), new RandomForestDec(),
+    new ExtraTreesDec(), new GradBoostDec(), new AdaBoostDec(),
+    new SVCDec(), new QDADec(), new LDADec()))
+    test(s"${d.name} separates offset clusters (> 0.9)") {
+      assert(separation(d) > 0.9, s"${d.name} separation too low")
+    }
+
+  test("NeuronDecider separates offset clusters (> 0.8)") {
+    assert(separation(new NeuronDecider()) > 0.8)
+  }
+
+  test("CustomDecider boundary predicate") {
+    val d = new CustomDecider(
+      (1 to dim).map(_ => (Some(0.9): Option[Double], None: Option[Double])))
+    val m = d.model
+    val ps = m.evaluate(searched).agg(avg(col("prob_CustomDecider"))).head().getDouble(0)
+    val po = m.evaluate(others).agg(avg(col("prob_CustomDecider"))).head().getDouble(0)
+    assert(ps > 0.4 && po == 0.0) // all-dims-above-0.9 is rarer for cluster at 0
+  }
+
+  test("KMeansDecider clusters the two blobs") {
+    val m = new KMeansDecider().learn(train)
+    val ps = m.evaluate(searched).agg(avg(col("prob_KMeansDecider"))).head().getDouble(0)
+    val po = m.evaluate(others).agg(avg(col("prob_KMeansDecider"))).head().getDouble(0)
+    assert(math.abs(ps - po) > 0.9) // cluster ids separate; orientation arbitrary
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.model.{LightCurveData, Star}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Filter integration, mirroring `test/stars_processing/test_stars_filter.py`:
+  * cos-noise vs exp-noise synthetic stars; column contract of
+  * getAllPredictions; probability separation; filterStars threshold
+  * semantics.
+  */
+class StarsFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(7)
+
+  private def star(id: String, f: Double => Double): Star = {
+    val t = Array.tabulate(300)(i => i * 1.0 + rng.nextDouble() * 0.2)
+    val m = t.map(x => f(x) + rng.nextGaussian() * 0.05)
+    Star(id, None, Map.empty, Map.empty, Map.empty, None,
+      Seq(LightCurveData(t, m, Array.fill(300)(0.01), Map.empty)))
+  }
+
+  private lazy val searched: DataFrame =
+    (1 to 15).map(i => star(s"cos_$i", x => math.cos(x / 10))).toDF().cache()
+  private lazy val others: DataFrame =
+    (1 to 15).map(i => star(s"exp_$i", x => math.exp(x / 300) + rng.nextGaussian() * 0.5))
+      .toDF().cache()
+
+  private lazy val descriptors = Seq(
+    new AbbeValueDescr(bins = Some(100)),
+    new VariogramSlopeDescr(daysPerBin = 30))
+  private lazy val deciders = Seq(new LDADec(), new QDADec())
+  private lazy val model = new StarsFilter(descriptors, deciders).learn(searched, others)
+
+  test("getAllPredictions column contract") {
+    val preds = model.getAllPredictions(searched)
+    val cols = preds.columns.toSet
+    for (c <- Seq("abbe_value", "variogram_slope", "prob_LDADec", "prob_QDADec",
+      "passed_LDADec", "passed_QDADec", "passed"))
+      assert(cols.contains(c), s"missing column $c")
+  }
+
+  test("probabilities separate the two families") {
+    val ps = model.getAllPredictions(searched)
+      .agg(avg("prob_LDADec"), avg("prob_QDADec")).head()
+    val po = model.getAllPredictions(others)
+      .agg(avg("prob_LDADec"), avg("prob_QDADec")).head()
+    assert(ps.getDouble(0) - po.getDouble(0) > 0.8)
+    assert(ps.getDouble(1) - po.getDouble(1) > 0.8)
+  }
+
+  test("filterStars keeps searched family, drops contamination") {
+    val keptSearched = model.filterStars(searched).count()
+    val keptOthers = model.filterStars(others).count()
+    assert(keptSearched >= 12, s"kept only $keptSearched/15 searched")
+    assert(keptOthers <= 3, s"kept $keptOthers/15 contamination")
+  }
+
+  test("getStatistic yields high precision and contains the mean row") {
+    val stats = model.getStatistic(searched, others)
+    val meanRow = stats.filter(col("decider") === "mean").head()
+    assert(meanRow.getAs[Double]("precision") > 0.8)
+    assert(stats.count() == deciders.size + 1)
+  }
+
+  test("roc sweep is monotone-ish and bounded") {
+    val roc = model.roc(searched, others, nPoints = 10).collect()
+    assert(roc.length == 10)
+    roc.foreach { r =>
+      val tpr = r.getAs[Double]("tpr")
+      val fpr = r.getAs[Double]("fpr")
+      assert(tpr >= 0 && tpr <= 1 && fpr >= 0 && fpr <= 1)
+    }
+  }
+
+  test("ParamsEstimator picks a best combination") {
+    val grid = Seq(
+      TuneCombination("abbe100", Seq(new AbbeValueDescr(Some(100))), Seq(new QDADec())),
+      TuneCombination("abbe100+slope",
+        Seq(new AbbeValueDescr(Some(100)), new VariogramSlopeDescr(30)), Seq(new QDADec())))
+    val (best, all) = new ParamsEstimator(searched, others, grid).fit()
+    assert(all.size == 2)
+    assert(best.stats("precision") >= all.map(_.stats("precision")).min)
+  }
+}

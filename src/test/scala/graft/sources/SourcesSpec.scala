@@ -1,0 +1,105 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.ml._
+import graft.model.Star
+import org.apache.spark.sql.functions._
+
+/** Ingestion + searcher e2e against the reference's bundled FITS samples
+  * (read-only at /root/reference/sample), mirroring
+  * `test/db_tier/test_connectors.py` and `test/cli/test_cli.py`.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val qsoPath = "/root/reference/sample/qso"
+  private val bePath = "/root/reference/sample/be_stars"
+
+  private def load(path: String, cls: String) =
+    StarsProvider.getProvider("FileManager")
+      .getStars(spark, Seq(QuerySpec(Map(
+        "path" -> path, "suffix" -> "fits", "star_class" -> cls))))
+
+  test("FITS connector reads the qso sample corpus") {
+    val qso = load(qsoPath, "quasar").cache()
+    assert(qso.count() == 18)
+    val first = qso.orderBy("starId").head()
+    assert(first.lightCurves.nonEmpty, "no light curve parsed")
+    val lc = first.lightCurves.head
+    assert(lc.time.length > 100 && lc.time.length == lc.mag.length)
+    // sample headers carry IDENT + HIERARCH MACHO_name (no RA/DEC)
+    assert(first.identNames.contains("MACHO"))
+    assert(first.starId == first.identNames("MACHO"))
+  }
+
+  test("star parquet round-trip preserves the schema") {
+    val qso = load(qsoPath, "quasar")
+    val out = java.nio.file.Files.createTempDirectory("stars").toString + "/stars"
+    qso.write.parquet(out)
+    val back = spark.read.parquet(out).as[Star]
+    assert(back.count() == 18)
+    val a = qso.orderBy("starId").head()
+    val b = back.orderBy("starId").head()
+    assert(a.starId == b.starId && a.lightCurves.head.mag.sameElements(b.lightCurves.head.mag))
+  }
+
+  test("dat connector parses 3-column text curves") {
+    val dir = java.nio.file.Files.createTempDirectory("dat")
+    val f = dir.resolve("star_x.dat")
+    java.nio.file.Files.writeString(f,
+      "#time mag err\n12.0 13.45 0.38\n13.1 13.47 0.36\n-99 1 1\n14.2 13.50 0.33\n")
+    val stars = StarsProvider.getProvider("FileManager")
+      .getStars(spark, Seq(QuerySpec(Map(
+        "path" -> dir.toString, "suffix" -> "dat", "star_class" -> "test")))).collect()
+    assert(stars.length == 1)
+    assert(stars.head.starId == "star_x")
+    assert(stars.head.lightCurves.head.time.sameElements(Array(12.0, 13.1, 14.2)))
+  }
+
+  test("cone search filters and nearest picks top-1") {
+    import graft.model.{Coordinates, Star}
+    val stars = Seq(
+      Star("near", Some(Coordinates(10.0, 20.0)), Map.empty, Map.empty, Map.empty, None, Nil),
+      Star("mid", Some(Coordinates(10.5, 20.5)), Map.empty, Map.empty, Map.empty, None, Nil),
+      Star("far", Some(Coordinates(50.0, -30.0)), Map.empty, Map.empty, Map.empty, None, Nil),
+      Star("nocoo", None, Map.empty, Map.empty, Map.empty, None, Nil)).toDF()
+    val hits = ConeSearch(stars, 10.0, 20.0, 1.0)
+    // near + mid within 1 deg; far excluded; nocoo passes (reference: dist=inf passes)
+    assert(hits.select("starId").as[String].collect().toSet == Set("near", "mid", "nocoo"))
+    val nearest = ConeSearch(stars, 10.4, 20.4, 180.0, nearest = true)
+      .select("starId").as[String].collect()
+    assert(nearest.sameElements(Array("mid")))
+    val boxed = ConeSearch.boxFilter(stars, 10.0, 20.0, 1.0)
+    assert(boxed.count() == 2) // box prefilter drops coordinate-less rows
+  }
+
+  test("flagship slice: train on qso vs be_stars, search via the searcher job") {
+    val qso = load(qsoPath, "quasar").toDF().cache()
+    val be = load(bePath, "be_star").toDF().cache()
+    val model = new StarsFilter(
+      Seq(new AbbeValueDescr(Some(100)), new HistShapeDescr(
+        templates = qso.limit(3).as[Star].collect().toSeq
+          .map(s => (s.lightCurves.head.time, s.lightCurves.head.mag)),
+        bins = 10, alphabetSize = 7)),
+      Seq(new QDADec())).learn(qso, be)
+
+    val stats = model.getStatistic(qso, be)
+    val precision = stats.filter(col("decider") === "mean").head().getAs[Double]("precision")
+    assert(precision > 0.7, s"flagship precision $precision")
+
+    // searcher: two queries over the fixture dirs, status + matched sinks
+    val tmp = java.nio.file.Files.createTempDirectory("search").toString
+    val searcher = new StarsSearcher(model, "FileManager",
+      s"$tmp/matched", s"$tmp/status")
+    val queries = Seq(
+      ("q_qso", Map("path" -> qsoPath, "suffix" -> "fits", "star_class" -> "quasar")),
+      ("q_be", Map("path" -> bePath, "suffix" -> "fits", "star_class" -> "be_star")))
+      .toDF("query_id", "params")
+    val status = searcher.queryStars(spark, queries)
+    assert(status.count() == 36, "status row per fetched star")
+    val matched = spark.read.parquet(s"$tmp/matched")
+    assert(matched.count() >= 10, "most qso should pass")
+    // resume: all queries already done -> nothing left
+    assert(searcher.unsearchedQueries(spark, queries).count() == 0)
+  }
+}
