@@ -10,9 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001 (the star pipeline: events →
+    * stars → descriptor features); driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.q01Agg(spark, "/root/testdata/sf0.001")
+    operators.StarQueries.q50StarFeatures(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -21,7 +23,8 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Similarity.queries ++
       operators.TimeSeries.queries ++
-      operators.StarQueries.queries
+      operators.StarQueries.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +34,6 @@ object SparkEntry {
       operators.TextAnalysis.oracleSql ++
       operators.Similarity.oracleSql ++
       operators.TimeSeries.oracleSql ++
-      operators.StarQueries.oracleSql
+      operators.StarQueries.oracleSql ++
+      operators.Multimodal.oracleSql
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed metadata,
+  * processed by a partition-wise batch decoder — the Spark-side shape a
+  * real image/audio pipeline needs (schema, partitioning, batch signature),
+  * with the codec STUBBED deterministically (no image/audio libs in this
+  * container).
+  *
+  * Payloads are derived from `documents.text` bytes so every scale factor
+  * has a corpus; a production deployment swaps [[StubCodec.decode]] for a
+  * real decoder (e.g. JNI image lib) without touching the plumbing.
+  *
+  * Scale: decode runs via `mapPartitions` — one codec instance per task,
+  * batch-amortized, no shuffle; the feature aggregation afterwards is the
+  * only exchange.
+  */
+object Multimodal {
+
+  /** Decoded features of one payload. */
+  final case class MediaFeatures(
+      doc_id: Long, byte_len: Int, first_byte: Int, checksum: Long,
+      width: Int, height: Int)
+
+  /** STUB codec — deterministic fake decode. A real implementation would
+    * decode image bytes here; the (width, height) are synthesized from the
+    * payload so downstream schema/tests are real.
+    */
+  object StubCodec {
+    def decode(docId: Long, bytes: Array[Byte]): MediaFeatures = {
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+      MediaFeatures(docId, bytes.length, if (bytes.nonEmpty) bytes(0) & 0xff else -1,
+        sum, width = 64 + (sum % 64).toInt, height = 64 + (bytes.length % 64))
+    }
+  }
+
+  /** documents → (doc_id, payload binary, meta map): the multimodal table. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        map(lit("mime"), lit("application/octet-stream"),
+          lit("source"), col("source")).as("meta"))
+
+  /** Partition-wise decode: the `mapInPandas`-equivalent batch path. */
+  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => StubCodec.decode(id, bytes) } }
+  }
+
+  /** Oracle-checkable slice of the decode: byte length, first byte and
+    * checksum are real payload math both engines can compute.
+    */
+  def q54MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    decodeFeatures(spark, dir).toDF()
+      .select(col("doc_id"), col("byte_len"), col("first_byte"), col("checksum"))
+  }
+
+  /** Aggregate decoded features per source — decode feeding a relational
+    * pipeline (rows-only: width/height come from the stub).
+    */
+  def q55MultimodalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir).select(col("doc_id"), element_at(col("meta"), "source").as("source"))
+    decodeFeatures(spark, dir).toDF()
+      .join(media, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("byte_len")).as("total_bytes"),
+        round(avg(col("width")), 4).as("avg_w"),
+        round(avg(col("height")), 4).as("avg_h"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_multimodal_meta" -> q54MultimodalMeta,
+    "q55_multimodal_agg" -> q55MultimodalAgg)
+
+  val oracleSql: Map[String, String] = Map(
+    "q54_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  ascii(substr(text, 1, 1)) AS first_byte,
+        |  CAST(list_aggregate(list_transform(string_split(text, ''), c -> ascii(c)),
+        |    'sum') AS BIGINT) AS checksum
+        |FROM documents""".stripMargin)
+}

@@ -1,8 +1,112 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.ml._
+import graft.model.{LightCurveData, Star}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Star-pipeline operators surfaced as driver queries: the events table is
+  * deterministically reshaped into stars (user → star, ts/value → curve) so
+  * the descriptor/decider/filter/searcher stack runs against driver data at
+  * any scale factor. Rows-only checks (model internals aren't
+  * SQL-expressible); exact kernel parity is pinned by the golden specs and
+  * decider behavior by the ML specs.
+  */
 object StarQueries {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** events → Dataset[Star]: one star per user, time in days, deterministic
+    * class label from the user's dominant event type parity.
+    */
+  def starsFromEvents(spark: SparkSession, dir: String): Dataset[Star] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .withColumn("t_days", col("ts") / lit(86400e9))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("t_days").as("t"), col("value").as("v"))))
+        .as("pts"))
+      .filter(size(col("pts")) > 10)
+      .select(col("user_id"), col("pts.t").as("t"), col("pts.v").as("v"))
+      .as[(Long, Seq[Double], Seq[Double])]
+      .map { case (uid, t, v) =>
+        Star(s"user_$uid", None, Map("events" -> uid.toString), Map.empty,
+          Map("n_points" -> t.length.toString),
+          Some(if (uid % 2 == 0) "searched" else "other"),
+          Seq(LightCurveData(t.toArray, v.toArray, Array.fill(t.length)(0.0), Map.empty)))
+      }
+  }
+
+  private def descriptors = Seq(
+    new AbbeValueDescr(bins = Some(50)),
+    new SkewnessDescr(),
+    new KurtosisDescr(),
+    new CurveDensityDescr(),
+    new VariogramSlopeDescr(daysPerBin = 1.0))
+
+  /** Descriptor fan-out (feature matrix) over event-derived stars. */
+  def q50StarFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val stars = starsFromEvents(spark, dir).toDF()
+    new StarsFilter(descriptors, Nil).spaceCoordinates(stars)
+      .select(col("starId"),
+        round(col("abbe_value"), 6).as("abbe_value"),
+        round(col("skewness"), 6).as("skewness"),
+        round(col("kurtosis"), 6).as("kurtosis"),
+        round(col("curve_density"), 6).as("curve_density"),
+        round(col("variogram_slope"), 6).as("variogram_slope"))
+  }
+
+  /** Full filter train + getAllPredictions over event-derived stars
+    * (deterministic closed-form deciders).
+    */
+  def q51StarClassify(spark: SparkSession, dir: String): DataFrame = {
+    val stars = starsFromEvents(spark, dir).toDF().cache()
+    try {
+      val searched = stars.filter(col("starClass") === "searched")
+      val others = stars.filter(col("starClass") === "other")
+      val model = new StarsFilter(descriptors, Seq(new LDADec(), new QDADec()))
+        .learn(searched, others)
+      model.getAllPredictions(stars)
+        .select(col("starId"),
+          round(col("prob_LDADec"), 4).as("prob_lda"),
+          round(col("prob_QDADec"), 4).as("prob_qda"),
+          col("passed_LDADec"), col("passed_QDADec"), col("passed"))
+    } finally stars.unpersist()
+  }
+
+  /** Filter statistics (confusion metrics + mean row) for the trained
+    * filter — the reference's `getStatistic` surface.
+    */
+  def q52StarStatistic(spark: SparkSession, dir: String): DataFrame = {
+    val stars = starsFromEvents(spark, dir).toDF().cache()
+    try {
+      val searched = stars.filter(col("starClass") === "searched").cache()
+      val others = stars.filter(col("starClass") === "other").cache()
+      val model = new StarsFilter(descriptors, Seq(new LDADec(), new QDADec()))
+        .learn(searched, others)
+      model.getStatistic(searched, others)
+    } finally stars.unpersist()
+  }
+
+  /** Comparative SAX descriptor over event-derived stars: dissimilarity of
+    * every star from the first three stars as templates (broadcast
+    * nested-loop compare + aggregate).
+    */
+  def q53StarComparative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stars = starsFromEvents(spark, dir)
+    val templates = stars.orderBy("starId").limit(3).collect().toSeq
+      .map(s => (s.lightCurves.head.time, s.lightCurves.head.mag))
+    val descr = new HistShapeDescr(templates, bins = 10, alphabetSize = 7)
+    descr.transform(stars.toDF())
+      .select(col("starId"), round(col("hist_shape_dissim"), 6).as("hist_dissim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_star_features" -> q50StarFeatures,
+    "q51_star_classify" -> q51StarClassify,
+    "q52_star_statistic" -> q52StarStatistic,
+    "q53_star_comparative" -> q53StarComparative)
+
+  /** Not SQL-expressible (kernel + model internals) → rows-only checks. */
   val oracleSql: Map[String, String] = Map()
 }
