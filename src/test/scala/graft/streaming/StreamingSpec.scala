@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ml._
+import graft.model.{LightCurveData, Star}
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming search drives the trained filter over a file-source star
+  * stream; checkpoint resume skips processed files (the reference's
+  * `getUnsearchedQuery` semantics).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(3)
+
+  private def star(id: String, f: Double => Double): Star = {
+    val t = Array.tabulate(200)(i => i * 1.0 + rng.nextDouble() * 0.1)
+    val m = t.map(x => f(x) + rng.nextGaussian() * 0.05)
+    Star(id, None, Map.empty, Map.empty, Map.empty, None,
+      Seq(LightCurveData(t, m, Array.fill(200)(0.01), Map.empty)))
+  }
+
+  test("streaming search scores micro-batches and resumes from checkpoint") {
+    val searched = (1 to 10).map(i => star(s"cos_$i", x => math.cos(x / 8))).toDF()
+    val others = (1 to 10).map(i => star(s"lin_$i", x => x / 50 + rng.nextGaussian())).toDF()
+    val model = new StarsFilter(
+      Seq(new AbbeValueDescr(Some(80)), new SkewnessDescr()),
+      Seq(new LDADec())).learn(searched, others)
+
+    val tmp = java.nio.file.Files.createTempDirectory("stream").toString
+    val starDir = s"$tmp/stars"
+    // first batch of files
+    searched.write.mode("append").parquet(starDir)
+    val q1 = StreamingSearch.run(spark, model, starDir,
+      s"$tmp/matched", s"$tmp/status", s"$tmp/ckpt")
+    q1.awaitTermination()
+    val statusAfter1 = spark.read.parquet(s"$tmp/status").count()
+    assert(statusAfter1 == 10, s"first batch status rows: $statusAfter1")
+
+    // new files arrive; restart with same checkpoint → only new files scored
+    others.write.mode("append").parquet(starDir)
+    val q2 = StreamingSearch.run(spark, model, starDir,
+      s"$tmp/matched", s"$tmp/status", s"$tmp/ckpt")
+    q2.awaitTermination()
+    val statusAfter2 = spark.read.parquet(s"$tmp/status").count()
+    assert(statusAfter2 == 20, s"resume processed only the new files: $statusAfter2")
+
+    val matched = spark.read.parquet(s"$tmp/matched")
+    assert(matched.count() >= 8, "most searched-family stars pass")
+  }
+
+  test("watermarked windowed aggregation over the events stream") {
+    // drive the streaming aggregation with the batch events table via a
+    // file stream (schema from the batch read)
+    val batch = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val tmp = java.nio.file.Files.createTempDirectory("evstream").toString
+    batch.write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(batch.schema).parquet(s"$tmp/in")
+    val agg = StreamingSearch.windowedEventAgg(stream)
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory").queryName("winagg")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // append mode emits only watermark-closed windows; all historical
+    // windows close once the (max ts - 10min) watermark passes them
+    val n = spark.sql("select * from winagg").count()
+    assert(n > 0, "windowed aggregation emitted rows")
+    val schema = spark.table("winagg").schema.fieldNames.toSet
+    assert(schema == Set("window", "user_id", "n", "mean_v"))
+  }
+}
