@@ -28,3 +28,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// forked run prints directly to stdout (driver parses Bench's JSON line)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Test / outputStrategy := Some(OutputStrategy.StdoutOutput)

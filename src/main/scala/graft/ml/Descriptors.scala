@@ -50,8 +50,9 @@ class AbbeValueDescr(val bins: Option[Int] = None,
   override val outputCols: Seq[String] = Seq("abbe_value")
   override def transform(df: Dataset[_]): DataFrame = {
     val b = bins
-    val u = udf((t: Seq[Double], m: Seq[Double]) =>
+    val u0 = udf((t: Seq[Double], m: Seq[Double]) =>
       Kernels.curveAbbe(t.toArray, m.toArray, b))
+    val u = u0.asNondeterministic() // evaluate the kernel exactly once
     df.withColumn("abbe_value", lcFeature(u(lcTime, lcMag)))
   }
 }
@@ -63,7 +64,7 @@ class KurtosisDescr(val bins: Option[Int] = None, val absolute: Boolean = false,
   override val outputCols: Seq[String] = Seq("kurtosis")
   override def transform(df: Dataset[_]): DataFrame = {
     val (b, abs0) = (bins, absolute)
-    val u = udf((t: Seq[Double], m: Seq[Double]) => {
+    val u0 = udf((t: Seq[Double], m: Seq[Double]) => {
       val mags = b match {
         case Some(bb) => Kernels.ekviPaa(t.toArray, m.toArray, Some(bb.toDouble))._2
         case None     => m.toArray
@@ -71,6 +72,7 @@ class KurtosisDescr(val bins: Option[Int] = None, val absolute: Boolean = false,
       val k = Kernels.kurtosis(mags)
       if (abs0) math.abs(k) else k
     })
+    val u = u0.asNondeterministic()
     df.withColumn("kurtosis", lcFeature(u(lcTime, lcMag)))
   }
 }
@@ -82,7 +84,7 @@ class SkewnessDescr(val bins: Option[Int] = None, val absolute: Boolean = false,
   override val outputCols: Seq[String] = Seq("skewness")
   override def transform(df: Dataset[_]): DataFrame = {
     val (b, abs0) = (bins, absolute)
-    val u = udf((t: Seq[Double], m: Seq[Double]) => {
+    val u0 = udf((t: Seq[Double], m: Seq[Double]) => {
       val mags = b match {
         case Some(bb) => Kernels.ekviPaa(t.toArray, m.toArray, Some(bb.toDouble))._2
         case None     => m.toArray
@@ -90,6 +92,7 @@ class SkewnessDescr(val bins: Option[Int] = None, val absolute: Boolean = false,
       val s = Kernels.skewness(mags)
       if (abs0) math.abs(s) else s
     })
+    val u = u0.asNondeterministic()
     df.withColumn("skewness", lcFeature(u(lcTime, lcMag)))
   }
 }
@@ -99,8 +102,9 @@ class CurveDensityDescr(override val uid: String = Identifiable.randomUID("curve
     extends Descriptor(uid) {
   override val outputCols: Seq[String] = Seq("curve_density")
   override def transform(df: Dataset[_]): DataFrame = {
-    val u = udf((t: Seq[Double], m: Seq[Double]) =>
+    val u0 = udf((t: Seq[Double], m: Seq[Double]) =>
       Kernels.curveDensity(t.toArray, m.toArray))
+    val u = u0.asNondeterministic()
     df.withColumn("curve_density", lcFeature(u(lcTime, lcMag)))
   }
 }
@@ -112,8 +116,9 @@ class VariogramSlopeDescr(val daysPerBin: Double, val absolute: Boolean = false,
   override val outputCols: Seq[String] = Seq("variogram_slope")
   override def transform(df: Dataset[_]): DataFrame = {
     val (dpb, abs0) = (daysPerBin, absolute)
-    val u = udf((t: Seq[Double], m: Seq[Double]) =>
+    val u0 = udf((t: Seq[Double], m: Seq[Double]) =>
       Kernels.variogramSlope(t.toArray, m.toArray, dpb, abs0))
+    val u = u0.asNondeterministic()
     df.withColumn("variogram_slope", lcFeature(u(lcTime, lcMag)))
   }
 }
@@ -168,7 +173,7 @@ class CurveDescr(val bins: Int, val height: Option[Int] = None,
     (1 to bins).map(i => s"curve_point_$i")
   override def transform(df: Dataset[_]): DataFrame = {
     val (b, h) = (bins, height)
-    val u = udf((t: Seq[Double], m: Seq[Double]) => {
+    val u0 = udf((t: Seq[Double], m: Seq[Double]) => {
       val (_, yEkvi) = Kernels.ekviPaa(t.toArray, m.toArray)
       var y = if (yEkvi.length > b) Kernels.paa(yEkvi, b) else Kernels.paa(m.toArray, b)
       val range = y.max - y.min
@@ -179,6 +184,7 @@ class CurveDescr(val bins: Int, val height: Option[Int] = None,
       val mean = y.sum / y.length
       y.map(_ - mean)
     })
+    val u = u0.asNondeterministic()
     val withArr = df.withColumn("_curve", when(hasLc, u(lcTime, lcMag)).otherwise(lit(null)))
     outputCols.zipWithIndex.foldLeft(withArr) { case (d, (c, i)) =>
       d.withColumn(c, col("_curve").getItem(i))
@@ -196,8 +202,9 @@ abstract class ComparativeDescr(uid: String) extends Descriptor(uid) {
 
   override def transform(df: Dataset[_]): DataFrame = {
     val (tmpl, m, pf) = (templates, meth, pairFn)
-    val u = udf((t: Seq[Double], mag: Seq[Double]) =>
+    val u0 = udf((t: Seq[Double], mag: Seq[Double]) =>
       Comparative.feature(t.toArray, mag.toArray, tmpl, m)(pf))
+    val u = u0.asNondeterministic()
     df.withColumn(outputCols.head, lcFeature(u(lcTime, lcMag)))
   }
 }

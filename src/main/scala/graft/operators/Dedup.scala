@@ -27,66 +27,70 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Word-3-gram shingles per doc, distinct. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .withColumn("tok", split(col("text"), " "))
-      .withColumn("shingle", explode(transform(
-        sequence(lit(1), size(col("tok")) - 2),
-        i => concat_ws(" ", element_at(col("tok"), i),
-          element_at(col("tok"), i + 1), element_at(col("tok"), i + 2)))))
-      .select(col("doc_id"), col("lang"), col("source"), col("shingle"))
-      .distinct()
-
-  /** N-gram Jaccard near-dup within (lang, source) buckets: pair overlap via
-    * shingle equi-join, jaccard = |∩| / |∪|, threshold 0.5.
+  /** N-gram Jaccard near-dup within (lang, source) buckets:
+    * jaccard = |∩| / |∪| over distinct word-3-gram sets, threshold 0.5.
     */
   def q45NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).cache()
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("shingle"))
-    val b = sh.select(col("doc_id").as("b_id"), col("lang").as("l2"),
-      col("source").as("s2"), col("shingle").as("sh2"))
-    val inter = a.join(b,
-      col("shingle") === col("sh2") && col("lang") === col("l2") &&
-        col("source") === col("s2") && col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
-      .join(counts.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+    // bucket-pair join on in-row shingle SETS: array_intersect per pair
+    // instead of an exploded shingle equi-join — immune to common-shingle
+    // skew (a stop-shingle shared by every doc would otherwise quadratically
+    // blow up the join), and the exchange is one shuffle on (lang, source)
+    val sh = shingleArrays(spark, dir)
+    val a = sh.toDF("a_id", "lang", "source", "sh_a")
+    val b = sh.toDF("b_id", "l2", "s2", "sh_b")
+    a.join(b, col("lang") === col("l2") && col("source") === col("s2") &&
+        col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
   }
 
-  /** MinHash signature: 16 hash functions h_k(s) = int60(md5(k ':' s)),
-    * identical integers on both engines.
+  /** Per-doc distinct word-3-gram shingle ARRAY (no explode — the shingle
+    * set stays in-row; scale axis is documents).
     */
-  private def minhashSig(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir)
-      .withColumn("k", explode(sequence(lit(0), lit(15))))
-      .withColumn("h", conv(substring(
-        md5(concat(col("k").cast("string"), lit(":"), col("shingle"))), 1, 15), 16, 10)
-        .cast("long"))
-      .groupBy(col("doc_id"), col("k"))
-      .agg(min(col("h")).as("mh"))
+  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("tok", split(col("text"), " "))
+      .withColumn("shingles", array_distinct(transform(
+        sequence(lit(1), size(col("tok")) - 2),
+        i => concat_ws(" ", element_at(col("tok"), i),
+          element_at(col("tok"), i + 1), element_at(col("tok"), i + 2)))))
+      .select(col("doc_id"), col("lang"), col("source"), col("shingles"))
 
   /** MinHash + LSH banding: 4 bands × 4 rows; candidates share a band;
     * estimated similarity = matching minhashes / 16; threshold 0.5.
+    *
+    * The 16-slot signature is computed per row by one kernel pass over the
+    * shingle set (hash family identical to the SQL oracle's md5 ints) —
+    * no exploded (doc × k × shingle) shuffle; the only exchanges are the
+    * tiny band-key self-join and the candidate-pair verify.
     */
   def q46MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSig(spark, dir).cache()
-    // band signature: 4 rows per band, pivoted deterministically by k%4
-    val bands = sig
-      .withColumn("band", floor(col("k") / 4))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(
-        max(when(col("k") % 4 === 0, col("mh"))).as("m0"),
-        max(when(col("k") % 4 === 1, col("mh"))).as("m1"),
-        max(when(col("k") % 4 === 2, col("mh"))).as("m2"),
-        max(when(col("k") % 4 === 3, col("mh"))).as("m3"))
+    val sigU = udf((shingles: Seq[String]) => {
+      val mh = Array.fill(16)(Long.MaxValue)
+      shingles.foreach { s =>
+        var k = 0
+        while (k < 16) {
+          val h = graft.functions.PortableHash.md5Int60(s"$k:$s")
+          if (h < mh(k)) mh(k) = h
+          k += 1
+        }
+      }
+      mh.toSeq
+    })
+    val sig = shingleArrays(spark, dir)
+      .select(col("doc_id"), sigU(col("shingles")).as("sig"))
+      .cache()
+    val bands = sig.select(col("doc_id"), explode(transform(
+      sequence(lit(0), lit(3)),
+      b => struct(b.as("band"),
+        element_at(col("sig"), b * 4 + 1).as("m0"),
+        element_at(col("sig"), b * 4 + 2).as("m1"),
+        element_at(col("sig"), b * 4 + 3).as("m2"),
+        element_at(col("sig"), b * 4 + 4).as("m3")))).as("b"))
+      .select(col("doc_id"), col("b.*"))
     val cand = bands.alias("x").join(bands.alias("y"),
       col("x.band") === col("y.band") &&
         col("x.m0") === col("y.m0") && col("x.m1") === col("y.m1") &&
@@ -94,13 +98,13 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val est = cand
-      .join(sig.toDF("a_id", "k", "mha"), Seq("a_id"))
-      .join(sig.toDF("b_id", "kb", "mhb"), Seq("b_id"))
-      .filter(col("k") === col("kb"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg((sum(when(col("mha") === col("mhb"), 1).otherwise(0)) / 16.0).as("est_sim"))
-    est.filter(col("est_sim") >= 0.5)
+    val estU = udf((a: Seq[Long], b: Seq[Long]) =>
+      a.zip(b).count(p => p._1 == p._2) / 16.0)
+    cand
+      .join(sig.toDF("a_id", "sig_a"), Seq("a_id"))
+      .join(sig.toDF("b_id", "sig_b"), Seq("b_id"))
+      .withColumn("est_sim", estU(col("sig_a"), col("sig_b")))
+      .filter(col("est_sim") >= 0.5)
       .select(col("a_id"), col("b_id"), col("est_sim"))
   }
 
@@ -108,20 +112,25 @@ object Dedup {
     * pairs = same lang, hamming distance ≤ 2.
     */
   def q47Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tokenHash = docs(spark, dir)
-      .withColumn("token", explode(split(col("text"), " ")))
-      .withColumn("h", conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long"))
-    val bits = tokenHash
-      .withColumn("j", explode(sequence(lit(0), lit(15))))
-      // integer shift, not double division — h has 60 bits (> double mantissa)
-      .withColumn("bit", expr("shiftright(h, cast(j as int)) % 2"))
-      .groupBy(col("doc_id"), col("lang"), col("j"))
-      .agg(sum(col("bit") * 2 - 1).as("vote"))
-    val sim = bits
-      .withColumn("bitval",
-        when(col("vote") > 0, pow(lit(2), col("j")).cast("long")).otherwise(0L))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("bitval")).as("simhash"))
+    // one kernel pass per doc over its tokens (with multiplicity, matching
+    // the oracle's unnest) — replaces the (doc × token × bit) explode
+    val shU = udf((tokens: Seq[String]) => {
+      val votes = new Array[Int](16)
+      tokens.foreach { t =>
+        val h = graft.functions.PortableHash.md5Int60(t)
+        var j = 0
+        while (j < 16) {
+          votes(j) += (((h >> j) & 1L) * 2 - 1).toInt
+          j += 1
+        }
+      }
+      var v = 0L
+      var j = 0
+      while (j < 16) { if (votes(j) > 0) v |= (1L << j); j += 1 }
+      v
+    })
+    val sim = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), shU(split(col("text"), " ")).as("simhash"))
     val pairs = sim.alias("x").join(sim.alias("y"),
       col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),

@@ -21,70 +21,74 @@ object Similarity {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
 
-  /** (vec_id, pos, v) long form with double-cast values; pos is 1-based to
-    * match the DuckDB oracle's list indexing.
+  /** Sequential-order dot product of two float embeddings in double
+    * precision (oracle sums the same terms; both round to 6 decimals).
     */
-  private def longForm(spark: SparkSession, dir: String): DataFrame =
-    emb(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "vf")))
-      .select(col("vec_id"), (col("pos0") + 1).as("pos"), col("vf").cast("double").as("v"))
+  private val dotU = udf((a: Seq[Float], b: Seq[Float]) => {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  })
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nn", dotU(col("embedding"), col("embedding")))
 
   /** Brute-force cosine top-5 for probe vectors (vec_id < 20) against the
-    * whole corpus.
+    * whole corpus: compact probe×corpus pair join with an in-row array dot —
+    * no 128× position explode, so the exchange is |probes|·|corpus| rows of
+    * (id, id, double), and the probe side broadcasts.
     */
   def q48CosineKnn(spark: SparkSession, dir: String): DataFrame = {
-    val ex = longForm(spark, dir).cache()
-    val norms = ex.groupBy(col("vec_id")).agg(sum(col("v") * col("v")).as("nn"))
-    val probes = ex.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("p_id"), col("pos"), col("v").as("pv"))
-    val cands = ex.select(col("vec_id").as("c_id"), col("pos").as("pos2"), col("v").as("cv"))
-    val dots = probes.join(cands,
-      col("pos") === col("pos2") && col("p_id") =!= col("c_id"))
-      .groupBy(col("p_id"), col("c_id"))
-      .agg(sum(col("pv") * col("cv")).as("dot"))
-    val cos = dots
-      .join(norms.toDF("p_id", "np"), Seq("p_id"))
-      .join(norms.toDF("c_id", "nc"), Seq("c_id"))
-      .withColumn("cosine", round(col("dot") / (sqrt(col("np")) * sqrt(col("nc"))), 6))
+    val e = withNorm(emb(spark, dir))
+    val probes = e.select(col("vec_id").as("p_id"), col("embedding").as("pe"),
+      col("nn").as("np")).filter(col("p_id") < 20)
+    val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+      col("nn").as("nc"))
+    val cos = broadcast(probes).join(cands, col("p_id") =!= col("c_id"))
+      .withColumn("cosine",
+        round(dotU(col("pe"), col("ce")) / (sqrt(col("np")) * sqrt(col("nc"))), 6))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cosine").desc, col("c_id"))
     cos.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("p_id"), col("c_id"), col("cosine"), col("rn"))
   }
 
-  /** Random-hyperplane LSH: 8 md5-derived planes → 8-bit bucket signature;
-    * exact cosine re-rank top-3 within bucket for probes (vec_id < 50).
+  /** Random-hyperplane LSH: 8 md5-derived planes → 8-bit bucket signature
+    * computed by one in-row kernel pass; candidates join on the 1-byte
+    * bucket key; exact cosine re-rank top-3 for probes (vec_id < 50).
     */
   def q49AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val ex = longForm(spark, dir)
-    // plane weights w(p, pos) ∈ [-1, 1): identical int60 → double on both engines
-    val planes = ex
-      .withColumn("p", explode(sequence(lit(0), lit(7))))
-      .withColumn("w",
-        conv(substring(md5(concat(col("p").cast("string"), lit(":"), col("pos").cast("string"))),
-          1, 15), 16, 10).cast("long") / lit(576460752303423488L) - 1.0) // 2^59
-    val sigs = planes
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("v") * col("w")).as("dot"))
-      .withColumn("bit", when(col("dot") > 0, expr("shiftleft(1L, cast(p as int))")).otherwise(0L))
-      .groupBy(col("vec_id"))
-      .agg(sum(col("bit")).as("bucket"))
-    val norms = ex.groupBy(col("vec_id")).agg(sum(col("v") * col("v")).as("nn"))
-    val probes = sigs.filter(col("vec_id") < 50).toDF("p_id", "pb")
-    val cands = sigs.toDF("c_id", "cb")
-    val candPairs = probes.join(cands, col("pb") === col("cb") && col("p_id") =!= col("c_id"))
-      .select(col("p_id"), col("c_id"))
-    val a = ex.toDF("p_id", "pos", "pv")
-    val b = ex.toDF("c_id", "pos", "cv")
-    val dots = candPairs
-      .join(a, Seq("p_id"))
-      .join(b, Seq("c_id", "pos"))
-      .groupBy(col("p_id"), col("c_id"))
-      .agg(sum(col("pv") * col("cv")).as("dot"))
-    val cos = dots
-      .join(norms.toDF("p_id", "np"), Seq("p_id"))
-      .join(norms.toDF("c_id", "nc"), Seq("c_id"))
-      .withColumn("cosine", round(col("dot") / (sqrt(col("np")) * sqrt(col("nc"))), 6))
+    // w(p, pos) ∈ [-1, 1): same md5 int60 → double mapping as the oracle
+    val bucketU = udf((e: Seq[Float]) => {
+      var bucket = 0L
+      var p = 0
+      while (p < 8) {
+        var dot = 0.0
+        var i = 0
+        while (i < e.length) {
+          val w = graft.functions.PortableHash.md5Int60(s"$p:${i + 1}") /
+            576460752303423488.0 - 1.0 // 2^59
+          dot += e(i).toDouble * w
+          i += 1
+        }
+        if (dot > 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    })
+    val e = withNorm(emb(spark, dir))
+      .withColumn("bucket", bucketU(col("embedding")))
+      .cache()
+    val probes = e.select(col("vec_id").as("p_id"), col("embedding").as("pe"),
+      col("nn").as("np"), col("bucket")).filter(col("p_id") < 50)
+    val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+      col("nn").as("nc"), col("bucket").as("cb"))
+    val cos = broadcast(probes)
+      .join(cands, col("bucket") === col("cb") && col("p_id") =!= col("c_id"))
+      .withColumn("cosine",
+        round(dotU(col("pe"), col("ce")) / (sqrt(col("np")) * sqrt(col("nc"))), 6))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cosine").desc, col("c_id"))
     cos.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)

@@ -112,6 +112,95 @@ object Fits {
     Some(LightCurveData(time, mag, err, meta))
   }
 
+  // ---------- writer (`writeToFITS`, file_manager.py:350-404) ----------
+
+  private def card(key: String, value: String, quote: Boolean): String = {
+    val v = if (quote) s"'$value'" else value
+    val base =
+      if (key.length <= 8) f"${key}%-8s= $v"
+      else s"HIERARCH $key = $v" // ESO long-keyword convention
+    base.padTo(CardSize, ' ').substring(0, CardSize)
+  }
+
+  private def pad(bytes: Array[Byte]): Array[Byte] = {
+    val padded = ((bytes.length + BlockSize - 1) / BlockSize) * BlockSize
+    java.util.Arrays.copyOf(bytes, padded)
+  }
+
+  private def headerBlock(cards: Seq[String]): Array[Byte] = {
+    val all = (cards :+ "END".padTo(CardSize, ' ')).mkString
+    val b = all.getBytes("US-ASCII")
+    // header padding is spaces, not NULs
+    val padded = ((b.length + BlockSize - 1) / BlockSize) * BlockSize
+    val out = Array.fill[Byte](padded)(' '.toByte)
+    System.arraycopy(b, 0, out, 0, b.length)
+    out
+  }
+
+  /** Serialize a Star to the reference's multi-HDU FITS layout: header-only
+    * primary HDU with identity keywords, one float32 BINTABLE per light
+    * curve. Byte-level format matches what [[readStar]] parses.
+    */
+  def writeStar(star: graft.model.Star): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val primary = ArrayBuffer(
+      card("SIMPLE", "T", quote = false),
+      card("BITPIX", "8", quote = false),
+      card("NAXIS", "0", quote = false),
+      card("EXTEND", "T", quote = false),
+      card("IDENT", star.starId, quote = true))
+    star.coo.foreach { c =>
+      primary += card("RA", c.ra.toString, quote = false)
+      primary += card("DEC", c.dec.toString, quote = false)
+      primary += card("RA_UN", "deg", quote = true)
+      primary += card("DEC_UN", "deg", quote = true)
+    }
+    star.starClass.foreach(c => primary += card("CLASS", c, quote = true))
+    star.identNames.foreach { case (db, n) =>
+      primary += card(s"${db}_name", n, quote = true)
+    }
+    star.identIds.foreach { case (k, v) =>
+      val Array(db, key) = k.split(":", 2)
+      primary += card(s"${db}_id_$key", v, quote = true)
+    }
+    star.more.foreach { case (k, v) => primary += card(k.toUpperCase, v, quote = true) }
+    out.write(headerBlock(primary.toSeq))
+
+    star.lightCurves.foreach { lc =>
+      val n = lc.time.length
+      val header = Seq(
+        card("XTENSION", "BINTABLE", quote = true),
+        card("BITPIX", "8", quote = false),
+        card("NAXIS", "2", quote = false),
+        card("NAXIS1", "12", quote = false),
+        card("NAXIS2", n.toString, quote = false),
+        card("PCOUNT", "0", quote = false),
+        card("GCOUNT", "1", quote = false),
+        card("TFIELDS", "3", quote = false),
+        card("TTYPE1", "Time", quote = true),
+        card("TFORM1", "E", quote = true),
+        card("TUNIT1", "days", quote = true),
+        card("TTYPE2", "Magnitudes", quote = true),
+        card("TFORM2", "E", quote = true),
+        card("TUNIT2", "mag", quote = true),
+        card("TTYPE3", "error", quote = true),
+        card("TFORM3", "E", quote = true),
+        card("TUNIT3", "mag", quote = true),
+        card("FILTER", lc.meta.getOrElse("color", "N/A"), quote = true))
+      out.write(headerBlock(header))
+      val data = java.nio.ByteBuffer.allocate(n * 12) // big-endian default
+      var i = 0
+      while (i < n) {
+        data.putFloat(lc.time(i).toFloat)
+        data.putFloat(lc.mag(i).toFloat)
+        data.putFloat(lc.err(i).toFloat)
+        i += 1
+      }
+      out.write(pad(data.array()))
+    }
+    out.toByteArray
+  }
+
   /** Assemble a Star from all HDUs (`_createStarFromFITS`,
     * `file_manager.py:255-348`): primary header → identity/coords/class/
     * `more`; each BINTABLE extension → one light curve.
