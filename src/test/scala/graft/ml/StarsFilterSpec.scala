@@ -84,4 +84,15 @@ class StarsFilterSpec extends SparkSpec {
     assert(all.size == 2)
     assert(best.stats("precision") >= all.map(_.stats("precision")).min)
   }
+
+  test("FilterSerializer round-trips a trained filter (pickle parity)") {
+    val path = java.nio.file.Files.createTempDirectory("filter").toString + "/model.filter"
+    FilterSerializer.save(model, path)
+    val loaded = FilterSerializer.load(path)
+    val a = model.getAllPredictions(searched)
+      .select("starId", "prob_LDADec", "prob_QDADec").orderBy("starId").collect()
+    val b = loaded.getAllPredictions(searched)
+      .select("starId", "prob_LDADec", "prob_QDADec").orderBy("starId").collect()
+    assert(a.sameElements(b), "loaded filter predicts identically")
+  }
 }
