@@ -203,3 +203,33 @@ with open(out_path, "w") as f:
 print("comparative goldens: curves_shape=%d hist=%d vario=%d" %
       (len(cases["curves_shape"]), len(cases["hist_shape"]),
        len(cases["vario_shape"])))
+
+# ---- CurveDescr + moment descriptors ----
+from lcc.stars_processing.descriptors.curve_descr import CurveDescr
+from lcc.stars_processing.descriptors.kurtosis_desc import KurtosisDescr
+from lcc.stars_processing.descriptors.skewness_desc import SkewnessDescr
+
+cases["curve_descr"] = []
+# height=N crashes in the reference under modern numpy (in-place float
+# subtract on the int array it makes via round()) — golden only height=None.
+for height in [None]:
+    cd = CurveDescr(bins=20, height=height)
+    coords = cd.getSpaceCoords(stars[:2])
+    for si, c in enumerate(coords):
+        cases["curve_descr"].append({"star": si, "bins": 20, "height": height,
+                                     "out": arr(c)})
+
+cases["moment_descr"] = []
+for si, s in enumerate(stars[:2]):
+    for bins in [None, 30]:
+        kd = KurtosisDescr(bins=bins)
+        sd = SkewnessDescr(bins=bins)
+        cases["moment_descr"].append({
+            "star": si, "bins": bins,
+            "kurtosis": float(kd.getFeatures(s)),
+            "skewness": float(sd.getFeatures(s))})
+
+with open(out_path, "w") as f:
+    json.dump(cases, f)
+print("descr goldens: curve=%d moment=%d" %
+      (len(cases["curve_descr"]), len(cases["moment_descr"])))
