@@ -93,9 +93,41 @@ object Similarity {
       .select(col("p_id"), col("c_id"), col("cosine"), col("rn"))
   }
 
+  /** Embedding-cosine near-duplicate detection (the dedup modality over
+    * vectors): LSH-bucketed candidate pairs with cosine ≥ 0.35 (the synthetic corpus's near-dup band) — bucketing
+    * replicated in the oracle, so results hash-match exactly.
+    */
+  def q56EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val bucketU = udf((e: Seq[Float]) => {
+      val planes = graft.functions.PortableHash.lshPlanes(8, e.length)
+      var bucket = 0L
+      var p = 0
+      while (p < 8) {
+        val w = planes(p)
+        var dot = 0.0
+        var i = 0
+        while (i < e.length) { dot += e(i).toDouble * w(i); i += 1 }
+        if (dot > 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    })
+    val e = withNorm(emb(spark, dir)).withColumn("bucket", bucketU(col("embedding")))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+      col("nn").as("na"), col("bucket"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+      col("nn").as("nb"), col("bucket").as("cb"))
+    a.join(b, col("bucket") === col("cb") && col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        round(dotU(col("ae"), col("be")) / (sqrt(col("na")) * sqrt(col("nb"))), 6))
+      .filter(col("cosine") >= 0.35)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_cosine_knn" -> q48CosineKnn,
-    "q49_ann_lsh" -> q49AnnLsh)
+    "q49_ann_lsh" -> q49AnnLsh,
+    "q56_embedding_neardup" -> q56EmbeddingNeardup)
 
   private val longFormCte =
     """e2 AS (
@@ -119,6 +151,30 @@ object Similarity {
         |SELECT p_id, c_id, cosine, CAST(rn AS INT) AS rn FROM (
         |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
         |  FROM cos) WHERE rn <= 5""".stripMargin,
+    "q56_embedding_neardup" ->
+      s"""WITH $longFormCte,
+        |planes AS (
+        |  SELECT ex.*, p,
+        |    ('0x' || substr(md5(p || ':' || pos), 1, 15))::BIGINT / 576460752303423488.0 - 1.0 AS w
+        |  FROM ex, generate_series(0, 7) g(p)),
+        |sigs AS (
+        |  SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM (
+        |    SELECT vec_id, p,
+        |      CASE WHEN sum(v * w) > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END AS bit
+        |    FROM planes GROUP BY vec_id, p) GROUP BY vec_id),
+        |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),
+        |cand AS (
+        |  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+        |  FROM sigs x JOIN sigs y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        |dots AS (
+        |  SELECT p_id, c_id, sum(a.v * b.v) AS dot FROM (
+        |    SELECT a_id AS p_id, b_id AS c_id FROM cand) q
+        |  JOIN ex a ON a.vec_id = p_id JOIN ex b ON b.vec_id = c_id AND b.pos = a.pos
+        |  GROUP BY 1, 2)
+        |SELECT p_id AS a_id, c_id AS b_id,
+        |  round(dot / (sqrt(np.nn) * sqrt(nc.nn)), 6) AS cosine
+        |FROM dots JOIN norms np ON np.vec_id = p_id JOIN norms nc ON nc.vec_id = c_id
+        |WHERE round(dot / (sqrt(np.nn) * sqrt(nc.nn)), 6) >= 0.35""".stripMargin,
     "q49_ann_lsh" ->
       s"""WITH $longFormCte,
         |planes AS (

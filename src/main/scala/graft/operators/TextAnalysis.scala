@@ -24,7 +24,10 @@ object TextAnalysis {
       .select(col("doc_id"),
         length(col("text")).as("n_chars_computed"),
         size(col("tokens")).as("n_tokens"),
-        size(array_distinct(col("tokens"))).as("n_distinct"))
+        size(array_distinct(col("tokens"))).as("n_distinct"),
+        // BPE-ish subword segmentation proxy: letter runs / digit runs /
+        // single other chars (same RE2-compatible pattern in the oracle)
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens"))
 
   /** Quality scoring (`length / punct / stopword ratios`): single-pass
     * per-row expressions; ratios are single IEEE divisions — identical on
@@ -88,7 +91,9 @@ object TextAnalysis {
     "q40_token_count" ->
       """SELECT doc_id, length(text) AS n_chars_computed,
         |  len(string_split(text, ' ')) AS n_tokens,
-        |  len(list_distinct(string_split(text, ' '))) AS n_distinct
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+        |    AS n_bpe_tokens
         |FROM documents""".stripMargin,
     "q41_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents)
