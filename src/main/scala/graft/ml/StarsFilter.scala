@@ -161,6 +161,33 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
     } finally { s.unpersist(); o.unpersist() }
   }
 
+  /** Grid-evaluated probability space (`tools/visualization.py:117-199`
+    * `plotProbabSpace` data product, SURVEY §2.10): an evenly spaced
+    * meshgrid over each feature's [min, max], scored by every decider —
+    * the DataFrame any frontend can contour-plot. Built as a crossJoin of
+    * per-dimension sequences (`get_combinations` shape), evaluated
+    * distributed.
+    */
+  def probabilitySpace(stars: DataFrame, gridPerDim: Int = 20): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    val spark = stars.sparkSession
+    val coords = filterInstance.spaceCoordinates(stars)
+    val bounds = coords.agg(
+      featureCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))).head,
+      featureCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))).tail: _*)
+      .head()
+    val axes = featureCols.map { c =>
+      val lo = bounds.getAs[Double](s"min_$c")
+      val hi = bounds.getAs[Double](s"max_$c")
+      spark.range(0, gridPerDim)
+        .select((lit(lo) + col("id") * (hi - lo) / (gridPerDim - 1)).as(c))
+    }
+    val grid = axes.reduce(_ crossJoin _)
+    val vec = new VectorAssembler().setInputCols(featureCols.toArray)
+      .setOutputCol("features").transform(grid)
+    models.foldLeft(vec)((df, m) => m.evaluate(df))
+  }
+
   /** ROC sweep (`getROC`, `stars_filter.py:370-376`): n thresholds in
     * [0.01, 0.99] → (threshold, fpr, tpr) in one aggregation pass over the
     * scored data (not n passes).

@@ -107,6 +107,34 @@ object ConfigParsers {
         org.apache.spark.sql.types.StructField(h, org.apache.spark.sql.types.StringType))))
   }
 
+  /** Cross-database name → query-identifier parsers
+    * (`ogleIII.py:341-350` `_parseDbNames`): MACHO "f.t.s" and OGLE-II
+    * "FIELD_PART_ID" naming conventions.
+    */
+  def parseDbName(db: String, name: String): Map[String, String] = db match {
+    case "Macho" =>
+      name.split("\\.") match {
+        case Array(f, t, s) => Map("Field" -> f, "Tile" -> t, "Seqn" -> s)
+        case _              => Map.empty
+      }
+    case "OgleII" =>
+      name.split("_") match {
+        case Array(a, b, id) => Map("field" -> s"${a}_$b", "starid" -> id)
+        case _               => Map.empty
+      }
+    case _ => Map.empty
+  }
+
+  /** Kepler range value syntax "a..b" (`kepler.py:129-137`) → a Between
+    * condition; plain values stay equality.
+    */
+  def parseKeplerValue(column: String, value: String): QueryCompiler.Condition =
+    value.split("\\.\\.") match {
+      case Array(lo, hi) if lo.toDoubleOption.isDefined && hi.toDoubleOption.isDefined =>
+        QueryCompiler.Between(column, lo.toDouble, hi.toDouble)
+      case _ => QueryCompiler.Eq(column, value)
+    }
+
   /** Cross-database crossmatch dedup (SURVEY §2.3; `star.py:107-119`
     * `Star.__eq__`): stars within EPS≈0.5 arcsec or sharing an ident are
     * the same physical object — distance-threshold self-join keeping the

@@ -95,4 +95,13 @@ class StarsFilterSpec extends SparkSpec {
       .select("starId", "prob_LDADec", "prob_QDADec").orderBy("starId").collect()
     assert(a.sameElements(b), "loaded filter predicts identically")
   }
+
+  test("probabilitySpace grid evaluates all deciders over the feature mesh") {
+    val space = model.probabilitySpace(searched.unionByName(others), gridPerDim = 5)
+    assert(space.count() == 25) // 5^2 grid over 2 features
+    val cols = space.columns.toSet
+    assert(cols.contains("prob_LDADec") && cols.contains("prob_QDADec"))
+    val probs = space.select("prob_LDADec").collect().map(_.getDouble(0))
+    assert(probs.forall(p => p >= 0.0 && p <= 1.0))
+  }
 }

@@ -98,4 +98,32 @@ class ParsersSpec extends SparkSpec {
     assert(back.lightCurves.head.mag.sameElements(star.lightCurves.head.mag))
     assert(back.lightCurves.head.meta("color") == "B")
   }
+
+  test("cross-database name parsers (Macho / OgleII conventions)") {
+    assert(parseDbName("Macho", "1.4537.1642") ==
+      Map("Field" -> "1", "Tile" -> "4537", "Seqn" -> "1642"))
+    assert(parseDbName("OgleII", "LMC_SC1_152") ==
+      Map("field" -> "LMC_SC1", "starid" -> "152"))
+    assert(parseDbName("Macho", "weird") == Map.empty)
+  }
+
+  test("Kepler a..b range syntax becomes a Between condition") {
+    assert(parseKeplerValue("kic_teff", "5000..6000") ==
+      QueryCompiler.Between("kic_teff", 5000, 6000))
+    assert(parseKeplerValue("kic_num", "757076") ==
+      QueryCompiler.Eq("kic_num", "757076"))
+  }
+
+  test("JSON payload parse (Catalina dataSet0 shape) via from_json") {
+    import org.apache.spark.sql.functions.{col, from_json}
+    import org.apache.spark.sql.types._
+    val payload = """{"ID":"1135075045477","RA":11.57,"Dec":-28.76,"V":13.2}"""
+    val schema = StructType(Seq(StructField("ID", StringType),
+      StructField("RA", DoubleType), StructField("Dec", DoubleType),
+      StructField("V", DoubleType)))
+    val parsed = Seq(payload).toDF("raw")
+      .select(from_json(col("raw"), schema).as("star"))
+      .select("star.*").head()
+    assert(parsed.getString(0) == "1135075045477" && parsed.getDouble(1) == 11.57)
+  }
 }
