@@ -31,20 +31,39 @@ object Dedup {
     * jaccard = |∩| / |∪| over distinct word-3-gram sets, threshold 0.5.
     */
   def q45NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // bucket-pair join on in-row shingle SETS instead of an exploded shingle
-    // equi-join — immune to common-shingle skew (a stop-shingle shared by
-    // every doc would otherwise quadratically blow up the join); one shuffle
-    // on (lang, source). array_intersect runs on Tungsten arrays directly
-    // (a hand-written merge UDF benches 3x slower from per-pair array
-    // deserialization). The J≥0.5 ⇒ min/max≥0.5 size bound prunes pairs
-    // before any intersection without changing results.
-    val sh = shingleArrays(spark, dir)
-    val a = sh.toDF("a_id", "lang", "source", "sh_a")
-    val b = sh.toDF("b_id", "l2", "s2", "sh_b")
-    a.join(b, col("lang") === col("l2") && col("source") === col("s2") &&
-        col("a_id") < col("b_id") &&
-        least(size(col("sh_a")), size(col("sh_b"))) * 2 >=
-          greatest(size(col("sh_a")), size(col("sh_b"))))
+    // Prefix-filtered set-similarity self-join (the PPJoin family): for
+    // J(A,B) ≥ t, the ⌊(1-t)·|A|⌋+1 rarest shingles of A and of B must
+    // share at least one element, so candidate pairs come from an equi-join
+    // on PREFIX shingles only — exact (zero false negatives), identical
+    // results to the all-pairs join, but candidates scale with true
+    // near-dup density instead of N² per (lang, source) bucket. Shingles
+    // are globally ordered rarest-first (document frequency asc) so the
+    // join keys are the most selective shingles a doc has; a stop-shingle
+    // shared by every doc sorts last and never enters a prefix.
+    val sh = shingleArrays(spark, dir).cache()
+    val ex = sh.select(col("doc_id"), col("lang"), col("source"),
+      size(col("shingles")).as("n_sh"), explode(col("shingles")).as("shingle"))
+    val freq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // rank each doc's shingles rarest-first; prefix length for t = 0.5 is
+    // n - ceil(t·n) + 1 (overlap ≥ ceil(t·max(|A|,|B|)) ≥ ceil(t·n) needed)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val pref = ex.join(freq, Seq("shingle"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * 0.5) + 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("shingle"))
+    val cand = pref.alias("x").join(pref.alias("y"),
+      col("x.shingle") === col("y.shingle") && col("x.lang") === col("y.lang") &&
+        col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    // exact Jaccard verify on the in-row shingle sets, with the
+    // J≥0.5 ⇒ min/max≥0.5 size bound pruning pairs before intersection
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), Seq("b_id"))
+      .filter(least(size(col("sh_a")), size(col("sh_b"))) * 2 >=
+        greatest(size(col("sh_a")), size(col("sh_b"))))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -136,13 +155,30 @@ object Dedup {
     })
     val sim = docs(spark, dir)
       .select(col("doc_id"), col("lang"), shU(split(col("text"), " ")).as("simhash"))
-    val pairs = sim.alias("x").join(sim.alias("y"),
-      col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .cache()
+    // Pigeonhole banding: split the 16 bits into 3 bands (6|5|5). Hamming
+    // distance ≤ 2 means at most 2 bands contain a differing bit, so at
+    // least one band is bit-identical — candidates come from an equi-join
+    // on (lang, band, bits) instead of the N²-per-lang cross join, with
+    // IDENTICAL results (the hamming verify is unchanged). At 100 TB the
+    // exchange is on ~2^6-wide band keys spread over 3 bands, linear-ish
+    // in matches rather than quadratic in corpus.
+    val bandDefs = Seq((0, 0, 0x3FL), (1, 6, 0x1FL), (2, 11, 0x1FL))
+    val bands = sim.select(col("doc_id"), col("lang"), explode(array(bandDefs.map {
+      case (b, off, mask) => struct(lit(b).as("band"),
+        shiftright(col("simhash"), off).bitwiseAND(lit(mask)).as("bits"))
+    }: _*)).as("bd")).select(col("doc_id"), col("lang"), col("bd.*"))
+    val cand = bands.alias("x").join(bands.alias("y"),
+      col("x.lang") === col("y.lang") && col("x.band") === col("y.band") &&
+        col("x.bits") === col("y.bits") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(sim.select(col("doc_id").as("a_id"), col("simhash").as("ha")), Seq("a_id"))
+      .join(sim.select(col("doc_id").as("b_id"), col("simhash").as("hb")), Seq("b_id"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= 2)
-    pairs.select(col("a_id"), col("b_id"), col("ha"), col("hb"), col("hamming"))
+      .select(col("a_id"), col("b_id"), col("ha"), col("hb"), col("hamming"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
