@@ -37,6 +37,10 @@ object Bench {
           false
         }
       val secs = (System.nanoTime() - t0) / 1e9
+      // queries cache intermediates (LSH signatures, shingle sets) for
+      // their own multi-use plans; drop them so blocks don't accumulate
+      // across the 40+ queries sharing this session
+      spark.catalog.clearCache()
       System.err.println(f"[bench] $name: $secs%.2fs")
       name -> (if (ok) secs else -1.0)
     }

@@ -6,17 +6,30 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column):
-  * brute-force cosine top-k as the exactness baseline, and a
-  * random-hyperplane LSH bucketed variant as the 100 TB scale path.
+  * brute-force cosine top-k as the exactness baseline, and a banded
+  * random-hyperplane LSH variant as the 100 TB scale path.
   *
   * Scale notes: brute-force is probe-set × corpus — correct but O(P·N·d);
-  * it exists as the verifier. The LSH variant buckets by an 8-bit
-  * hyperplane signature so candidate generation is an equi-join on the
-  * bucket id (shuffle on a 1-byte key), and only bucket-mates get the full
-  * dot product. Hyperplanes are md5-derived, so both engines (and every
-  * executor) regenerate identical planes with no driver-side state.
+  * it exists as the verifier. The LSH variant hashes each vector with
+  * `LSH_BANDS × LSH_BITS` hyperplanes into one signature per band
+  * (multi-probe banding, same shape as MinHash-LSH): candidates are pairs
+  * sharing at least one full band signature, so candidate generation is an
+  * equi-join on (band, sig) — 2^LSH_BITS buckets PER BAND, and both the
+  * bucket count and the band count are dials that grow with the corpus
+  * (raise LSH_BITS for more, smaller buckets; raise LSH_BANDS to buy back
+  * recall). This replaces the earlier single 8-bit signature whose 256
+  * buckets made bucket occupancy — and pair count — grow linearly with N.
+  * Hyperplanes are md5-derived, so both engines (and every executor)
+  * regenerate identical planes with no driver-side state.
   */
 object Similarity {
+
+  /** Banding dials: 4 bands × 12 bits = 48 planes, 4096 buckets per band.
+    * At a larger corpus raise LSH_BITS (buckets scale 2^bits) and keep
+    * recall with more bands — candidates stay an equi-join either way.
+    */
+  val LSH_BANDS = 4
+  val LSH_BITS = 12
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
@@ -34,6 +47,32 @@ object Similarity {
 
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nn", dotU(col("embedding"), col("embedding")))
+
+  /** Per-band hyperplane signatures: one kernel pass over the vector
+    * computes all LSH_BANDS × LSH_BITS plane dots and packs band b's bits
+    * into sigs(b) — no per-plane explode; the only exchange downstream is
+    * the (band, sig) equi-join.
+    */
+  private val bandSigU = udf((e: Seq[Float]) => {
+    val nPlanes = LSH_BANDS * LSH_BITS
+    val planes = graft.functions.PortableHash.lshPlanes(nPlanes, e.length)
+    val sigs = new Array[Long](LSH_BANDS)
+    var p = 0
+    while (p < nPlanes) {
+      val w = planes(p)
+      var dot = 0.0
+      var i = 0
+      while (i < e.length) { dot += e(i).toDouble * w(i); i += 1 }
+      if (dot > 0) sigs(p / LSH_BITS) |= (1L << (p % LSH_BITS))
+      p += 1
+    }
+    sigs.toSeq
+  })
+
+  /** (vec_id, nn, band, sig) — one row per band per vector. */
+  private def bandedSigs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("nn"),
+      posexplode(bandSigU(col("embedding"))).as(Seq("band", "sig")))
 
   /** Brute-force cosine top-5 for probe vectors (vec_id < 20) against the
     * whole corpus: compact probe×corpus pair join with an in-row array dot —
@@ -55,36 +94,24 @@ object Similarity {
       .select(col("p_id"), col("c_id"), col("cosine"), col("rn"))
   }
 
-  /** Random-hyperplane LSH: 8 md5-derived planes → 8-bit bucket signature
-    * computed by one in-row kernel pass; candidates join on the 1-byte
-    * bucket key; exact cosine re-rank top-3 for probes (vec_id < 50).
+  /** Banded hyperplane LSH ANN: candidates for probes (vec_id < 50) share at
+    * least one band signature; exact cosine re-rank keeps top-3.
     */
   def q49AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    // w(p, pos) ∈ [-1, 1): same md5 int60 → double mapping as the oracle;
-    // the plane matrix is derived once per dimension and cached
-    val bucketU = udf((e: Seq[Float]) => {
-      val planes = graft.functions.PortableHash.lshPlanes(8, e.length)
-      var bucket = 0L
-      var p = 0
-      while (p < 8) {
-        val w = planes(p)
-        var dot = 0.0
-        var i = 0
-        while (i < e.length) { dot += e(i).toDouble * w(i); i += 1 }
-        if (dot > 0) bucket |= (1L << p)
-        p += 1
-      }
-      bucket
-    })
-    val e = withNorm(emb(spark, dir))
-      .withColumn("bucket", bucketU(col("embedding")))
-      .cache()
-    val probes = e.select(col("vec_id").as("p_id"), col("embedding").as("pe"),
-      col("nn").as("np"), col("bucket")).filter(col("p_id") < 50)
-    val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
-      col("nn").as("nc"), col("bucket").as("cb"))
-    val cos = broadcast(probes)
-      .join(cands, col("bucket") === col("cb") && col("p_id") =!= col("c_id"))
+    val e = withNorm(emb(spark, dir)).cache()
+    val bands = bandedSigs(e)
+    val cand = bands.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("p_id"), col("band"), col("sig"))
+      .join(bands.select(col("vec_id").as("c_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"))
+      .distinct()
+    val cos = cand
+      .join(e.select(col("vec_id").as("p_id"), col("embedding").as("pe"),
+        col("nn").as("np")), Seq("p_id"))
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        col("nn").as("nc")), Seq("c_id"))
       .withColumn("cosine",
         round(dotU(col("pe"), col("ce")) / (sqrt(col("np")) * sqrt(col("nc"))), 6))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cosine").desc, col("c_id"))
@@ -94,30 +121,24 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate detection (the dedup modality over
-    * vectors): LSH-bucketed candidate pairs with cosine ≥ 0.35 (the synthetic corpus's near-dup band) — bucketing
-    * replicated in the oracle, so results hash-match exactly.
+    * vectors): banded-LSH candidate pairs with cosine ≥ 0.35 (the synthetic
+    * corpus's near-dup band) — banding replicated in the oracle, so results
+    * hash-match exactly.
     */
   def q56EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val bucketU = udf((e: Seq[Float]) => {
-      val planes = graft.functions.PortableHash.lshPlanes(8, e.length)
-      var bucket = 0L
-      var p = 0
-      while (p < 8) {
-        val w = planes(p)
-        var dot = 0.0
-        var i = 0
-        while (i < e.length) { dot += e(i).toDouble * w(i); i += 1 }
-        if (dot > 0) bucket |= (1L << p)
-        p += 1
-      }
-      bucket
-    })
-    val e = withNorm(emb(spark, dir)).withColumn("bucket", bucketU(col("embedding")))
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
-      col("nn").as("na"), col("bucket"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
-      col("nn").as("nb"), col("bucket").as("cb"))
-    a.join(b, col("bucket") === col("cb") && col("a_id") < col("b_id"))
+    val e = withNorm(emb(spark, dir)).cache()
+    val bands = bandedSigs(e)
+    val cand = bands.select(col("vec_id").as("a_id"), col("band"), col("sig"))
+      .join(bands.select(col("vec_id").as("b_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ae"),
+        col("nn").as("na")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
+        col("nn").as("nb")), Seq("b_id"))
       .withColumn("cosine",
         round(dotU(col("ae"), col("be")) / (sqrt(col("na")) * sqrt(col("nb"))), 6))
       .filter(col("cosine") >= 0.35)
@@ -137,6 +158,21 @@ object Similarity {
       |ex AS (
       |  SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS v FROM e2)""".stripMargin
 
+  /** Per-(vec_id, band) signatures with the same md5-derived planes. */
+  private val bandSigCte = {
+    val nPlanes = LSH_BANDS * LSH_BITS
+    s"""planes AS (
+      |  SELECT ex.*, p,
+      |    ('0x' || substr(md5(p || ':' || pos), 1, 15))::BIGINT / 576460752303423488.0 - 1.0 AS w
+      |  FROM ex, generate_series(0, ${nPlanes - 1}) g(p)),
+      |sigs AS (
+      |  SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS sig FROM (
+      |    SELECT vec_id, p // $LSH_BITS AS band,
+      |      CASE WHEN sum(v * w) > 0 THEN CAST(pow(2, p % $LSH_BITS) AS BIGINT) ELSE 0 END AS bit
+      |    FROM planes GROUP BY vec_id, p) GROUP BY vec_id, band),
+      |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q48_cosine_knn" ->
       s"""WITH $longFormCte,
@@ -153,19 +189,11 @@ object Similarity {
         |  FROM cos) WHERE rn <= 5""".stripMargin,
     "q56_embedding_neardup" ->
       s"""WITH $longFormCte,
-        |planes AS (
-        |  SELECT ex.*, p,
-        |    ('0x' || substr(md5(p || ':' || pos), 1, 15))::BIGINT / 576460752303423488.0 - 1.0 AS w
-        |  FROM ex, generate_series(0, 7) g(p)),
-        |sigs AS (
-        |  SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM (
-        |    SELECT vec_id, p,
-        |      CASE WHEN sum(v * w) > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END AS bit
-        |    FROM planes GROUP BY vec_id, p) GROUP BY vec_id),
-        |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),
+        |$bandSigCte,
         |cand AS (
-        |  SELECT x.vec_id AS a_id, y.vec_id AS b_id
-        |  FROM sigs x JOIN sigs y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
+        |    AND x.vec_id < y.vec_id),
         |dots AS (
         |  SELECT p_id, c_id, sum(a.v * b.v) AS dot FROM (
         |    SELECT a_id AS p_id, b_id AS c_id FROM cand) q
@@ -177,19 +205,10 @@ object Similarity {
         |WHERE round(dot / (sqrt(np.nn) * sqrt(nc.nn)), 6) >= 0.35""".stripMargin,
     "q49_ann_lsh" ->
       s"""WITH $longFormCte,
-        |planes AS (
-        |  SELECT ex.*, p,
-        |    ('0x' || substr(md5(p || ':' || pos), 1, 15))::BIGINT / 576460752303423488.0 - 1.0 AS w
-        |  FROM ex, generate_series(0, 7) g(p)),
-        |sigs AS (
-        |  SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket FROM (
-        |    SELECT vec_id, p,
-        |      CASE WHEN sum(v * w) > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END AS bit
-        |    FROM planes GROUP BY vec_id, p) GROUP BY vec_id),
-        |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),
+        |$bandSigCte,
         |cand AS (
-        |  SELECT x.vec_id AS p_id, y.vec_id AS c_id
-        |  FROM sigs x JOIN sigs y ON x.bucket = y.bucket
+        |  SELECT DISTINCT x.vec_id AS p_id, y.vec_id AS c_id
+        |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
         |    AND x.vec_id < 50 AND x.vec_id != y.vec_id),
         |dots AS (
         |  SELECT p_id, c_id, sum(a.v * b.v) AS dot
