@@ -28,10 +28,20 @@ final case class ArchiveConfig(
     moreMap: Map[String, String],        // archive column → `more` key
     lcBands: Seq[(String, String, String, String)], // (timeCol, magCol, errCol, bandName)
     raScale: Double = 1.0,               // OGLE: ra stored in hours → ×15 (`ogleII.py:270`)
-    errMagRatio: Double = 1.0,           // CorotFaint: err = raw/ratio (`corot.py`)
+    errMagRatio: Double = 1.0,           // CorotFaint: err = raw/ratio (`corot.py:154`)
     maxBins: Option[Int] = None,         // CoRoT read-time downsample (`corot.py:107-112`)
     targets: Seq[String] = Nil,          // OGLE target fan-out (`ogleII.py:172-183`)
-    targetCol: String = "target")
+    targetCol: String = "target",
+    queryAliases: Map[String, String] = Map.empty, // query key → archive column (kic_num, `kepler.py:110-114`)
+    rangeValueSyntax: Boolean = false,   // "a..b" values → BETWEEN (`kepler.py:129-137`)
+    rangeKeys: Map[String, String] = Map.empty, // `<k>_min`/`<k>_max` pair → column (`ogleIII.py:129-143`)
+    allowedTypes: Seq[String] = Nil,     // `types` whitelist; value list → IN (`ogleIII.py:69,158-166,210-211`)
+    typesCol: String = "Type",
+    nameCol: Option[String] = None,      // starId column (else first ident name)
+    namePrefix: String = "",             // "KIC_" (`kepler.py:163`)
+    starClassCol: Option[String] = None, // OgleIII Type → starClass (`ogleIII.py:308`)
+    identIdCols: Map[String, String] = Map.empty, // "db:key" → column (`ogleIII.py:281-283`)
+    parseIdentIds: Boolean = false)      // derive identIds from ident names (`ogleIII.py:285-290,341-350`)
 
 class ArchiveConnector(config: ArchiveConfig) extends StarsConnector {
 
@@ -59,11 +69,35 @@ class ArchiveConnector(config: ArchiveConfig) extends StarsConnector {
       delta <- q.double("delta")
     } yield QueryCompiler.coneToBox(config.raCol, config.decCol,
       ra / config.raScale, dec, delta) // ranges divided back like ogleII.py:109-111
+    // `<k>_min`/`<k>_max` pairs → BETWEEN (both) or theta (one side),
+    // like OgleIII's valmin/valmax form fields (`ogleIII.py:129-143`)
+    val ranges = config.rangeKeys.toSeq.flatMap { case (key, column) =>
+      (q.double(s"${key}_min"), q.double(s"${key}_max")) match {
+        case (Some(lo), Some(hi)) => Seq(QueryCompiler.Between(column, lo, hi))
+        case (Some(lo), None)     => Seq(QueryCompiler.Theta(column, s">=$lo"))
+        case (None, Some(hi))     => Seq(QueryCompiler.Theta(column, s"<=$hi"))
+        case _                    => Nil
+      }
+    }
+    // star-type checkbox set, validated against the archive's TYPES list
+    // (`ogleIII.py:210-211` raises QueryInputError on unknown types)
+    val types = q.get("types").toSeq.map { raw =>
+      val ts = raw.split("[;,]").map(_.trim).filter(_.nonEmpty).toSeq
+      val bad = ts.filterNot(config.allowedTypes.contains)
+      require(config.allowedTypes.nonEmpty && bad.isEmpty,
+        s"Invalid star type in the query: ${bad.mkString(",")}; " +
+          s"available types: ${config.allowedTypes.mkString(", ")}")
+      QueryCompiler.In(config.typesCol, ts)
+    }
+    val consumed = Set("ra", "dec", "delta", "nearest", "types", "base_dir") ++
+      config.rangeKeys.keysIterator.flatMap(k => Seq(s"${k}_min", s"${k}_max"))
     val eq = q.params.collect {
-      case (k, v) if !Set("ra", "dec", "delta", "nearest").contains(k) =>
-        QueryCompiler.Eq(k, v)
+      case (k, v) if !consumed.contains(k) =>
+        val column = config.queryAliases.getOrElse(k, k)
+        if (config.rangeValueSyntax) ConfigParsers.parseKeplerValue(column, v)
+        else QueryCompiler.Eq(column, v)
     }.toSeq
-    cone.getOrElse(Nil) ++ eq
+    cone.getOrElse(Nil) ++ ranges ++ types ++ eq
   }
 
   override def getStars(spark: SparkSession, queries: Seq[QuerySpec]): Dataset[Star] = {
@@ -75,11 +109,17 @@ class ArchiveConnector(config: ArchiveConfig) extends StarsConnector {
         case QueryCompiler.Between(c, lo, hi) => df = df.filter(col(c).between(lo, hi))
         case QueryCompiler.Eq(c, v)           => df = df.filter(col(c) === v)
         case QueryCompiler.Theta(c, e)        => df = df.filter(expr(s"$c $e"))
+        case QueryCompiler.In(c, vs)          => df = df.filter(col(c).isin(vs: _*))
       }
-      // projection pushdown: IDENT ∪ MORE ∪ RA/DEC ∪ LC columns only
+      // projection pushdown: IDENT ∪ MORE ∪ RA/DEC ∪ LC columns only;
+      // optional config columns absent from this archive table are skipped,
+      // like the reference's header-driven `_parseHeader` (`ogleIII.py:317-323`)
+      val present = df.schema.fieldNames.toSet
       val needed = (config.identMap.values ++ config.moreMap.keys ++
-        Seq(config.raCol, config.decCol) ++
-        config.lcBands.flatMap(b => Seq(b._1, b._2, b._3))).toSeq.distinct
+        Seq(config.raCol, config.decCol) ++ config.nameCol ++
+        config.starClassCol ++ config.identIdCols.values ++
+        config.lcBands.flatMap(b => Seq(b._1, b._2, b._3)))
+        .toSeq.distinct.filter(present)
       df = df.select(needed.map(col): _*)
       val stars = toStars(df)
       // exact cone refine + nearest on the materialized stars
@@ -102,7 +142,16 @@ class ArchiveConnector(config: ArchiveConfig) extends StarsConnector {
         if (row.schema.fieldNames.contains(c) && !row.isNullAt(row.fieldIndex(c)))
           Some(row.get(row.fieldIndex(c)).toString)
         else None
-      val identNames = cfg.identMap.flatMap { case (db, c) => str(c).map(db -> _) }
+      // "\xa0" marks empty cross-ID cells in the archive table (`ogleIII.py:286`)
+      val identNames = cfg.identMap.flatMap { case (db, c) =>
+        str(c).filter(v => v.nonEmpty && v != "\u00a0").map(db -> _)
+      }
+      // query-identifier map: explicit columns ("OgleIII:field" → Field) plus
+      // idents whose archive names encode query ids (`ogleIII.py:341-350`)
+      val identIds = cfg.identIdCols.flatMap { case (key, c) => str(c).map(key -> _) } ++
+        (if (cfg.parseIdentIds) identNames.flatMap { case (db, nm) =>
+          ConfigParsers.parseDbName(db, nm).map { case (k, v) => s"$db:$k" -> v }
+        } else Map.empty[String, String])
       val more = cfg.moreMap.flatMap { case (c, key) => str(c).map(key -> _) }
       val coo = for {
         ra <- str(cfg.raCol).flatMap(_.toDoubleOption)
@@ -125,8 +174,10 @@ class ArchiveConnector(config: ArchiveConfig) extends StarsConnector {
           Some(LightCurveData(ct, cm, ce, Map("color" -> band, "origin" -> cfg.name)))
         }
       }
-      Star(identNames.values.headOption.getOrElse("unknown"),
-        coo, identNames, Map.empty, more, None, lcs)
+      val baseName = cfg.nameCol.flatMap(str)
+        .orElse(identNames.values.headOption).getOrElse("unknown")
+      Star(cfg.namePrefix + baseName,
+        coo, identNames, identIds, more, cfg.starClassCol.flatMap(str), lcs)
     }
   }
 }
@@ -174,4 +225,63 @@ object ArchiveConfigs {
     lcBands = Seq(("lc_time", "lc_mag", "lc_err", "white")),
     errMagRatio = 1.0,
     maxBins = Some(1000))
+
+  /** CoRoT faint (`corot.py:121-154`): same engine as bright with the
+    * faint-star table's column maps and `ERR_MAG_RATIO = 16` — raw flux
+    * errors are divided by 16 on read.
+    */
+  def corotFaint(base: String): ArchiveConfig = ArchiveConfig(
+    name = "corotFaint", path = _ => base,
+    raCol = "RAJ2000", decCol = "DEJ2000",
+    identMap = Map("CorotFaint" -> "CoRoT"),
+    moreMap = Map("SpT" -> "spectral_type", "Vmag" -> "v_mag", "Rmag" -> "r_mag",
+      "Bmag" -> "b_mag", "Imag" -> "i_mag", "Gmean" -> "g_mag"),
+    lcBands = Seq(("lc_time", "lc_mag", "lc_err", "R")),
+    errMagRatio = 16.0,
+    maxBins = Some(1000))
+
+  /** Kepler (`kepler.py:25-205`): kic_num point lookup (→ kic_kepler_id
+    * equality), ra/dec/delta cone → "a..b" box ranges on
+    * kic_degree_ra/kic_dec, and generic "a..b" range values on any column;
+    * star named "KIC_<name>"; 2MASS cross-ident.
+    */
+  def kepler(base: String): ArchiveConfig = ArchiveConfig(
+    name = "kepler", path = _ => base,
+    raCol = "kic_degree_ra", decCol = "kic_dec",
+    identMap = Map("kepler" -> "_name", "2mass" -> "kic_2mass_id"),
+    moreMap = Map("kic_zmag" -> "z_mag", "kic_umag" -> "u_mag",
+      "kic_kmag" -> "k_mag", "kic_jmag" -> "j_mag", "kic_hmag" -> "h_mag",
+      "kic_imag" -> "i_mag", "kic_gmag" -> "g_mag", "kic_teff" -> "teff"),
+    lcBands = Seq(("lc_time", "lc_mag", "lc_err", "N/A")),
+    queryAliases = Map("kic_num" -> "kic_kepler_id"),
+    rangeValueSyntax = true,
+    nameCol = Some("_name"),
+    namePrefix = "KIC_")
+
+  /** OGLE-III catalog of variable stars (`ogleIII.py:28-360`): ra stored in
+    * hours (×15 on read), TYPES-validated star-type membership, mag/period
+    * valmin/valmax ranges, and cross-ID idents — Macho "f.t.s" and OgleII
+    * "FIELD_PART_ID" names are parsed into query identifiers, and the
+    * catalog's own Field/StarID become the OgleIII query id.
+    */
+  def ogleIII(base: String): ArchiveConfig = ArchiveConfig(
+    name = "ogleIII", path = _ => base,
+    raCol = "RA", decCol = "Decl",
+    identMap = Map("OgleIII" -> "ID", "Macho" -> "ID_MACHO", "Asas" -> "ID_ASAS",
+      "OgleII" -> "ID_OGLE_II", "GCVS" -> "ID_GCVS"),
+    moreMap = Map("I" -> "i_mag", "V" -> "v_mag", "Type" -> "type",
+      "Subtype" -> "subtype", "P_1" -> "period", "A_1" -> "i_ampl",
+      "Remarks" -> "remarks"),
+    lcBands = Seq(("lc_time", "lc_mag", "lc_err", "I")),
+    raScale = 15.0,
+    queryAliases = Map("field" -> "Field", "starid" -> "StarID",
+      "macho_id" -> "ID_MACHO", "asas_id" -> "ID_ASAS",
+      "ogleii_id" -> "ID_OGLE_II", "gvcs_id" -> "ID_GCVS", "remarks" -> "Remarks"),
+    rangeKeys = Map("mag_i" -> "I", "mag_v" -> "V", "p1" -> "P_1"),
+    allowedTypes = Seq("Cep", "ACep", "LPV", "T2Cep", "RRLyr", "RCB", "DSCT", "DPV"),
+    typesCol = "Type",
+    nameCol = Some("ID"),
+    starClassCol = Some("Type"),
+    identIdCols = Map("OgleIII:field" -> "Field", "OgleIII:starid" -> "StarID"),
+    parseIdentIds = true)
 }

@@ -14,6 +14,8 @@ object QueryCompiler {
   final case class Between(column: String, lo: Double, hi: Double) extends Condition
   /** theta condition: operator embedded in the value ("<12.5", ">3", "=x"). */
   final case class Theta(column: String, expr: String) extends Condition
+  /** membership condition (OgleIII star-type checkboxes, `ogleIII.py:158-166`). */
+  final case class In(column: String, values: Seq[String]) extends Condition
 
   private val Quoting = Seq(" ", "/", "_", "-", ".", "+") // TAP_query.py:25
   private val SpecialSymb = Set('<', '>', '=') // TAP_query.py:27
@@ -50,6 +52,7 @@ object QueryCompiler {
         if (cleaned.nonEmpty && SpecialSymb(cleaned.head)) s"($c $cleaned)"
         else s"($c = ${quoteIfNeeded(cleaned)})"
       case Eq(c, v) => s"($c = ${quoteIfNeeded(v)})"
+      case In(c, vs) => vs.map(v => s"'$v'").mkString(s"($c IN (", ", ", "))")
     }
     "WHERE " + parts.mkString(" AND ")
   }

@@ -56,9 +56,35 @@ object StarsProvider {
   */
 class FileManagerConnector extends StarsConnector {
 
+  /** `_check_sample_name` (`cli/stars_handling.py:136-170`): a star-class of
+    * "name:N" keeps N stars, "name%f" keeps an f-fraction — returned as the
+    * cleaned class name plus the restriction.
+    */
+  def parseSampleName(starClass: String): (String, Option[Either[Int, Double]]) =
+    if (starClass.contains("%")) {
+      starClass.split("%") match {
+        case Array(name, ratio) => (name, Some(Right(ratio.toDoubleOption.getOrElse(
+          throw new IllegalArgumentException(s"Invalid float number after '%' $ratio")))))
+        case _ => throw new IllegalArgumentException(
+          s"There have to be just one '%' special mark in the star class name. Got $starClass")
+      }
+    } else if (starClass.contains(":")) {
+      starClass.split(":") match {
+        case Array(name, num) => (name, Some(Left(num.toIntOption.getOrElse(
+          throw new IllegalArgumentException(s"Invalid integer after ':' $num")))))
+        case _ => throw new IllegalArgumentException(
+          s"There have to be just one ':' special mark in the star class name. Got $starClass")
+      }
+    } else (starClass, None)
+
   override def getStars(spark: SparkSession, queries: Seq[QuerySpec]): Dataset[Star] = {
     import spark.implicits._
-    queries.map { q =>
+    queries.map { q0 =>
+      // star_class may carry a ":N" / "%f" sample restriction
+      val (q, restr) = q0.get("star_class").map(parseSampleName) match {
+        case Some((clean, r)) => (QuerySpec(q0.params + ("star_class" -> clean)), r)
+        case None             => (q0, None)
+      }
       val path = q.get("path").getOrElse(
         throw new IllegalArgumentException("FileManager needs 'path'"))
       val suffix = q.get("suffix").getOrElse("dat")
@@ -68,9 +94,16 @@ class FileManagerConnector extends StarsConnector {
         case "parquet" => spark.read.parquet(path).as[Star]
         case other     => throw new IllegalArgumentException(s"Unknown suffix $other")
       }
-      val limited = q.get("files_limit").flatMap(_.toIntOption) match {
+      val limit = q.get("files_limit").flatMap(_.toIntOption)
+        .orElse(restr.flatMap(_.left.toOption))
+      val limited = limit match {
         case Some(n) => ds.orderBy("starId").limit(n) // deterministic "first N"
-        case None    => ds
+        case None => restr.flatMap(_.toOption) match {
+          // fraction keeps exactly floor(n·f) stars (`_split_stars`,
+          // `stars_handling.py:124-133`), deterministically by starId
+          case Some(f) => ds.orderBy("starId").limit((ds.count() * f).toInt)
+          case None    => ds
+        }
       }
       limited
     }.reduce(_ unionByName _)
@@ -80,19 +113,27 @@ class FileManagerConnector extends StarsConnector {
     * lines; bad values scrubbed and rounded 5/3/3 by the cleaning kernel
     * (`file_manager.py:194-233` + `light_curve.py:196-204`); star name from
     * the file name (`parseFileName`, `file_manager.py:247-253`).
+    *
+    * Read via the `binaryFile` source (whole file per task, like the FITS
+    * path) rather than `textFile` + `groupBy(file)` + `collect_list`:
+    * `collect_list` after a shuffle has no ordering contract, and a
+    * splittable text file would interleave lines and silently scramble the
+    * time series every order-sensitive kernel (SAX, Abbe, variogram)
+    * depends on. Whole-file reads make line order structural.
     */
   private def readDat(spark: SparkSession, path: String, q: QuerySpec): Dataset[Star] = {
     import spark.implicits._
     val starClass = q.get("star_class")
     val db = q.get("db_ident")
-    spark.read.textFile(s"$path/*.dat")
-      .select(input_file_name().as("file"), col("value"))
-      .groupBy(col("file"))
-      .agg(collect_list(col("value")).as("lines"))
-      .as[(String, Seq[String])]
-      .map { case (file, lines) =>
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.dat")
+      .load(path)
+      .select(col("path").as("file"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (file, bytes) =>
         val name = file.split("/").last.stripSuffix(".dat")
-        val rows = lines.iterator
+        val rows = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator
           .map(_.trim)
           .filter(l => l.nonEmpty && !l.startsWith("#"))
           .map(_.split("\\s+"))

@@ -88,6 +88,123 @@ class ArchiveConnectorSpec extends SparkSpec {
       s"expected 1000 bins, got ${s.lightCurves.head.mag.length}")
   }
 
+  test("corotFaint config: ERR_MAG_RATIO=16 divides errors on read") {
+    val dir = java.nio.file.Files.createTempDirectory("corotf").toString
+    Seq(("102706554", 100.94235, -0.89651, "G2V", 12.0,
+      Seq(1.0, 2.0, 3.0), Seq(5000.0, 5010.0, 5020.0), Seq(32.0, 48.0, 64.0)))
+      .toDF("CoRoT", "RAJ2000", "DEJ2000", "SpT", "Vmag",
+        "lc_time", "lc_mag", "lc_err")
+      .write.mode("overwrite").parquet(dir)
+    val conn = new ArchiveConnector(ArchiveConfigs.corotFaint(dir))
+    val s = conn.getStars(spark, Seq(QuerySpec(Map.empty))).head()
+    assert(s.identNames == Map("CorotFaint" -> "102706554"))
+    assert(s.more("spectral_type") == "G2V")
+    // raw errors 32/48/64 divided by ERR_MAG_RATIO=16 -> 2/3/4
+    assert(s.lightCurves.head.err.sameElements(Array(2.0, 3.0, 4.0)))
+    assert(s.lightCurves.head.meta("color") == "R")
+  }
+
+  private lazy val keplerDir = {
+    val dir = java.nio.file.Files.createTempDirectory("kepler").toString
+    Seq(
+      ("757076", "757076", "J19243302+3645350", 291.13757, 36.75975, 5164.0, 13.0,
+        Seq(1.0, 2.0), Seq(1000.0, 1001.0), Seq(1.0, 1.0)),
+      ("757099", "757099", "J19244432+3645408", 291.18467, 36.76147, 5521.0, 12.5,
+        Seq(1.0, 2.0), Seq(900.0, 901.0), Seq(1.0, 1.0)),
+      ("892376", "892376", "J19245541+3650304", 292.0, 40.0, 6200.0, 11.9,
+        Seq(1.0, 2.0), Seq(800.0, 801.0), Seq(1.0, 1.0)))
+      .toDF("_name", "kic_kepler_id", "kic_2mass_id", "kic_degree_ra", "kic_dec",
+        "kic_teff", "kic_gmag", "lc_time", "lc_mag", "lc_err")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("kepler config: kic_num point lookup, KIC_ name, 2MASS cross-ident") {
+    // mirrors test/db_tier/test_connectors.py kepler cases: a kic_num query
+    // resolves exactly one star with idents and more populated
+    val conn = new ArchiveConnector(ArchiveConfigs.kepler(keplerDir))
+    val stars = conn.getStars(spark, Seq(QuerySpec(Map("kic_num" -> "757076")))).collect()
+    assert(stars.length == 1)
+    val s = stars.head
+    assert(s.starId == "KIC_757076")
+    assert(s.identNames("kepler") == "757076")
+    assert(s.identNames("2mass") == "J19243302+3645350")
+    assert(s.more("teff") == "5164.0")
+    assert(s.lightCurves.head.mag.sameElements(Array(1000.0, 1001.0)))
+  }
+
+  test("kepler config: ra/dec box cone and 'a..b' range values") {
+    val conn = new ArchiveConnector(ArchiveConfigs.kepler(keplerDir))
+    // delta arcsec -> deg box around (291.15, 36.76): catches the two close stars
+    val cone = conn.getStars(spark, Seq(QuerySpec(Map(
+      "ra" -> "291.15", "dec" -> "36.76", "delta" -> "360")))).collect()
+    assert(cone.map(_.starId).toSet == Set("KIC_757076", "KIC_757099"))
+    // kepler.py:129-137 "a..b" range syntax on an arbitrary column
+    val ranged = conn.getStars(spark, Seq(QuerySpec(Map(
+      "kic_teff" -> "5400..6300")))).collect()
+    assert(ranged.map(_.starId).toSet == Set("KIC_757099", "KIC_892376"))
+  }
+
+  private lazy val ogle3Dir = {
+    val dir = java.nio.file.Files.createTempDirectory("ogle3").toString
+    Seq(
+      ("OGLE-LMC-CEP-0001", "LMC100.1", "12345", 4.62, -69.5, "Cep", "F",
+        3.2, 0.1, 15.2, 14.8, "1.3310.45", "000000-0000.0", "LMC_SC1_152382", "\u00a0", "rem",
+        Seq(1.0, 2.0), Seq(15.2, 15.3), Seq(0.01, 0.01)),
+      ("OGLE-LMC-RRLYR-0002", "LMC100.2", "23456", 4.70, -69.6, "RRLyr", "RRab",
+        0.57, 0.3, 18.9, 18.5, "\u00a0", "\u00a0", "\u00a0", "\u00a0", "\u00a0",
+        Seq(1.0, 2.0), Seq(18.9, 19.0), Seq(0.05, 0.05)),
+      ("OGLE-LMC-LPV-0003", "LMC100.3", "34567", 4.80, -69.7, "LPV", "Mira",
+        120.0, 1.0, 13.0, 12.5, "\u00a0", "\u00a0", "\u00a0", "\u00a0", "\u00a0",
+        Seq(1.0, 2.0), Seq(13.0, 13.1), Seq(0.02, 0.02)))
+      .toDF("ID", "Field", "StarID", "RA", "Decl", "Type", "Subtype",
+        "P_1", "A_1", "V", "I", "ID_MACHO", "ID_ASAS", "ID_OGLE_II", "ID_GCVS", "Remarks",
+        "lc_time", "lc_mag", "lc_err")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("ogleIII config: cross-ID idents parsed into query identifiers") {
+    val conn = new ArchiveConnector(ArchiveConfigs.ogleIII(ogle3Dir))
+    val s = conn.getStars(spark, Seq(QuerySpec(Map("starid" -> "12345"))))
+      .collect().head
+    assert(s.starId == "OGLE-LMC-CEP-0001")
+    assert(s.starClass.contains("Cep"))
+    // ra stored in hours: 4.62h * 15 = 69.3 deg
+    assert(math.abs(s.coo.get.ra - 69.3) < 1e-9)
+    // cross-ID names survive; empty \xa0 cells are dropped
+    assert(s.identNames("Macho") == "1.3310.45")
+    assert(s.identNames("OgleII") == "LMC_SC1_152382")
+    assert(!s.identNames.contains("GCVS"))
+    // db_ident query identifiers: catalog's own Field/StarID + parsed names
+    assert(s.identIds("OgleIII:field") == "LMC100.1")
+    assert(s.identIds("OgleIII:starid") == "12345")
+    assert(s.identIds("Macho:Field") == "1")
+    assert(s.identIds("Macho:Tile") == "3310")
+    assert(s.identIds("Macho:Seqn") == "45")
+    assert(s.identIds("OgleII:field") == "LMC_SC1")
+    assert(s.identIds("OgleII:starid") == "152382")
+    assert(s.more("period") == "3.2")
+  }
+
+  test("ogleIII config: types membership validated, mag/period ranges") {
+    val conn = new ArchiveConnector(ArchiveConfigs.ogleIII(ogle3Dir))
+    val typed = conn.getStars(spark, Seq(QuerySpec(Map("types" -> "Cep;RRLyr"))))
+      .collect()
+    assert(typed.map(_.starId).toSet ==
+      Set("OGLE-LMC-CEP-0001", "OGLE-LMC-RRLYR-0002"))
+    intercept[IllegalArgumentException] {
+      conn.getStars(spark, Seq(QuerySpec(Map("types" -> "NotAType")))).collect()
+    }
+    val bright = conn.getStars(spark, Seq(QuerySpec(Map(
+      "mag_i_max" -> "15.0", "p1_min" -> "10.0")))).collect()
+    assert(bright.map(_.starId).toSet == Set("OGLE-LMC-LPV-0003"))
+    val adql = conn.toAdql(QuerySpec(Map("types" -> "Cep;RRLyr", "mag_i_min" -> "10",
+      "mag_i_max" -> "15")))
+    assert(adql.contains("(I BETWEEN 10.0 AND 15.0)"))
+    assert(adql.contains("(Type IN ('Cep', 'RRLyr'))"))
+  }
+
   test("ADQL rendering of the pushed predicates") {
     val conn = new ArchiveConnector(ArchiveConfigs.asas(machoDir))
     val adql = conn.toAdql(QuerySpec(Map(

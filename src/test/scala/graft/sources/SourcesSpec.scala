@@ -56,6 +56,48 @@ class SourcesSpec extends SparkSpec {
     assert(stars.head.lightCurves.head.time.sameElements(Array(12.0, 13.1, 14.2)))
   }
 
+  test("dat connector preserves line order on large files under tiny split sizes") {
+    // Regression for the textFile+collect_list design: a splittable text
+    // source would interleave lines across partitions and scramble the time
+    // series. The whole-file (binaryFile) read must return file order even
+    // when maxPartitionBytes is far below the file size.
+    val dir = java.nio.file.Files.createTempDirectory("datbig")
+    val n = 20000
+    val body = new StringBuilder("#time mag err\n")
+    (0 until n).foreach(i => body ++= s"$i.0 ${13.0 + (i % 7) * 0.01} 0.3\n")
+    java.nio.file.Files.writeString(dir.resolve("big_star.dat"), body.toString)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try {
+      val stars = StarsProvider.getProvider("FileManager")
+        .getStars(spark, Seq(QuerySpec(Map(
+          "path" -> dir.toString, "suffix" -> "dat")))).collect()
+      assert(stars.length == 1)
+      val t = stars.head.lightCurves.head.time
+      assert(t.length == n)
+      assert(t.sameElements((0 until n).map(_.toDouble)), "time order scrambled")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
+  test("star_class sample marks: 'name:N' first-N and 'name%f' fraction") {
+    // `_check_sample_name` + `_split_stars` (`cli/stars_handling.py:124-170`)
+    val fm = StarsProvider.getProvider("FileManager").asInstanceOf[FileManagerConnector]
+    assert(fm.parseSampleName("qso") == ("qso", None))
+    assert(fm.parseSampleName("qso:10") == ("qso", Some(Left(10))))
+    assert(fm.parseSampleName("qso%0.5") == ("qso", Some(Right(0.5))))
+    intercept[IllegalArgumentException](fm.parseSampleName("qso%x"))
+    intercept[IllegalArgumentException](fm.parseSampleName("a:b:c"))
+
+    val limited = fm.getStars(spark, Seq(QuerySpec(Map(
+      "path" -> qsoPath, "suffix" -> "fits", "star_class" -> "quasar:5")))).collect()
+    assert(limited.length == 5)
+    assert(limited.forall(_.starClass.contains("quasar")), "sample mark must not leak into the class")
+    // 18 qso fixtures * 0.5 -> exactly floor(9) stars
+    val frac = fm.getStars(spark, Seq(QuerySpec(Map(
+      "path" -> qsoPath, "suffix" -> "fits", "star_class" -> "quasar%0.5")))).collect()
+    assert(frac.length == 9)
+  }
+
   test("cone search filters and nearest picks top-1") {
     import graft.model.{Coordinates, Star}
     val stars = Seq(
