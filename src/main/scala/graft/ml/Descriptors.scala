@@ -161,19 +161,38 @@ class PropertyDescr(val attributeNames: Seq[String],
 }
 
 /** The normalized reduced curve itself as `bins` feature columns
-  * (`curve_descr.py:12-121`). PCA reduction is deliberately NOT fitted
-  * lazily on the evaluated batch (reference statefulness quirk, survey
-  * §7.5.9) — use `org.apache.spark.ml.feature.PCA` on the assembled vector
-  * as a pipeline stage instead.
+  * (`curve_descr.py:12-121`), optionally PCA-reduced to `redDim`
+  * (`curve_descr.py:113-121`). The reference fits its PCA lazily on the
+  * first evaluated batch (statefulness quirk); per survey §7.5.9 we fit
+  * once at train time — [[StarsFilter.learn]] calls [[fitReduction]] on the
+  * combined searched+others sample, exactly the batch the reference's
+  * `learn` → `getSpaceCoordinates(searched+others)` would first see. The
+  * fitted reduction is a tiny (mean, components) pair applied per-row —
+  * broadcast with the task binary, no shuffle; stars without a light curve
+  * bypass reduction as nulls (the NaN-row bypass, `curve_descr.py:102-105`).
   */
 class CurveDescr(val bins: Int, val height: Option[Int] = None,
+                 val redDim: Option[Int] = None,
                  override val uid: String = Identifiable.randomUID("curveDescr"))
     extends Descriptor(uid) {
-  override val outputCols: Seq[String] =
-    (1 to bins).map(i => s"curve_point_$i")
-  override def transform(df: Dataset[_]): DataFrame = {
+  require(redDim.forall(rd => rd > 0 && rd < bins),
+    "Number of samples have to be greater then reduced dimension")
+
+  override val outputCols: Seq[String] = redDim match {
+    case Some(rd) => (1 to rd).map(i => s"curve_pca_$i")
+    case None     => (1 to bins).map(i => s"curve_point_$i")
+  }
+
+  /** sklearn-compatible fitted PCA: column means + components[redDim][bins];
+    * transform is `(y - mean) · componentsᵀ` (sklearn centers on transform,
+    * Spark's PCAModel does not — so we keep the pieces and center ourselves).
+    */
+  private[ml] var reduction: Option[(Array[Double], Array[Array[Double]])] = None
+  private[ml] def needsFit: Boolean = redDim.isDefined && reduction.isEmpty
+
+  private def curveUdf = {
     val (b, h) = (bins, height)
-    val u0 = udf((t: Seq[Double], m: Seq[Double]) => {
+    udf((t: Seq[Double], m: Seq[Double]) => {
       val (_, yEkvi) = Kernels.ekviPaa(t.toArray, m.toArray)
       var y = if (yEkvi.length > b) Kernels.paa(yEkvi, b) else Kernels.paa(m.toArray, b)
       val range = y.max - y.min
@@ -183,9 +202,49 @@ class CurveDescr(val bins: Int, val height: Option[Int] = None,
       }
       val mean = y.sum / y.length
       y.map(_ - mean)
-    })
-    val u = u0.asNondeterministic()
-    val withArr = df.withColumn("_curve", when(hasLc, u(lcTime, lcMag)).otherwise(lit(null)))
+    }).asNondeterministic()
+  }
+
+  /** Fit the `red_dim` PCA on the training stars (one pass for the mean,
+    * one distributed SVD on the small bins-wide matrix).
+    */
+  def fitReduction(stars: Dataset[_]): Unit = redDim.foreach { rd =>
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.stat.Summarizer
+    val curves = stars.toDF()
+      .withColumn("_curve", when(hasLc, curveUdf(lcTime, lcMag)).otherwise(lit(null)))
+      .filter(col("_curve").isNotNull)
+      .select(array_to_vector(col("_curve")).as("_vec"))
+    val mean = curves.select(Summarizer.mean(col("_vec")).as("m"))
+      .head().getAs[org.apache.spark.ml.linalg.Vector]("m").toArray
+    // principal components from covariance (mean-invariant), k = redDim
+    val pcaModel = new org.apache.spark.ml.feature.PCA()
+      .setInputCol("_vec").setOutputCol("_red").setK(rd).fit(curves)
+    val pc = pcaModel.pc // bins x rd, column-major
+    val components = Array.tabulate(rd)(j => Array.tabulate(bins)(i => pc(i, j)))
+    reduction = Some((mean, components))
+  }
+
+  override def transform(df: Dataset[_]): DataFrame = {
+    val u = curveUdf
+    val arr: Column = redDim match {
+      case None => u(lcTime, lcMag)
+      case Some(rd) =>
+        val (mean, comps) = reduction.getOrElse(throw new IllegalStateException(
+          "CurveDescr red_dim reduction not fitted — learn the filter first"))
+        val red0 = udf((y: Seq[Double]) => {
+          val centered = Array.tabulate(mean.length)(i => y(i) - mean(i))
+          Array.tabulate(rd) { j =>
+            val c = comps(j)
+            var acc = 0.0
+            var i = 0
+            while (i < centered.length) { acc += centered(i) * c(i); i += 1 }
+            acc
+          }.toSeq
+        }).asNondeterministic()
+        red0(u(lcTime, lcMag))
+    }
+    val withArr = df.withColumn("_curve", when(hasLc, arr).otherwise(lit(null)))
     outputCols.zipWithIndex.foldLeft(withArr) { case (d, (c, i)) =>
       d.withColumn(c, col("_curve").getItem(i))
     }.drop("_curve")

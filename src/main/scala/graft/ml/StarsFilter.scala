@@ -38,6 +38,14 @@ class StarsFilter(val descriptors: Seq[Descriptor], val deciders: Seq[Decider]) 
     * (`learn`, `stars_filter.py:150-168`).
     */
   def learn(searched: DataFrame, others: DataFrame): StarsFilterModel = {
+    // fit-at-train-time stages (survey §7.5.9): CurveDescr's red_dim PCA is
+    // fitted on the combined sample — the same batch the reference's
+    // `learn` → `getSpaceCoordinates(searched+others)` first sees
+    descriptors.foreach {
+      case cd: CurveDescr if cd.needsFit =>
+        cd.fitReduction(searched.unionByName(others))
+      case _ =>
+    }
     val train = spaceCoordinates(searched).withColumn("label", lit(1.0))
       .unionByName(spaceCoordinates(others).withColumn("label", lit(0.0)))
       .select("features", "label")

@@ -38,17 +38,29 @@ class StarsSearcher(
     */
   def queryStars(spark: SparkSession, queries: DataFrame): DataFrame = {
     import spark.implicits._
-    val todo = unsearchedQueries(spark, queries)
+    val todoDf = unsearchedQueries(spark, queries)
       .select(col("query_id"), col("params"))
-      .as[(String, Map[String, String])]
-      .collect() // query table is small (the work is fetching/filtering stars)
-    if (todo.isEmpty) return spark.emptyDataFrame
     val connector = StarsProvider.getProvider(connectorName)
-    val stars = todo.map { case (qid, params) =>
-      connector.getStars(spark, Seq(QuerySpec(params)))
-        .toDF()
-        .withColumn("query_id", lit(qid))
-    }.reduce(_ unionByName _)
+    val stars = connector match {
+      // scale path: one source scan joined against the broadcast query
+      // table — no driver loop, no N-way union plan
+      case ac: graft.sources.ArchiveConnector
+          if ac.supportsJoinedFetch(todoDf
+            .select(explode(map_keys(col("params")))).distinct().as[String]
+            .collect().toSet) =>
+        if (todoDf.isEmpty) return spark.emptyDataFrame
+        ac.getStarsJoined(spark, todoDf)
+      case _ =>
+        // path-driven connectors (FileManager) fetch per query; the query
+        // table is small — the work is fetching/filtering stars
+        val todo = todoDf.as[(String, Map[String, String])].collect()
+        if (todo.isEmpty) return spark.emptyDataFrame
+        todo.map { case (qid, params) =>
+          connector.getStars(spark, Seq(QuerySpec(params)))
+            .toDF()
+            .withColumn("query_id", lit(qid))
+        }.reduce(_ unionByName _)
+    }
 
     val predictions = model.getAllPredictions(stars)
       .withColumn("found", lit(true))

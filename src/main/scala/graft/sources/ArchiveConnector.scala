@@ -137,7 +137,98 @@ class ArchiveConnector(config: ArchiveConfig) extends StarsConnector {
     val spark = df.sparkSession
     import spark.implicits._
     val cfg = config
-    df.map { row =>
+    df.map(row => ArchiveConnector.buildStar(cfg, row))
+  }
+
+  /** Distributed query-table fetch: ONE archive scan joined against a
+    * broadcast query table instead of a per-query driver loop — the
+    * searcher's scale path (survey §3.1). Supported query keys: cone
+    * (ra/dec/delta/nearest) and plain equality params; callers check
+    * [[supportsJoinedFetch]] and fall back to [[getStars]] otherwise.
+    *
+    * Shape at 100 TB: the query table is tiny (broadcast), the archive scan
+    * happens once, each source row is tested against all queries in the
+    * broadcast nested-loop join (vs N pruned scans + an N-way union plan
+    * whose analysis cost alone is quadratic-ish in N). The exact cone
+    * refine and per-query `nearest` run post-join as window ops.
+    */
+  def supportsJoinedFetch(keys: Set[String]): Boolean = {
+    val special = Set("ra", "dec", "delta", "nearest", "base_dir")
+    // range-pair / range-value / types syntaxes stay on the loop path
+    !config.rangeValueSyntax &&
+      (keys -- special).forall(k => !k.contains("..") && k != "types" &&
+        !config.rangeKeys.keysIterator.exists(rk => k == s"${rk}_min" || k == s"${rk}_max"))
+  }
+
+  /** queries: DataFrame(query_id: String, params: Map[String,String]) →
+    * star columns + query_id.
+    */
+  def getStarsJoined(spark: SparkSession, queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cfg = config
+    val keys = queries.select(explode(map_keys(col("params")))).distinct()
+      .as[String].collect().toSet // tiny metadata aggregate
+    require(supportsJoinedFetch(keys),
+      s"query keys $keys not expressible as a joined fetch for ${cfg.name}")
+
+    var src = spark.read.parquet(cfg.path(""))
+    val present = src.schema.fieldNames.toSet
+    val needed = (cfg.identMap.values ++ cfg.moreMap.keys ++
+      Seq(cfg.raCol, cfg.decCol) ++ cfg.nameCol ++
+      cfg.starClassCol ++ cfg.identIdCols.values ++
+      (keys -- Set("ra", "dec", "delta", "nearest", "base_dir"))
+        .map(k => cfg.queryAliases.getOrElse(k, k)) ++
+      cfg.lcBands.flatMap(b => Seq(b._1, b._2, b._3)))
+      .toSeq.distinct.filter(present)
+    src = src.select(needed.map(col): _*)
+
+    def p(k: String): Column = col("params").getItem(k)
+    val d = p("delta").cast("double") / 3600.0
+    val boxCond: Column = when(p("ra").isNull || p("dec").isNull || p("delta").isNull, lit(true))
+      .otherwise(
+        col(cfg.raCol).between(p("ra").cast("double") / cfg.raScale - d,
+          p("ra").cast("double") / cfg.raScale + d) &&
+          col(cfg.decCol).between(p("dec").cast("double") - d, p("dec").cast("double") + d))
+    val eqCond: Column = (keys -- Set("ra", "dec", "delta", "nearest", "base_dir"))
+      .map { k =>
+        val c = cfg.queryAliases.getOrElse(k, k)
+        p(k).isNull || col(c).cast("string") === p(k)
+      }.foldLeft(lit(true))(_ && _)
+
+    val joined = src.join(broadcast(queries), boxCond && eqCond)
+    val stars = joined
+      .map(row => (row.getAs[String]("query_id"),
+        row.getAs[Map[String, String]]("params"),
+        ArchiveConnector.buildStar(cfg, row)))
+      .toDF("query_id", "params", "star")
+      .select(col("query_id"), col("params"), col("star.*"))
+
+    // exact cone refine + per-query nearest (`base_query.py:38-83`)
+    val ra = p("ra").cast("double")
+    val dec = p("dec").cast("double")
+    val dist = degrees(lit(2.0) * asin(sqrt(
+      pow(sin(radians(col("coo.dec") - dec) / 2), 2) +
+        cos(radians(col("coo.dec"))) * cos(radians(dec)) *
+        pow(sin(radians(col("coo.ra") - ra) / 2), 2))))
+    val withDist = stars.withColumn("_dist",
+      when(ra.isNull, lit(null)).otherwise(dist))
+    val refined = withDist.filter(col("_dist").isNull ||
+      col("_dist") < p("delta").cast("double") / 3600.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_dist").asc_nulls_last)
+    refined
+      .withColumn("_rn", row_number().over(w))
+      .filter(p("nearest").isNull || p("nearest") =!= "true" || col("_rn") === 1)
+      .drop("_dist", "_rn", "params")
+  }
+}
+
+object ArchiveConnector {
+  import org.apache.spark.sql.Row
+
+  /** One archive row → [[Star]]; shared by the per-query and joined paths. */
+  private[sources] def buildStar(cfg: ArchiveConfig, row: Row): Star = {
+    {
       def str(c: String): Option[String] =
         if (row.schema.fieldNames.contains(c) && !row.isNullAt(row.fieldIndex(c)))
           Some(row.get(row.fieldIndex(c)).toString)

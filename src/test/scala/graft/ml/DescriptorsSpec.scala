@@ -87,6 +87,54 @@ class DescriptorsSpec extends SparkSpec {
     assert(approx(pd.filter(col("starId") === "s1").select("period").head().getDouble(0), 2.5))
   }
 
+  test("CurveDescr red_dim: PCA width, train-time fit, NaN-row bypass") {
+    // 30 synthetic curves drawn from two shape families + one LC-less star
+    val rnd = new scala.util.Random(7)
+    val stars = (0 until 30).map { i =>
+      val t = (0 until 60).map(_.toDouble).toArray
+      val shape = if (i % 2 == 0) 1.0 else -1.0
+      val m = t.map(x => 14.0 + shape * math.sin(x / 6.0) + 0.05 * rnd.nextGaussian())
+      Star(s"p$i", None, Map.empty, Map.empty, Map.empty, None,
+        Seq(LightCurveData(t, m, Array.fill(60)(0.1), Map.empty)))
+    } :+ Star("noLc", None, Map.empty, Map.empty, Map.empty, None, Nil)
+    val df = stars.toDF()
+
+    val d = new CurveDescr(bins = 20, redDim = Some(3))
+    assert(d.outputCols == Seq("curve_pca_1", "curve_pca_2", "curve_pca_3"))
+    // unfitted evaluation is an error (fit happens at learn time)
+    intercept[IllegalStateException](d.transform(df).collect())
+    d.fitReduction(df)
+    val out = d.transform(df).cache()
+    assert(out.columns.count(_.startsWith("curve_pca_")) == 3)
+    // LC-less star bypasses the reduction as nulls
+    assert(out.filter(col("starId") === "noLc").select("curve_pca_1").head().isNullAt(0))
+    val rows = out.filter(col("starId") =!= "noLc")
+      .select("curve_pca_1", "curve_pca_2", "curve_pca_3")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == 30)
+    def variance(xs: Seq[Double]): Double = {
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }
+    // principal components capture decreasing variance, mean ≈ 0 (centered)
+    val v1 = variance(rows.map(_._1).toSeq)
+    val v2 = variance(rows.map(_._2).toSeq)
+    val v3 = variance(rows.map(_._3).toSeq)
+    assert(v1 >= v2 && v2 >= v3, s"variance order: $v1, $v2, $v3")
+    assert(math.abs(rows.map(_._1).sum / rows.length) < 1e-9, "pc1 not centered")
+
+    // invalid configuration: red_dim must be below bins
+    intercept[IllegalArgumentException](new CurveDescr(bins = 3, redDim = Some(5)))
+
+    // learn() fits the reduction on searched+others automatically
+    val d2 = new CurveDescr(bins = 20, redDim = Some(2))
+    val searched = stars.take(15).toDF()
+    val others = stars.slice(15, 30).toDF()
+    val model = new StarsFilter(Seq(d2), Seq(new GaussianNBDec())).learn(searched, others)
+    assert(!d2.needsFit, "learn must fit the red_dim PCA")
+    assert(model.getAllPredictions(searched).count() == 15)
+  }
+
   test("stars without light curves yield null features (NONE_VALUE)") {
     val stars = Seq(
       Star("with", None, Map.empty, Map.empty, Map.empty, None,

@@ -85,6 +85,28 @@ class StarsFilterSpec extends SparkSpec {
     assert(best.stats("precision") >= all.map(_.stats("precision")).min)
   }
 
+  test("ParamsEstimator parallel fit matches the sequential argmax and is faster") {
+    def grid = Seq(
+      TuneCombination("abbe30", Seq(new AbbeValueDescr(Some(30))), Seq(new QDADec())),
+      TuneCombination("abbe100", Seq(new AbbeValueDescr(Some(100))), Seq(new QDADec())),
+      TuneCombination("slope30", Seq(new VariogramSlopeDescr(30)), Seq(new QDADec())),
+      TuneCombination("abbe+slope",
+        Seq(new AbbeValueDescr(Some(100)), new VariogramSlopeDescr(30)), Seq(new QDADec())))
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val ((seqBest, seqAll), tSeq) = time(
+      new ParamsEstimator(searched, others, grid, parallelism = 1).fit())
+    val ((parBest, parAll), tPar) = time(
+      new ParamsEstimator(searched, others, grid, parallelism = 4).fit())
+    info(f"sequential: $tSeq%.2fs, parallel: $tPar%.2fs")
+    assert(parBest.label == seqBest.label, "parallel argmax must match sequential")
+    assert(parAll.map(r => r.label -> r.stats) == seqAll.map(r => r.label -> r.stats),
+      "per-combination stats must be identical")
+    // 4 concurrent tiny fits are scheduling-bound: expect a real wall-clock win
+    assert(tPar < tSeq, f"parallel ($tPar%.2fs) not faster than sequential ($tSeq%.2fs)")
+  }
+
   test("FilterSerializer round-trips a trained filter (pickle parity)") {
     val path = java.nio.file.Files.createTempDirectory("filter").toString + "/model.filter"
     FilterSerializer.save(model, path)

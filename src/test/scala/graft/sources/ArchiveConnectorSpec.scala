@@ -205,6 +205,36 @@ class ArchiveConnectorSpec extends SparkSpec {
     assert(adql.contains("(Type IN ('Cep', 'RRLyr'))"))
   }
 
+  test("joined query-table fetch matches per-query semantics with no N-way union") {
+    val conn = new ArchiveConnector(ArchiveConfigs.macho(machoDir))
+    val queries = Seq(
+      ("q1", Map("ra" -> "10.0", "dec" -> "20.0", "delta" -> "3600")),
+      ("q2", Map("ra" -> "80.0", "dec" -> "-30.0", "delta" -> "3600", "nearest" -> "true")),
+      ("q3", Map("Class" -> "qso"))).toDF("query_id", "params")
+    assert(conn.supportsJoinedFetch(Set("ra", "dec", "delta", "nearest", "Class")))
+    assert(!conn.supportsJoinedFetch(Set("types")))
+    val joined = conn.getStarsJoined(spark, queries)
+    val plan = joined.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), "joined fetch must not build an N-way union:\n" + plan)
+    val got = joined.select("query_id", "starId").as[(String, String)].collect().toSet
+    // q1 cone: both nearby stars; q2 nearest: exactly the one close star;
+    // q3 equality: both qso — same rows the per-query loop fetches
+    assert(got == Set(
+      ("q1", "1.33.10"), ("q1", "1.33.11"),
+      ("q2", "2.40.5"),
+      ("q3", "1.33.10"), ("q3", "2.40.5")))
+    // the searcher takes the joined branch end to end for archive connectors
+    StarsProvider.register("MachoJoined", conn)
+    val model = new graft.ml.StarsFilterModel(
+      Seq(new graft.ml.AbbeValueDescr()),
+      Seq(new graft.ml.CustomDecider(Seq((None, None))).model), Seq("abbe_value"))
+    val tmp = java.nio.file.Files.createTempDirectory("joinsearch").toString
+    val searcher = new graft.ml.StarsSearcher(model, "MachoJoined",
+      s"$tmp/matched", s"$tmp/status")
+    val status = searcher.queryStars(spark, queries)
+    assert(status.select("query_id", "starId").as[(String, String)].collect().toSet == got)
+  }
+
   test("ADQL rendering of the pushed predicates") {
     val conn = new ArchiveConnector(ArchiveConfigs.asas(machoDir))
     val adql = conn.toAdql(QuerySpec(Map(
