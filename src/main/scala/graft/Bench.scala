@@ -26,7 +26,13 @@ object Bench {
       try Tables.load(spark, sfDir, n).foreach(_ => ()) catch { case _: Throwable => }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev convenience: SPARK_GRAFT_ONLY=q51 (comma-separated prefixes)
+    // restricts the run; REPEAT=n re-times each query n times.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.exists(kv._1.startsWith)))
+    val results = Seq.fill(repeat)(selected).flatten.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try {

@@ -46,8 +46,16 @@ class StarsFilter(val descriptors: Seq[Descriptor], val deciders: Seq[Decider]) 
         cd.fitReduction(searched.unionByName(others))
       case _ =>
     }
-    val train = spaceCoordinates(searched).withColumn("label", lit(1.0))
-      .unionByName(spaceCoordinates(others).withColumn("label", lit(0.0)))
+    learnOnCoords(spaceCoordinates(searched), spaceCoordinates(others))
+  }
+
+  /** Train on precomputed feature coordinates (`learnOnCoords`,
+    * `stars_filter.py:119-148`) — lets callers compute the descriptor
+    * fan-out ONCE and reuse it for training and evaluation.
+    */
+  def learnOnCoords(searchedCoords: DataFrame, othersCoords: DataFrame): StarsFilterModel = {
+    val train = searchedCoords.withColumn("label", lit(1.0))
+      .unionByName(othersCoords.withColumn("label", lit(0.0)))
       .select("features", "label")
       .cache()
     try {
@@ -72,8 +80,14 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
     * feature columns, per-decider probability + passed flag, and the AND'd
     * `passed` column.
     */
-  def getAllPredictions(stars: DataFrame): DataFrame = {
-    val coords = filterInstance.spaceCoordinates(stars)
+  def getAllPredictions(stars: DataFrame): DataFrame =
+    predictOnCoords(filterInstance.spaceCoordinates(stars))
+
+  /** Score precomputed feature coordinates — the reuse seam for callers
+    * that already hold the descriptor fan-out (one pass instead of
+    * re-deriving features per evaluation).
+    */
+  def predictOnCoords(coords: DataFrame): DataFrame = {
     val scored = models.foldLeft(coords)((df, m) => m.evaluate(df))
     val withPassed = models.foldLeft(scored) { (df, m) =>
       df.withColumn(s"passed_${m.name}", col(s"prob_${m.name}") > m.threshold)
@@ -119,9 +133,16 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
     * decider plus a `mean` row; rates rounded to 3 decimals like the
     * reference.
     */
-  def getStatistic(searched: DataFrame, others: DataFrame): DataFrame = {
-    val s = getAllPredictions(searched).cache()
-    val o = getAllPredictions(others).cache()
+  def getStatistic(searched: DataFrame, others: DataFrame): DataFrame =
+    getStatisticOnCoords(filterInstance.spaceCoordinates(searched),
+      filterInstance.spaceCoordinates(others))
+
+  /** Statistics over precomputed coordinates (the reference's deciders also
+    * consume coords, `base_decider.py:133-197`).
+    */
+  def getStatisticOnCoords(searchedCoords: DataFrame, othersCoords: DataFrame): DataFrame = {
+    val s = predictOnCoords(searchedCoords).cache()
+    val o = predictOnCoords(othersCoords).cache()
     try {
       // one aggregation per sample computes n + every decider's hit count
       def counts(df: DataFrame, ge: Boolean): Map[String, Double] = {
@@ -152,7 +173,7 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
           math.rint((1 - tn / wrongNum) * 1000) / 1000,
           math.rint((1 - tp / rightNum) * 1000) / 1000)
       }
-      val spark = searched.sparkSession
+      val spark = searchedCoords.sparkSession
       import spark.implicits._
       val perDecider = rows.toDF("decider", "precision", "accuracy", "f1_score",
         "true_positive_rate", "true_negative_rate",

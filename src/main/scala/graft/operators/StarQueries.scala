@@ -59,32 +59,31 @@ object StarQueries {
     * (deterministic closed-form deciders).
     */
   def q51StarClassify(spark: SparkSession, dir: String): DataFrame = {
-    val stars = starsFromEvents(spark, dir).toDF().cache()
-    try {
-      val searched = stars.filter(col("starClass") === "searched")
-      val others = stars.filter(col("starClass") === "other")
-      val model = new StarsFilter(descriptors, Seq(new LDADec(), new QDADec()))
-        .learn(searched, others)
-      model.getAllPredictions(stars)
-        .select(col("starId"),
-          round(col("prob_LDADec"), 4).as("prob_lda"),
-          round(col("prob_QDADec"), 4).as("prob_qda"),
-          col("passed_LDADec"), col("passed_QDADec"), col("passed"))
-    } finally stars.unpersist()
+    // descriptor fan-out ONCE, cached; train + score reuse it
+    // (learnOnCoords / predictOnCoords instead of three feature passes)
+    val sf = new StarsFilter(descriptors, Seq(new LDADec(), new QDADec()))
+    val coords = sf.spaceCoordinates(starsFromEvents(spark, dir).toDF()).cache()
+    val model = sf.learnOnCoords(
+      coords.filter(col("starClass") === "searched"),
+      coords.filter(col("starClass") === "other"))
+    model.predictOnCoords(coords)
+      .select(col("starId"),
+        round(col("prob_LDADec"), 4).as("prob_lda"),
+        round(col("prob_QDADec"), 4).as("prob_qda"),
+        col("passed_LDADec"), col("passed_QDADec"), col("passed"))
   }
 
   /** Filter statistics (confusion metrics + mean row) for the trained
     * filter — the reference's `getStatistic` surface.
     */
   def q52StarStatistic(spark: SparkSession, dir: String): DataFrame = {
-    val stars = starsFromEvents(spark, dir).toDF().cache()
-    try {
-      val searched = stars.filter(col("starClass") === "searched").cache()
-      val others = stars.filter(col("starClass") === "other").cache()
-      val model = new StarsFilter(descriptors, Seq(new LDADec(), new QDADec()))
-        .learn(searched, others)
-      model.getStatistic(searched, others)
-    } finally stars.unpersist()
+    // one cached descriptor pass feeds training AND the confusion stats
+    val sf = new StarsFilter(descriptors, Seq(new LDADec(), new QDADec()))
+    val coords = sf.spaceCoordinates(starsFromEvents(spark, dir).toDF()).cache()
+    val sCoords = coords.filter(col("starClass") === "searched")
+    val oCoords = coords.filter(col("starClass") === "other")
+    val model = sf.learnOnCoords(sCoords, oCoords)
+    model.getStatisticOnCoords(sCoords, oCoords)
   }
 
   /** Comparative SAX descriptor over event-derived stars: dissimilarity of
