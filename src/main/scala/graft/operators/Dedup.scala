@@ -40,6 +40,19 @@ object Dedup {
     // are globally ordered rarest-first (document frequency asc) so the
     // join keys are the most selective shingles a doc has; a stop-shingle
     // shared by every doc sorts last and never enters a prefix.
+    //
+    // Skew note: at t=0.5 the prefix is ~n/2+1 shingles per doc, so a
+    // moderately common shingle that ranks early can still fan out. The
+    // worst case is bounded by banded-LSH candidate generation (q46) with
+    // this join as the verify stage — that composition is the 100 TB dedup
+    // pipeline; standalone, PPJoin's shorter index-side prefix
+    // (n − ⌈2t/(1+t)·n⌉ + 1) would shrink candidates further at the cost
+    // of an asymmetric two-sided index.
+    //
+    // Cache scope: `sh` backs both the candidate and verify sides of one
+    // returned plan, so it must outlive this call; the harness clears
+    // per-query caches (Bench/Verify clearCache) once the result is
+    // materialized.
     val sh = shingleArrays(spark, dir).cache()
     val ex = sh.select(col("doc_id"), col("lang"), col("source"),
       size(col("shingles")).as("n_sh"), explode(col("shingles")).as("shingle"))

@@ -69,9 +69,15 @@ object Multimodal {
     */
   def q55MultimodalAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = mediaTable(spark, dir).select(col("doc_id"), element_at(col("meta"), "source").as("source"))
-    decodeFeatures(spark, dir).toDF()
-      .join(media, "doc_id")
+    // decode ONCE with the grouping key carried through the batch decoder —
+    // no second documents scan, no join back (the decoded side and the
+    // metadata side used to be two reads of the same table)
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload"), element_at(col("meta"), "source").as("source"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, src) => (StubCodec.decode(id, bytes), src) })
+      .toDF("f", "source")
+      .select(col("source"), col("f.*"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"),
         sum(col("byte_len")).as("total_bytes"),

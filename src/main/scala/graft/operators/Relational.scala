@@ -223,9 +223,11 @@ object Relational {
     */
   def q18RocSweep(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
-    val maxP = o.agg(max(col("o_totalprice"))).first().getDouble(0)
-    val scored = o.select(
-      (col("o_totalprice") / maxP).as("score"),
+    // scalar "subquery" via broadcast crossJoin: the max stays on the
+    // cluster — one job, no driver-side .first() synchronization point
+    val maxP = o.agg(max(col("o_totalprice")).as("_maxp"))
+    val scored = o.crossJoin(broadcast(maxP)).select(
+      (col("o_totalprice") / col("_maxp")).as("score"),
       when(col("o_orderstatus") === "F", 1).otherwise(0).as("label"))
     val th = spark.range(1, 10).select((col("id") / 10.0).as("thr"))
     scored.crossJoin(broadcast(th))

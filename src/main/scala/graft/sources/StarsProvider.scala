@@ -34,7 +34,8 @@ trait StarsConnector extends Serializable {
   */
 object StarsProvider {
   private var registry: Map[String, StarsConnector] = Map(
-    "FileManager" -> new FileManagerConnector)
+    "FileManager" -> new FileManagerConnector,
+    "Catalina" -> new CatalinaConnector)
 
   def register(name: String, connector: StarsConnector): Unit =
     synchronized { registry += name -> connector }

@@ -98,6 +98,43 @@ class SourcesSpec extends SparkSpec {
     assert(frac.length == 9)
   }
 
+  test("Catalina connector parses dataSet0 responses, id + cone queries") {
+    // raw CRTS response shape (`catalina.py:107-148`): JS object with bare
+    // keys + the ID= URL parameter; one response carries a coo comment
+    val dir = java.nio.file.Files.createTempDirectory("crts")
+    java.nio.file.Files.writeString(dir.resolve("star1.html"),
+      """<html><script>var dataSet0 = {label: "CSS_J170.8113+34.1737", color: "V",
+        |data: [[53464.45, 17.52, 0.08], [53486.41, 17.69, 0.09], [53500.1, 17.61]]};
+        |</script><!--coo 170.8113 34.1737-->
+        |<img src="x.cgi?ID=1135051006365&PLOT=plot"></html>""".stripMargin)
+    java.nio.file.Files.writeString(dir.resolve("star2.html"),
+      """<html><script>var dataSet0 = {label: "CSS_J005.0000-10.0000", color: "V",
+        |data: [[53464.45, 15.2, 0.05]]};
+        |</script><!--coo 5.0 -10.0-->
+        |<img src="x.cgi?ID=2005123456789&PLOT=plot"></html>""".stripMargin)
+    java.nio.file.Files.writeString(dir.resolve("empty.html"),
+      "<html>No rows returned</html>")
+
+    val conn = StarsProvider.getProvider("Catalina")
+    val all = conn.getStars(spark, Seq(QuerySpec(Map(
+      "path" -> dir.toString)))).collect()
+    assert(all.length == 2, "empty response must yield no star")
+    val s1 = all.find(_.starId == "CSS_J170.8113+34.1737").get
+    assert(s1.identNames("CRST") == "1135051006365")
+    assert(s1.lightCurves.head.time.sameElements(Array(53464.45, 53486.41, 53500.1)))
+    assert(s1.lightCurves.head.err.sameElements(Array(0.08, 0.09, 0.0)))
+    assert(s1.lightCurves.head.meta("origin") == "CRTS")
+
+    val byId = conn.getStars(spark, Seq(QuerySpec(Map(
+      "path" -> dir.toString, "id" -> "2005123456789")))).collect()
+    assert(byId.map(_.starId).toSeq == Seq("CSS_J005.0000-10.0000"))
+
+    val cone = conn.getStars(spark, Seq(QuerySpec(Map(
+      "path" -> dir.toString, "ra" -> "170.8", "dec" -> "34.17",
+      "delta" -> "3600", "nearest" -> "true")))).collect()
+    assert(cone.map(_.starId).toSeq == Seq("CSS_J170.8113+34.1737"))
+  }
+
   test("cone search filters and nearest picks top-1") {
     import graft.model.{Coordinates, Star}
     val stars = Seq(
