@@ -145,10 +145,59 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
 
+  /** IVF-Flat ANN — the second scale path next to LSH (q49): a coarse
+    * quantizer partitions the corpus into inverted lists, probes search
+    * only their top-`nprobe` lists. Centroids here are the deterministic
+    * `vec_id % 50 == 0` subset (a production build trains k-means — the
+    * plumbing is identical: a small broadcastable centroid table).
+    *
+    * Scale shape: assignment is corpus × k-broadcast with a MAP-SIDE
+    * `max_by` partial aggregate, so the assignment shuffle is N rows (not
+    * N·k); list search joins probe lists to list members on the list id —
+    * candidates scale with list occupancy (N/k per list), and k is the
+    * dial that grows with the corpus. Cosines are rounded to 6 before
+    * ranking on both engines so argmax ties break identically (by id).
+    */
+  def q57AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(spark, dir)).cache()
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+        col("nn").as("nc"))
+    val allCos = e.select(col("vec_id"), col("embedding"), col("nn"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos",
+        round(dotU(col("embedding"), col("ce")) / (sqrt(col("nn")) * sqrt(col("nc"))), 6))
+      .select(col("vec_id"), col("cent_id"), col("cos"))
+    // nearest centroid per vector: partial-aggregated argmax (ties → min id)
+    val assign = allCos.groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("cos"), -col("cent_id"))).as("list_id"))
+    // probes search their top-2 lists
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cent_id"))
+    val probes = allCos.filter(col("vec_id") < 20)
+      .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= 2)
+      .select(col("vec_id").as("p_id"), col("cent_id").as("list_id"))
+    val cand = probes
+      .join(assign.select(col("vec_id").as("c_id"), col("list_id")), Seq("list_id"))
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"))
+    val cos = cand
+      .join(e.select(col("vec_id").as("p_id"), col("embedding").as("pe"),
+        col("nn").as("np")), Seq("p_id"))
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("ce2"),
+        col("nn").as("nc2")), Seq("c_id"))
+      .withColumn("cosine",
+        round(dotU(col("pe"), col("ce2")) / (sqrt(col("np")) * sqrt(col("nc2"))), 6))
+    val w = Window.partitionBy(col("p_id")).orderBy(col("cosine").desc, col("c_id"))
+    cos.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("p_id"), col("c_id"), col("cosine"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_cosine_knn" -> q48CosineKnn,
     "q49_ann_lsh" -> q49AnnLsh,
-    "q56_embedding_neardup" -> q56EmbeddingNeardup)
+    "q56_embedding_neardup" -> q56EmbeddingNeardup,
+    "q57_ann_ivf" -> q57AnnIvf)
 
   private val longFormCte =
     """e2 AS (
@@ -214,6 +263,40 @@ object Similarity {
         |  SELECT p_id, c_id, sum(a.v * b.v) AS dot
         |  FROM cand JOIN ex a ON a.vec_id = p_id JOIN ex b
         |    ON b.vec_id = c_id AND b.pos = a.pos
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT p_id, c_id, round(dot / (sqrt(np.nn) * sqrt(nc.nn)), 6) AS cosine
+        |  FROM dots JOIN norms np ON np.vec_id = p_id JOIN norms nc ON nc.vec_id = c_id)
+        |SELECT p_id, c_id, cosine, CAST(rn AS INT) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
+        |  FROM cos) WHERE rn <= 3""".stripMargin,
+    "q57_ann_ivf" ->
+      s"""WITH $longFormCte,
+        |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),
+        |adots AS (
+        |  SELECT a.vec_id, b.vec_id AS cent_id, sum(a.v * b.v) AS dot
+        |  FROM ex a JOIN ex b ON b.pos = a.pos AND b.vec_id % 50 = 0
+        |  GROUP BY 1, 2),
+        |acos AS (
+        |  SELECT d.vec_id, cent_id,
+        |    round(dot / (sqrt(nv.nn) * sqrt(nc.nn)), 6) AS cos
+        |  FROM adots d JOIN norms nv ON nv.vec_id = d.vec_id
+        |    JOIN norms nc ON nc.vec_id = d.cent_id),
+        |ranked AS (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+        |  FROM acos),
+        |assign AS (SELECT vec_id, cent_id AS list_id FROM ranked WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS p_id, cent_id AS list_id FROM ranked
+        |  WHERE vec_id < 20 AND rn <= 2),
+        |cand AS (
+        |  SELECT p_id, a.vec_id AS c_id
+        |  FROM probes p JOIN assign a ON a.list_id = p.list_id AND a.vec_id != p.p_id),
+        |dots AS (
+        |  SELECT p_id, c_id, sum(a.v * b.v) AS dot
+        |  FROM cand JOIN ex a ON a.vec_id = p_id
+        |    JOIN ex b ON b.vec_id = c_id AND b.pos = a.pos
         |  GROUP BY 1, 2),
         |cos AS (
         |  SELECT p_id, c_id, round(dot / (sqrt(np.nn) * sqrt(nc.nn)), 6) AS cosine
