@@ -194,11 +194,66 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("ha"), col("hb"), col("hamming"))
   }
 
+  /** Duplicate-cluster assignment: connected components over the simhash
+    * near-dup graph (q47 pairs), each document labeled with the min doc_id
+    * of its component — the "keep one representative per duplicate group"
+    * operator a dedup pipeline ends with.
+    *
+    * Scale shape: iterative min-label propagation (the standard
+    * distributed CC algorithm — GraphX's Pregel does the same joins):
+    * each round is one broadcast-or-shuffle join of the label table with
+    * the bidirectional edge list + a min-aggregate; rounds needed =
+    * component diameter, which for near-dup clusters is tiny (they are
+    * clique-ish). A driver loop over O(diameter) rounds with a convergence
+    * count is scale-correct — the loop count is ~log N worst case, each
+    * iteration fully distributed (checkpoint every few rounds at real
+    * scale to cut lineage).
+    */
+  def q58DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // edge list materialized once with truncated lineage — every iteration
+    // re-reads it, so it must not re-run the simhash pipeline
+    val edges = q47Simhash(spark, dir).select(col("a_id"), col("b_id"))
+    val bi = edges.union(edges.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = docs(spark, dir).select(col("doc_id").as("id"),
+      col("doc_id").as("label")).localCheckpoint()
+    // labels only ever decrease (min-propagation), so sum(label) strictly
+    // decreases until the fixpoint — convergence is one aggregate, no
+    // old-vs-new join; eager localCheckpoint each round materializes the
+    // labels AND cuts the growing lineage (else iteration i re-evaluates
+    // all previous rounds)
+    var prevSum = labels.agg(sum(col("label"))).first().getLong(0)
+    var converged = false
+    while (!converged) {
+      // label(v) := min(label(v), min label among v's neighbors): edge
+      // messages unioned with the self labels, ONE min-aggregate shuffle
+      // (the label side broadcasts under AQE while it fits)
+      val prop = bi.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("label"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      // pointer jumping: label(v) := label(label(v)) — compresses chains so
+      // rounds scale with log(diameter), not diameter
+      val jumped = prop.alias("a")
+        .join(prop.select(col("id").as("pid"), col("label").as("plabel")).alias("b"),
+          col("a.label") === col("b.pid"), "left")
+        .select(col("a.id"),
+          least(col("a.label"), coalesce(col("plabel"), col("a.label"))).as("label"))
+        .localCheckpoint()
+      val s = jumped.agg(sum(col("label"))).first().getLong(0)
+      labels = jumped
+      converged = s == prevSum
+      prevSum = s
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_dedup_exact" -> q44DedupExact,
     "q45_ngram_jaccard" -> q45NgramJaccard,
     "q46_minhash_lsh" -> q46MinhashLsh,
-    "q47_simhash" -> q47Simhash)
+    "q47_simhash" -> q47Simhash,
+    "q58_dedup_clusters" -> q58DedupClusters)
 
   private val shingleCte =
     """t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS tok FROM documents),
@@ -253,6 +308,30 @@ object Dedup {
         |  ON sb.doc_id = b_id AND sb.k = sa.k
         |GROUP BY a_id, b_id
         |HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 >= 0.5""".stripMargin,
+    "q58_dedup_clusters" ->
+      """WITH RECURSIVE th AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, lang, j, sum(((h // CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1) AS vote
+        |  FROM th, generate_series(0, 15) g(j)
+        |  GROUP BY doc_id, lang, j),
+        |sim AS (
+        |  SELECT doc_id, lang,
+        |    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id, lang),
+        |edges AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM sim x JOIN sim y ON x.lang = y.lang AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 2),
+        |bi AS (SELECT a_id AS src, b_id AS dst FROM edges
+        |       UNION ALL SELECT b_id, a_id FROM edges),
+        |reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT bi.src, reach.label FROM reach JOIN bi ON bi.dst = reach.id)
+        |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
     "q47_simhash" ->
       """WITH th AS (
         |  SELECT doc_id, lang,
