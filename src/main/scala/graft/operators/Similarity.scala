@@ -36,17 +36,17 @@ object Similarity {
 
   /** Sequential-order dot product of two float embeddings in double
     * precision (oracle sums the same terms; both round to 6 decimals).
+    * Backed by the native codegen'd [[graft.functions.expressions.DotProductExpr]]
+    * (primitive float[] from Tungsten, no boxing) — registration is
+    * idempotent per session.
     */
-  private val dotU = udf((a: Seq[Float], b: Seq[Float]) => {
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  })
+  private def dotC(spark: SparkSession, a: String, b: String) = {
+    graft.functions.expressions.DotProductExpr.register(spark)
+    expr(s"dot_product($a, $b)")
+  }
 
   private def withNorm(df: DataFrame): DataFrame =
-    df.withColumn("nn", dotU(col("embedding"), col("embedding")))
+    df.withColumn("nn", dotC(df.sparkSession, "embedding", "embedding"))
 
   /** Per-band hyperplane signatures: one kernel pass over the vector
     * computes all LSH_BANDS × LSH_BITS plane dots and packs band b's bits
@@ -87,7 +87,7 @@ object Similarity {
       col("nn").as("nc"))
     val cos = broadcast(probes).join(cands, col("p_id") =!= col("c_id"))
       .withColumn("cosine",
-        round(dotU(col("pe"), col("ce")) / (sqrt(col("np")) * sqrt(col("nc"))), 6))
+        round(dotC(spark, "pe", "ce") / (sqrt(col("np")) * sqrt(col("nc"))), 6))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cosine").desc, col("c_id"))
     cos.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -113,7 +113,7 @@ object Similarity {
       .join(e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
         col("nn").as("nc")), Seq("c_id"))
       .withColumn("cosine",
-        round(dotU(col("pe"), col("ce")) / (sqrt(col("np")) * sqrt(col("nc"))), 6))
+        round(dotC(spark, "pe", "ce") / (sqrt(col("np")) * sqrt(col("nc"))), 6))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cosine").desc, col("c_id"))
     cos.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
@@ -140,7 +140,7 @@ object Similarity {
       .join(e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
         col("nn").as("nb")), Seq("b_id"))
       .withColumn("cosine",
-        round(dotU(col("ae"), col("be")) / (sqrt(col("na")) * sqrt(col("nb"))), 6))
+        round(dotC(spark, "ae", "be") / (sqrt(col("na")) * sqrt(col("nb"))), 6))
       .filter(col("cosine") >= 0.35)
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
@@ -166,7 +166,7 @@ object Similarity {
     val allCos = e.select(col("vec_id"), col("embedding"), col("nn"))
       .crossJoin(broadcast(cents))
       .withColumn("cos",
-        round(dotU(col("embedding"), col("ce")) / (sqrt(col("nn")) * sqrt(col("nc"))), 6))
+        round(dotC(spark, "embedding", "ce") / (sqrt(col("nn")) * sqrt(col("nc"))), 6))
       .select(col("vec_id"), col("cent_id"), col("cos"))
     // nearest centroid per vector: partial-aggregated argmax (ties → min id)
     val assign = allCos.groupBy(col("vec_id"))
@@ -186,7 +186,7 @@ object Similarity {
       .join(e.select(col("vec_id").as("c_id"), col("embedding").as("ce2"),
         col("nn").as("nc2")), Seq("c_id"))
       .withColumn("cosine",
-        round(dotU(col("pe"), col("ce2")) / (sqrt(col("np")) * sqrt(col("nc2"))), 6))
+        round(dotC(spark, "pe", "ce2") / (sqrt(col("np")) * sqrt(col("nc2"))), 6))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cosine").desc, col("c_id"))
     cos.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
