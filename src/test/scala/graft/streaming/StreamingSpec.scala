@@ -52,6 +52,36 @@ class StreamingSpec extends SparkSpec {
     assert(matched.count() >= 8, "most searched-family stars pass")
   }
 
+  test("streaming dedup drops exact duplicates across micro-batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    val docs1 = Seq(
+      (1L, "alpha beta gamma", "en", "web", 16L),
+      (2L, "alpha beta gamma", "en", "web", 16L), // in-batch dup of 1
+      (3L, "delta epsilon", "en", "web", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs1.write.mode("append").parquet(s"$tmp/in")
+    val q1 = StreamingDedup.run(spark, s"$tmp/in", docs1.schema,
+      s"$tmp/clean", s"$tmp/ckpt")
+    q1.awaitTermination()
+    val clean1 = spark.read.parquet(s"$tmp/clean")
+    assert(clean1.count() == 2, "in-batch duplicate dropped")
+    assert(clean1.select("content_hash").distinct().count() == 2)
+
+    // second batch: one cross-batch dup (same text as doc 1) + one new doc
+    Seq(
+      (4L, "alpha beta gamma", "en", "news", 16L), // cross-batch dup
+      (5L, "zeta eta theta", "fr", "web", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$tmp/in")
+    val q2 = StreamingDedup.run(spark, s"$tmp/in", docs1.schema,
+      s"$tmp/clean", s"$tmp/ckpt")
+    q2.awaitTermination()
+    val clean2 = spark.read.parquet(s"$tmp/clean")
+    assert(clean2.count() == 3, "cross-batch duplicate dropped via checkpointed state")
+    assert(clean2.filter(col("doc_id") === 4L).count() == 0)
+    assert(clean2.filter(col("doc_id") === 5L).count() == 1)
+  }
+
   test("watermarked windowed aggregation over the events stream") {
     // drive the streaming aggregation with the batch events table via a
     // file stream (schema from the batch read)
