@@ -39,6 +39,19 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a payload (video-style frame extraction shape). */
+  final case class FrameSlice(
+      doc_id: Long, frame_idx: Int, frame_off: Int, frame_len: Int,
+      frame_checksum: Long)
+
+  /** STUB resize: a real implementation rescales pixel buffers; the
+    * deterministic output dims keep the plumbing and tests honest.
+    */
+  object StubResize {
+    def resize(f: MediaFeatures, targetW: Int, targetH: Int): MediaFeatures =
+      f.copy(width = targetW, height = targetH)
+  }
+
   /** documents → (doc_id, payload binary, meta map): the multimodal table. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
@@ -85,9 +98,42 @@ object Multimodal {
         round(avg(col("height")), 4).as("avg_h"))
   }
 
+  /** Frame sampling — the video-decode batch shape: each payload yields 4
+    * deterministic byte-range "frames" (a real codec would seek keyframes;
+    * the offsets/lengths/checksums are honest byte math either way), one
+    * codec instance per partition, frames emitted with positional metadata.
+    * Output scales linearly (4 rows per doc), no shuffle until a consumer
+    * aggregates.
+    */
+  def frameSample(spark: SparkSession, dir: String): Dataset[FrameSlice] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val len = bytes.length
+        if (len < 4) Iterator.empty
+        else {
+          val fl = len / 4
+          (0 until 4).iterator.map { k =>
+            val off = k * fl
+            val flen = if (k < 3) fl else len - 3 * fl
+            var sum = 0L
+            var i = off
+            while (i < off + flen) { sum += bytes(i) & 0xff; i += 1 }
+            FrameSlice(id, k, off, flen, sum)
+          }
+        }
+      })
+  }
+
+  def q59MultimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    frameSample(spark, dir).toDF()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_multimodal_meta" -> q54MultimodalMeta,
-    "q55_multimodal_agg" -> q55MultimodalAgg)
+    "q55_multimodal_agg" -> q55MultimodalAgg,
+    "q59_multimodal_frames" -> q59MultimodalFrames)
 
   val oracleSql: Map[String, String] = Map(
     "q54_multimodal_meta" ->
@@ -96,5 +142,21 @@ object Multimodal {
         |  ascii(substr(text, 1, 1)) AS first_byte,
         |  CAST(list_aggregate(list_transform(string_split(text, ''), c -> ascii(c)),
         |    'sum') AS BIGINT) AS checksum
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "q59_multimodal_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS INT) AS len
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, len, len // 4 AS fl,
+        |    unnest([0, 1, 2, 3]) AS frame_idx
+        |  FROM d WHERE len >= 4)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(frame_idx * fl AS INT) AS frame_off,
+        |  CAST(CASE WHEN frame_idx < 3 THEN fl ELSE len - 3 * fl END AS INT) AS frame_len,
+        |  CAST(list_aggregate(list_transform(
+        |    string_split(substr(text, frame_idx * fl + 1,
+        |      CASE WHEN frame_idx < 3 THEN fl ELSE len - 3 * fl END), ''),
+        |    c -> ascii(c)), 'sum') AS BIGINT) AS frame_checksum
+        |FROM f""".stripMargin)
 }
