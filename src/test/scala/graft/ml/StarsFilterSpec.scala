@@ -118,6 +118,21 @@ class StarsFilterSpec extends SparkSpec {
     assert(a.sameElements(b), "loaded filter predicts identically")
   }
 
+  test("FilterSerializer preserves the fitted red_dim PCA reduction") {
+    val d = new CurveDescr(bins = 20, redDim = Some(2))
+    val m = new StarsFilter(Seq(d), Seq(new QDADec())).learn(searched, others)
+    val path = java.nio.file.Files.createTempDirectory("pcafilter").toString + "/m.filter"
+    FilterSerializer.save(m, path)
+    val loaded = FilterSerializer.load(path)
+    val ld = loaded.descriptors.head.asInstanceOf[CurveDescr]
+    assert(!ld.needsFit, "fitted reduction must survive serialization")
+    val a = m.getAllPredictions(searched)
+      .select("starId", "prob_QDADec").orderBy("starId").collect()
+    val b = loaded.getAllPredictions(searched)
+      .select("starId", "prob_QDADec").orderBy("starId").collect()
+    assert(a.sameElements(b), "loaded filter predicts identically through the PCA")
+  }
+
   test("probabilitySpace grid evaluates all deciders over the feature mesh") {
     val space = model.probabilitySpace(searched.unionByName(others), gridPerDim = 5)
     assert(space.count() == 25) // 5^2 grid over 2 features
