@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * broadcast-able model — ideal at scale since feature dimension is small).
   *
   * Documented semantic deltas vs the reference (survey §2.9):
-  * SVCDec→LogisticRegression (no RBF-SVC in MLlib), AdaBoostDec→GBT,
-  * ExtraTreesDec→RandomForest with feature subsampling.
+  * SVCDec→random-Fourier-feature RBF approximation + logistic regression
+  * (no kernel SVM in MLlib), AdaBoostDec→GBT, ExtraTreesDec→RandomForest
+  * with feature subsampling.
   */
 trait Decider extends Serializable {
   def name: String
@@ -110,14 +111,70 @@ class AdaBoostDec(val threshold: Double = 0.5, maxIter: Int = 30) extends Decide
       new GBTClassifier().setMaxIter(maxIter).setStepSize(0.5).setSeed(13).fit(train))
 }
 
-/** `SVCDec` stand-in: logistic regression gives the probabilistic linear
-  * boundary (documented delta — LinearSVC has no probabilities, no RBF).
+/** `SVCDec` (`supervised_deciders.py:52-76`): sklearn RBF-kernel SVC with
+  * Platt probability estimates. MLlib has no kernel SVM, so the RBF kernel
+  * k(x,y)=exp(-γ‖x−y‖²) is approximated with random Fourier features
+  * (Rahimi–Recht: z(x) = √(2/D)·cos(Wx+b), rows of W ~ N(0, 2γI),
+  * b ~ U[0,2π]) and a logistic regression on z(x) supplies the
+  * probabilistic nonlinear boundary. γ defaults to sklearn's
+  * gamma="auto" = 1/dim. The feature map is md5-derived, so executors
+  * regenerate it identically with no driver state; remaining documented
+  * delta: Platt-scaled SVC probabilities ≠ a logistic fit on RFF space.
   */
-class SVCDec(val threshold: Double = 0.5) extends Decider {
+class SVCDec(val threshold: Double = 0.5, val gamma: Option[Double] = None,
+             val rffDim: Int = 64) extends Decider {
   val name = "SVCDec"
-  def learn(train: DataFrame): DeciderModel =
-    new ProbClassifierModelWrap(name, threshold,
-      new LogisticRegression().setMaxIter(100).fit(train))
+  def learn(train: DataFrame): DeciderModel = {
+    val dim = train.select("features").head().getAs[Vector](0).size
+    val g = gamma.getOrElse(1.0 / dim)
+    val z = SVCDec.rffUdf(rffDim, dim, g)
+    val lr = new LogisticRegression().setMaxIter(100).setFeaturesCol("_rff")
+      .fit(train.withColumn("_rff", z(col("features"))))
+    val thr = threshold
+    new DeciderModel {
+      val name = "SVCDec"
+      val threshold: Double = thr
+      private val probU = udf((v: Vector) => v(1))
+      override def evaluate(df: DataFrame): DataFrame = {
+        val scored = lr.transform(df.withColumn("_rff", z(col("features"))))
+        finishProb(scored, probU(col("probability")))
+          .drop("rawPrediction", "probability", "prediction", "_rff")
+      }
+    }
+  }
+}
+
+object SVCDec {
+  /** Deterministic Fourier map: uniforms from md5, normals via Box–Muller. */
+  private def fourierMap(d: Int, dim: Int, gamma: Double): (Array[Array[Double]], Array[Double]) = {
+    def uni(s: String): Double =
+      (graft.functions.PortableHash.md5Int60(s) + 0.5) / 1152921504606846976.0 // 2^60
+    val w = Array.tabulate(d, dim) { (j, i) =>
+      val u1 = uni(s"rffw:$j:$i:1")
+      val u2 = uni(s"rffw:$j:$i:2")
+      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2) * math.sqrt(2.0 * gamma)
+    }
+    val b = Array.tabulate(d)(j => uni(s"rffb:$j") * 2.0 * math.Pi)
+    (w, b)
+  }
+
+  private[ml] def rffUdf(d: Int, dim: Int, gamma: Double) = {
+    val (w, b) = fourierMap(d, dim, gamma)
+    val scale = math.sqrt(2.0 / d)
+    udf((v: Vector) => {
+      val out = new Array[Double](d)
+      var j = 0
+      while (j < d) {
+        val row = w(j)
+        var acc = b(j)
+        var i = 0
+        while (i < dim) { acc += row(i) * v(i); i += 1 }
+        out(j) = scale * math.cos(acc)
+        j += 1
+      }
+      org.apache.spark.ml.linalg.Vectors.dense(out)
+    })
+  }
 }
 
 /** `NeuronDecider`: MLP `[dim, hidden, 2]` with softmax out ≈ the keras

@@ -45,6 +45,29 @@ class DecidersSpec extends SparkSpec {
     assert(separation(new NeuronDecider()) > 0.8)
   }
 
+  test("SVCDec learns a NONLINEAR (RBF-like) boundary: concentric circles") {
+    // inner disk (class 1) inside a ring (class 0) — not linearly separable;
+    // the RFF map must buy the RBF-style boundary the reference's
+    // kernel SVC has and a plain logistic fit lacks
+    import org.apache.spark.ml.linalg.Vectors
+    val rng = new scala.util.Random(41)
+    def ringPoint(rLo: Double, rHi: Double) = {
+      val r = rLo + rng.nextDouble() * (rHi - rLo)
+      val a = rng.nextDouble() * 2 * math.Pi
+      Vectors.dense(r * math.cos(a), r * math.sin(a))
+    }
+    val inner = (1 to 150).map(_ => (ringPoint(0.0, 1.0), 1.0))
+    val ring = (1 to 150).map(_ => (ringPoint(2.0, 3.0), 0.0))
+    val circTrain = (inner ++ ring).toDF("features", "label").cache()
+    val m = new SVCDec(gamma = Some(0.5)).learn(circTrain)
+    val scored = m.evaluate(circTrain)
+    val pIn = scored.filter(col("label") === 1.0)
+      .agg(avg(col("prob_SVCDec"))).head().getDouble(0)
+    val pOut = scored.filter(col("label") === 0.0)
+      .agg(avg(col("prob_SVCDec"))).head().getDouble(0)
+    assert(pIn - pOut > 0.8, s"nonlinear separation too low: $pIn vs $pOut")
+  }
+
   test("CustomDecider boundary predicate") {
     val d = new CustomDecider(
       (1 to dim).map(_ => (Some(0.9): Option[Double], None: Option[Double])))
