@@ -25,6 +25,17 @@ object Bench {
     Tables.names.foreach { n =>
       try Tables.load(spark, sfDir, n).foreach(_ => ()) catch { case _: Throwable => }
     }
+    // one-time JVM init that otherwise lands on the first ML query:
+    // netlib BLAS resolution + MLlib codegen paths
+    try {
+      import org.apache.spark.ml.linalg.Vectors
+      import spark.implicits._
+      val tiny = Seq((Vectors.dense(0.0, 1.0), 0.0), (Vectors.dense(1.0, 0.0), 1.0),
+        (Vectors.dense(0.1, 0.9), 0.0), (Vectors.dense(0.9, 0.1), 1.0))
+        .toDF("features", "label")
+      new org.apache.spark.ml.classification.LogisticRegression().setMaxIter(2)
+        .fit(tiny).transform(tiny).foreach(_ => ())
+    } catch { case _: Throwable => }
 
     // Dev convenience: SPARK_GRAFT_ONLY=q51 (comma-separated prefixes)
     // restricts the run; REPEAT=n re-times each query n times.

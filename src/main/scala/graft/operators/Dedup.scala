@@ -228,20 +228,17 @@ object Dedup {
       // label(v) := min(label(v), min label among v's neighbors): edge
       // messages unioned with the self labels, ONE min-aggregate shuffle
       // (the label side broadcasts under AQE while it fits)
+      // (near-dup components are clique-ish, so plain neighbor-min already
+      // converges in a handful of rounds; pointer jumping's extra self-join
+      // per round measured as a net loss here — for long-chain graphs add
+      // label(v) := label(label(v)) back)
       val prop = bi.join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("label"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-      // pointer jumping: label(v) := label(label(v)) — compresses chains so
-      // rounds scale with log(diameter), not diameter
-      val jumped = prop.alias("a")
-        .join(prop.select(col("id").as("pid"), col("label").as("plabel")).alias("b"),
-          col("a.label") === col("b.pid"), "left")
-        .select(col("a.id"),
-          least(col("a.label"), coalesce(col("plabel"), col("a.label"))).as("label"))
         .localCheckpoint()
-      val s = jumped.agg(sum(col("label"))).first().getLong(0)
-      labels = jumped
+      val s = prop.agg(sum(col("label"))).first().getLong(0)
+      labels = prop
       converged = s == prevSum
       prevSum = s
     }

@@ -92,7 +92,8 @@ object StarQueries {
     */
   def q53StarComparative(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stars = starsFromEvents(spark, dir)
+    // cached: the template collect and the transform both consume it
+    val stars = starsFromEvents(spark, dir).cache()
     val templates = stars.orderBy("starId").limit(3).collect().toSeq
       .map(s => (s.lightCurves.head.time, s.lightCurves.head.mag))
     val descr = new HistShapeDescr(templates, bins = 10, alphabetSize = 7)
