@@ -45,6 +45,31 @@ class DecidersSpec extends SparkSpec {
     assert(separation(new NeuronDecider()) > 0.8)
   }
 
+  test("AdaBoostDec boosts past a single stump: interval target") {
+    // class 1 inside [-1, 1] on one axis — a single depth-1 stump cannot
+    // express an interval (needs two thresholds); SAMME's weighted rounds
+    // must combine stumps into it
+    import org.apache.spark.ml.linalg.Vectors
+    val rng = new scala.util.Random(17)
+    val pts = (1 to 300).map { _ =>
+      val x = rng.nextDouble() * 6 - 3
+      (Vectors.dense(x), if (math.abs(x) < 1.0) 1.0 else 0.0)
+    }
+    val itrain = pts.toDF("features", "label").cache()
+    val single = new AdaBoostDec(nEstimators = 1).learn(itrain)
+    val boosted = new AdaBoostDec(nEstimators = 30).learn(itrain)
+    def acc(m: DeciderModel): Double = {
+      val scored = m.evaluate(itrain)
+      scored.filter((col(s"prob_${m.name}") >= 0.5) === (col("label") === 1.0))
+        .count().toDouble / 300
+    }
+    val a1 = acc(single)
+    val aB = acc(boosted)
+    info(f"single stump acc: $a1%.3f, boosted: $aB%.3f")
+    assert(aB > a1 + 0.05, s"boosting must beat one stump: $a1 vs $aB")
+    assert(aB > 0.9, s"boosted ensemble should nail the interval: $aB")
+  }
+
   test("SVCDec learns a NONLINEAR (RBF-like) boundary: concentric circles") {
     // inner disk (class 1) inside a ring (class 0) — not linearly separable;
     // the RFF map must buy the RBF-style boundary the reference's
