@@ -132,27 +132,8 @@ class FileManagerConnector extends StarsConnector {
       .select(col("path").as("file"), col("content"))
       .as[(String, Array[Byte])]
       .map { case (file, bytes) =>
-        val name = file.split("/").last.stripSuffix(".dat")
-        val rows = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-          .linesIterator
-          .map(_.trim)
-          .filter(l => l.nonEmpty && !l.startsWith("#"))
-          .map(_.split("\\s+"))
-          .filter(_.length >= 2)
-          .flatMap { a =>
-            val bad = Set("-99", "-99.0", "99", "N/A")
-            if (a.take(3).exists(bad)) None
-            else for {
-              t <- a(0).toDoubleOption
-              m <- a(1).toDoubleOption
-              e <- if (a.length > 2) a(2).toDoubleOption else Some(0.0)
-            } yield (t, m, e)
-          }.toArray
-        val (t, m, e) = Kernels.cleanLc(rows.map(_._1), rows.map(_._2), rows.map(_._3))
-        Star(name, None,
-          db.map(d => Map(d -> name)).getOrElse(Map.empty),
-          Map.empty, Map.empty, starClass,
-          Seq(LightCurveData(t, m, e, Map.empty)))
+        DatFile.parse(file, new String(bytes, java.nio.charset.StandardCharsets.UTF_8),
+          starClass, db)
       }
   }
 
@@ -169,6 +150,39 @@ class FileManagerConnector extends StarsConnector {
         val s = Fits.readStar(bytes)
         starClass.map(c => s.copy(starClass = Some(c))).getOrElse(s)
       }
+  }
+}
+
+/** Shared `.dat` text parsing (`file_manager.py:194-253`): whitespace
+  * `time mag err` rows, comment/BAD_VALUES scrub, 5/3/3 python-rounding via
+  * the cleaning kernel, star name from the file name. Used by both the
+  * FileManager connector and the DataSource V2 `graft.sources.v2.DatDataSource`.
+  */
+private[sources] object DatFile {
+  def starName(file: String): String = file.split("/").last.stripSuffix(".dat")
+
+  def parse(file: String, content: String,
+            starClass: Option[String], db: Option[String]): Star = {
+    val name = starName(file)
+    val rows = content.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.split("\\s+"))
+      .filter(_.length >= 2)
+      .flatMap { a =>
+        val bad = Set("-99", "-99.0", "99", "N/A")
+        if (a.take(3).exists(bad)) None
+        else for {
+          t <- a(0).toDoubleOption
+          m <- a(1).toDoubleOption
+          e <- if (a.length > 2) a(2).toDoubleOption else Some(0.0)
+        } yield (t, m, e)
+      }.toArray
+    val (t, m, e) = Kernels.cleanLc(rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    Star(name, None,
+      db.map(d => Map(d -> name)).getOrElse(Map.empty),
+      Map.empty, Map.empty, starClass,
+      Seq(LightCurveData(t, m, e, Map.empty)))
   }
 }
 
