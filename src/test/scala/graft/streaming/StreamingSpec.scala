@@ -82,6 +82,36 @@ class StreamingSpec extends SparkSpec {
     assert(clean2.filter(col("doc_id") === 5L).count() == 1)
   }
 
+  test("mapGroupsWithState star builder accumulates per-user curves with bounded state") {
+    val tmp = java.nio.file.Files.createTempDirectory("starstate").toString
+    def batch(idOffset: Int, nPerUser: Int) =
+      (for (u <- 1L to 3L; i <- 0 until nPerUser) yield
+        (u, (idOffset + i) * 86400e9.toLong, 14.0 + (i % 5) * 0.1))
+        .toDF("user_id", "ts", "value")
+
+    batch(0, 40).write.mode("append").parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    def stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+    val q1 = StreamingStarBuilder.run(stream, s"$tmp/out", s"$tmp/ckpt", maxPoints = 50)
+    q1.awaitTermination()
+    val after1 = spark.read.parquet(s"$tmp/out")
+      .groupBy("user_id").agg(max("n_points").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after1 == Map(1L -> 40L, 2L -> 40L, 3L -> 40L))
+
+    // second batch: totals accumulate across the restart via state,
+    // and the buffer decimates past maxPoints instead of growing
+    batch(40, 40).write.mode("append").parquet(s"$tmp/in")
+    val q2 = StreamingStarBuilder.run(stream, s"$tmp/out", s"$tmp/ckpt", maxPoints = 50)
+    q2.awaitTermination()
+    val after2 = spark.read.parquet(s"$tmp/out")
+      .orderBy(col("n_points").desc).collect()
+      .groupBy(_.getAs[Long]("user_id")).map { case (u, rs) => u -> rs.head }
+    assert(after2(1L).getAs[Long]("n_points") == 80L, "state carries totals across restart")
+    assert(after2(1L).getAs[Double]("t_max") > after2(1L).getAs[Double]("t_min"))
+    assert(!after2(1L).getAs[Double]("abbe").isNaN)
+  }
+
   test("watermarked windowed aggregation over the events stream") {
     // drive the streaming aggregation with the batch events table via a
     // file stream (schema from the batch read)
