@@ -81,13 +81,31 @@ object TextAnalysis {
         conv(substring(col("content_hash"), 1, 15), 16, 10).cast("long"))
       .select(col("doc_id"), col("content_hash"), col("fingerprint"))
 
+  /** Corpus statistics at every (lang, source) hierarchy level in ONE pass —
+    * `rollup` computes the per-(lang, source), per-lang, and grand-total
+    * aggregates in a single shuffle (vs three separate groupBys); the
+    * standard shape for corpus dashboards over 100 TB.
+    */
+  def q60DocRollup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(sum(col("n_chars")) / 1e6, 6).as("total_mchars"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> q40TokenCount,
     "q41_quality" -> q41Quality,
     "q42_lang_id" -> q42LangId,
-    "q43_fingerprint" -> q43Fingerprint)
+    "q43_fingerprint" -> q43Fingerprint,
+    "q60_doc_rollup" -> q60DocRollup)
 
   val oracleSql: Map[String, String] = Map(
+    "q60_doc_rollup" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  round(sum(n_chars) / 1e6, 6) AS total_mchars
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
     "q40_token_count" ->
       """SELECT doc_id, length(text) AS n_chars_computed,
         |  len(string_split(text, ' ')) AS n_tokens,

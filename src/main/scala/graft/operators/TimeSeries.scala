@@ -159,7 +159,29 @@ object TimeSeries {
         densU(col("t"), col("v")).as("density"))
   }
 
+  /** AS-OF join: every click is matched to the user's most recent PRIOR
+    * error event — the point-in-time join shape (trade↔quote, event↔last
+    * state change). Expressed as `last(..., ignoreNulls)` over an
+    * unbounded-preceding-to-previous-row window rather than an actual
+    * inequality join: ONE shuffle on user_id, no range-join explosion,
+    * linear in events — the scale-correct as-of formulation when both
+    * sides share a partition key.
+    */
+  def q61AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wPrev = Window.partitionBy(col("user_id")).orderBy(byTs: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev(spark, dir)
+      .withColumn("last_error_ts",
+        last(when(col("event_type") === "error", col("ts")), ignoreNulls = true)
+          .over(wPrev))
+      .filter(col("event_type") === "click")
+      // integral ns→ms division: exact on both engines, no FP rounding edge
+      .select(col("event_id"), col("user_id"),
+        expr("(ts - last_error_ts) div 1000000").as("ms_since_error"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_asof_join" -> q61AsofJoin,
     "q30_ts_bin_agg" -> q30TsBinAgg,
     "q31_abbe_per_user" -> q31AbbePerUser,
     "q32_paa_frames" -> q32PaaFrames,
@@ -170,6 +192,17 @@ object TimeSeries {
     "q37_kernel_features" -> q37KernelFeatures)
 
   val oracleSql: Map[String, String] = Map(
+    "q61_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, event_type, tsn,
+        |    last_value(CASE WHEN event_type = 'error' THEN tsn END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS le
+        |  FROM e)
+        |SELECT event_id, user_id, (tsn - le) // 1000000 AS ms_since_error
+        |FROM w WHERE event_type = 'click'""".stripMargin,
     "q30_ts_bin_agg" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tsn, value,
