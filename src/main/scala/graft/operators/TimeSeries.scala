@@ -180,7 +180,22 @@ object TimeSeries {
         expr("(ts - last_error_ts) div 1000000").as("ms_since_error"))
   }
 
+  /** Exact interpolated percentiles per event type (p50/p90/p99) — the
+    * latency-dashboard aggregation. `percentile` computes all three in one
+    * aggregation buffer (one shuffle on event_type); at 100 TB swap for
+    * `approx_percentile`'s mergeable sketch at the same call site.
+    */
+  def q62Quantiles(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99))).as("qs"))
+      .select(col("event_type"),
+        round(col("qs").getItem(0), 6).as("p50"),
+        round(col("qs").getItem(1), 6).as("p90"),
+        round(col("qs").getItem(2), 6).as("p99"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_quantiles" -> q62Quantiles,
     "q61_asof_join" -> q61AsofJoin,
     "q30_ts_bin_agg" -> q30TsBinAgg,
     "q31_abbe_per_user" -> q31AbbePerUser,
@@ -192,6 +207,12 @@ object TimeSeries {
     "q37_kernel_features" -> q37KernelFeatures)
 
   val oracleSql: Map[String, String] = Map(
+    "q62_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
     "q61_asof_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn FROM events),
