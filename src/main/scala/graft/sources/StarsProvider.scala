@@ -89,12 +89,29 @@ class FileManagerConnector extends StarsConnector {
       val path = q.get("path").getOrElse(
         throw new IllegalArgumentException("FileManager needs 'path'"))
       val suffix = q.get("suffix").getOrElse("dat")
-      val ds = suffix match {
-        case "dat"     => readDat(spark, path, q)
-        case "fits"    => readFits(spark, path, q)
-        case "parquet" => spark.read.parquet(path).as[Star]
-        case other     => throw new IllegalArgumentException(s"Unknown suffix $other")
+      // explicit file selection (`file_manager.py:16-107`): `files_to_load`
+      // is a ;-separated name list, `object_file_name` a single name —
+      // matched on the FILE name stem (filters before parsing)
+      val wanted: Option[Set[String]] =
+        q.get("object_file_name").map(n => Set(strip(n)))
+          .orElse(q.get("files_to_load").map(
+            _.split(";").map(n => strip(n.trim)).toSet))
+      val ds1 = suffix match {
+        case "dat"     => readDat(spark, path, q, wanted)
+        case "fits"    => readFits(spark, path, q, wanted)
+        case "parquet" =>
+          val base = spark.read.parquet(path).as[Star]
+          wanted match { // parquet rows have no file identity; match starId
+            case Some(names) => base.filter(col("starId").isin(names.toSeq: _*)).as[Star]
+            case None        => base
+          }
+        case other => throw new IllegalArgumentException(s"Unknown suffix $other")
       }
+      // `load_lc=false` fetches star metadata without curves
+      // (`base_query.py:13-36` getStars(load_lc)); curve-bearing sources
+      // honor it by stripping the parsed curves
+      val ds = if (q.get("load_lc").contains("false"))
+        ds1.map(_.copy(lightCurves = Nil)) else ds1
       val limit = q.get("files_limit").flatMap(_.toIntOption)
         .orElse(restr.flatMap(_.left.toOption))
       val limited = limit match {
@@ -110,6 +127,9 @@ class FileManagerConnector extends StarsConnector {
     }.reduce(_ unionByName _)
   }
 
+  private def strip(name: String): String =
+    name.stripSuffix(".dat").stripSuffix(".fits").stripSuffix(".parquet")
+
   /** `.dat`: whitespace-separated `time mag err` with optional comment
     * lines; bad values scrubbed and rounded 5/3/3 by the cleaning kernel
     * (`file_manager.py:194-233` + `light_curve.py:196-204`); star name from
@@ -122,14 +142,21 @@ class FileManagerConnector extends StarsConnector {
     * time series every order-sensitive kernel (SAX, Abbe, variogram)
     * depends on. Whole-file reads make line order structural.
     */
-  private def readDat(spark: SparkSession, path: String, q: QuerySpec): Dataset[Star] = {
+  private def readDat(spark: SparkSession, path: String, q: QuerySpec,
+                      wanted: Option[Set[String]]): Dataset[Star] = {
     import spark.implicits._
     val starClass = q.get("star_class")
     val db = q.get("db_ident")
-    spark.read.format("binaryFile")
+    val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.dat")
       .load(path)
       .select(col("path").as("file"), col("content"))
+    val selected = wanted match {
+      case Some(names) => files.filter( // prune before parsing
+        element_at(split(col("file"), "/"), -1).isin(names.map(_ + ".dat").toSeq: _*))
+      case None => files
+    }
+    selected
       .as[(String, Array[Byte])]
       .map { case (file, bytes) =>
         DatFile.parse(file, new String(bytes, java.nio.charset.StandardCharsets.UTF_8),
@@ -138,12 +165,19 @@ class FileManagerConnector extends StarsConnector {
   }
 
   /** FITS via the `binaryFile` source + the pure [[Fits]] parser. */
-  private def readFits(spark: SparkSession, path: String, q: QuerySpec): Dataset[Star] = {
+  private def readFits(spark: SparkSession, path: String, q: QuerySpec,
+                       wanted: Option[Set[String]]): Dataset[Star] = {
     import spark.implicits._
     val starClass = q.get("star_class")
-    spark.read.format("binaryFile")
+    val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.fits")
       .load(path)
+    val selected = wanted match {
+      case Some(names) => files.filter( // prune before parsing
+        element_at(split(col("path"), "/"), -1).isin(names.map(_ + ".fits").toSeq: _*))
+      case None => files
+    }
+    selected
       .select("content")
       .as[Array[Byte]]
       .map { bytes =>

@@ -79,6 +79,32 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("files_to_load / object_file_name / load_lc query keys") {
+    val dir = java.nio.file.Files.createTempDirectory("datsel")
+    Seq("aa", "bb", "cc").foreach(n => java.nio.file.Files.writeString(
+      dir.resolve(s"$n.dat"), "1.0 13.0 0.1\n2.0 13.1 0.1\n"))
+    val fm = StarsProvider.getProvider("FileManager")
+    // explicit file list (`file_manager.py` files_to_load)
+    val two = fm.getStars(spark, Seq(QuerySpec(Map(
+      "path" -> dir.toString, "suffix" -> "dat",
+      "files_to_load" -> "aa.dat;cc.dat")))).collect()
+    assert(two.map(_.starId).sorted.toSeq == Seq("aa", "cc"))
+    // single object (`object_file_name`)
+    val one = fm.getStars(spark, Seq(QuerySpec(Map(
+      "path" -> dir.toString, "suffix" -> "dat",
+      "object_file_name" -> "bb.dat")))).collect()
+    assert(one.map(_.starId).toSeq == Seq("bb"))
+    // load_lc=false: star metadata without curves (`base_query.py:13-36`)
+    val noLc = fm.getStars(spark, Seq(QuerySpec(Map(
+      "path" -> dir.toString, "suffix" -> "dat", "load_lc" -> "false")))).collect()
+    assert(noLc.length == 3 && noLc.forall(_.lightCurves.isEmpty))
+    // fits path: file-name selection over the reference sample corpus
+    val oneFits = fm.getStars(spark, Seq(QuerySpec(Map(
+      "path" -> qsoPath, "suffix" -> "fits", "files_to_load" -> "1.4418.1930.fits")))
+    ).collect()
+    assert(oneFits.length == 1, "named sample file must load alone")
+  }
+
   test("star_class sample marks: 'name:N' first-N and 'name%f' fraction") {
     // `_check_sample_name` + `_split_stars` (`cli/stars_handling.py:124-170`)
     val fm = StarsProvider.getProvider("FileManager").asInstanceOf[FileManagerConnector]
