@@ -59,10 +59,27 @@ class StarsFilter(val descriptors: Seq[Descriptor], val deciders: Seq[Decider]) 
       .select("features", "label")
       .cache()
     try {
-      require(train.filter(col("label") === 1.0).limit(1).count() > 0 &&
-        train.filter(col("label") === 0.0).limit(1).count() > 0,
+      // one aggregation materializes the cache AND checks both classes
+      val counts = train.agg(
+        sum(when(col("label") === 1.0, 1).otherwise(0)),
+        sum(when(col("label") === 0.0, 1).otherwise(0))).head()
+      require(!counts.isNullAt(0) && counts.getLong(0) > 0 && counts.getLong(1) > 0,
         "Decider can't be learned on an empty sample")
-      val models = deciders.map(_.learn(train))
+      // deciders fit concurrently over the cached train set (each fit is a
+      // distributed job; Spark interleaves them)
+      val models =
+        if (deciders.lengthCompare(1) <= 0) deciders.map(_.learn(train))
+        else {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(4, deciders.length))
+          try {
+            implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+            Await.result(
+              Future.sequence(deciders.map(d => Future(d.learn(train)))), Duration.Inf)
+          } finally pool.shutdown()
+        }
       new StarsFilterModel(descriptors, models, featureCols)
     } finally train.unpersist()
   }
