@@ -93,14 +93,55 @@ object TextAnalysis {
         round(avg(col("n_chars")), 4).as("avg_chars"),
         round(sum(col("n_chars")) / 1e6, 6).as("total_mchars"))
 
+  /** Stratified corpus balancing: a deterministic per-language quota (50
+    * docs per lang, ranked by content hash) — the data-mixing operation a
+    * training corpus build ends with. One shuffle (the per-lang window);
+    * the hash ranking makes the "random" sample reproducible on any
+    * engine and any run.
+    */
+  def q63StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .withColumn("h", md5(col("text")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 50)
+      .select(col("doc_id"), col("lang"), col("rk"))
+  }
+
+  /** Vocabulary building: global top-100 tokens by DOCUMENT frequency.
+    * The explode is the one heavy exchange (docs × tokens); the per-token
+    * count is map-side-combined and the final top-k is a TakeOrdered, so
+    * nothing beyond the (token → df) aggregate ever concentrates.
+    */
+  def q64Vocab(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("token"))
+      .limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_token_count" -> q40TokenCount,
     "q41_quality" -> q41Quality,
     "q42_lang_id" -> q42LangId,
     "q43_fingerprint" -> q43Fingerprint,
-    "q60_doc_rollup" -> q60DocRollup)
+    "q60_doc_rollup" -> q60DocRollup,
+    "q63_stratified_sample" -> q63StratifiedSample,
+    "q64_vocab" -> q64Vocab)
 
   val oracleSql: Map[String, String] = Map(
+    "q63_stratified_sample" ->
+      """SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 50""".stripMargin,
+    "q64_vocab" ->
+      """SELECT token, count(*) AS doc_freq FROM (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100""".stripMargin,
     "q60_doc_rollup" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  round(avg(n_chars), 4) AS avg_chars,
