@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression guard: the plan shapes that make these
+  * operators scale must survive refactors — broadcasts stay broadcasts,
+  * pushdown reaches the scan, top-k compiles to TakeOrdered, partial
+  * aggregation stays map-side.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q03: dimension joins broadcast, no shuffle join on the fact side") {
+    val p = plan(Relational.queries("q03_join_broadcast")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to SMJ:\n" + p)
+  }
+
+  test("q02: predicates and projection reach the parquet scan") {
+    val p = plan(Relational.queries("q02_filter_project")(spark, dir))
+    assert(p.split('\n').exists(l =>
+      l.contains("PushedFilters") && !l.contains("PushedFilters: []")), p)
+    assert(!p.contains("p_comment"), "unprojected column read:\n" + p)
+  }
+
+  test("q08: top-k compiles to TakeOrderedAndProject") {
+    val p = plan(Relational.queries("q08_topk")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q44/q57: aggregates keep a map-side partial phase") {
+    assert(plan(Dedup.queries("q44_dedup_exact")(spark, dir)).contains("partial"))
+    val p57 = plan(Similarity.queries("q57_ann_ivf")(spark, dir))
+    assert(p57.contains("partial_max_by"),
+      "IVF assignment lost its map-side max_by:\n" + p57)
+  }
+
+  test("q54: multimodal meta scan prunes unused document columns") {
+    val p = plan(Multimodal.queries("q54_multimodal_meta")(spark, dir))
+    assert(!p.contains("n_chars"), "q54 must not read n_chars:\n" + p)
+  }
+}
