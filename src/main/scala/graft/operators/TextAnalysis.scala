@@ -122,7 +122,33 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("token"))
       .limit(100)
 
+  /** TF-IDF keyword extraction: each document's top-scoring token
+    * (tf · ln(N/df)). Two shuffles — the (token → df) aggregate (map-side
+    * combined over per-doc distinct tokens) and the per-doc argmax — with
+    * the document-frequency table broadcast back against the exploded
+    * term frequencies. ln and division are single IEEE ops, identical on
+    * both engines; rounding to 6 guards the argmax tie edge.
+    */
+  def q65Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val nDocs = d.select(countDistinct(col("doc_id")).as("n"))
+    val tf = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("token").as("top_token"), col("tfidf"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_tfidf" -> q65Tfidf,
     "q40_token_count" -> q40TokenCount,
     "q41_quality" -> q41Quality,
     "q42_lang_id" -> q42LangId,
@@ -132,6 +158,20 @@ object TextAnalysis {
     "q64_vocab" -> q64Vocab)
 
   val oracleSql: Map[String, String] = Map(
+    "q65_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |idf AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token,
+        |    round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf JOIN idf USING (token) CROSS JOIN n)
+        |SELECT doc_id, token AS top_token, tfidf FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, token) AS rk
+        |  FROM scored) WHERE rk = 1""".stripMargin,
     "q63_stratified_sample" ->
       """SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
         |  SELECT doc_id, lang,
