@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   *
   * Documented semantic deltas vs the reference (survey §2.9):
   * SVCDec→random-Fourier-feature RBF approximation + logistic regression
-  * (no kernel SVM in MLlib), AdaBoostDec→discrete SAMME over weighted
-  * stumps (vs sklearn's SAMME.R), ExtraTreesDec→RandomForest with
-  * feature subsampling.
+  * (no kernel SVM in MLlib); AdaBoostDec→discrete SAMME over weighted
+  * stumps (vs sklearn's SAMME.R); ExtraTreesDec is a genuine
+  * extremely-randomized-trees implementation (level-synchronous,
+  * md5-deterministic randomness rather than sklearn's RNG stream).
   */
 trait Decider extends Serializable {
   def name: String
@@ -85,15 +86,159 @@ class RandomForestDec(val threshold: Double = 0.5, numTrees: Int = 20) extends D
       new RandomForestClassifier().setNumTrees(numTrees).setSeed(42).fit(train))
 }
 
-/** `ExtraTreesDec` stand-in: RF with per-node feature subsampling
-  * (documented delta — MLlib has no extremely-randomized trees).
+/** `ExtraTreesDec` (`supervised_deciders.py:146-171`): genuine
+  * extremely-randomized trees, since MLlib has none — a level-synchronous
+  * distributed implementation (the same growth strategy MLlib's own trees
+  * use): all trees grow one depth-level per pass, each node draws
+  * ⌈√dim⌉ RANDOM candidate (feature, uniform-random threshold) pairs
+  * (md5-derived, deterministic) and keeps the best by Gini gain; no
+  * bootstrap, matching sklearn's `bootstrap=False` default.
+  *
+  * Scale shape: ONE copy of the data carries an array column of per-tree
+  * node assignments (no rows×trees blow-up at rest); each level costs a
+  * node-stats aggregate (min/max per feature), a candidate-Gini aggregate
+  * against the broadcast candidate table, and an assignment update —
+  * driver state is only the (tree, node) split plan, bounded by
+  * T·2^depth. Evaluation walks the broadcast plan per row.
   */
-class ExtraTreesDec(val threshold: Double = 0.5, numTrees: Int = 20) extends Decider {
+class ExtraTreesDec(val threshold: Double = 0.5, val numTrees: Int = 10,
+                    val maxDepth: Int = 5) extends Decider {
   val name = "ExtraTreesDec"
-  def learn(train: DataFrame): DeciderModel =
-    new ProbClassifierModelWrap(name, threshold,
-      new RandomForestClassifier().setNumTrees(numTrees)
-        .setFeatureSubsetStrategy("sqrt").setSeed(7).fit(train))
+
+  def learn(train: DataFrame): DeciderModel = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val spark = train.sparkSession
+    val dim = train.select("features").head().getAs[Vector](0).size
+    val nCand = math.ceil(math.sqrt(dim.toDouble)).toInt
+    val trees = numTrees
+
+    var data = train
+      .select(vector_to_array(col("features")).as("fa"), col("label"))
+      .withColumn("nodes", array_repeat(lit(1L), trees))
+      .localCheckpoint()
+
+    // (tree, node) -> (featureIdx, threshold); grows level by level
+    val splits = scala.collection.mutable.Map.empty[(Int, Long), (Int, Double)]
+
+    def uni(s: String): Double =
+      (graft.functions.PortableHash.md5Int60(s) + 0.5) / 1152921504606846976.0
+
+    var level = 0
+    var open = true
+    while (level < maxDepth && open) {
+      // node stats: min/max per feature + class counts per (tree, node)
+      val ex = data.select(posexplode(col("nodes")).as(Seq("tree", "node")),
+        col("fa"), col("label"))
+      val minAgg = array((0 until dim).map(i => min(element_at(col("fa"), i + 1))): _*)
+      val maxAgg = array((0 until dim).map(i => max(element_at(col("fa"), i + 1))): _*)
+      val stats = ex.groupBy(col("tree"), col("node"))
+        .agg(minAgg.as("mins"), maxAgg.as("maxs"),
+          count(lit(1)).as("n"), sum(col("label")).as("n1"))
+        .collect() // bounded: trees × open nodes at this level
+
+      // draw candidates for impure, splittable nodes
+      val candRows = stats.flatMap { r =>
+        val (t, nd) = (r.getAs[Int]("tree"), r.getAs[Long]("node"))
+        val n = r.getAs[Long]("n"); val n1 = r.getAs[Double]("n1")
+        if (n < 2 || n1 == 0.0 || n1 == n.toDouble) Nil // pure or tiny → leaf
+        else {
+          val mins = r.getSeq[Double](r.fieldIndex("mins"))
+          val maxs = r.getSeq[Double](r.fieldIndex("maxs"))
+          (0 until nCand).flatMap { c =>
+            val f = (uni(s"etf:$t:$nd:$c") * dim).toInt.min(dim - 1)
+            val (lo, hi) = (mins(f), maxs(f))
+            if (hi <= lo) None
+            else Some((t, nd, c, f, lo + uni(s"ett:$t:$nd:$c") * (hi - lo)))
+          }
+        }
+      }
+      if (candRows.isEmpty) open = false
+      else {
+        import spark.implicits._
+        val cand = candRows.toSeq.toDF("tree", "node", "cand", "f", "thr")
+        // one pass scores every candidate of every node: Gini left/right
+        val scored = ex.join(broadcast(cand), Seq("tree", "node"))
+          .withColumn("goLeft", element_at(col("fa"), col("f") + 1) <= col("thr"))
+          .groupBy(col("tree"), col("node"), col("cand"), col("f"), col("thr"))
+          .agg(count(lit(1)).as("n"), sum(col("label")).as("n1"),
+            sum(when(col("goLeft"), 1).otherwise(0)).as("nl"),
+            sum(when(col("goLeft"), col("label")).otherwise(0.0)).as("nl1"))
+          .collect()
+        def gini(c1: Double, n: Double): Double =
+          if (n == 0) 0.0 else { val p = c1 / n; 1.0 - p * p - (1 - p) * (1 - p) }
+        val best = scored.groupBy(r => (r.getAs[Int]("tree"), r.getAs[Long]("node")))
+          .flatMap { case ((t, nd), rows) =>
+            val gains = rows.flatMap { r =>
+              val n = r.getAs[Long]("n").toDouble; val n1 = r.getAs[Double]("n1")
+              val nl = r.getAs[Long]("nl").toDouble; val nl1 = r.getAs[Double]("nl1")
+              if (nl == 0 || nl == n) None
+              else Some((gini(n1, n) - (nl / n) * gini(nl1, nl) -
+                ((n - nl) / n) * gini(n1 - nl1, n - nl),
+                r.getAs[Int]("f"), r.getAs[Double]("thr"), r.getAs[Int]("cand")))
+            }
+            if (gains.isEmpty) None
+            else {
+              val g = gains.maxBy(x => (x._1, -x._4)) // deterministic tie-break
+              if (g._1 <= 1e-12) None else Some((t, nd) -> (g._2, g._3))
+            }
+          }.toMap
+        if (best.isEmpty) open = false
+        else {
+          splits ++= best
+          val bc = spark.sparkContext.broadcast(best)
+          val advance = udf((fa: Seq[Double], nodes: Seq[Long]) =>
+            nodes.zipWithIndex.map { case (nd, t) =>
+              bc.value.get((t, nd)) match {
+                case Some((f, thr)) => if (fa(f) <= thr) nd * 2 else nd * 2 + 1
+                case None           => nd
+              }
+            })
+          data = data.withColumn("nodes", advance(col("fa"), col("nodes")))
+            .localCheckpoint()
+        }
+      }
+      level += 1
+    }
+
+    // leaf class probabilities from the final assignments
+    val leafProb = data
+      .select(posexplode(col("nodes")).as(Seq("tree", "node")), col("label"))
+      .groupBy(col("tree"), col("node"))
+      .agg(avg(col("label")).as("p1"))
+      .collect()
+      .map(r => (r.getAs[Int]("tree"), r.getAs[Long]("node")) -> r.getAs[Double]("p1"))
+      .toMap
+    ExtraTreesDec.forestModel(threshold, trees, splits.toMap, leafProb)
+  }
+}
+
+object ExtraTreesDec {
+  private[ml] def forestModel(
+      thr: Double, trees: Int,
+      splits: Map[(Int, Long), (Int, Double)],
+      leafProb: Map[(Int, Long), Double]): DeciderModel =
+    new DeciderModel {
+      val name = "ExtraTreesDec"
+      val threshold: Double = thr
+      override def evaluate(df: DataFrame): DataFrame = {
+        val u = udf((v: Vector) => {
+          var acc = 0.0
+          var t = 0
+          while (t < trees) {
+            var nd = 1L
+            var go = true
+            while (go) splits.get((t, nd)) match {
+              case Some((f, sThr)) => nd = if (v(f) <= sThr) nd * 2 else nd * 2 + 1
+              case None            => go = false
+            }
+            acc += leafProb.getOrElse((t, nd), 0.5)
+            t += 1
+          }
+          acc / trees
+        })
+        finishProb(df, u(col("features")))
+      }
+    }
 }
 
 /** `GradBoostDec` (`supervised_deciders.py:119-144`). */

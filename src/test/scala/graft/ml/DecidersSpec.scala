@@ -45,6 +45,22 @@ class DecidersSpec extends SparkSpec {
     assert(separation(new NeuronDecider()) > 0.8)
   }
 
+  test("ExtraTreesDec random-threshold forest captures an interval target") {
+    import org.apache.spark.ml.linalg.Vectors
+    val rng = new scala.util.Random(29)
+    val pts = (1 to 300).map { _ =>
+      val x = rng.nextDouble() * 6 - 3
+      (Vectors.dense(x, rng.nextDouble()), if (math.abs(x) < 1.0) 1.0 else 0.0)
+    }
+    val itrain = pts.toDF("features", "label").cache()
+    val m = new ExtraTreesDec(numTrees = 10, maxDepth = 5).learn(itrain)
+    val scored = m.evaluate(itrain)
+    val acc = scored.filter((col("prob_ExtraTreesDec") >= 0.5) === (col("label") === 1.0))
+      .count().toDouble / 300
+    info(f"extra-trees interval accuracy: $acc%.3f")
+    assert(acc > 0.9, s"random-threshold forest should capture the interval: $acc")
+  }
+
   test("AdaBoostDec boosts past a single stump: interval target") {
     // class 1 inside [-1, 1] on one axis — a single depth-1 stump cannot
     // express an interval (needs two thresholds); SAMME's weighted rounds
