@@ -104,7 +104,10 @@ object Dedup {
     * no exploded (doc × k × shingle) shuffle; the only exchanges are the
     * tiny band-key self-join and the candidate-pair verify.
     */
-  def q46MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** 16-slot minhash signature per doc — one kernel pass over the in-row
+    * shingle set.
+    */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
     val sigU = udf((shingles: Seq[String]) => {
       val mh = Array.fill(16)(Long.MaxValue)
       shingles.foreach { s =>
@@ -117,9 +120,11 @@ object Dedup {
       }
       mh.toSeq
     })
-    val sig = shingleArrays(spark, dir)
-      .select(col("doc_id"), sigU(col("shingles")).as("sig"))
-      .cache()
+    sh.select(col("doc_id"), sigU(col("shingles")).as("sig"))
+  }
+
+  /** Banded candidate pairs: docs sharing any full 4-slot band. */
+  private def bandPairs(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"), explode(transform(
       sequence(lit(0), lit(3)),
       b => struct(b.as("band"),
@@ -128,13 +133,18 @@ object Dedup {
         element_at(col("sig"), b * 4 + 3).as("m2"),
         element_at(col("sig"), b * 4 + 4).as("m3")))).as("b"))
       .select(col("doc_id"), col("b.*"))
-    val cand = bands.alias("x").join(bands.alias("y"),
+    bands.alias("x").join(bands.alias("y"),
       col("x.band") === col("y.band") &&
         col("x.m0") === col("y.m0") && col("x.m1") === col("y.m1") &&
         col("x.m2") === col("y.m2") && col("x.m3") === col("y.m3") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+  }
+
+  def q46MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSigs(shingleArrays(spark, dir)).cache()
+    val cand = bandPairs(sig)
     val estU = udf((a: Seq[Long], b: Seq[Long]) =>
       a.zip(b).count(p => p._1 == p._2) / 16.0)
     cand
@@ -213,25 +223,26 @@ object Dedup {
     // edge list materialized once with truncated lineage — every iteration
     // re-reads it, so it must not re-run the simhash pipeline
     val edges = q47Simhash(spark, dir).select(col("a_id"), col("b_id"))
+    val nodes = docs(spark, dir).select(col("doc_id").as("id"))
+    connectedComponents(edges, nodes)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Min-label connected components over an (a_id, b_id) edge list:
+    * per-round one min-aggregate shuffle (edge messages unioned with self
+    * labels; the label side broadcasts under AQE while it fits), eager
+    * localCheckpoint so lineage stays flat, sum(label) monotone fixpoint
+    * test. Near-dup components are clique-ish, so plain neighbor-min
+    * converges in a handful of rounds; for long-chain graphs add pointer
+    * jumping (label(v) := label(label(v))) back.
+    */
+  private def connectedComponents(edges: DataFrame, nodes: DataFrame): DataFrame = {
     val bi = edges.union(edges.select(col("b_id"), col("a_id")))
       .toDF("src", "dst").localCheckpoint()
-    var labels = docs(spark, dir).select(col("doc_id").as("id"),
-      col("doc_id").as("label")).localCheckpoint()
-    // labels only ever decrease (min-propagation), so sum(label) strictly
-    // decreases until the fixpoint — convergence is one aggregate, no
-    // old-vs-new join; eager localCheckpoint each round materializes the
-    // labels AND cuts the growing lineage (else iteration i re-evaluates
-    // all previous rounds)
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
     var prevSum = labels.agg(sum(col("label"))).first().getLong(0)
     var converged = false
     while (!converged) {
-      // label(v) := min(label(v), min label among v's neighbors): edge
-      // messages unioned with the self labels, ONE min-aggregate shuffle
-      // (the label side broadcasts under AQE while it fits)
-      // (near-dup components are clique-ish, so plain neighbor-min already
-      // converges in a handful of rounds; pointer jumping's extra self-join
-      // per round measured as a net loss here — for long-chain graphs add
-      // label(v) := label(label(v)) back)
       val prop = bi.join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("label"))
         .union(labels)
@@ -242,7 +253,35 @@ object Dedup {
       converged = s == prevSum
       prevSum = s
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    labels
+  }
+
+  /** The END-TO-END near-dup dedup pipeline at 100 TB shape — the
+    * composition the standalone stages exist for:
+    *   1. candidates from banded MinHash-LSH (equi-join on band keys,
+    *      never all-pairs),
+    *   2. exact Jaccard verify on the candidate pairs only (in-row
+    *      `array_intersect` with the min/max size-bound prune),
+    *   3. connected components over the verified near-dup graph,
+    *   4. every document labeled with its component's min doc_id as the
+    *      canonical representative (`is_canonical` = survives dedup).
+    */
+  def q66DedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleArrays(spark, dir).cache()
+    val cand = bandPairs(minhashSigs(sh).cache())
+    val edges = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), Seq("b_id"))
+      .filter(least(size(col("sh_a")), size(col("sh_b"))) * 2 >=
+        greatest(size(col("sh_a")), size(col("sh_b"))))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
+      .select(col("a_id"), col("b_id"))
+    val nodes = docs(spark, dir).select(col("doc_id").as("id"))
+    connectedComponents(edges, nodes)
+      .select(col("id").as("doc_id"), col("label").as("canonical_id"),
+        (col("label") === col("id")).as("is_canonical"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -250,7 +289,8 @@ object Dedup {
     "q45_ngram_jaccard" -> q45NgramJaccard,
     "q46_minhash_lsh" -> q46MinhashLsh,
     "q47_simhash" -> q47Simhash,
-    "q58_dedup_clusters" -> q58DedupClusters)
+    "q58_dedup_clusters" -> q58DedupClusters,
+    "q66_dedup_pipeline" -> q66DedupPipeline)
 
   private val shingleCte =
     """t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS tok FROM documents),
@@ -264,6 +304,44 @@ object Dedup {
       |  FROM idx)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q66_dedup_pipeline" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |sig AS (
+        |  SELECT doc_id, k,
+        |    min(('0x' || substr(md5(k || ':' || shingle), 1, 15))::BIGINT) AS mh
+        |  FROM sh, generate_series(0, 15) g(k)
+        |  GROUP BY doc_id, k),
+        |bands AS (
+        |  SELECT doc_id, k // 4 AS band,
+        |    max(CASE WHEN k % 4 = 0 THEN mh END) AS m0,
+        |    max(CASE WHEN k % 4 = 1 THEN mh END) AS m1,
+        |    max(CASE WHEN k % 4 = 2 THEN mh END) AS m2,
+        |    max(CASE WHEN k % 4 = 3 THEN mh END) AS m3
+        |  FROM sig GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.m0 = y.m0
+        |    AND x.m1 = y.m1 AND x.m2 = y.m2 AND x.m3 = y.m3
+        |    AND x.doc_id < y.doc_id),
+        |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.a_id, c.b_id, count(*) AS inter
+        |  FROM cand c JOIN sh a ON a.doc_id = c.a_id
+        |    JOIN sh b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT i.a_id, i.b_id FROM inter i
+        |  JOIN cnt ca ON i.a_id = ca.doc_id JOIN cnt cb ON i.b_id = cb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5),
+        |bi AS (SELECT a_id AS src, b_id AS dst FROM edges
+        |       UNION ALL SELECT b_id, a_id FROM edges),
+        |reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT bi.src, reach.label FROM reach JOIN bi ON bi.dst = reach.id)
+        |SELECT id AS doc_id, min(label) AS canonical_id,
+        |  (min(label) = id) AS is_canonical
+        |FROM reach GROUP BY 1""".stripMargin,
     "q44_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |  count(*) AS n_copies
