@@ -236,7 +236,7 @@ object Dedup {
     * converges in a handful of rounds; for long-chain graphs add pointer
     * jumping (label(v) := label(label(v))) back.
     */
-  private def connectedComponents(edges: DataFrame, nodes: DataFrame): DataFrame = {
+  private[operators] def connectedComponents(edges: DataFrame, nodes: DataFrame): DataFrame = {
     val bi = edges.union(edges.select(col("b_id"), col("a_id")))
       .toDF("src", "dst").localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
