@@ -45,6 +45,13 @@ final case class ArchiveConfig(
 
 class ArchiveConnector(config: ArchiveConfig) extends StarsConnector {
 
+  /** Per-query `max_bins` override (`corot.py getStars(max_bins=...)`). */
+  private def effectiveConfig(q: QuerySpec): ArchiveConfig =
+    q.get("max_bins").flatMap(_.toIntOption) match {
+      case Some(mb) => config.copy(maxBins = Some(mb))
+      case None     => config
+    }
+
   /** OGLE-style query rewrite (`_parseQueries`, `ogleII.py:159-199`): a
     * coordinate query without a target fans out to one query per target.
     */
@@ -89,7 +96,7 @@ class ArchiveConnector(config: ArchiveConfig) extends StarsConnector {
           s"available types: ${config.allowedTypes.mkString(", ")}")
       QueryCompiler.In(config.typesCol, ts)
     }
-    val consumed = Set("ra", "dec", "delta", "nearest", "types", "base_dir") ++
+    val consumed = Set("ra", "dec", "delta", "nearest", "types", "base_dir", "max_bins") ++
       config.rangeKeys.keysIterator.flatMap(k => Seq(s"${k}_min", s"${k}_max"))
     val eq = q.params.collect {
       case (k, v) if !consumed.contains(k) =>
@@ -121,7 +128,7 @@ class ArchiveConnector(config: ArchiveConfig) extends StarsConnector {
         config.lcBands.flatMap(b => Seq(b._1, b._2, b._3)))
         .toSeq.distinct.filter(present)
       df = df.select(needed.map(col): _*)
-      val stars = toStars(df)
+      val stars = toStars(df, effectiveConfig(q))
       // exact cone refine + nearest on the materialized stars
       (q.double("ra"), q.double("dec"), q.double("delta")) match {
         case (Some(ra), Some(dec), Some(delta)) =>
@@ -133,10 +140,9 @@ class ArchiveConnector(config: ArchiveConfig) extends StarsConnector {
     dfs.reduce(_ unionByName _)
   }
 
-  private def toStars(df: DataFrame): Dataset[Star] = {
+  private def toStars(df: DataFrame, cfg: ArchiveConfig = config): Dataset[Star] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cfg = config
     df.map(row => ArchiveConnector.buildStar(cfg, row))
   }
 

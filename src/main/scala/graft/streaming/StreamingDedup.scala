@@ -43,4 +43,49 @@ object StreamingDedup {
       .option("path", cleanPath)
       .start()
   }
+
+  /** Streaming NEAR-dup suppression: state keys on the full 16-slot
+    * minhash signature (word-3-gram shingles, the batch q46 hash family),
+    * so textually near-identical documents — whitespace/ordering-invariant
+    * at the shingle-set level — collapse to the first arrival even when
+    * their raw bytes differ. Same bounded-state watermark semantics as the
+    * exact variant; a stricter pipeline feeds survivors to the batch
+    * LSH+verify pass (q66) for sub-signature similarity.
+    */
+  def runNearDup(spark: SparkSession, docDir: String,
+                 docSchema: org.apache.spark.sql.types.StructType,
+                 cleanPath: String, checkpoint: String,
+                 retention: String = "1 hour"): StreamingQuery = {
+    val sigU = udf((text: String) => {
+      val tok = text.split(" ")
+      val mh = Array.fill(16)(Long.MaxValue)
+      var i = 0
+      while (i < tok.length - 2) {
+        val s = s"${tok(i)} ${tok(i + 1)} ${tok(i + 2)}"
+        var k = 0
+        while (k < 16) {
+          val h = graft.functions.PortableHash.md5Int60(s"$k:$s")
+          if (h < mh(k)) mh(k) = h
+          k += 1
+        }
+        i += 1
+      }
+      mh.mkString(",")
+    })
+    spark.readStream
+      .schema(docSchema)
+      .parquet(docDir)
+      .withColumn("minhash_sig", sigU(col("text")))
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", retention)
+      .dropDuplicatesWithinWatermark("minhash_sig")
+      .drop("ingest_ts")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .outputMode("append")
+      .format("parquet")
+      .option("path", cleanPath)
+      .start()
+  }
 }

@@ -88,6 +88,21 @@ class ArchiveConnectorSpec extends SparkSpec {
       s"expected 1000 bins, got ${s.lightCurves.head.mag.length}")
   }
 
+  test("max_bins query key overrides the config downsample target") {
+    val dir = java.nio.file.Files.createTempDirectory("corotmb").toString
+    val n = 5000
+    Seq(("c1", 100.0, 0.0, 12.0,
+      (1 to n).map(_.toDouble), (1 to n).map(i => 12.0 + (i % 7) * 0.01),
+      (1 to n).map(_ => 0.01)))
+      .toDF("CoRoT", "RAJ2000", "DEJ2000", "Vmag", "lc_time", "lc_mag", "lc_err")
+      .write.mode("overwrite").parquet(dir)
+    val conn = new ArchiveConnector(ArchiveConfigs.corotBright(dir))
+    // reference: client.getStars(max_bins=...) (`corot.py` examples)
+    val s = conn.getStars(spark, Seq(QuerySpec(Map("max_bins" -> "200")))).head()
+    assert(s.lightCurves.head.mag.length == 200,
+      s"expected 200 bins, got ${s.lightCurves.head.mag.length}")
+  }
+
   test("corotFaint config: ERR_MAG_RATIO=16 divides errors on read") {
     val dir = java.nio.file.Files.createTempDirectory("corotf").toString
     Seq(("102706554", 100.94235, -0.89651, "G2V", 12.0,

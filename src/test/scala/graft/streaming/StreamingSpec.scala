@@ -82,6 +82,24 @@ class StreamingSpec extends SparkSpec {
     assert(clean2.filter(col("doc_id") === 5L).count() == 1)
   }
 
+  test("streaming near-dup suppression collapses shingle-identical docs") {
+    val tmp = java.nio.file.Files.createTempDirectory("neardupstream").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "web", 30L),
+      // same shingle SET as doc 1 (identical text) but different metadata
+      (2L, "alpha beta gamma delta epsilon", "en", "news", 30L),
+      (3L, "totally different content here now", "en", "web", 34L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val q = StreamingDedup.runNearDup(spark, s"$tmp/in", schema,
+      s"$tmp/clean", s"$tmp/ckpt")
+    q.awaitTermination()
+    val clean = spark.read.parquet(s"$tmp/clean")
+    assert(clean.count() == 2, "signature-identical docs collapse")
+    assert(clean.select("minhash_sig").distinct().count() == 2)
+  }
+
   test("mapGroupsWithState star builder accumulates per-user curves with bounded state") {
     val tmp = java.nio.file.Files.createTempDirectory("starstate").toString
     def batch(idOffset: Int, nPerUser: Int) =
