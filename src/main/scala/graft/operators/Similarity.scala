@@ -193,11 +193,27 @@ object Similarity {
       .select(col("p_id"), col("c_id"), col("cosine"), col("rn"))
   }
 
+  /** Embedding dedup pipeline: the vector-side counterpart of q66 —
+    * banded-LSH cosine near-dup pairs (q56's machinery) become the edge
+    * list for connected components, and every vector is assigned its
+    * component's min vec_id as canonical. One composed query: candidate
+    * equi-join → exact cosine verify → min-label CC → survival flag.
+    */
+  def q67EmbeddingDedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val edges = q56EmbeddingNeardup(spark, dir).select(
+      col("a_id").as("a_id"), col("b_id").as("b_id"))
+    val nodes = emb(spark, dir).select(col("vec_id").as("id"))
+    Dedup.connectedComponents(edges, nodes)
+      .select(col("id").as("vec_id"), col("label").as("canonical_id"),
+        (col("label") === col("id")).as("is_canonical"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_cosine_knn" -> q48CosineKnn,
     "q49_ann_lsh" -> q49AnnLsh,
     "q56_embedding_neardup" -> q56EmbeddingNeardup,
-    "q57_ann_ivf" -> q57AnnIvf)
+    "q57_ann_ivf" -> q57AnnIvf,
+    "q67_embedding_dedup" -> q67EmbeddingDedupPipeline)
 
   private val longFormCte =
     """e2 AS (
@@ -270,6 +286,31 @@ object Similarity {
         |SELECT p_id, c_id, cosine, CAST(rn AS INT) AS rn FROM (
         |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
         |  FROM cos) WHERE rn <= 3""".stripMargin,
+    "q67_embedding_dedup" ->
+      s"""WITH RECURSIVE $longFormCte,
+        |$bandSigCte,
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
+        |    AND x.vec_id < y.vec_id),
+        |dots AS (
+        |  SELECT p_id, c_id, sum(a.v * b.v) AS dot FROM (
+        |    SELECT a_id AS p_id, b_id AS c_id FROM cand) q
+        |  JOIN ex a ON a.vec_id = p_id JOIN ex b ON b.vec_id = c_id AND b.pos = a.pos
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT p_id AS a_id, c_id AS b_id
+        |  FROM dots JOIN norms np ON np.vec_id = p_id JOIN norms nc ON nc.vec_id = c_id
+        |  WHERE round(dot / (sqrt(np.nn) * sqrt(nc.nn)), 6) >= 0.35),
+        |bi AS (SELECT a_id AS src, b_id AS dst FROM edges
+        |       UNION ALL SELECT b_id, a_id FROM edges),
+        |reach(id, label) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT bi.src, reach.label FROM reach JOIN bi ON bi.dst = reach.id)
+        |SELECT id AS vec_id, min(label) AS canonical_id,
+        |  (min(label) = id) AS is_canonical
+        |FROM reach GROUP BY 1""".stripMargin,
     "q57_ann_ivf" ->
       s"""WITH $longFormCte,
         |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),
