@@ -90,6 +90,9 @@ class DatScan(path: String, pushed: Array[Filter], required: StructType)
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // local-FS listing matches the fixture layout; a remote deployment
+    // swaps in Hadoop FileSystem.listStatus here (the pruning logic —
+    // name-derived starId — is storage-agnostic)
     val dir = new java.io.File(path)
     val files = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".dat"))
