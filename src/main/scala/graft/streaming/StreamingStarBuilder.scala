@@ -36,8 +36,11 @@ object StreamingStarBuilder {
         (user: Long, rows: Iterator[(Long, Double, Double)], state: GroupState[PointBuffer]) => {
           val incoming = rows.map(r => (r._2, r._3)).toArray.sortBy(_._1)
           val prev = state.getOption.getOrElse(PointBuffer(Array.empty, Array.empty, 0L))
-          var t = prev.t ++ incoming.map(_._1)
-          var v = prev.v ++ incoming.map(_._2)
+          // keep the buffered curve time-ordered even when a late batch
+          // arrives out of order — the Abbe/ekvi kernels are order-sensitive
+          val merged = (prev.t.zip(prev.v) ++ incoming).sortBy(_._1)
+          var t = merged.map(_._1)
+          var v = merged.map(_._2)
           // bounded state: decimate to maxPoints/2 once the cap is hit
           if (t.length > maxPoints) {
             val (tr, vr) = Kernels.ekviPaa(t, v, Some(maxPoints / 2.0))
