@@ -21,6 +21,44 @@ class DedupPropertiesSpec extends SparkSpec {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
+  test("q45 prefix filter loses NO true near-dup pair on random corpora") {
+    // The PPJoin-family prefix filter claims zero false negatives: any pair
+    // with Jaccard >= 0.5 must survive candidate generation. Check against
+    // a driver-side all-pairs brute force on randomized corpora engineered
+    // to contain near-dups (shared token cores with small mutations).
+    val rng = new scala.util.Random(211)
+    val vocab = (0 until 40).map(i => s"w$i")
+    def doc(core: Seq[String]): String = {
+      val mutated = core.map(w => if (rng.nextDouble() < 0.15) vocab(rng.nextInt(40)) else w)
+      (mutated ++ Seq.fill(rng.nextInt(3))(vocab(rng.nextInt(40)))).mkString(" ")
+    }
+    val cores = (0 until 8).map(_ => Seq.fill(12 + rng.nextInt(8))(vocab(rng.nextInt(40))))
+    val texts = cores.flatMap(c => (0 until 5).map(_ => doc(c)))
+    val rows = texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "web", t.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("pfcorpus").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sh = rows.map(r => r._1 -> shingles(r._2)).toMap
+    val expected = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      sa = sh(a._1); sb = sh(b._1)
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.5
+    } yield (a._1, b._1)).toSet
+
+    val got = Dedup.q45NgramJaccard(spark, dir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"prefix filter diverged: missing=${expected -- got}, extra=${got -- expected}")
+    assert(expected.nonEmpty, "corpus must actually contain near-dups")
+  }
+
   test("distributed CC matches union-find on random graphs") {
     val rng = new scala.util.Random(101)
     for (trial <- 1 to 4) {
