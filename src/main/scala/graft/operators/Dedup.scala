@@ -211,13 +211,12 @@ object Dedup {
     *
     * Scale shape: iterative min-label propagation (the standard
     * distributed CC algorithm — GraphX's Pregel does the same joins):
-    * each round is one broadcast-or-shuffle join of the label table with
-    * the bidirectional edge list + a min-aggregate; rounds needed =
-    * component diameter, which for near-dup clusters is tiny (they are
-    * clique-ish). A driver loop over O(diameter) rounds with a convergence
-    * count is scale-correct — the loop count is ~log N worst case, each
-    * iteration fully distributed (checkpoint every few rounds at real
-    * scale to cut lineage).
+    * each round is ONE Spark action (the eager localCheckpoint) covering
+    * the edge-message join, the min-aggregate, and a pointer-jumping hop;
+    * convergence is read from an accumulator populated by that same job,
+    * so no separate count pass runs. Rounds needed ≈ half the component
+    * diameter (jumping doubles hop distance), which for near-dup clusters
+    * is tiny (they are clique-ish).
     */
   def q58DedupClusters(spark: SparkSession, dir: String): DataFrame = {
     // edge list materialized once with truncated lineage — every iteration
@@ -228,30 +227,45 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** Min-label connected components over an (a_id, b_id) edge list:
-    * per-round one min-aggregate shuffle (edge messages unioned with self
-    * labels; the label side broadcasts under AQE while it fits), eager
-    * localCheckpoint so lineage stays flat, sum(label) monotone fixpoint
-    * test. Near-dup components are clique-ish, so plain neighbor-min
-    * converges in a handful of rounds; for long-chain graphs add pointer
-    * jumping (label(v) := label(label(v))) back.
+  /** Min-label connected components over an (a_id, b_id) edge list.
+    *
+    * Each round is a SINGLE Spark action: the eager `localCheckpoint`
+    * materializes (neighbor-min ∪ self) → groupBy-min → pointer jump, and
+    * a `LongAccumulator` incremented inside that job carries the
+    * changed-label count back to the driver — no separate convergence scan
+    * (task retries can only over-count, which never fakes convergence).
+    * The jump hop resolves `label(label(v))` against the PREVIOUS round's
+    * checkpointed table, so each round propagates two hops and chainy
+    * graphs converge in ~diameter/2 rounds; `least` keeps the label
+    * monotone (labels only decrease, so the fixpoint is the component
+    * min). An empty node set converges on the first round and returns
+    * empty — no driver-side aggregate to NPE on.
     */
   private[operators] def connectedComponents(edges: DataFrame, nodes: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
     val bi = edges.union(edges.select(col("b_id"), col("a_id")))
       .toDF("src", "dst").localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
-    var prevSum = labels.agg(sum(col("label"))).first().getLong(0)
     var converged = false
     while (!converged) {
-      val prop = bi.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("label"))
-        .union(labels)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      val changed = spark.sparkContext.longAccumulator("graft.cc.changed")
+      val tally = udf((next: Long, prev: Long) => {
+        if (next != prev) changed.add(1L)
+        next
+      })
+      val merged = bi.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("label"),
+          lit(null).cast("long").as("self"))
+        .union(labels.select(col("id"), col("label"), col("label").as("self")))
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("lmin"), min(col("self")).as("prev"))
+      labels = merged
+        .join(labels.select(col("id").as("jid"), col("label").as("jlabel")),
+          col("lmin") === col("jid"))
+        .select(col("id"),
+          tally(least(col("lmin"), col("jlabel")), col("prev")).as("label"))
         .localCheckpoint()
-      val s = prop.agg(sum(col("label"))).first().getLong(0)
-      labels = prop
-      converged = s == prevSum
-      prevSum = s
+      converged = changed.value == 0L
     }
     labels
   }

@@ -79,4 +79,20 @@ class DedupPropertiesSpec extends SparkSpec {
       assert(got == expected, s"trial $trial: CC labels diverge from union-find")
     }
   }
+
+  test("CC on an empty graph returns empty (no driver-side aggregate to NPE)") {
+    val edgesDf = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val nodesDf = Seq.empty[Long].toDF("id")
+    assert(Dedup.connectedComponents(edgesDf, nodesDf).count() == 0L)
+  }
+
+  test("CC collapses a 200-node chain to one component (pointer-jump path)") {
+    val n = 200
+    val edgesDf = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("a_id", "b_id")
+    val nodesDf = (0 until n).map(_.toLong).toDF("id")
+    val labels = Dedup.connectedComponents(edgesDf, nodesDf)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == n && labels.values.forall(_ == 0L),
+      "chain must collapse to the min-id component label")
+  }
 }
