@@ -107,6 +107,10 @@ object StarQueries {
     "q52_star_statistic" -> q52StarStatistic,
     "q53_star_comparative" -> q53StarComparative)
 
-  /** Not SQL-expressible (kernel + model internals) → rows-only checks. */
-  val oracleSql: Map[String, String] = Map()
+  /** q50's descriptor fan-out is deterministic kernels → hard oracle
+    * ([[KernelOracleSql]]); the rest (trained-model internals) stay
+    * rows-only, pinned by the ML specs.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "q50_star_features" -> KernelOracleSql.q50Sql)
 }

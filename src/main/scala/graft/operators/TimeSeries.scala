@@ -133,9 +133,11 @@ object TimeSeries {
         round((max(col("ts")) - min(col("ts"))) / 1e9, 3).as("duration_s"))
   }
 
-  /** Full kernel feature extraction per user through the real Scala kernels
-    * (rows-only check; exact kernel parity is pinned by the golden specs):
+  /** Full kernel feature extraction per user through the real Scala kernels:
     * Abbe, SAX word, variogram slope, curve density over the user's curve.
+    * Hash-checked against [[KernelOracleSql.q37Sql]] (a full SQL
+    * re-derivation of ekvi-PAA/fixMissing/variogram/SAX); exact kernel
+    * parity vs the reference is additionally pinned by the golden specs.
     */
   def q37KernelFeatures(spark: SparkSession, dir: String): DataFrame = {
     val abbeU = udf((t: Seq[Double], v: Seq[Double]) =>
@@ -153,10 +155,10 @@ object TimeSeries {
       .select(col("user_id"), col("pts.t").as("t"), col("pts.v").as("v"))
       .filter(size(col("t")) > 10)
       .select(col("user_id"),
-        abbeU(col("t"), col("v")).as("abbe"),
+        round(abbeU(col("t"), col("v")), 6).as("abbe"),
         saxU(col("v")).as("sax_word"),
-        slopeU(col("t"), col("v")).as("vario_slope"),
-        densU(col("t"), col("v")).as("density"))
+        round(slopeU(col("t"), col("v")), 6).as("vario_slope"),
+        round(densU(col("t"), col("v")), 6).as("density"))
   }
 
   /** AS-OF join: every click is matched to the user's most recent PRIOR
@@ -207,6 +209,7 @@ object TimeSeries {
     "q37_kernel_features" -> q37KernelFeatures)
 
   val oracleSql: Map[String, String] = Map(
+    "q37_kernel_features" -> KernelOracleSql.q37Sql,
     "q62_quantiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,
