@@ -51,15 +51,24 @@ class StarsSearcher(
         if (todoDf.isEmpty) return spark.emptyDataFrame
         ac.getStarsJoined(spark, todoDf)
       case _ =>
-        // path-driven connectors (FileManager) fetch per query; the query
-        // table is small — the work is fetching/filtering stars
-        val todo = todoDf.as[(String, Map[String, String])].collect()
+        // path-driven connectors: the query table is config-sized, so
+        // collecting it is bounded driver state — the scan is what matters
+        val todo = todoDf.as[(String, Map[String, String])].collect().toSeq
         if (todo.isEmpty) return spark.emptyDataFrame
-        todo.map { case (qid, params) =>
-          connector.getStars(spark, Seq(QuerySpec(params)))
-            .toDF()
-            .withColumn("query_id", lit(qid))
-        }.reduce(_ unionByName _)
+        connector match {
+          // .dat directories with explicit star lists: ONE DataSource V2
+          // scan with starId IN pushdown (planning-time file pruning)
+          // joined to the broadcast query table — no N-way union plan
+          case fm: graft.sources.FileManagerConnector
+              if graft.sources.FileManagerConnector.datRoutable(todo) =>
+            fm.getStarsDatJoined(spark, todo)
+          case _ =>
+            todo.map { case (qid, params) =>
+              connector.getStars(spark, Seq(QuerySpec(params)))
+                .toDF()
+                .withColumn("query_id", lit(qid))
+            }.reduce(_ unionByName _)
+        }
     }
 
     val predictions = model.getAllPredictions(stars)

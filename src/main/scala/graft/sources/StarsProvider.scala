@@ -96,12 +96,30 @@ class FileManagerConnector extends StarsConnector {
         q.get("object_file_name").map(n => Set(strip(n)))
           .orElse(q.get("files_to_load").map(
             _.split(";").map(n => strip(n.trim)).toSet))
+      val limit = q.get("files_limit").flatMap(_.toIntOption)
+        .orElse(restr.flatMap(_.left.toOption))
+      val frac = if (limit.isDefined) None else restr.flatMap(_.toOption)
+      // .dat stars ARE files (starId = file stem), so "files_limit" / ":N" /
+      // "%f" prune the driver-side LISTING — the same planning-time seam the
+      // DSv2 source uses — instead of a global sort+limit job, and "%f"
+      // needs no separate count() pass. FITS star ids come from headers
+      // (stem != starId in general) so fits/parquet keep the generic path.
+      val listPruned = (limit.isDefined || frac.isDefined) && suffix == "dat"
+      val effWanted: Option[Set[String]] =
+        if (listPruned) {
+          val names = FileManagerConnector.listStems(path, suffix, wanted)
+          val keep = limit match {
+            case Some(n) => names.take(n)
+            case None    => names.take((names.size * frac.get).toInt)
+          }
+          Some(keep.toSet)
+        } else wanted
       val ds1 = suffix match {
-        case "dat"     => readDat(spark, path, q, wanted)
-        case "fits"    => readFits(spark, path, q, wanted)
+        case "dat"     => readDat(spark, path, q, effWanted)
+        case "fits"    => readFits(spark, path, q, effWanted)
         case "parquet" =>
           val base = spark.read.parquet(path).as[Star]
-          wanted match { // parquet rows have no file identity; match starId
+          effWanted match { // parquet rows have no file identity; match starId
             case Some(names) => base.filter(col("starId").isin(names.toSeq: _*)).as[Star]
             case None        => base
           }
@@ -112,23 +130,82 @@ class FileManagerConnector extends StarsConnector {
       // honor it by stripping the parsed curves
       val ds = if (q.get("load_lc").contains("false"))
         ds1.map(_.copy(lightCurves = Nil)) else ds1
-      val limit = q.get("files_limit").flatMap(_.toIntOption)
-        .orElse(restr.flatMap(_.left.toOption))
-      val limited = limit match {
-        case Some(n) => ds.orderBy("starId").limit(n) // deterministic "first N"
-        case None => restr.flatMap(_.toOption) match {
-          // fraction keeps exactly floor(n·f) stars (`_split_stars`,
-          // `stars_handling.py:124-133`), deterministically by starId
-          case Some(f) => ds.orderBy("starId").limit((ds.count() * f).toInt)
-          case None    => ds
+      val limited =
+        if (listPruned) ds // sample already consumed by the listing
+        else limit match {
+          case Some(n) => ds.orderBy("starId").limit(n) // deterministic "first N"
+          case None => frac match {
+            // fraction keeps exactly floor(n·f) stars (`_split_stars`,
+            // `stars_handling.py:124-133`), deterministically by starId
+            case Some(f) => ds.orderBy("starId").limit((ds.count() * f).toInt)
+            case None    => ds
+          }
         }
-      }
       limited
     }.reduce(_ unionByName _)
   }
 
   private def strip(name: String): String =
     name.stripSuffix(".dat").stripSuffix(".fits").stripSuffix(".parquet")
+
+  /** Systematic-search fetch over a `.dat` directory (SURVEY §2.10): ONE
+    * DataSource V2 scan with the union of all queries' star names pushed
+    * down as `starId IN (...)` — [[graft.sources.v2.DatDataSource]] prunes
+    * the listing to the matching FILES at planning time — joined to the
+    * broadcast (query_id, starId) pair table. Per-query `star_class` /
+    * `db_ident` / `load_lc` / `files_limit` / `:N` / `%f` semantics apply
+    * post-join; limits and fractions become per-query `row_number` windows
+    * over the same starId ordering the per-query path sorts by, so results
+    * are identical. One scan + one broadcast join: no N-way union plan, no
+    * driver loop over queries, and `%f` needs no second counting job (the
+    * per-query count is a window over the already-scanned rows).
+    */
+  def getStarsDatJoined(spark: SparkSession,
+                        todo: Seq[(String, Map[String, String])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(FileManagerConnector.datRoutable(todo), "not a dat-routable query batch")
+    val path = todo.head._2("path")
+    val pairRows = todo.flatMap { case (qid, params) =>
+      val q = QuerySpec(params)
+      val (cls, restr) = q.get("star_class") match {
+        case Some(sc) => val (c, r) = parseSampleName(sc); (Some(c), r)
+        case None     => (None, None)
+      }
+      val wanted: Seq[String] = q.get("object_file_name").map(n => Seq(strip(n)))
+        .orElse(q.get("files_to_load").map(_.split(";").map(n => strip(n.trim)).toSeq))
+        .getOrElse(Seq.empty)
+      val limit = q.get("files_limit").flatMap(_.toIntOption)
+        .orElse(restr.flatMap(_.left.toOption))
+      // the per-query path gives `files_limit`/`:N` precedence over `%f`
+      val frac = if (limit.isDefined) None else restr.flatMap(_.toOption)
+      wanted.map(w => (qid, w, cls, q.get("db_ident"),
+        q.get("load_lc").contains("false"), limit.map(_.toLong), frac))
+    }
+    val pairs = pairRows
+      .toDF("query_id", "starId", "q_class", "q_db", "q_no_lc", "q_limit", "q_frac")
+    val allWanted = pairRows.map(_._2).distinct
+    val wOrd = Window.partitionBy(col("query_id")).orderBy(col("starId"))
+    val starCols = graft.model.Star.schema.fieldNames.map(col).toSeq
+    spark.read.format("graft.sources.v2.DatDataSource").load(path)
+      .filter(col("starId").isin(allWanted: _*))
+      .join(broadcast(pairs), Seq("starId"))
+      .withColumn("starClass", col("q_class"))
+      .withColumn("identNames",
+        when(col("q_db").isNotNull, map(col("q_db"), col("starId")))
+          .otherwise(col("identNames")))
+      .withColumn("lightCurves",
+        when(col("q_no_lc"), array().cast(graft.model.Star.schema("lightCurves").dataType))
+          .otherwise(col("lightCurves")))
+      .withColumn("_rn", row_number().over(wOrd))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy(col("query_id"))))
+      .filter(
+        (col("q_limit").isNull && col("q_frac").isNull) ||
+          (col("q_limit").isNotNull && col("_rn") <= col("q_limit")) ||
+          (col("q_frac").isNotNull &&
+            col("_rn") <= (col("_cnt") * col("q_frac")).cast("int")))
+      .select(starCols :+ col("query_id"): _*)
+  }
 
   /** `.dat`: whitespace-separated `time mag err` with optional comment
     * lines; bad values scrubbed and rounded 5/3/3 by the cleaning kernel
@@ -185,6 +262,36 @@ class FileManagerConnector extends StarsConnector {
         starClass.map(c => s.copy(starClass = Some(c))).getOrElse(s)
       }
   }
+}
+
+object FileManagerConnector {
+  /** True when every query targets the SAME `.dat` directory with an
+    * explicit star list (`object_file_name` / `files_to_load`) — the shape
+    * [[FileManagerConnector.getStarsDatJoined]] serves with one pruned
+    * DataSource V2 scan. Queries without explicit star lists are whole-dir
+    * scans and keep the per-query path.
+    */
+  def datRoutable(todo: Seq[(String, Map[String, String])]): Boolean =
+    todo.nonEmpty &&
+      todo.map(_._2.get("path")).distinct.size == 1 &&
+      todo.forall { case (_, p) =>
+        p.contains("path") && p.getOrElse("suffix", "dat") == "dat" &&
+          (p.contains("object_file_name") || p.contains("files_to_load"))
+      }
+
+  /** Driver-side listing of star names (file stems) under `path`, sorted —
+    * the same storage seam [[graft.sources.v2.DatScan.planInputPartitions]]
+    * lists through (swap in Hadoop `FileSystem.listStatus` off-local).
+    * Stem order == starId order for `.dat` sources, so planning-time
+    * `take(n)` equals the per-row `orderBy(starId).limit(n)`.
+    */
+  private[sources] def listStems(path: String, ext: String,
+                                 wanted: Option[Set[String]]): Seq[String] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && f.getName.endsWith("." + ext))
+      .map(_.getName.stripSuffix("." + ext))
+      .filter(n => wanted.forall(_.contains(n)))
+      .sorted
 }
 
 /** Shared `.dat` text parsing (`file_manager.py:194-253`): whitespace

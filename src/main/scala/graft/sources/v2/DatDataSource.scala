@@ -40,11 +40,15 @@ class DatTable(pathProp: Option[String]) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DatScanBuilder(pathProp.orElse(Option(options.get("path"))).getOrElse(
-      throw new IllegalArgumentException("dat source needs a path")))
+    new DatScanBuilder(
+      pathProp.orElse(Option(options.get("path"))).getOrElse(
+        throw new IllegalArgumentException("dat source needs a path")),
+      Option(options.get("files_limit")).flatMap(_.toIntOption),
+      Option(options.get("sample_fraction")).flatMap(_.toDoubleOption))
 }
 
-class DatScanBuilder(path: String)
+class DatScanBuilder(path: String, filesLimit: Option[Int] = None,
+                     sampleFraction: Option[Double] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -69,10 +73,11 @@ class DatScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new DatScan(path, pushed, required)
+  override def build(): Scan = new DatScan(path, pushed, required, filesLimit, sampleFraction)
 }
 
-class DatScan(path: String, pushed: Array[Filter], required: StructType)
+class DatScan(path: String, pushed: Array[Filter], required: StructType,
+              filesLimit: Option[Int] = None, sampleFraction: Option[Double] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -98,7 +103,18 @@ class DatScan(path: String, pushed: Array[Filter], required: StructType)
       .filter(f => f.isFile && f.getName.endsWith(".dat"))
       .filter(f => keep(DatFile.starName(f.getName)))
       .sortBy(_.getName)
-    files.map(f => DatPartition(f.getAbsolutePath): InputPartition)
+    // sample pushdown: "files_limit" keeps the first N stars by id,
+    // "sample_fraction" keeps floor(n·f) — consumed HERE so a sampled read
+    // plans only the surviving files (one job, no count pass; stars are
+    // files, so star sampling IS file sampling)
+    val sampled = filesLimit match {
+      case Some(n) => files.take(n)
+      case None => sampleFraction match {
+        case Some(f) => files.take((files.length * f).toInt)
+        case None    => files
+      }
+    }
+    sampled.map(f => DatPartition(f.getAbsolutePath): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -57,6 +57,93 @@ class DatDataSourceSpec extends SparkSpec {
     assert(scanPartitions(prefix) == 10, "prefix must prune to matching files")
   }
 
+  test("searcher dat batch routes through ONE pruned scan, matches the per-query path") {
+    val fm = StarsProvider.getProvider("FileManager").asInstanceOf[FileManagerConnector]
+    // mixed batch: list+limit, single object, fraction mark, metadata-only
+    val todo = Seq(
+      ("qa", Map("path" -> dir, "files_to_load" -> "star_01;star_03;star_05;star_07",
+        "files_limit" -> "3", "star_class" -> "qso", "db_ident" -> "ogle")),
+      ("qb", Map("path" -> dir, "object_file_name" -> "star_12.dat")),
+      ("qc", Map("path" -> dir, "files_to_load" -> (1 to 10).map(i => f"star_$i%02d").mkString(";"),
+        "star_class" -> "be%0.5")),
+      ("qd", Map("path" -> dir, "object_file_name" -> "star_19", "load_lc" -> "false")))
+    assert(FileManagerConnector.datRoutable(todo))
+
+    val joined = fm.getStarsDatJoined(spark, todo)
+    // unwrap AQE (the join/window plan adaptively re-plans)
+    val plan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case b: BatchScanExec => b }
+    assert(scans.length == 1, "one DatScan, not a per-query union")
+    assert(!plan.toString.contains("Union"), "no N-way union in the joined fetch plan")
+    // 12 distinct star names across the batch -> 12 files survive pruning
+    assert(scans.head.inputRDD.getNumPartitions == 12)
+
+    // loop-path reference: per query getStars + union (the replaced plan)
+    val expected = todo.flatMap { case (qid, params) =>
+      fm.getStars(spark, Seq(QuerySpec(params))).collect()
+        .map(s => (qid, s.starId, s.starClass, s.identNames, s.lightCurves.isEmpty))
+    }.sortBy(r => (r._1, r._2))
+    val got = joined.collect().map(r => (
+      r.getAs[String]("query_id"), r.getAs[String]("starId"),
+      Option(r.getAs[String]("starClass")),
+      Option(r.getAs[Map[String, String]]("identNames")).getOrElse(Map.empty),
+      r.getAs[Seq[Any]]("lightCurves").isEmpty)).sortBy(r => (r._1, r._2))
+    assert(got.length == expected.length, s"${got.length} vs ${expected.length}")
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+    // sanity on the per-query semantics: qa limited to 3, qc keeps floor(10*0.5)
+    val byQ = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byQ == Map("qa" -> 3, "qb" -> 1, "qc" -> 5, "qd" -> 1))
+  }
+
+  test("files_limit / sample_fraction options prune the planned files") {
+    val lim = spark.read.format(fmt).option("files_limit", "4").load(dir)
+    assert(scanPartitions(lim) == 4)
+    assert(lim.select("starId").as[String].collect().sorted.toSeq ==
+      (1 to 4).map(i => f"star_$i%02d"))
+    val frac = spark.read.format(fmt).option("sample_fraction", "0.25").load(dir)
+    assert(scanPartitions(frac) == 5, "floor(20 * 0.25) files planned")
+    // composes with predicate pruning: filter first, then the limit
+    val both = spark.read.format(fmt).option("files_limit", "2").load(dir)
+      .filter(col("starId").startsWith("star_1"))
+    assert(both.as[Star].collect().map(_.starId).toSeq == Seq("star_10", "star_11"))
+  }
+
+  test("dat ':N' and '%f' sampling prune the listing — one job, no count pass") {
+    val fm = StarsProvider.getProvider("FileManager").asInstanceOf[FileManagerConnector]
+    def jobsFor(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+      try body finally spark.sparkContext.clearJobGroup()
+      // statusTracker fills asynchronously; poll until stable
+      var n = -1
+      var same = 0
+      while (same < 3) {
+        Thread.sleep(100)
+        val m = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+        if (m == n) same += 1 else { n = m; same = 0 }
+      }
+      n
+    }
+    var frac: Seq[String] = Nil
+    val nFrac = jobsFor("dat-frac") {
+      frac = fm.getStars(spark, Seq(QuerySpec(Map(
+        "path" -> dir, "star_class" -> "c%0.25")))).collect().map(_.starId).toSeq
+    }
+    assert(frac.sorted == (1 to 5).map(i => f"star_$i%02d"), "floor(20*0.25) first by id")
+    assert(nFrac == 1, s"fraction sampling must not run a count job (ran $nFrac jobs)")
+
+    var firstN: Seq[String] = Nil
+    val nLim = jobsFor("dat-limit") {
+      firstN = fm.getStars(spark, Seq(QuerySpec(Map(
+        "path" -> dir, "star_class" -> "c:3")))).collect().map(_.starId).toSeq
+    }
+    assert(firstN.sorted == Seq("star_01", "star_02", "star_03"))
+    assert(nLim == 1, s"':N' must not run a global sort+limit job chain (ran $nLim jobs)")
+  }
+
   test("column pruning reaches the scan (no curve parse for id-only reads)") {
     val ids = spark.read.format(fmt).load(dir).select("starId")
     val plan = ids.queryExecution.executedPlan.toString
