@@ -29,6 +29,13 @@ object PortableHash {
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
   }
 
+  /** Full md5 hex digest (thread-local digest reuse). */
+  def md5Hex(s: String): String = {
+    val md = local.get()
+    md.reset()
+    md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
   /** LSH plane weights w(p, pos) ∈ [-1, 1) for an embedding dimension —
     * md5-derived, cached per dimension (weights depend only on (plane,
     * position), recomputing them per vector would do dims×planes digests

@@ -135,28 +135,39 @@ object Multimodal {
     "q55_multimodal_agg" -> q55MultimodalAgg,
     "q59_multimodal_frames" -> q59MultimodalFrames)
 
+  // Oracle side works on hex(encode(text)) so offsets, lengths and
+  // checksums are BYTE math exactly like the Spark side's payload bytes —
+  // a character-based substr/ascii formulation would diverge on any
+  // non-ASCII document (multi-byte code points).
   val oracleSql: Map[String, String] = Map(
     "q54_multimodal_meta" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
-        |  ascii(substr(text, 1, 1)) AS first_byte,
-        |  CAST(list_aggregate(list_transform(string_split(text, ''), c -> ascii(c)),
-        |    'sum') AS BIGINT) AS checksum
-        |FROM documents""".stripMargin,
+      """WITH h AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS INT) AS len
+        |  FROM documents)
+        |SELECT doc_id, len AS byte_len,
+        |  CAST(CASE WHEN len = 0 THEN -1
+        |    ELSE ('0x' || substr(hx, 1, 2))::INT END AS INT) AS first_byte,
+        |  CAST(CASE WHEN len = 0 THEN 0
+        |    ELSE list_aggregate(list_transform(generate_series(1, len),
+        |      i -> ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT), 'sum')
+        |    END AS BIGINT) AS checksum
+        |FROM h""".stripMargin,
     "q59_multimodal_frames" ->
       """WITH d AS (
-        |  SELECT doc_id, text, CAST(octet_length(encode(text)) AS INT) AS len
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS INT) AS len
         |  FROM documents),
         |f AS (
-        |  SELECT doc_id, text, len, len // 4 AS fl,
+        |  SELECT doc_id, hx, len, len // 4 AS fl,
         |    unnest([0, 1, 2, 3]) AS frame_idx
         |  FROM d WHERE len >= 4)
         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
         |  CAST(frame_idx * fl AS INT) AS frame_off,
         |  CAST(CASE WHEN frame_idx < 3 THEN fl ELSE len - 3 * fl END AS INT) AS frame_len,
         |  CAST(list_aggregate(list_transform(
-        |    string_split(substr(text, frame_idx * fl + 1,
-        |      CASE WHEN frame_idx < 3 THEN fl ELSE len - 3 * fl END), ''),
-        |    c -> ascii(c)), 'sum') AS BIGINT) AS frame_checksum
+        |    generate_series(frame_idx * fl + 1,
+        |      frame_idx * fl + CASE WHEN frame_idx < 3 THEN fl ELSE len - 3 * fl END),
+        |    i -> ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT), 'sum') AS BIGINT) AS frame_checksum
         |FROM f""".stripMargin)
 }

@@ -160,8 +160,14 @@ class ArchiveConnector(config: ArchiveConfig) extends StarsConnector {
     */
   def supportsJoinedFetch(keys: Set[String]): Boolean = {
     val special = Set("ra", "dec", "delta", "nearest", "base_dir")
-    // range-pair / range-value / types syntaxes stay on the loop path
-    !config.rangeValueSyntax &&
+    // `max_bins` is a per-query CONFIG override (read-time downsample), not
+    // a column predicate, and OGLE-style target fan-out rewrites a cone
+    // query into one per target — both change per-query semantics the
+    // joined fetch cannot express, so they keep the loop path. Range-pair /
+    // range-value / types syntaxes likewise.
+    !keys.contains("max_bins") &&
+      !(config.targets.nonEmpty && keys.contains("ra")) &&
+      !config.rangeValueSyntax &&
       (keys -- special).forall(k => !k.contains("..") && k != "types" &&
         !config.rangeKeys.keysIterator.exists(rk => k == s"${rk}_min" || k == s"${rk}_max"))
   }

@@ -47,7 +47,7 @@ class CatalinaConnector extends StarsConnector {
 }
 
 object CatalinaConnector {
-  private val DataSet = "(?s)var dataSet0 = \\{(.*)\\}".r.unanchored
+  private val DataSet = "(?s)var dataSet0 = \\{(.*?)\\}".r.unanchored
   private val StarId = "ID=(.*)&PLOT=plot".r.unanchored
   private val ToQuo = Seq("label", "color", "data") // catalina.py TO_QUO
 
@@ -60,7 +60,10 @@ object CatalinaConnector {
       case DataSet(body) => body
       case _             => return None
     }
-    val quoted = ToQuo.foldLeft(jsonBody)((s, k) => s.replace(k, "\"" + k + "\""))
+    // quote only KEY positions (word boundary + lookahead for ':'), so a
+    // key name occurring inside a string value is left alone
+    val quoted = ToQuo.foldLeft(jsonBody)((s, k) =>
+      s.replaceAll("\\b" + k + "\\b(?=\\s*:)", "\"" + k + "\""))
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val parsed = JsonMethods.parse("{" + quoted + "}")

@@ -58,19 +58,26 @@ object StreamingDedup {
                  retention: String = "1 hour"): StreamingQuery = {
     val sigU = udf((text: String) => {
       val tok = text.split(" ")
-      val mh = Array.fill(16)(Long.MaxValue)
-      var i = 0
-      while (i < tok.length - 2) {
-        val s = s"${tok(i)} ${tok(i + 1)} ${tok(i + 2)}"
-        var k = 0
-        while (k < 16) {
-          val h = graft.functions.PortableHash.md5Int60(s"$k:$s")
-          if (h < mh(k)) mh(k) = h
-          k += 1
+      if (tok.length < 3) {
+        // no 3-gram exists: every short doc would share the empty
+        // all-MaxValue signature and collapse onto the first arrival, so
+        // key them by exact content instead
+        "exact:" + graft.functions.PortableHash.md5Hex(text)
+      } else {
+        val mh = Array.fill(16)(Long.MaxValue)
+        var i = 0
+        while (i < tok.length - 2) {
+          val s = s"${tok(i)} ${tok(i + 1)} ${tok(i + 2)}"
+          var k = 0
+          while (k < 16) {
+            val h = graft.functions.PortableHash.md5Int60(s"$k:$s")
+            if (h < mh(k)) mh(k) = h
+            k += 1
+          }
+          i += 1
         }
-        i += 1
+        mh.mkString(",")
       }
-      mh.mkString(",")
     })
     spark.readStream
       .schema(docSchema)

@@ -250,6 +250,44 @@ class ArchiveConnectorSpec extends SparkSpec {
     assert(status.select("query_id", "starId").as[(String, String)].collect().toSet == got)
   }
 
+  test("joined fetch refuses config-override and target-fan-out queries") {
+    val macho = new ArchiveConnector(ArchiveConfigs.macho(machoDir))
+    // max_bins is a read-time CONFIG override, not a column — joined eqCond
+    // would treat it as a predicate on a nonexistent column
+    assert(!macho.supportsJoinedFetch(Set("Class", "max_bins")))
+
+    val dir = java.nio.file.Files.createTempDirectory("oglejf").toString
+    Seq(("lmc_sc1_100", 0.7, -69.0, "lmc", 0.98, 14.5,
+      Seq(1.0, 2.0), Seq(14.5, 14.6), Seq(0.1, 0.1)))
+      .toDF("starcat", "ra", "decl", "target", "pgood", "i_median",
+        "lc_time", "lc_mag", "lc_err")
+      .write.mode("overwrite").parquet(dir)
+    val ogle2 = new ArchiveConnector(ArchiveConfigs.ogleII(dir))
+    // cone queries fan out per target on the loop path (per-target nearest)
+    assert(!ogle2.supportsJoinedFetch(Set("ra", "dec", "delta", "nearest")))
+    // non-cone queries cannot fan out -> joined fetch stays available
+    assert(ogle2.supportsJoinedFetch(Set("target", "starcat")))
+
+    // searcher end-to-end: a max_bins query routes to the loop path and
+    // still applies the override instead of throwing AnalysisException
+    val cdir = java.nio.file.Files.createTempDirectory("corotjf").toString
+    Seq(("c1", 100.0, 0.0, 12.0,
+      (1 to 5000).map(_.toDouble), (1 to 5000).map(i => 12.0 + (i % 7) * 0.01),
+      (1 to 5000).map(_ => 0.01)))
+      .toDF("CoRoT", "RAJ2000", "DEJ2000", "Vmag", "lc_time", "lc_mag", "lc_err")
+      .write.mode("overwrite").parquet(cdir)
+    StarsProvider.register("CorotJf", new ArchiveConnector(ArchiveConfigs.corotBright(cdir)))
+    val model = new graft.ml.StarsFilterModel(
+      Seq(new graft.ml.AbbeValueDescr()),
+      Seq(new graft.ml.CustomDecider(Seq((None, None))).model), Seq("abbe_value"))
+    val tmp = java.nio.file.Files.createTempDirectory("mbsearch").toString
+    val searcher = new graft.ml.StarsSearcher(model, "CorotJf",
+      s"$tmp/matched", s"$tmp/status")
+    val status = searcher.queryStars(spark,
+      Seq(("q1", Map("max_bins" -> "200"))).toDF("query_id", "params"))
+    assert(status.select("query_id").as[String].collect().toSeq == Seq("q1"))
+  }
+
   test("ADQL rendering of the pushed predicates") {
     val conn = new ArchiveConnector(ArchiveConfigs.asas(machoDir))
     val adql = conn.toAdql(QuerySpec(Map(

@@ -161,6 +161,22 @@ class SourcesSpec extends SparkSpec {
     assert(cone.map(_.starId).toSeq == Seq("CSS_J170.8113+34.1737"))
   }
 
+  test("Catalina quoting touches only key positions; capture stops at dataSet0") {
+    // a label CONTAINING the key words + JS trailing after the object's
+    // closing brace: whole-body String.replace or a greedy capture would
+    // corrupt the JSON and lose the star
+    val html =
+      """<html><script>var dataSet0 = {label: "color data label star", color: "V",
+        |data: [[53464.45, 17.52, 0.08]]};
+        |function plot() { return {}; }
+        |</script><img src="x.cgi?ID=42&PLOT=plot"></html>""".stripMargin
+    val star = CatalinaConnector.parseRawStar(html)
+    assert(star.isDefined, "star must survive key-in-value quoting")
+    assert(star.get.starId == "color data label star")
+    assert(star.get.identNames("CRST") == "42")
+    assert(star.get.lightCurves.head.mag.sameElements(Array(17.52)))
+  }
+
   test("cone search filters and nearest picks top-1") {
     import graft.model.{Coordinates, Star}
     val stars = Seq(

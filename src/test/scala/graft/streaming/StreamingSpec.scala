@@ -100,6 +100,28 @@ class StreamingSpec extends SparkSpec {
     assert(clean.select("minhash_sig").distinct().count() == 2)
   }
 
+  test("near-dup suppression keys sub-3-token docs by exact content") {
+    // no 3-gram exists for these, so without the exact-hash fallback they
+    // would all share the empty signature and collapse onto the first
+    val tmp = java.nio.file.Files.createTempDirectory("shortdocs").toString
+    Seq(
+      (1L, "ok", "en", "web", 2L),
+      (2L, "hello world", "en", "web", 11L),
+      (3L, "bye", "en", "web", 3L),
+      (4L, "hello world", "en", "news", 11L)) // true short dup of 2
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val q = StreamingDedup.runNearDup(spark, s"$tmp/in", schema,
+      s"$tmp/clean", s"$tmp/ckpt")
+    q.awaitTermination()
+    val kept = spark.read.parquet(s"$tmp/clean")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 3, s"distinct short docs must all survive, kept $kept")
+    assert(Set(1L, 3L).subsetOf(kept), "unrelated short docs are not dups")
+    assert(kept.intersect(Set(2L, 4L)).size == 1, "identical short docs still dedup")
+  }
+
   test("mapGroupsWithState star builder accumulates per-user curves with bounded state") {
     val tmp = java.nio.file.Files.createTempDirectory("starstate").toString
     def batch(idOffset: Int, nPerUser: Int) =
