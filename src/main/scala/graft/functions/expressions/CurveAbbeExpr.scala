@@ -47,8 +47,12 @@ object CurveAbbeExpr {
     Kernels.curveAbbe(time.toDoubleArray(), mag.toDoubleArray(),
       if (bins > 0) Some(bins) else None)
 
-  /** Register as a SQL function on a session. */
+  /** Register as a SQL function on a session — once (see
+    * [[DotProductExpr.register]]).
+    */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "curve_abbe", exprs => CurveAbbeExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("curve_abbe")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "curve_abbe", exprs => CurveAbbeExpr(exprs(0), exprs(1), exprs(2)), "built-in")
 }

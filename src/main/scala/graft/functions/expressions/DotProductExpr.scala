@@ -56,8 +56,13 @@ object DotProductExpr {
     s
   }
 
-  /** Register as a SQL function on a session. */
+  /** Register as a SQL function on a session — once; re-registering an
+    * already-present function makes SimpleFunctionRegistry WARN on every
+    * query that calls through here.
+    */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
+    if (!spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
 }

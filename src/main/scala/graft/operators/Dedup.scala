@@ -30,46 +30,59 @@ object Dedup {
   /** N-gram Jaccard near-dup within (lang, source) buckets:
     * jaccard = |∩| / |∪| over distinct word-3-gram sets, threshold 0.5.
     */
+  /** Candidate pairs via the PPJoin-style asymmetric prefix filter.
+    *
+    * For J(A,B) ≥ t a shared element must appear in BOTH docs' rarest-first
+    * prefixes (prefix lemma: |A∩B| ≥ α ⟹ the first |X|−α+1 elements of
+    * each side hold a common element). With sets processed smaller-first,
+    * α ≥ ⌈t·|probe|⌉ bounds the PROBE prefix at n − ⌈t·n⌉ + 1 and
+    * α ≥ ⌈2t/(1+t)·|indexed|⌉ bounds the INDEXED (smaller) side at the
+    * shorter n − ⌈2t·n/(1+t)⌉ + 1 — computed in exact integer math
+    * (t = 0.5 → n − ⌈2n/3⌉ + 1, ~n/3 vs ~n/2). The join therefore demands
+    * the smaller doc's shingle to rank inside its SHORT index prefix,
+    * cutting candidates vs the symmetric filter with zero false negatives
+    * (property-tested against brute force). Shingles rank rarest-first by
+    * global document frequency, so join keys are each doc's most selective
+    * shingles; a stop-shingle shared by every doc sorts last and never
+    * enters a prefix.
+    *
+    * Skew note: a moderately common shingle that ranks early can still
+    * fan out; the worst case is bounded by banded-LSH candidate
+    * generation (q46) with this join as the verify stage — that
+    * composition is the 100 TB dedup pipeline (q66).
+    */
+  private[operators] def ngramCandidates(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), col("lang"), col("source"),
+      size(col("shingles")).as("n_sh"), explode(col("shingles")).as("shingle"))
+    val freq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val pref = ex.join(freq, Seq("shingle"))
+      .withColumn("rk", row_number().over(w))
+      // probe prefix: n − ⌈n/2⌉ + 1; index prefix: n − ⌈2n/3⌉ + 1
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * 0.5) + 1)
+      .withColumn("in_index",
+        col("rk") <= col("n_sh") - expr("(2 * n_sh + 2) div 3") + 1)
+      .select(col("doc_id"), col("lang"), col("source"), col("shingle"),
+        col("n_sh"), col("in_index"))
+    // the smaller set (ties by doc_id) takes the indexed role
+    pref.alias("x").join(pref.alias("y"),
+      col("x.shingle") === col("y.shingle") && col("x.lang") === col("y.lang") &&
+        col("x.source") === col("y.source") && col("y.in_index") &&
+        (col("y.n_sh") < col("x.n_sh") ||
+          (col("y.n_sh") === col("x.n_sh") && col("y.doc_id") < col("x.doc_id"))))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+      .distinct()
+  }
+
   def q45NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Prefix-filtered set-similarity self-join (the PPJoin family): for
-    // J(A,B) ≥ t, the ⌊(1-t)·|A|⌋+1 rarest shingles of A and of B must
-    // share at least one element, so candidate pairs come from an equi-join
-    // on PREFIX shingles only — exact (zero false negatives), identical
-    // results to the all-pairs join, but candidates scale with true
-    // near-dup density instead of N² per (lang, source) bucket. Shingles
-    // are globally ordered rarest-first (document frequency asc) so the
-    // join keys are the most selective shingles a doc has; a stop-shingle
-    // shared by every doc sorts last and never enters a prefix.
-    //
-    // Skew note: at t=0.5 the prefix is ~n/2+1 shingles per doc, so a
-    // moderately common shingle that ranks early can still fan out. The
-    // worst case is bounded by banded-LSH candidate generation (q46) with
-    // this join as the verify stage — that composition is the 100 TB dedup
-    // pipeline; standalone, PPJoin's shorter index-side prefix
-    // (n − ⌈2t/(1+t)·n⌉ + 1) would shrink candidates further at the cost
-    // of an asymmetric two-sided index.
-    //
     // Cache scope: `sh` backs both the candidate and verify sides of one
     // returned plan, so it must outlive this call; the harness clears
     // per-query caches (Bench/Verify clearCache) once the result is
     // materialized.
     val sh = shingleArrays(spark, dir).cache()
-    val ex = sh.select(col("doc_id"), col("lang"), col("source"),
-      size(col("shingles")).as("n_sh"), explode(col("shingles")).as("shingle"))
-    val freq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    // rank each doc's shingles rarest-first; prefix length for t = 0.5 is
-    // n - ceil(t·n) + 1 (overlap ≥ ceil(t·max(|A|,|B|)) ≥ ceil(t·n) needed)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    val pref = ex.join(freq, Seq("shingle"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * 0.5) + 1)
-      .select(col("doc_id"), col("lang"), col("source"), col("shingle"))
-    val cand = pref.alias("x").join(pref.alias("y"),
-      col("x.shingle") === col("y.shingle") && col("x.lang") === col("y.lang") &&
-        col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+    val cand = ngramCandidates(sh)
     // exact Jaccard verify on the in-row shingle sets, with the
     // J≥0.5 ⇒ min/max≥0.5 size bound pruning pairs before intersection
     cand

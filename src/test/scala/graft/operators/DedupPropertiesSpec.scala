@@ -57,6 +57,33 @@ class DedupPropertiesSpec extends SparkSpec {
     assert(got == expected,
       s"prefix filter diverged: missing=${expected -- got}, extra=${got -- expected}")
     assert(expected.nonEmpty, "corpus must actually contain near-dups")
+
+    // the asymmetric index prefix (n − ⌈2n/3⌉ + 1 on the smaller side)
+    // must generate no more candidates than the symmetric ~n/2 filter
+    def shingleDf = {
+      rows.map { case (id, text, lang, source, _) =>
+        (id, lang, source, shingles(text).toSeq)
+      }.toDF("doc_id", "lang", "source", "shingles")
+    }
+    val asymCand = Dedup.ngramCandidates(shingleDf).count()
+    val symCand = {
+      // symmetric reference: both sides keep the full probe prefix
+      val byDf = rows.flatMap(r => shingles(r._2).map(s => (s, r._1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val prefixes = rows.map { r =>
+        val ranked = shingles(r._2).toSeq.sortBy(s => (byDf(s).size, s))
+        val n = ranked.size
+        r._1 -> ranked.take(n - math.ceil(n * 0.5).toInt + 1).toSet
+      }.toMap
+      (for {
+        a <- rows; b <- rows if a._1 < b._1 && a._3 == b._3 && a._4 == b._4
+        if prefixes(a._1).exists(prefixes(b._1).contains)
+      } yield 1).size
+    }
+    info(s"candidates: asymmetric=$asymCand symmetric=$symCand " +
+      f"(${100.0 * (symCand - asymCand) / math.max(1, symCand)}%.1f%% fewer)")
+    assert(asymCand <= symCand, "index prefix must only shrink the candidate set")
+    assert(asymCand >= expected.size, "candidates cover every true pair")
   }
 
   test("distributed CC matches union-find on random graphs") {
