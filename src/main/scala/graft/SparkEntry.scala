@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.TimeSeries.queries ++
       operators.StarQueries.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.Similarity.oracleSql ++
       operators.TimeSeries.oracleSql ++
       operators.StarQueries.oracleSql ++
-      operators.Multimodal.oracleSql
+      operators.Multimodal.oracleSql ++
+      operators.CorpusOps.oracleSql
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: decontamination, repetition quality,
+  * sequence packing. The oracle queries pin exact values against DuckDB;
+  * this spec pins the semantic invariants and the plan shapes that matter
+  * at scale (broadcast eval side, per-lang windows, no global exchange).
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("decontamination: eval docs excluded, self-overlap detected, broadcast plan") {
+    val out = CorpusOps.q68Decontaminate(spark, sf).cache()
+    val docs = graft.Tables.load(spark, sf, "documents").cache()
+    val evalIds = docs.filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => !evalIds.contains(r.getLong(0))), "no eval docs in output")
+    // a training doc sharing a verbatim 8-gram with an eval doc must flag:
+    // build one by checking any contaminated row really shares a gram
+    val flagged = rows.filter(_.getBoolean(2))
+    flagged.take(3).foreach { r =>
+      val txt = docs.filter(col("doc_id") === r.getLong(0))
+        .select("text").first().getString(0).split(" ")
+      val trainGrams = txt.sliding(8).map(_.mkString(" ")).toSet
+      val anyHit = docs.filter(col("source") === "src0").select("text").collect()
+        .exists(er => er.getString(0).split(" ").sliding(8)
+          .exists(g => trainGrams.contains(g.mkString(" "))))
+      assert(anyHit, s"doc ${r.getLong(0)} flagged without a shared 8-gram")
+    }
+    // the eval gram table must broadcast (map-side join on the corpus side)
+    val plan = CorpusOps.q68Decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "eval grams must broadcast")
+  }
+
+  test("repetition: constructed repeats score correctly") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a b", "en", "srcX", 9L),          // top_tok 4/5, dup bigram "a a" x3 -> 2/4
+      (2L, "w x y z", "en", "srcX", 7L),            // all distinct
+      (3L, "solo", "en", "srcX", 4L))               // single token, no bigrams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.q69Repetition(spark, sf) // shape check on real data
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_tok", "top_tok_frac", "dup_bigram_frac", "flagged"))
+    // the SAME kernel over constructed inputs (incl. the 1-token edge)
+    val r = CorpusOps.repetitionScores(d)
+      .select("doc_id", "top_tok_frac", "dup_bigram_frac", "flagged")
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2), x.getBoolean(3))))
+      .toMap
+    assert(r(1L) == ((0.8, 0.5, true)))
+    assert(r(2L) == ((0.25, 0.0, false)))
+    assert(r(3L) == ((1.0, 0.0, true)))
+  }
+
+  test("packing: offsets tile each lang stream; no global exchange") {
+    val out = CorpusOps.q70PackSequences(spark, sf).cache()
+    val byLang = out.collect().groupBy(_.getString(1))
+    byLang.foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getLong(0))
+      var expect = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(3) == expect, s"$lang doc ${r.getLong(0)} offset")
+        assert(r.getLong(4) == r.getLong(3) / 2048, "seq_id derives from offset")
+        expect += r.getInt(2)
+      }
+    }
+    // the window must be per-lang (hash partitioned), never a single
+    // global sort — the scale guarantee
+    val plan = CorpusOps.q70PackSequences(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(lang"), s"per-lang exchange expected:\n$plan")
+  }
+}
