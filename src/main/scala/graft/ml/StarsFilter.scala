@@ -234,6 +234,60 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
     models.foldLeft(vec)((df, m) => m.evaluate(df))
   }
 
+  /** N-D probability space (`tools/visualization.py:117-199`
+    * `plotNDProbabSpace` data product): fit a 2-component PCA on the
+    * training coordinates, mesh an `n × n` grid over the PCA plane
+    * (reference OVERLAY = 0.4 margin beyond the projected extremes),
+    * inverse-transform each grid point back to feature space, and score it
+    * with every decider. The PCA mean/components are tiny driver constants
+    * baked into column expressions, so the grid itself is built and
+    * evaluated distributed — no collect of anything data-sized.
+    */
+  def probabilitySpaceND(searched: DataFrame, others: DataFrame,
+                         gridPerDim: Int = 20, overlay: Double = 0.4): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.stat.Summarizer
+    val spark = searched.sparkSession
+    val sCoords = filterInstance.spaceCoordinates(searched)
+    val oCoords = filterInstance.spaceCoordinates(others)
+    // spaceCoordinates already assembled the feature Vector
+    val coords = sCoords.unionByName(oCoords)
+      .select(col("features").as("_vec"))
+      .cache()
+    try {
+      // sklearn PCA: center on the sample mean, components from covariance
+      val mean = coords.select(Summarizer.mean(col("_vec")).as("m"))
+        .head().getAs[org.apache.spark.ml.linalg.Vector]("m").toArray
+      val pc = new org.apache.spark.ml.feature.PCA()
+        .setInputCol("_vec").setOutputCol("_red").setK(2).fit(coords).pc
+      val d = featureCols.length
+      val comp = Array.tabulate(2)(j => Array.tabulate(d)(i => pc(i, j)))
+      // projected extremes of the training coords (one small agg)
+      def proj(j: Int): Column =
+        featureCols.zipWithIndex.map { case (c, i) =>
+          (col(c) - mean(i)) * comp(j)(i)
+        }.reduce(_ + _)
+      val b = sCoords.unionByName(oCoords)
+        .select(proj(0).as("px"), proj(1).as("py"))
+        .agg(min("px"), max("px"), min("py"), max("py")).head()
+      val (xmin, xmax, ymin, ymax) =
+        (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+      val (xw, yw) = (xmax - xmin, ymax - ymin)
+      def axis(name: String, lo: Double, hi: Double) =
+        spark.range(0, gridPerDim)
+          .select((lit(lo) + col("id") * (hi - lo) / (gridPerDim - 1)).as(name))
+      val grid = axis("x", xmin - xw * overlay, xmax + xw * overlay)
+        .crossJoin(axis("y", ymin - yw * overlay, ymax + yw * overlay))
+      // inverse_transform: feature_i = mean_i + x·c0_i + y·c1_i
+      val back = featureCols.zipWithIndex.foldLeft(grid) { case (df, (c, i)) =>
+        df.withColumn(c, lit(mean(i)) + col("x") * comp(0)(i) + col("y") * comp(1)(i))
+      }
+      val vec = new VectorAssembler().setInputCols(featureCols.toArray)
+        .setOutputCol("features").transform(back)
+      evaluateCoordinates(models.foldLeft(vec)((df, m) => m.evaluate(df)))
+    } finally coords.unpersist()
+  }
+
   /** ROC sweep (`getROC`, `stars_filter.py:370-376`): n thresholds in
     * [0.01, 0.99] → (threshold, fpr, tpr) in one aggregation pass over the
     * scored data (not n passes).

@@ -101,11 +101,30 @@ object StarQueries {
       .select(col("starId"), round(col("hist_shape_dissim"), 6).as("hist_dissim"))
   }
 
+  /** N-D probability space (`plotNDProbabSpace`): PCA-plane meshgrid,
+    * inverse-transformed and scored by the trained deciders. Model-internal
+    * (PCA basis + decider fits) → rows-only; the grid geometry and scoring
+    * are pinned by StarsFilterSpec.
+    */
+  def q71StarProbspace(spark: SparkSession, dir: String): DataFrame = {
+    val sf = new StarsFilter(descriptors, Seq(new LDADec(), new QDADec()))
+    val stars = starsFromEvents(spark, dir).toDF().cache()
+    val searched = stars.filter(col("starClass") === "searched")
+    val others = stars.filter(col("starClass") =!= "searched")
+    val model = sf.learn(searched, others)
+    model.probabilitySpaceND(searched, others, gridPerDim = 20)
+      .select(round(col("x"), 6).as("x"), round(col("y"), 6).as("y"),
+        round(col("prob_LDADec"), 4).as("prob_lda"),
+        round(col("prob_QDADec"), 4).as("prob_qda"),
+        col("combined_prob"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_star_features" -> q50StarFeatures,
     "q51_star_classify" -> q51StarClassify,
     "q52_star_statistic" -> q52StarStatistic,
-    "q53_star_comparative" -> q53StarComparative)
+    "q53_star_comparative" -> q53StarComparative,
+    "q71_star_probspace" -> q71StarProbspace)
 
   /** q50's descriptor fan-out is deterministic kernels → hard oracle
     * ([[KernelOracleSql]]); the rest (trained-model internals) stay

@@ -143,4 +143,31 @@ class StarsFilterSpec extends SparkSpec {
     val probs = space.select("prob_LDADec").collect().map(_.getDouble(0))
     assert(probs.forall(p => p >= 0.0 && p <= 1.0))
   }
+
+  test("probabilitySpaceND meshes the PCA plane and scores every decider") {
+    val space = model.probabilitySpaceND(searched, others, gridPerDim = 6).cache()
+    assert(space.count() == 36) // 6^2 grid over the 2 PCA axes
+    val rows = space.collect()
+    val xs = rows.map(_.getAs[Double]("x")).distinct.sorted
+    val ys = rows.map(_.getAs[Double]("y")).distinct.sorted
+    assert(xs.length == 6 && ys.length == 6, "regular mesh")
+    // evenly spaced axes (linspace)
+    val dx = xs.sliding(2).map { case Array(a, b) => b - a }.toSeq
+    assert(dx.forall(d => math.abs(d - dx.head) < 1e-9), "even x spacing")
+    // probabilities bounded; the reconstructed feature columns ride along
+    assert(rows.forall { r =>
+      val p = r.getAs[Double]("prob_LDADec")
+      p >= 0.0 && p <= 1.0
+    })
+    assert(space.columns.contains("abbe_value") && space.columns.contains("combined_prob"))
+    // grid must separate: not every cell the same probability
+    assert(rows.map(_.getAs[Double]("combined_prob")).distinct.length > 1)
+    // deterministic: a second evaluation produces the identical grid
+    val again = model.probabilitySpaceND(searched, others, gridPerDim = 6)
+      .select("x", "y", "combined_prob").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2))).toSet
+    val first = rows.map(r => (r.getAs[Double]("x"), r.getAs[Double]("y"),
+      r.getAs[Double]("combined_prob"))).toSet
+    assert(again == first)
+  }
 }
