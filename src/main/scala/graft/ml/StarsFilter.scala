@@ -244,12 +244,19 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
     * evaluated distributed — no collect of anything data-sized.
     */
   def probabilitySpaceND(searched: DataFrame, others: DataFrame,
-                         gridPerDim: Int = 20, overlay: Double = 0.4): DataFrame = {
+                         gridPerDim: Int = 20, overlay: Double = 0.4): DataFrame =
+    probabilitySpaceNDOnCoords(
+      filterInstance.spaceCoordinates(searched),
+      filterInstance.spaceCoordinates(others), gridPerDim, overlay)
+
+  /** As [[probabilitySpaceND]] but over precomputed coordinates — the reuse
+    * seam for callers already holding the descriptor fan-out.
+    */
+  def probabilitySpaceNDOnCoords(sCoords: DataFrame, oCoords: DataFrame,
+                                 gridPerDim: Int = 20, overlay: Double = 0.4): DataFrame = {
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.stat.Summarizer
-    val spark = searched.sparkSession
-    val sCoords = filterInstance.spaceCoordinates(searched)
-    val oCoords = filterInstance.spaceCoordinates(others)
+    val spark = sCoords.sparkSession
     // spaceCoordinates already assembled the feature Vector
     val coords = sCoords.unionByName(oCoords)
       .select(col("features").as("_vec"))

@@ -208,12 +208,49 @@ object Similarity {
         (col("label") === col("id")).as("is_canonical"))
   }
 
+  /** K-means assignment for cluster-based data mixing: deterministic
+    * centroids (the k = 8 lowest vec_ids), every vector assigned to its
+    * nearest centroid by squared L2. The centroids are k-bounded driver
+    * state baked into one kernel pass — assignment is a PURE MAP (no join,
+    * no shuffle), the shape that holds at any corpus size; a Lloyd update
+    * would add exactly one aggregation on top. dist2 is rounded to 6
+    * BEFORE the argmin so ties break identically by centroid id on both
+    * engines.
+    */
+  def q72KmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val cents: Array[(Long, Array[Double])] = e.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val assignU = udf((v: Seq[Float]) => {
+      var bestId = -1L
+      var bestD = Double.MaxValue
+      cents.foreach { case (cid, c) =>
+        var d = 0.0
+        var i = 0
+        while (i < c.length) {
+          val diff = v(i).toDouble - c(i)
+          d += diff * diff
+          i += 1
+        }
+        d = math.rint(d * 1e6) / 1e6
+        if (d < bestD) { bestD = d; bestId = cid } // ties keep the lower cid
+      }
+      (bestId, bestD)
+    })
+    e.select(col("vec_id"), assignU(col("embedding")).as("a"))
+      .select(col("vec_id"), col("a._1").as("cluster"), col("a._2").as("dist2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_cosine_knn" -> q48CosineKnn,
     "q49_ann_lsh" -> q49AnnLsh,
     "q56_embedding_neardup" -> q56EmbeddingNeardup,
     "q57_ann_ivf" -> q57AnnIvf,
-    "q67_embedding_dedup" -> q67EmbeddingDedupPipeline)
+    "q67_embedding_dedup" -> q67EmbeddingDedupPipeline,
+    "q72_kmeans_assign" -> q72KmeansAssign)
 
   private val longFormCte =
     """e2 AS (
@@ -344,5 +381,17 @@ object Similarity {
         |  FROM dots JOIN norms np ON np.vec_id = p_id JOIN norms nc ON nc.vec_id = c_id)
         |SELECT p_id, c_id, cosine, CAST(rn AS INT) AS rn FROM (
         |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
-        |  FROM cos) WHERE rn <= 3""".stripMargin)
+        |  FROM cos) WHERE rn <= 3""".stripMargin,
+    "q72_kmeans_assign" ->
+      s"""WITH $longFormCte,
+        |cents AS (SELECT vec_id AS c_id, pos, v FROM ex WHERE vec_id < 8),
+        |d AS (
+        |  SELECT ex.vec_id, c.c_id,
+        |    round(sum((ex.v - c.v) * (ex.v - c.v)), 6) AS dist2
+        |  FROM ex JOIN cents c ON c.pos = ex.pos
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, c_id AS cluster, dist2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dist2, c_id) AS rn
+        |  FROM d) WHERE rn = 1""".stripMargin)
 }

@@ -107,12 +107,13 @@ object StarQueries {
     * are pinned by StarsFilterSpec.
     */
   def q71StarProbspace(spark: SparkSession, dir: String): DataFrame = {
+    // ONE cached descriptor pass feeds training and the PCA mesh
     val sf = new StarsFilter(descriptors, Seq(new LDADec(), new QDADec()))
-    val stars = starsFromEvents(spark, dir).toDF().cache()
-    val searched = stars.filter(col("starClass") === "searched")
-    val others = stars.filter(col("starClass") =!= "searched")
-    val model = sf.learn(searched, others)
-    model.probabilitySpaceND(searched, others, gridPerDim = 20)
+    val coords = sf.spaceCoordinates(starsFromEvents(spark, dir).toDF()).cache()
+    val sCoords = coords.filter(col("starClass") === "searched")
+    val oCoords = coords.filter(col("starClass") =!= "searched")
+    val model = sf.learnOnCoords(sCoords, oCoords)
+    model.probabilitySpaceNDOnCoords(sCoords, oCoords, gridPerDim = 20)
       .select(round(col("x"), 6).as("x"), round(col("y"), 6).as("y"),
         round(col("prob_LDADec"), 4).as("prob_lda"),
         round(col("prob_QDADec"), 4).as("prob_qda"),
