@@ -102,10 +102,46 @@ object CorpusOps {
           floor((col("cum_end") - 1) / 2048)).as("crosses_boundary"))
   }
 
+  /** Count-based LM quality scoring (the CCNet shape): train a bigram
+    * language model on the corpus itself (add-1 smoothing over the unigram
+    * vocabulary), then score every document by its mean negative
+    * log-likelihood — the perplexity proxy a quality-filter thresholds.
+    *
+    * Scale shape: unigram and bigram count tables are vocabulary-sized, so
+    * they stay DISTRIBUTED — doc bigrams reach their counts via shuffle
+    * equi-joins on the bigram/unigram keys (both map-side combined
+    * aggregates first), never a driver-side model. The per-doc mean is one
+    * more hash aggregate. Four shuffles total, all on keys that scale with
+    * vocabulary, not corpus size.
+    */
+  def q73LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .cache()
+    val uni = toks.select(explode(col("tokens")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.select(count(lit(1)).as("v"))
+    val docBigrams = toks
+      .filter(size(col("tokens")) > 1)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(tokens) - 1),
+          |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    docBigrams
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", -log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 6).as("avg_nll"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate,
     "q69_repetition" -> q69Repetition,
-    "q70_pack_sequences" -> q70PackSequences)
+    "q70_pack_sequences" -> q70PackSequences,
+    "q73_lm_perplexity" -> q73LmPerplexity)
 
   val oracleSql: Map[String, String] = Map(
     "q68_decontaminate" ->
@@ -152,5 +188,21 @@ object CorpusOps {
         |  CAST(cum_end - n_tok AS BIGINT) AS start_off,
         |  CAST((cum_end - n_tok) // 2048 AS BIGINT) AS seq_id,
         |  ((cum_end - n_tok) // 2048) != ((cum_end - 1) // 2048) AS crosses_boundary
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+    "q73_lm_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |uni AS (
+        |  SELECT w1, count(*) AS c1 FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |db AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |    FROM t WHERE len(toks) > 1)),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v.v))), 6) AS avg_nll
+        |FROM db JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        |GROUP BY doc_id""".stripMargin)
 }
