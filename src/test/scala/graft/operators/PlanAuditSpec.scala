@@ -45,4 +45,15 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(Multimodal.queries("q54_multimodal_meta")(spark, dir))
     assert(!p.contains("n_chars"), "q54 must not read n_chars:\n" + p)
   }
+
+  test("q72: k-means assignment is a pure map — no exchange anywhere") {
+    val p = plan(Similarity.queries("q72_kmeans_assign")(spark, dir))
+    assert(!p.contains("Exchange"), "assignment must not shuffle:\n" + p)
+  }
+
+  test("q73: LM count aggregates keep their map-side partial phase") {
+    val p = plan(CorpusOps.queries("q73_lm_perplexity")(spark, dir))
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "bigram/unigram counts lost map-side combine:\n" + p)
+  }
 }
