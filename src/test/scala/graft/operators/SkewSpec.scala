@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Salted join: identical results to the plain join, and a heavy-hitter
+  * key actually spreads across reducers instead of landing on one.
+  */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join and spreads the hot key") {
+    // 90% of probe rows share one key — the shape that makes one reducer
+    // the straggler in a plain shuffle join
+    val probe = ((1 to 900).map(i => (1L, s"hot_$i")) ++
+      (1 to 100).map(i => ((i % 7 + 2).toLong, s"cold_$i")))
+      .toDF("k", "payload")
+    val build = (1L to 8L).map(k => (k, s"dim_$k")).toDF("k", "attr")
+
+    // salting targets SHUFFLE joins (a broadcastable build side needs no
+    // salt) — force the shuffle path for both plans
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE would re-merge these tiny test partitions and hide the spread
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+    val plain = probe.join(build, Seq("k"))
+    val salted = Skew.saltedJoin(probe, build, "k", salts = 4)
+
+    // exact result equality (same rows, same multiplicities)
+    assert(salted.columns.sorted.sameElements(plain.columns.sorted))
+    val a = plain.groupBy("k", "payload", "attr").count()
+    val b = salted.groupBy("k", "payload", "attr").count()
+    assert(a.except(b).isEmpty && b.except(a).isEmpty, "salted join changed the result")
+
+    // the reducer key must widen to (k, _salt): that is what spreads a hot
+    // key over `salts` reducers (post-join partition ids at 4-partition toy
+    // scale are hash-collision-flaky, so assert the plan + the salt spread)
+    val sp = salted.queryExecution.executedPlan.toString
+    assert(sp.contains("hashpartitioning(k") && sp.contains("_salt"),
+      "salted join must shuffle on (k, _salt):\n" + sp)
+    val hotSalts = probe.filter(col("k") === 1L)
+      .select(pmod(hash(struct(probe.columns.map(col): _*)), lit(4)).as("s"))
+      .distinct().count()
+    assert(hotSalts == 4L, s"hot key must spread across all 4 salts, got $hotSalts")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+}
