@@ -106,11 +106,14 @@ object Main {
   private def sampleQuery(settings: Settings, spec: String): Map[String, String] = {
     val name = spec.split("[:%]")(0)
     val dir = Paths.get(settings.inpLcs, name)
-    val suffix = Files.list(dir).iterator().asScala.map(_.toString)
-      .collectFirst {
-        case f if f.endsWith(".fits") => "fits"
-        case f if f.endsWith(".dat")  => "dat"
-      }.getOrElse("dat")
+    val listing = Files.list(dir)
+    val suffix =
+      try listing.iterator().asScala.map(_.toString)
+        .collectFirst {
+          case f if f.endsWith(".fits") => "fits"
+          case f if f.endsWith(".dat")  => "dat"
+        }.getOrElse("dat")
+      finally listing.close()
     Map("path" -> dir.toString, "suffix" -> suffix, "star_class" -> spec)
   }
 

@@ -137,11 +137,38 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 6).as("avg_nll"))
   }
 
+  /** Overlapping document chunking (the RAG / context-window prep stage):
+    * 64-token windows at stride 48, short docs yield one chunk, the final
+    * partial window is kept. Pure per-row explode — the chunk table
+    * pipelines out of the scan with no shuffle; chunk identity is the md5
+    * of the joined window so downstream chunk-level dedup composes with
+    * q44.
+    */
+  def q74ChunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val (win, stride) = (64, 48)
+    docs(spark, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("n_tok", size(col("tokens")))
+      .withColumn("n_chunks",
+        when(col("n_tok") > win,
+          ceil((col("n_tok") - win).cast("double") / stride).cast("int") + 1)
+          .otherwise(lit(1)))
+      .select(col("doc_id"), col("n_tok"), col("tokens"),
+        posexplode(expr(s"transform(sequence(0, n_chunks - 1), k -> k * $stride)"))
+          .as(Seq("chunk_idx", "start")))
+      .withColumn("chunk_len", least(lit(win), col("n_tok") - col("start")))
+      .withColumn("chunk_hash",
+        md5(concat_ws(" ", expr(s"slice(tokens, start + 1, $win)"))))
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        col("chunk_len"), col("chunk_hash"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate,
     "q69_repetition" -> q69Repetition,
     "q70_pack_sequences" -> q70PackSequences,
-    "q73_lm_perplexity" -> q73LmPerplexity)
+    "q73_lm_perplexity" -> q73LmPerplexity,
+    "q74_chunk_docs" -> q74ChunkDocs)
 
   val oracleSql: Map[String, String] = Map(
     "q68_decontaminate" ->
@@ -204,5 +231,24 @@ object CorpusOps {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(avg(-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v.v))), 6) AS avg_nll
         |FROM db JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
-        |GROUP BY doc_id""".stripMargin)
+        |GROUP BY doc_id""".stripMargin,
+    "q74_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks, n_tok,
+        |    CASE WHEN n_tok > 64 THEN CAST(ceil((n_tok - 64) / 48.0) AS INT) + 1
+        |         ELSE 1 END AS n_chunks
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, n_tok, toks,
+        |    unnest(list_transform(range(0, n_chunks), k -> CAST(k AS INT))) AS chunk_idx
+        |  FROM n)
+        |SELECT doc_id, chunk_idx, chunk_idx * 48 AS start,
+        |  CAST(least(64, n_tok - chunk_idx * 48) AS INT) AS chunk_len,
+        |  md5(array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '))
+        |    AS chunk_hash
+        |FROM c""".stripMargin)
 }
