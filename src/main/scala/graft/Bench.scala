@@ -55,13 +55,24 @@ object Bench {
     if (!sys.env.contains("SPARK_GRAFT_NOWARM") && sfDir != warmDir
         && new java.io.File(warmDir).isDirectory) {
       val w0 = System.nanoTime()
-      selected.foreach { case (name, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
-        }
-        spark.catalog.clearCache()
-      }
+      // warmup queries are independent (no temp views; expression
+      // registration is existence-guarded) — run them concurrently so the
+      // untimed pass costs wall-clock ≈ the slowest query, not the sum
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(Future.sequence(selected.map { case (name, fn) =>
+          Future {
+            try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+            }
+          }
+        }), Duration.Inf)
+      } finally pool.shutdown()
+      spark.catalog.clearCache()
       System.err.println(f"[bench] warmup pass: ${(System.nanoTime() - w0) / 1e9}%.2fs")
     }
 
