@@ -50,9 +50,11 @@ object CurveAbbeExpr {
   /** Register as a SQL function on a session — once (see
     * [[DotProductExpr.register]]).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = synchronized {
+    // synchronized: concurrent callers must not double-register (WARN spam)
     if (!spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("curve_abbe")))
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "curve_abbe", exprs => CurveAbbeExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
 }
