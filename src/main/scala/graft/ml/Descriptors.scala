@@ -232,7 +232,8 @@ class CurveDescr(val bins: Int, val height: Option[Int] = None,
       case Some(rd) =>
         val (mean, comps) = reduction.getOrElse(throw new IllegalStateException(
           "CurveDescr red_dim reduction not fitted — learn the filter first"))
-        val red0 = udf((y: Seq[Double]) => {
+        val red0 = udf((y0: Seq[Double]) => {
+          val y = y0.toArray // O(1) indexing for the bins-wide centering
           val centered = Array.tabulate(mean.length)(i => y(i) - mean(i))
           Array.tabulate(rd) { j =>
             val c = comps(j)

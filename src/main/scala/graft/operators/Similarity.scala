@@ -24,12 +24,32 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Banding dials: 4 bands × 12 bits = 48 planes, 4096 buckets per band.
-    * At a larger corpus raise LSH_BITS (buckets scale 2^bits) and keep
-    * recall with more bands — candidates stay an equi-join either way.
+  /** Banding dials: 16 bands × 12 bits = 192 planes, 4096 buckets per
+    * band. LSH_BITS is the SCALE dial (buckets per band grow 2^bits, so
+    * bucket occupancy — and candidate count — stays bounded as the corpus
+    * grows); LSH_BANDS is the RECALL dial (match probability
+    * 1 − (1 − p^bits)^bands). 4 bands measured 3% recall@3 against brute
+    * force at bucket-occupancy scale; 16 bands buys the recall back while
+    * candidates stay an equi-join (AnnRecallSpec pins the floor).
     */
-  val LSH_BANDS = 4
+  val LSH_BANDS = 16
   val LSH_BITS = 12
+
+  /** Dup-detection band count (q56/q67): these queries join CORPUS ×
+    * CORPUS, so every band multiplies the signature join and the verify
+    * set — and their targets are true near-dups (cosine ≥ 0.9, per-band
+    * match 0.9^12 ≈ 0.28), where 8 bands already reach
+    * 1 − (1 − 0.28)^8 ≈ 93% dup recall. The ANN path (probe × corpus)
+    * affords 16 bands + multiprobe because its expansion lands on the
+    * probe set only.
+    */
+  val DUP_BANDS = 8
+
+  /** IVF recall dial: lists probed per query (fraction of corpus scanned
+    * ≈ NPROBE / number of lists). 2 measured 27% recall@3; 4 doubles the
+    * scanned fraction and the recall floor (AnnRecallSpec).
+    */
+  val NPROBE = 4
 
   private def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
@@ -53,10 +73,14 @@ object Similarity {
     * into sigs(b) — no per-plane explode; the only exchange downstream is
     * the (band, sig) equi-join.
     */
-  private val bandSigU = udf((e: Seq[Float]) => {
-    val nPlanes = LSH_BANDS * LSH_BITS
+  private def bandSigU(nBands: Int) = udf((e0: Seq[Float]) => {
+    // copy ONCE to a primitive array: the catalyst-converted Seq is not
+    // guaranteed O(1)-indexed, and this kernel does planes×dims indexed
+    // reads per row — through a list-like Seq that turns quadratic
+    val e = e0.toArray
+    val nPlanes = nBands * LSH_BITS
     val planes = graft.functions.PortableHash.lshPlanes(nPlanes, e.length)
-    val sigs = new Array[Long](LSH_BANDS)
+    val sigs = new Array[Long](nBands)
     var p = 0
     while (p < nPlanes) {
       val w = planes(p)
@@ -70,9 +94,9 @@ object Similarity {
   })
 
   /** (vec_id, nn, band, sig) — one row per band per vector. */
-  private def bandedSigs(e: DataFrame): DataFrame =
+  private def bandedSigs(e: DataFrame, nBands: Int = LSH_BANDS): DataFrame =
     e.select(col("vec_id"), col("nn"),
-      posexplode(bandSigU(col("embedding"))).as(Seq("band", "sig")))
+      posexplode(bandSigU(nBands)(col("embedding"))).as(Seq("band", "sig")))
 
   /** Brute-force cosine top-5 for probe vectors (vec_id < 20) against the
     * whole corpus: compact probe×corpus pair join with an in-row array dot —
@@ -94,14 +118,29 @@ object Similarity {
       .select(col("p_id"), col("c_id"), col("cosine"), col("rn"))
   }
 
-  /** Banded hyperplane LSH ANN: candidates for probes (vec_id < 50) share at
-    * least one band signature; exact cosine re-rank keeps top-3.
+  /** All band signatures within hamming distance 2 of the exact signature
+    * (1 + 12 + 66 = 79 masks for 12-bit bands) — the PROBE-side multiprobe
+    * expansion: per-band match probability rises from p^12 to
+    * P(hamming ≤ 2), which is what makes mid-similarity neighbors
+    * (cosine ≈ 0.4, p ≈ 0.63) reachable at all, and the expansion cost
+    * lands only on the (small) probe set — the corpus side stays one
+    * signature per band regardless of corpus size.
+    */
+  private val probeMasks: Seq[Long] =
+    (0 until (1 << LSH_BITS)).filter(m => Integer.bitCount(m) <= 2).map(_.toLong)
+
+  /** Banded hyperplane LSH ANN: candidates for probes (vec_id < 50) share a
+    * band signature up to hamming distance 2 (probe-side multiprobe); exact
+    * cosine re-rank keeps top-3.
     */
   def q49AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(emb(spark, dir)).cache()
-    val bands = bandedSigs(e)
+    val bands = bandedSigs(e).cache() // one signature pass feeds both join sides
     val cand = bands.filter(col("vec_id") < 50)
       .select(col("vec_id").as("p_id"), col("band"), col("sig"))
+      .withColumn("m", explode(typedLit(probeMasks)))
+      .select(col("p_id"), col("band"),
+        col("sig").bitwiseXOR(col("m")).as("sig"))
       .join(bands.select(col("vec_id").as("c_id"), col("band"), col("sig")),
         Seq("band", "sig"))
       .filter(col("p_id") =!= col("c_id"))
@@ -127,7 +166,7 @@ object Similarity {
     */
   def q56EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(emb(spark, dir)).cache()
-    val bands = bandedSigs(e)
+    val bands = bandedSigs(e, DUP_BANDS).cache() // one signature pass, both sides
     val cand = bands.select(col("vec_id").as("a_id"), col("band"), col("sig"))
       .join(bands.select(col("vec_id").as("b_id"), col("band"), col("sig")),
         Seq("band", "sig"))
@@ -171,10 +210,10 @@ object Similarity {
     // nearest centroid per vector: partial-aggregated argmax (ties → min id)
     val assign = allCos.groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"), struct(col("cos"), -col("cent_id"))).as("list_id"))
-    // probes search their top-2 lists
+    // probes search their top-NPROBE lists
     val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cent_id"))
     val probes = allCos.filter(col("vec_id") < 20)
-      .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= 2)
+      .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= NPROBE)
       .select(col("vec_id").as("p_id"), col("cent_id").as("list_id"))
     val cand = probes
       .join(assign.select(col("vec_id").as("c_id"), col("list_id")), Seq("list_id"))
@@ -224,7 +263,8 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
-    val assignU = udf((v: Seq[Float]) => {
+    val assignU = udf((v0: Seq[Float]) => {
+      val v = v0.toArray // O(1) indexing for the k×dims distance loops
       var bestId = -1L
       var bestD = Double.MaxValue
       cents.foreach { case (cid, c) =>
@@ -260,9 +300,12 @@ object Similarity {
       |ex AS (
       |  SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS v FROM e2)""".stripMargin
 
-  /** Per-(vec_id, band) signatures with the same md5-derived planes. */
-  private val bandSigCte = {
-    val nPlanes = LSH_BANDS * LSH_BITS
+  /** Per-(vec_id, band) signatures with the same md5-derived planes.
+    * Band count mirrors the Spark dial: LSH_BANDS for the ANN path,
+    * DUP_BANDS for the corpus×corpus dup queries.
+    */
+  private def bandSigCte(nBands: Int = LSH_BANDS) = {
+    val nPlanes = nBands * LSH_BITS
     s"""planes AS (
       |  SELECT ex.*, p,
       |    ('0x' || substr(md5(p || ':' || pos), 1, 15))::BIGINT / 576460752303423488.0 - 1.0 AS w
@@ -291,7 +334,7 @@ object Similarity {
         |  FROM cos) WHERE rn <= 5""".stripMargin,
     "q56_embedding_neardup" ->
       s"""WITH $longFormCte,
-        |$bandSigCte,
+        |${bandSigCte(DUP_BANDS)},
         |cand AS (
         |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
         |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
@@ -307,10 +350,13 @@ object Similarity {
         |WHERE round(dot / (sqrt(np.nn) * sqrt(nc.nn)), 6) >= 0.35""".stripMargin,
     "q49_ann_lsh" ->
       s"""WITH $longFormCte,
-        |$bandSigCte,
+        |${bandSigCte()},
+        |masks AS (
+        |  SELECT m FROM range(0, ${1 << LSH_BITS}) r(m) WHERE bit_count(m) <= 2),
         |cand AS (
         |  SELECT DISTINCT x.vec_id AS p_id, y.vec_id AS c_id
-        |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
+        |  FROM sigs x CROSS JOIN masks JOIN sigs y
+        |    ON y.band = x.band AND y.sig = xor(x.sig, m)
         |    AND x.vec_id < 50 AND x.vec_id != y.vec_id),
         |dots AS (
         |  SELECT p_id, c_id, sum(a.v * b.v) AS dot
@@ -325,7 +371,7 @@ object Similarity {
         |  FROM cos) WHERE rn <= 3""".stripMargin,
     "q67_embedding_dedup" ->
       s"""WITH RECURSIVE $longFormCte,
-        |$bandSigCte,
+        |${bandSigCte(DUP_BANDS)},
         |cand AS (
         |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
         |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
@@ -367,7 +413,7 @@ object Similarity {
         |assign AS (SELECT vec_id, cent_id AS list_id FROM ranked WHERE rn = 1),
         |probes AS (
         |  SELECT vec_id AS p_id, cent_id AS list_id FROM ranked
-        |  WHERE vec_id < 20 AND rn <= 2),
+        |  WHERE vec_id < 20 AND rn <= $NPROBE),
         |cand AS (
         |  SELECT p_id, a.vec_id AS c_id
         |  FROM probes p JOIN assign a ON a.list_id = p.list_id AND a.vec_id != p.p_id),

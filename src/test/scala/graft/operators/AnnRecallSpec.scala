@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Recall guards for the approximate similarity paths: the LSH and IVF
+  * dials (bands × bits, hamming-2 multiprobe, nprobe) exist to be retuned
+  * as the corpus grows — these specs pin the recall they must keep against
+  * the exact brute-force baseline, so a retune that silently guts recall
+  * fails here instead of in production. Pair-collision probability is
+  * corpus-size-independent, so the fixture recall transfers to scale; IVF
+  * recall on this near-uniform corpus ≈ the scanned-list fraction, the
+  * honest floor for unclustered data (clustered corpora do far better).
+  */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val exactTop3: Map[Long, Set[Long]] =
+    Similarity.queries("q48_cosine_knn")(spark, dir)
+      .select("p_id", "c_id", "rn").as[(Long, Long, Int)].collect()
+      .filter(_._3 <= 3).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("banded hyperplane LSH keeps recall@3 against brute force") {
+    val lsh = Similarity.queries("q49_ann_lsh")(spark, dir)
+      .select("p_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val probes = exactTop3.keySet
+    val recall = probes.toSeq.map { p =>
+      val got = lsh.getOrElse(p, Set.empty)
+      (exactTop3(p) & got).size.toDouble / exactTop3(p).size
+    }.sum / probes.size
+    info(f"LSH recall@3 = $recall%.3f over ${probes.size} probes")
+    assert(recall >= 0.6, f"LSH recall collapsed to $recall%.3f — check bands/multiprobe dials")
+  }
+
+  test("IVF-Flat keeps recall@3 against brute force") {
+    val ivf = Similarity.queries("q57_ann_ivf")(spark, dir)
+      .select("p_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val probes = exactTop3.keySet & ivf.keySet
+    assert(probes.nonEmpty, "IVF returned no probe results")
+    val recall = probes.toSeq.map { p =>
+      (exactTop3(p) & ivf(p)).size.toDouble / exactTop3(p).size
+    }.sum / probes.size
+    info(f"IVF recall@3 = $recall%.3f over ${probes.size} probes")
+    assert(recall >= 0.25, f"IVF recall collapsed to $recall%.3f — check nprobe")
+  }
+}
