@@ -163,12 +163,37 @@ object CorpusOps {
         col("chunk_len"), col("chunk_hash"))
   }
 
+  /** Temperature-weighted source mixing (the data-mix stage a multi-source
+    * training corpus ends with): per-source quotas ∝ √(source share)
+    * — temperature 0.5, the up-sample-the-tail shape — with a target
+    * budget of 200 docs, each source contributing its quota's
+    * lowest-content-hash documents (reproducible "random" sampling, the
+    * q63 trick). The quota table is sources-sized (broadcast); the only
+    * corpus exchange is the per-source ranking window.
+    */
+  def q75TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val z = counts.agg(sum(sqrt(col("n_s"))).as("z"))
+    val quota = counts.crossJoin(broadcast(z))
+      .withColumn("w", round(sqrt(col("n_s")) / col("z"), 6))
+      .withColumn("quota", floor(col("w") * 200).cast("int"))
+      .select(col("source"), col("w"), col("quota"))
+    val wnd = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    d.withColumn("h", md5(col("text")))
+      .withColumn("rk", row_number().over(wnd))
+      .join(broadcast(quota), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rk"), col("w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate,
     "q69_repetition" -> q69Repetition,
     "q70_pack_sequences" -> q70PackSequences,
     "q73_lm_perplexity" -> q73LmPerplexity,
-    "q74_chunk_docs" -> q74ChunkDocs)
+    "q74_chunk_docs" -> q74ChunkDocs,
+    "q75_temperature_mix" -> q75TemperatureMix)
 
   val oracleSql: Map[String, String] = Map(
     "q68_decontaminate" ->
@@ -250,5 +275,18 @@ object CorpusOps {
         |  CAST(least(64, n_tok - chunk_idx * 48) AS INT) AS chunk_len,
         |  md5(array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '))
         |    AS chunk_hash
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+    "q75_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        |z AS (SELECT sum(sqrt(n_s)) AS z FROM c),
+        |q AS (
+        |  SELECT source, round(sqrt(n_s) / z.z, 6) AS w,
+        |    CAST(floor(round(sqrt(n_s) / z.z, 6) * 200) AS INT) AS quota
+        |  FROM c CROSS JOIN z),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rk AS INT) AS rk, w
+        |FROM r JOIN q USING (source) WHERE rk <= quota""".stripMargin)
 }
