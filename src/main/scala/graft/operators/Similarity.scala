@@ -284,13 +284,35 @@ object Similarity {
       .select(col("vec_id"), col("a._1").as("cluster"), col("a._2").as("dist2"))
   }
 
+  /** Cross-modal dedup consensus: every embedded document judged by BOTH
+    * dedup modalities — its simhash text cluster (q58) and its
+    * embedding-cosine cluster (q67) — with `agree` flagging whether the
+    * two modalities reach the same keep/drop decision. Disagreement is
+    * the curation signal (noisy embeddings, templated text); the join is
+    * id-to-id, so the composition adds one co-partitioned exchange on top
+    * of the two pipelines.
+    */
+  def q76CrossmodalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val text = Dedup.queries("q58_dedup_clusters")(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val vec = q67EmbeddingDedupPipeline(spark, dir)
+      .select(col("vec_id"), col("canonical_id"))
+    text.join(vec, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"),
+        col("cluster_id").as("text_cluster"),
+        col("canonical_id").as("vec_cluster"),
+        ((col("cluster_id") === col("doc_id")) ===
+          (col("canonical_id") === col("doc_id"))).as("agree"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_cosine_knn" -> q48CosineKnn,
     "q49_ann_lsh" -> q49AnnLsh,
     "q56_embedding_neardup" -> q56EmbeddingNeardup,
     "q57_ann_ivf" -> q57AnnIvf,
     "q67_embedding_dedup" -> q67EmbeddingDedupPipeline,
-    "q72_kmeans_assign" -> q72KmeansAssign)
+    "q72_kmeans_assign" -> q72KmeansAssign,
+    "q76_crossmodal_dedup" -> q76CrossmodalDedup)
 
   private val longFormCte =
     """e2 AS (
@@ -428,6 +450,72 @@ object Similarity {
         |SELECT p_id, c_id, cosine, CAST(rn AS INT) AS rn FROM (
         |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
         |  FROM cos) WHERE rn <= 3""".stripMargin,
+    "q76_crossmodal_dedup" -> {
+      val nPlanes = DUP_BANDS * LSH_BITS
+      s"""WITH RECURSIVE
+        |th AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |tbits AS (
+        |  SELECT doc_id, lang, j, sum(((h // CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1) AS vote
+        |  FROM th, generate_series(0, 15) g(j)
+        |  GROUP BY doc_id, lang, j),
+        |tsim AS (
+        |  SELECT doc_id, lang,
+        |    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM tbits GROUP BY doc_id, lang),
+        |t_edges AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM tsim x JOIN tsim y ON x.lang = y.lang AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 2),
+        |t_bi AS (SELECT a_id AS src, b_id AS dst FROM t_edges
+        |         UNION ALL SELECT b_id, a_id FROM t_edges),
+        |t_reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT t_bi.src, t_reach.label FROM t_reach JOIN t_bi ON t_bi.dst = t_reach.id),
+        |t_clusters AS (SELECT id AS doc_id, min(label) AS cluster_id FROM t_reach GROUP BY 1),
+        |e2 AS (
+        |  SELECT vec_id, embedding,
+        |    unnest(generate_series(1, len(embedding))) AS pos
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS v FROM e2),
+        |planes AS (
+        |  SELECT ex.*, p,
+        |    ('0x' || substr(md5(p || ':' || pos), 1, 15))::BIGINT / 576460752303423488.0 - 1.0 AS w
+        |  FROM ex, generate_series(0, ${nPlanes - 1}) g(p)),
+        |sigs AS (
+        |  SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS sig FROM (
+        |    SELECT vec_id, p // $LSH_BITS AS band,
+        |      CASE WHEN sum(v * w) > 0 THEN CAST(pow(2, p % $LSH_BITS) AS BIGINT) ELSE 0 END AS bit
+        |    FROM planes GROUP BY vec_id, p) GROUP BY vec_id, band),
+        |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+        |  FROM sigs x JOIN sigs y ON x.band = y.band AND x.sig = y.sig
+        |    AND x.vec_id < y.vec_id),
+        |dots AS (
+        |  SELECT p_id, c_id, sum(a.v * b.v) AS dot FROM (
+        |    SELECT a_id AS p_id, b_id AS c_id FROM cand) q
+        |  JOIN ex a ON a.vec_id = p_id JOIN ex b ON b.vec_id = c_id AND b.pos = a.pos
+        |  GROUP BY 1, 2),
+        |v_edges AS (
+        |  SELECT p_id AS a_id, c_id AS b_id
+        |  FROM dots JOIN norms np ON np.vec_id = p_id JOIN norms nc ON nc.vec_id = c_id
+        |  WHERE round(dot / (sqrt(np.nn) * sqrt(nc.nn)), 6) >= 0.35),
+        |v_bi AS (SELECT a_id AS src, b_id AS dst FROM v_edges
+        |         UNION ALL SELECT b_id, a_id FROM v_edges),
+        |v_reach(id, label) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT v_bi.src, v_reach.label FROM v_reach JOIN v_bi ON v_bi.dst = v_reach.id),
+        |v_clusters AS (SELECT id AS vec_id, min(label) AS canonical_id FROM v_reach GROUP BY 1)
+        |SELECT t.doc_id, t.cluster_id AS text_cluster, v.canonical_id AS vec_cluster,
+        |  ((t.cluster_id = t.doc_id) = (v.canonical_id = t.doc_id)) AS agree
+        |FROM t_clusters t JOIN v_clusters v ON v.vec_id = t.doc_id""".stripMargin
+    },
     "q72_kmeans_assign" ->
       s"""WITH $longFormCte,
         |cents AS (SELECT vec_id AS c_id, pos, v FROM ex WHERE vec_id < 8),
