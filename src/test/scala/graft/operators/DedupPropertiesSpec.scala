@@ -86,6 +86,38 @@ class DedupPropertiesSpec extends SparkSpec {
     assert(asymCand >= expected.size, "candidates cover every true pair")
   }
 
+  test("q66 pipeline clusters true clone families (dup recall guard)") {
+    // clones at shingle-Jaccard ≥ ~0.85 — the regime a dedup pipeline
+    // exists for; with 4×4 minhash banding p(pair) = 1-(1-J^4)^4 ≥ 0.93,
+    // and the CC stage closes any pair the banding misses transitively,
+    // so full families must land in one cluster
+    val rng = new scala.util.Random(431)
+    val vocab = (0 until 60).map(i => s"tok$i")
+    val families = (0 until 6).map(_ => Seq.fill(30)(vocab(rng.nextInt(60))))
+    val texts = families.zipWithIndex.flatMap { case (core, f) =>
+      (0 until 4).map { c =>
+        // one-token tail mutation keeps J ≥ 28/32 ≈ 0.88
+        val tail = if (c == 0) Nil else Seq(vocab(rng.nextInt(60)))
+        (f, (core ++ tail).mkString(" "))
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("dupfam").toString
+    texts.zipWithIndex.map { case ((f, t), i) =>
+      (i.toLong, t, "en", s"fam$f", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val clusters = Dedup.q66DedupPipeline(spark, dir)
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    texts.zipWithIndex.groupBy(_._1._1).foreach { case (fam, members) =>
+      val labels = members.map { case (_, i) => clusters(i.toLong) }.distinct
+      assert(labels.length == 1, s"family $fam split into clusters $labels")
+    }
+    // and distinct families must NOT merge
+    val famLabels = texts.zipWithIndex.groupBy(_._1._1)
+      .map { case (_, ms) => clusters(ms.head._2.toLong) }.toSeq
+    assert(famLabels.distinct.length == families.length, "families merged")
+  }
+
   test("distributed CC matches union-find on random graphs") {
     val rng = new scala.util.Random(101)
     for (trial <- 1 to 4) {
