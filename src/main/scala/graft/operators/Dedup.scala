@@ -358,13 +358,38 @@ object Dedup {
         (col("label") === col("id")).as("is_canonical"))
   }
 
+  /** Quality-aware canonical selection: within each duplicate cluster
+    * (q58's simhash components), keep the HIGHEST-QUALITY copy — here the
+    * distinct-token ratio, ties by min doc_id — instead of the min-id
+    * representative. The real-corpus dedup ending: the cluster table
+    * joins the per-row quality projection id-to-id and the winner is one
+    * per-cluster window — no new wide exchange beyond the clustering
+    * itself.
+    */
+  def q77CanonicalBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = q58DedupClusters(spark, dir)
+    val quality = docs(spark, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        round(size(array_distinct(col("tokens"))).cast("double") /
+          size(col("tokens")), 6).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        (col("rk") === 1).as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_dedup_exact" -> q44DedupExact,
     "q45_ngram_jaccard" -> q45NgramJaccard,
     "q46_minhash_lsh" -> q46MinhashLsh,
     "q47_simhash" -> q47Simhash,
     "q58_dedup_clusters" -> q58DedupClusters,
-    "q66_dedup_pipeline" -> q66DedupPipeline)
+    "q66_dedup_pipeline" -> q66DedupPipeline,
+    "q77_canonical_best" -> q77CanonicalBest)
 
   private val shingleCte =
     """t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS tok FROM documents),
@@ -481,6 +506,40 @@ object Dedup {
         |  UNION
         |  SELECT bi.src, reach.label FROM reach JOIN bi ON bi.dst = reach.id)
         |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
+    "q77_canonical_best" ->
+      """WITH RECURSIVE th AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, lang, j, sum(((h // CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1) AS vote
+        |  FROM th, generate_series(0, 15) g(j)
+        |  GROUP BY doc_id, lang, j),
+        |sim AS (
+        |  SELECT doc_id, lang,
+        |    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id, lang),
+        |edges AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM sim x JOIN sim y ON x.lang = y.lang AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 2),
+        |bi AS (SELECT a_id AS src, b_id AS dst FROM edges
+        |       UNION ALL SELECT b_id, a_id FROM edges),
+        |reach(id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT bi.src, reach.label FROM reach JOIN bi ON bi.dst = reach.id),
+        |clusters AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+        |quality AS (
+        |  SELECT doc_id,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 6) AS quality
+        |  FROM documents)
+        |SELECT doc_id, cluster_id, quality, rk = 1 AS keep FROM (
+        |  SELECT c.doc_id, c.cluster_id, q.quality,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY q.quality DESC, c.doc_id) AS rk
+        |  FROM clusters c JOIN quality q ON q.doc_id = c.doc_id)""".stripMargin,
     "q47_simhash" ->
       """WITH th AS (
         |  SELECT doc_id, lang,
