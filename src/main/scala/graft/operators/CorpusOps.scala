@@ -54,10 +54,11 @@ object CorpusOps {
     * the scan's codegen stage at any corpus size. The per-row cost is
     * O(distinct·n) for the mode, bounded by document length.
     */
-  /** Per-row repetition scores over a frame with a `text` column — shared
-    * by q69 and the spec's constructed-input checks.
+  /** Per-row repetition metrics APPENDED to the input frame (original
+    * columns kept) — the shared kernel behind q69 and the streaming
+    * quality gate.
     */
-  private[operators] def repetitionScores(df: DataFrame): DataFrame =
+  private[graft] def repetitionScored(df: DataFrame): DataFrame =
     df.withColumn("tokens", split(col("text"), " "))
       .withColumn("n_tok", size(col("tokens")))
       .withColumn("top_tok_frac", round(
@@ -74,8 +75,14 @@ object CorpusOps {
         when(size(col("bigrams")) > 0,
           (size(col("bigrams")) - size(array_distinct(col("bigrams")))).cast("double")
             / size(col("bigrams"))).otherwise(lit(0.0)), 6))
-      .select(col("doc_id"), col("n_tok"), col("top_tok_frac"), col("dup_bigram_frac"),
-        (col("top_tok_frac") > 0.3 || col("dup_bigram_frac") > 0.3).as("flagged"))
+      .withColumn("flagged",
+        col("top_tok_frac") > 0.3 || col("dup_bigram_frac") > 0.3)
+      .drop("tokens", "bigrams")
+
+  /** q69's projection of [[repetitionScored]] — shared by the spec. */
+  private[operators] def repetitionScores(df: DataFrame): DataFrame =
+    repetitionScored(df).select(col("doc_id"), col("n_tok"),
+      col("top_tok_frac"), col("dup_bigram_frac"), col("flagged"))
 
   def q69Repetition(spark: SparkSession, dir: String): DataFrame =
     repetitionScores(docs(spark, dir))

@@ -136,6 +136,17 @@ class DedupPropertiesSpec extends SparkSpec {
       val got = Dedup.connectedComponents(edgesDf, nodesDf)
         .as[(Long, Long)].collect().toMap
       assert(got == expected, s"trial $trial: CC labels diverge from union-find")
+      // single-partition layout: the whole graph contracts locally and the
+      // boundary graph is EMPTY — the two-level degenerate path
+      val got1 = Dedup.connectedComponents(edgesDf.repartition(1), nodesDf)
+        .as[(Long, Long)].collect().toMap
+      assert(got1 == expected, s"trial $trial: single-partition CC diverges")
+      // duplicate + mirrored edges must not change components
+      val gotDup = Dedup.connectedComponents(
+        edgesDf.union(edgesDf).union(edgesDf.select($"b_id", $"a_id")
+          .toDF("a_id", "b_id")), nodesDf)
+        .as[(Long, Long)].collect().toMap
+      assert(gotDup == expected, s"trial $trial: duplicate-edge CC diverges")
     }
   }
 

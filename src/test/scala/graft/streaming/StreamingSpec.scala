@@ -174,4 +174,38 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.table("winagg").schema.fieldNames.toSet
     assert(schema == Set("window", "user_id", "n", "mean_v"))
   }
+
+  test("streaming quality gate routes flagged docs to the reject sink") {
+    val tmp = java.nio.file.Files.createTempDirectory("qualstream").toString
+    val docs1 = Seq(
+      (1L, "spam spam spam spam spam", "en", "web", 24L),    // top_tok 1.0
+      (2L, "a clean document with varied words", "en", "web", 34L),
+      (3L, "go go go go stop", "en", "web", 16L))             // top_tok 0.8
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs1.write.mode("append").parquet(s"$tmp/in")
+    val q1 = StreamingQuality.run(spark, s"$tmp/in", docs1.schema,
+      s"$tmp/clean", s"$tmp/reject", s"$tmp/ckpt")
+    q1.awaitTermination()
+    val clean = spark.read.parquet(s"$tmp/clean")
+    val reject = spark.read.parquet(s"$tmp/reject")
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(2L))
+    assert(reject.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    // the gate must agree with the batch scorer on the same rows
+    val batchFlags = graft.operators.CorpusOps.repetitionScored(docs1)
+      .select("doc_id", "flagged").as[(Long, Boolean)].collect().toMap
+    assert(batchFlags == Map(1L -> true, 2L -> false, 3L -> true))
+    // original columns survive into the sinks (gate appends, never projects)
+    assert(clean.columns.contains("text") && clean.columns.contains("source"))
+
+    // checkpoint resume: a second batch only processes the new file
+    Seq((4L, "another ordinary sentence of words", "fr", "web", 34L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$tmp/in")
+    val q2 = StreamingQuality.run(spark, s"$tmp/in", docs1.schema,
+      s"$tmp/clean", s"$tmp/reject", s"$tmp/ckpt")
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$tmp/clean")
+      .select("doc_id").as[Long].collect().toSet == Set(2L, 4L))
+    assert(spark.read.parquet(s"$tmp/reject").count() == 2, "no reprocessing")
+  }
 }
