@@ -382,6 +382,42 @@ object Dedup {
         (col("rk") === 1).as("keep"))
   }
 
+  /** Winnowing fingerprints (the MOSS/substring-dedup modality): every
+    * 20-char gram is hashed, each 10-gram window keeps its MINIMUM hash,
+    * and documents sharing ≥ 2 distinct fingerprints are substring-dup
+    * candidates. Winnowing's guarantee: any shared substring of length
+    * ≥ gram + window − 1 = 29 chars selects the same fingerprint in both
+    * documents (content-defined sampling — absolute-position sampling
+    * would never align across docs). Fingerprint density is ~2/(w+1) per
+    * position, so the explode-and-join exchange carries a small constant
+    * fraction of the corpus; gram length and window are the
+    * density/sensitivity dials.
+    */
+  def q78WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val (a, w) = (20, 10)
+    val fpU = udf((text: String) => {
+      if (text.length < a + w - 1) Seq.empty[Long]
+      else {
+        val hs = Array.tabulate(text.length - a + 1)(i =>
+          graft.functions.PortableHash.md5Int60(text.substring(i, i + a)))
+        (0 to hs.length - w).map { j =>
+          var m = Long.MaxValue
+          var k = j
+          while (k < j + w) { if (hs(k) < m) m = hs(k); k += 1 }
+          m
+        }.distinct
+      }
+    })
+    val fps = docs(spark, dir)
+      .select(col("doc_id"), explode(fpU(col("text"))).as("fp"))
+    fps.select(col("doc_id").as("a_id"), col("fp"))
+      .join(fps.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_dedup_exact" -> q44DedupExact,
     "q45_ngram_jaccard" -> q45NgramJaccard,
@@ -389,7 +425,8 @@ object Dedup {
     "q47_simhash" -> q47Simhash,
     "q58_dedup_clusters" -> q58DedupClusters,
     "q66_dedup_pipeline" -> q66DedupPipeline,
-    "q77_canonical_best" -> q77CanonicalBest)
+    "q77_canonical_best" -> q77CanonicalBest,
+    "q78_winnow_fingerprint" -> q78WinnowFingerprint)
 
   private val shingleCte =
     """t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS tok FROM documents),
@@ -540,6 +577,18 @@ object Dedup {
         |    row_number() OVER (PARTITION BY c.cluster_id
         |      ORDER BY q.quality DESC, c.doc_id) AS rk
         |  FROM clusters c JOIN quality q ON q.doc_id = c.doc_id)""".stripMargin,
+    "q78_winnow_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(range(1, length(text) - 18),
+        |    i -> ('0x' || substr(md5(substr(text, i, 20)), 1, 15))::BIGINT) AS hs
+        |  FROM documents WHERE length(text) >= 29),
+        |f AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(hs) - 8), j -> list_min(hs[j:j+9]))) AS fp
+        |  FROM g WHERE len(hs) >= 10)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "q47_simhash" ->
       """WITH th AS (
         |  SELECT doc_id, lang,

@@ -118,6 +118,31 @@ class DedupPropertiesSpec extends SparkSpec {
     assert(famLabels.distinct.length == families.length, "families merged")
   }
 
+  test("winnowing detects planted shared substrings, misses nothing planted") {
+    // pairs of docs sharing an 80-char block at DIFFERENT offsets —
+    // content-defined sampling must align the fingerprints anyway
+    // (absolute-position sampling could not); filler is unique per doc
+    val rng = new scala.util.Random(613)
+    def rand(n: Int) = (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val blocks = (0 until 5).map(_ => rand(80))
+    val texts = blocks.zipWithIndex.flatMap { case (b, i) =>
+      Seq((2L * i, rand(30 + rng.nextInt(40)) + " " + b + " " + rand(20)),
+        (2L * i + 1, rand(10) + " " + b + " " + rand(50 + rng.nextInt(30))))
+    } :+ (100L, rand(200)) // a loner with no planted block
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    texts.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.q78WinnowFingerprint(spark, dir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    blocks.indices.foreach { i =>
+      assert(pairs.contains((2L * i, 2L * i + 1)),
+        s"planted pair ${2 * i}/${2 * i + 1} not detected")
+    }
+    assert(!pairs.exists(p => p._1 == 100L || p._2 == 100L),
+      "the loner must not pair with anything")
+  }
+
   test("distributed CC matches union-find on random graphs") {
     val rng = new scala.util.Random(101)
     for (trial <- 1 to 4) {
