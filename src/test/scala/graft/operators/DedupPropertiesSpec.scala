@@ -118,6 +118,36 @@ class DedupPropertiesSpec extends SparkSpec {
     assert(famLabels.distinct.length == families.length, "families merged")
   }
 
+  test("minhash similarity estimate tracks true Jaccard (q46 accuracy)") {
+    // E[est] = J and sd ≈ sqrt(J(1-J)/16) ≈ 0.12 per pair at 16 slots —
+    // the mean absolute error over many near-dup pairs must stay inside
+    // a few sd, or the hash family/banding is broken
+    val rng = new scala.util.Random(877)
+    val vocab = (0 until 50).map(i => s"v$i")
+    val cores = (0 until 10).map(_ => Seq.fill(25)(vocab(rng.nextInt(50))))
+    val texts = cores.flatMap(c => (0 until 3).map { _ =>
+      c.map(w => if (rng.nextDouble() < 0.04) vocab(rng.nextInt(50)) else w).mkString(" ")
+    })
+    val dir = java.nio.file.Files.createTempDirectory("mhacc").toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sh = texts.zipWithIndex.map { case (t, i) => i.toLong -> shingles(t) }.toMap
+    val got = Dedup.q46MinhashLsh(spark, dir)
+      .select("a_id", "b_id", "est_sim").as[(Long, Long, Double)].collect()
+    assert(got.length >= 5, "corpus must produce near-dup pairs")
+    val errs = got.map { case (a, b, est) =>
+      val (sa, sb) = (sh(a), sh(b))
+      val inter = (sa & sb).size.toDouble
+      math.abs(est - inter / (sa.size + sb.size - inter))
+    }
+    val mae = errs.sum / errs.length
+    info(f"minhash MAE = $mae%.3f over ${errs.length} pairs")
+    assert(mae < 0.15, f"minhash estimate error $mae%.3f too large")
+  }
+
   test("winnowing detects planted shared substrings, misses nothing planted") {
     // pairs of docs sharing an 80-char block at DIFFERENT offsets —
     // content-defined sampling must align the fingerprints anyway
