@@ -61,16 +61,21 @@ object Bench {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
       try {
         import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
+        import scala.concurrent.duration._
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        Await.result(Future.sequence(selected.map { case (name, fn) =>
+        // bounded wait: a wedged warmup query must degrade to cold timing,
+        // not hang the benchmark
+        try Await.result(Future.sequence(selected.map { case (name, fn) =>
           Future {
             try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
             catch { case e: Throwable =>
               System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
             }
           }
-        }), Duration.Inf)
+        }), 300.seconds)
+        catch { case _: java.util.concurrent.TimeoutException =>
+          System.err.println("[bench] warmup timed out; proceeding cold")
+        }
       } finally pool.shutdown()
       spark.catalog.clearCache()
       System.err.println(f"[bench] warmup pass: ${(System.nanoTime() - w0) / 1e9}%.2fs")

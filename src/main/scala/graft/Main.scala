@@ -107,13 +107,15 @@ object Main {
     val name = spec.split("[:%]")(0)
     val dir = Paths.get(settings.inpLcs, name)
     val listing = Files.list(dir)
-    val suffix =
-      try listing.iterator().asScala.map(_.toString)
-        .collectFirst {
-          case f if f.endsWith(".fits") => "fits"
-          case f if f.endsWith(".dat")  => "dat"
-        }.getOrElse("dat")
+    // materialize the listing before deciding: directory enumeration order
+    // is filesystem-dependent, and a mixed dir must deterministically
+    // prefer FITS over dat
+    val names =
+      try listing.iterator().asScala.map(_.toString).toVector
       finally listing.close()
+    val suffix =
+      if (names.exists(_.endsWith(".fits"))) "fits"
+      else "dat"
     Map("path" -> dir.toString, "suffix" -> suffix, "star_class" -> spec)
   }
 
@@ -186,13 +188,16 @@ object Main {
 
     // reference sink parity: one FITS per matched star under `lcs/`
     // (`filter_stars.py` → `writeToFITS`); written per-partition on the
-    // executors — no driver collect
+    // executors — no driver collect. The project dir is assumed to be a
+    // SHARED filesystem (the reference CLI's contract too); each task
+    // creates the dir itself so the write works wherever it runs.
     val lcsDir = runDir.resolve("lcs")
     Files.createDirectories(lcsDir)
     import spark.implicits._
     val lcsPath = lcsDir.toString
     spark.read.parquet(runDir.resolve("matched").toString).as[Star]
       .foreachPartition { (it: Iterator[Star]) =>
+        Files.createDirectories(Paths.get(lcsPath))
         it.foreach { s =>
           Files.write(Paths.get(lcsPath, s"${s.starId}.fits"),
             sources.Fits.writeStar(s))

@@ -257,16 +257,17 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
     import org.apache.spark.ml.feature.VectorAssembler
     import org.apache.spark.ml.stat.Summarizer
     val spark = sCoords.sparkSession
-    // spaceCoordinates already assembled the feature Vector
-    val coords = sCoords.unionByName(oCoords)
-      .select(col("features").as("_vec"))
+    // ONE cached pass of the (possibly expensive) input coords feeds the
+    // mean, the PCA fit AND the projected-extremes aggregate
+    val all = sCoords.unionByName(oCoords)
+      .select(col("features").as("_vec") +: featureCols.map(col): _*)
       .cache()
     try {
       // sklearn PCA: center on the sample mean, components from covariance
-      val mean = coords.select(Summarizer.mean(col("_vec")).as("m"))
+      val mean = all.select(Summarizer.mean(col("_vec")).as("m"))
         .head().getAs[org.apache.spark.ml.linalg.Vector]("m").toArray
       val pc = new org.apache.spark.ml.feature.PCA()
-        .setInputCol("_vec").setOutputCol("_red").setK(2).fit(coords).pc
+        .setInputCol("_vec").setOutputCol("_red").setK(2).fit(all).pc
       val d = featureCols.length
       val comp = Array.tabulate(2)(j => Array.tabulate(d)(i => pc(i, j)))
       // projected extremes of the training coords (one small agg)
@@ -274,7 +275,7 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
         featureCols.zipWithIndex.map { case (c, i) =>
           (col(c) - mean(i)) * comp(j)(i)
         }.reduce(_ + _)
-      val b = sCoords.unionByName(oCoords)
+      val b = all
         .select(proj(0).as("px"), proj(1).as("py"))
         .agg(min("px"), max("px"), min("py"), max("py")).head()
       val (xmin, xmax, ymin, ymax) =
@@ -292,7 +293,7 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
       val vec = new VectorAssembler().setInputCols(featureCols.toArray)
         .setOutputCol("features").transform(back)
       evaluateCoordinates(models.foldLeft(vec)((df, m) => m.evaluate(df)))
-    } finally coords.unpersist()
+    } finally all.unpersist()
   }
 
   /** ROC sweep (`getROC`, `stars_filter.py:370-376`): n thresholds in

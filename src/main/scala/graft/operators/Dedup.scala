@@ -259,6 +259,10 @@ object Dedup {
     * changed-label count (no separate convergence scan; task retries only
     * over-count, never fake convergence). An empty edge set degenerates to
     * every node labeling itself.
+    *
+    * Contract: edge endpoints must be ⊆ `nodes` (every caller passes the
+    * full table's ids) — an endpoint outside `nodes` could become a
+    * component label without appearing as an output row.
     */
   private[operators] def connectedComponents(edges: DataFrame, nodes: DataFrame): DataFrame = {
     val spark = edges.sparkSession

@@ -24,8 +24,14 @@ object Skew {
                  salts: Int): DataFrame = {
     require(salts > 1, "salts must exceed 1")
     val probeCols = probe.columns
+    // salt = hash(row, row-id): the row-id term spreads EXACT-duplicate
+    // hot rows too (hash of the row alone would send a million identical
+    // "null island" rows to one reducer — the case salting exists for).
+    // Placement does not need determinism across retries for correctness;
+    // every row joins the same replicated build rows whatever its salt.
     val salted = probe.withColumn("_salt",
-      pmod(hash(struct(probeCols.map(col): _*)), lit(salts)))
+      pmod(hash(struct(probeCols.map(col): _*), monotonically_increasing_id()),
+        lit(salts)))
     val replicated = build.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

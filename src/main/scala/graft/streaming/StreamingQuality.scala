@@ -28,13 +28,17 @@ object StreamingQuality {
       .parquet(docDir)
     CorpusOps.repetitionScored(docs.toDF())
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // idempotent restart: each micro-batch OVERWRITES its own
+        // batch_id=N partition directory, so a failure between the two
+        // sink writes (or after them but before the checkpoint commit)
+        // re-runs the batch without duplicating rows in either sink
         val scored = batch.cache()
         try {
           scored.filter(!col("flagged"))
-            .write.mode("append").parquet(cleanPath)
+            .write.mode("overwrite").parquet(s"$cleanPath/batch_id=$batchId")
           scored.filter(col("flagged"))
-            .write.mode("append").parquet(rejectPath)
+            .write.mode("overwrite").parquet(s"$rejectPath/batch_id=$batchId")
         } finally scored.unpersist()
         ()
       }

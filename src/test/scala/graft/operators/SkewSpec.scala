@@ -10,9 +10,10 @@ class SkewSpec extends SparkSpec {
   import spark.implicits._
 
   test("saltedJoin equals the plain join and spreads the hot key") {
-    // 90% of probe rows share one key — the shape that makes one reducer
-    // the straggler in a plain shuffle join
-    val probe = ((1 to 900).map(i => (1L, s"hot_$i")) ++
+    // 90% of probe rows are IDENTICAL on one key — the null-island shape
+    // that makes one reducer the straggler in a plain shuffle join (and
+    // defeats any salt derived from row content alone)
+    val probe = ((1 to 900).map(_ => (1L, "hot")) ++
       (1 to 100).map(i => ((i % 7 + 2).toLong, s"cold_$i")))
       .toDF("k", "payload")
     val build = (1L to 8L).map(k => (k, s"dim_$k")).toDF("k", "attr")
@@ -40,10 +41,12 @@ class SkewSpec extends SparkSpec {
     val sp = salted.queryExecution.executedPlan.toString
     assert(sp.contains("hashpartitioning(k") && sp.contains("_salt"),
       "salted join must shuffle on (k, _salt):\n" + sp)
+    // the salt expression must spread even IDENTICAL rows (row-id term)
     val hotSalts = probe.filter(col("k") === 1L)
-      .select(pmod(hash(struct(probe.columns.map(col): _*)), lit(4)).as("s"))
+      .select(pmod(hash(struct(probe.columns.map(col): _*),
+        monotonically_increasing_id()), lit(4)).as("s"))
       .distinct().count()
-    assert(hotSalts == 4L, s"hot key must spread across all 4 salts, got $hotSalts")
+    assert(hotSalts == 4L, s"identical hot rows must spread across all 4 salts, got $hotSalts")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
