@@ -17,11 +17,17 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects unless
-      // read as raw nanos; `ts` therefore arrives as LongType nanoseconds
-      // (DuckDB oracle equivalent: epoch_ns(ts)).
+      // read as raw nanos; `ts` therefore arrives as LongType nanoseconds.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
-    spark.read.parquet(s"$sfDir/$name.parquet")
+      // …then snapped to the MICROSECOND grid: DuckDB's parquet reader
+      // floors ns timestamps to µs (its TIMESTAMP type), so any oracle
+      // time math runs on the µs clock. Differencing/ordering full-ns
+      // values against µs-floored ones flips a bucket or a window order
+      // whenever the sub-µs parts straddle a boundary (caught at sf0.1 on
+      // q61's ms buckets) — one clock for both engines removes the class.
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("(ts div 1000) * 1000"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   /** Register all tables of a scale-factor dir as temp views. Idempotent. */
