@@ -74,7 +74,11 @@ object Bench {
           }
         }), 300.seconds)
         catch { case _: java.util.concurrent.TimeoutException =>
-          System.err.println("[bench] warmup timed out; proceeding cold")
+          // kill the wedged warmup work, or it runs CONCURRENTLY with the
+          // timed pass and contends every measurement
+          System.err.println("[bench] warmup timed out; cancelling and proceeding cold")
+          pool.shutdownNow()
+          spark.sparkContext.cancelAllJobs()
         }
       } finally pool.shutdown()
       spark.catalog.clearCache()

@@ -11,27 +11,30 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Inner equi-join with a salted key: every probe row gets a
-    * DETERMINISTIC salt (hash of its full row, mod `salts`), the build
-    * side is replicated once per salt value, and the join runs on
-    * (key, salt) — a hot key's rows land on `salts` different reducers
-    * instead of one. Build-side cost is a bounded ×`salts` blow-up, the
-    * price of removing the straggler; the result set is exactly the plain
-    * join's. Use when the build side is too big to broadcast but small
-    * enough to replicate `salts` times.
+  /** Inner equi-join with a salted key: the build side is replicated once
+    * per salt value and the join runs on (key, salt), so a hot key's rows
+    * land on `salts` different reducers instead of one. Build-side cost is
+    * a bounded ×`salts` blow-up, the price of removing the straggler; the
+    * result set is exactly the plain join's — every probe row joins the
+    * same replicated build rows whatever its salt.
+    *
+    * Pass `uniqueKey` (a column whose values are unique per row, e.g. an
+    * id) to get a DETERMINISTIC salt that spreads even identical-content
+    * rows. Without it the salt derives from `monotonically_increasing_id`,
+    * which also spreads identical rows but is row-order-dependent: if the
+    * probe is itself a nondeterministically-ordered shuffle output, a
+    * partial stage recomputation could re-salt rows inconsistently —
+    * prefer `uniqueKey` (or a storage-backed probe) in fault-tolerant
+    * pipelines.
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
-                 salts: Int): DataFrame = {
+                 salts: Int, uniqueKey: Option[String] = None): DataFrame = {
     require(salts > 1, "salts must exceed 1")
-    val probeCols = probe.columns
-    // salt = hash(row, row-id): the row-id term spreads EXACT-duplicate
-    // hot rows too (hash of the row alone would send a million identical
-    // "null island" rows to one reducer — the case salting exists for).
-    // Placement does not need determinism across retries for correctness;
-    // every row joins the same replicated build rows whatever its salt.
-    val salted = probe.withColumn("_salt",
-      pmod(hash(struct(probeCols.map(col): _*), monotonically_increasing_id()),
-        lit(salts)))
+    val saltExpr = uniqueKey match {
+      case Some(u) => pmod(hash(col(u)), lit(salts))
+      case None    => pmod(hash(monotonically_increasing_id()), lit(salts))
+    }
+    val salted = probe.withColumn("_salt", saltExpr)
     val replicated = build.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

@@ -177,14 +177,11 @@ object TimeSeries {
         last(when(col("event_type") === "error", col("ts")), ignoreNulls = true)
           .over(wPrev))
       .filter(col("event_type") === "click")
-      // ms on the MICROSECOND clock: DuckDB's parquet reader floors ns
-      // timestamps to µs, and floor(a/1000)-floor(b/1000) is not
-      // floor((a-b)/1000) — differencing full-ns values flips the ms
-      // bucket whenever the sub-µs parts straddle it (observed at sf0.1).
-      // Truncate BOTH operands to µs first, exactly like the oracle's clock.
+      // exact integral ns→ms division; `ts` is already on the µs grid
+      // (Tables.load snaps it to DuckDB's floored-to-µs clock), so this
+      // can never straddle an ms bucket differently than the oracle
       .select(col("event_id"), col("user_id"),
-        expr("((ts div 1000) - (last_error_ts div 1000)) div 1000")
-          .as("ms_since_error"))
+        expr("(ts - last_error_ts) div 1000000").as("ms_since_error"))
   }
 
   /** Exact interpolated percentiles per event type (p50/p90/p99) — the

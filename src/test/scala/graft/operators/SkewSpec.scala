@@ -41,12 +41,19 @@ class SkewSpec extends SparkSpec {
     val sp = salted.queryExecution.executedPlan.toString
     assert(sp.contains("hashpartitioning(k") && sp.contains("_salt"),
       "salted join must shuffle on (k, _salt):\n" + sp)
-    // the salt expression must spread even IDENTICAL rows (row-id term)
+    // the salt expression must spread even IDENTICAL rows (row-id based)
     val hotSalts = probe.filter(col("k") === 1L)
-      .select(pmod(hash(struct(probe.columns.map(col): _*),
-        monotonically_increasing_id()), lit(4)).as("s"))
+      .select(pmod(hash(monotonically_increasing_id()), lit(4)).as("s"))
       .distinct().count()
     assert(hotSalts == 4L, s"identical hot rows must spread across all 4 salts, got $hotSalts")
+
+    // the deterministic uniqueKey path: same result set, hot key spread
+    val withId = probe.withColumn("rid", monotonically_increasing_id()).cache()
+    val saltedDet = Skew.saltedJoin(withId, build, "k", 4, Some("rid"))
+    assert(saltedDet.count() == plain.count(), "uniqueKey path row count")
+    val detSalts = withId.filter(col("k") === 1L)
+      .select(pmod(hash(col("rid")), lit(4)).as("s")).distinct().count()
+    assert(detSalts == 4L, "uniqueKey salt must spread the hot key")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
