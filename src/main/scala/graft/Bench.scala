@@ -63,22 +63,39 @@ object Bench {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration._
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        // every warmup job lands in one job group, so a timeout can cancel
+        // the GROUP: shutdownNow alone only interrupts threads — a thread
+        // past its interrupt check could still submit a fresh job AFTER a
+        // one-shot cancelAllJobs and contend the timed pass. The timeout
+        // path below cancels the group, awaits pool death (no submitter
+        // survives), then sweeps the group once more for stragglers.
+        val warmGroup = "graft-bench-warmup"
         // bounded wait: a wedged warmup query must degrade to cold timing,
         // not hang the benchmark
         try Await.result(Future.sequence(selected.map { case (name, fn) =>
           Future {
+            spark.sparkContext.setJobGroup(warmGroup, s"warmup $name",
+              interruptOnCancel = true)
             try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
             catch { case e: Throwable =>
               System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
-            }
+            } finally spark.sparkContext.clearJobGroup()
           }
         }), 300.seconds)
         catch { case _: java.util.concurrent.TimeoutException =>
           // kill the wedged warmup work, or it runs CONCURRENTLY with the
-          // timed pass and contends every measurement
+          // timed pass and contends every measurement: interrupt the
+          // threads, cancel the group, then WAIT for the pool to die —
+          // only then is it impossible for a straggler to submit a new job
           System.err.println("[bench] warmup timed out; cancelling and proceeding cold")
           pool.shutdownNow()
-          spark.sparkContext.cancelAllJobs()
+          spark.sparkContext.cancelJobGroup(warmGroup)
+          if (!pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS))
+            System.err.println("[bench] warmup pool failed to terminate in 60s")
+          // a thread past its interrupt check may have submitted between
+          // the first cancel and its death — sweep once more now that no
+          // submitter remains
+          spark.sparkContext.cancelJobGroup(warmGroup)
         }
       } finally pool.shutdown()
       spark.catalog.clearCache()

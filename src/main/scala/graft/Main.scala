@@ -68,9 +68,11 @@ object Main {
           (f until t by s).map(_.toString)
         } else {
           val Seq(f, t, s) = Seq(parts(0), parts(1), step).map(_.toDouble)
-          // np.arange half-open float range
-          Iterator.iterate(f)(_ + s).takeWhile(v => (s > 0 && v < t) || (s < 0 && v > t))
-            .map(_.toString).toSeq
+          // np.arange half-open float range: element i is f + i*s (one
+          // rounding each, np.arange's arithmetic) — iterated addition
+          // would accumulate FP error and can flip endpoint inclusion
+          val n = math.ceil((t - f) / s).toLong max 0L
+          (0L until n).map(i => (f + i * s).toString)
         }
       case _ => throw new IllegalArgumentException(s"Too many ':' in range $r")
     }

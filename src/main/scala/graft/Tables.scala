@@ -25,8 +25,11 @@ object Tables {
       // values against µs-floored ones flips a bucket or a window order
       // whenever the sub-µs parts straddle a boundary (caught at sf0.1 on
       // q61's ms buckets) — one clock for both engines removes the class.
+      // `ts - pmod(ts, 1000)` is FLOOR division in exact integer math
+      // (pmod's remainder is non-negative), matching DuckDB's floor for
+      // pre-1970 negative nanos where `div` would truncate toward zero.
       spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("(ts div 1000) * 1000"))
+        .withColumn("ts", org.apache.spark.sql.functions.expr("ts - pmod(ts, 1000)"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -18,22 +18,34 @@ object Skew {
     * result set is exactly the plain join's — every probe row joins the
     * same replicated build rows whatever its salt.
     *
-    * Pass `uniqueKey` (a column whose values are unique per row, e.g. an
-    * id) to get a DETERMINISTIC salt that spreads even identical-content
-    * rows. Without it the salt derives from `monotonically_increasing_id`,
-    * which also spreads identical rows but is row-order-dependent: if the
-    * probe is itself a nondeterministically-ordered shuffle output, a
-    * partial stage recomputation could re-salt rows inconsistently —
-    * prefer `uniqueKey` (or a storage-backed probe) in fault-tolerant
-    * pipelines.
+    * `uniqueKey` names a column whose values are unique per row (an id):
+    * the salt hashes it, so it is DETERMINISTIC under stage recomputation
+    * and still spreads identical-content rows. Probes without any unique
+    * column can use [[saltedJoinUnstable]], which synthesizes one — at a
+    * documented fault-tolerance cost.
     */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
-                 salts: Int, uniqueKey: Option[String] = None): DataFrame = {
+                 salts: Int, uniqueKey: String): DataFrame =
+    saltedWith(probe, build, key, salts, pmod(hash(col(uniqueKey)), lit(salts)))
+
+  /** [[saltedJoin]] with a salt derived from `monotonically_increasing_id`
+    * for probes lacking a per-row unique column. The synthetic id is
+    * row-order-dependent: if the probe is itself a nondeterministically
+    * ordered shuffle output, a PARTIAL stage recomputation can re-salt rows
+    * inconsistently (Spark's indeterminate-stage rollback is the only
+    * guard). Safe for storage-backed probes; prefer the deterministic
+    * overload in fault-tolerant pipelines — the explicit name is the
+    * opt-in.
+    */
+  def saltedJoinUnstable(probe: DataFrame, build: DataFrame, key: String,
+                         salts: Int): DataFrame =
+    saltedWith(probe, build, key, salts,
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+
+  private def saltedWith(probe: DataFrame, build: DataFrame, key: String,
+                         salts: Int,
+                         saltExpr: org.apache.spark.sql.Column): DataFrame = {
     require(salts > 1, "salts must exceed 1")
-    val saltExpr = uniqueKey match {
-      case Some(u) => pmod(hash(col(u)), lit(salts))
-      case None    => pmod(hash(monotonically_increasing_id()), lit(salts))
-    }
     val salted = probe.withColumn("_salt", saltExpr)
     val replicated = build.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -27,7 +27,7 @@ class SkewSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     try {
     val plain = probe.join(build, Seq("k"))
-    val salted = Skew.saltedJoin(probe, build, "k", salts = 4)
+    val salted = Skew.saltedJoinUnstable(probe, build, "k", salts = 4)
 
     // exact result equality (same rows, same multiplicities)
     assert(salted.columns.sorted.sameElements(plain.columns.sorted))
@@ -49,7 +49,7 @@ class SkewSpec extends SparkSpec {
 
     // the deterministic uniqueKey path: same result set, hot key spread
     val withId = probe.withColumn("rid", monotonically_increasing_id()).cache()
-    val saltedDet = Skew.saltedJoin(withId, build, "k", 4, Some("rid"))
+    val saltedDet = Skew.saltedJoin(withId, build, "k", 4, uniqueKey = "rid")
     assert(saltedDet.count() == plain.count(), "uniqueKey path row count")
     val detSalts = withId.filter(col("k") === 1L)
       .select(pmod(hash(col("rid")), lit(4)).as("s")).distinct().count()
