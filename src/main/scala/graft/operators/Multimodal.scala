@@ -78,7 +78,9 @@ object Multimodal {
   }
 
   /** Aggregate decoded features per source — decode feeding a relational
-    * pipeline (rows-only: width/height come from the stub).
+    * pipeline. The stub dims are pure byte math (width = 64 + checksum % 64,
+    * height = 64 + byte_len % 64), so the oracle replays them from
+    * hex(encode(text)) and the query is a hard hash-match.
     */
   def q55MultimodalAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -153,6 +155,23 @@ object Multimodal {
         |      i -> ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT), 'sum')
         |    END AS BIGINT) AS checksum
         |FROM h""".stripMargin,
+    "q55_multimodal_agg" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, hex(encode(text)) AS hx,
+        |    CAST(octet_length(encode(text)) AS INT) AS len
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, source, len AS byte_len,
+        |    CAST(CASE WHEN len = 0 THEN 0
+        |      ELSE list_aggregate(list_transform(generate_series(1, len),
+        |        i -> ('0x' || substr(hx, 2 * i - 1, 2))::BIGINT), 'sum')
+        |      END AS BIGINT) AS checksum
+        |  FROM h)
+        |SELECT source, count(*) AS n,
+        |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+        |  round(avg(64 + (checksum % 64)), 4) AS avg_w,
+        |  round(avg(64 + (byte_len % 64)), 4) AS avg_h
+        |FROM f GROUP BY source""".stripMargin,
     "q59_multimodal_frames" ->
       """WITH d AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,

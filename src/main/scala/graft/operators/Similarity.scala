@@ -45,9 +45,18 @@ object Similarity {
     */
   val DUP_BANDS = 8
 
+  /** IVF list count — FIXED, corpus-independent: k is a deployment dial
+    * (≈ √N at the target scale, e.g. 4096 lists for 10⁹ vectors), never
+    * derived from the data at hand, so assignment cost is N·k map-side
+    * dots and the centroid table (k × dim doubles) is always
+    * closure-broadcastable. 16 suits the sf fixtures (hundreds to
+    * thousands of vectors → lists of tens).
+    */
+  val IVF_K = 16
+
   /** IVF recall dial: lists probed per query (fraction of corpus scanned
-    * ≈ NPROBE / number of lists). 2 measured 27% recall@3; 4 doubles the
-    * scanned fraction and the recall floor (AnnRecallSpec).
+    * ≈ NPROBE / IVF_K). 4 of 16 lists ≈ 25% of a near-uniform corpus
+    * (AnnRecallSpec pins the floor).
     */
   val NPROBE = 4
 
@@ -186,37 +195,82 @@ object Similarity {
 
   /** IVF-Flat ANN — the second scale path next to LSH (q49): a coarse
     * quantizer partitions the corpus into inverted lists, probes search
-    * only their top-`nprobe` lists. Centroids here are the deterministic
-    * `vec_id % 50 == 0` subset (a production build trains k-means — the
-    * plumbing is identical: a small broadcastable centroid table).
+    * only their top-`nprobe` lists. The quantizer is one deterministic
+    * k-means step with k = IVF_K FIXED (corpus-independent): seeds are the
+    * IVF_K lowest vec_ids, every vector assigns to its nearest seed by
+    * q72's squared-L2 kernel (dist rounded to 6, ties → lower id), and
+    * each centroid is the per-position mean of its members rounded to 6 —
+    * both engines replay the identical arithmetic, so results hash-match.
     *
-    * Scale shape: assignment is corpus × k-broadcast with a MAP-SIDE
-    * `max_by` partial aggregate, so the assignment shuffle is N rows (not
-    * N·k); list search joins probe lists to list members on the list id —
-    * candidates scale with list occupancy (N/k per list), and k is the
-    * dial that grows with the corpus. Cosines are rounded to 6 before
-    * ranking on both engines so argmax ties break identically (by id).
+    * Scale shape: training is one map-side aggregation (k·dim partial sums
+    * per partition → k rows to the driver); the trained centroids ride the
+    * UDF closure (k × dim doubles), so list ASSIGNMENT is a pure map —
+    * N·k dots, NO shuffle at all — and probe-list ranking is in-row top-k
+    * over the same k cosines. List search joins probe lists to members on
+    * the list id; candidates scale with list occupancy (N/k per list).
+    * Cosines are rounded to 6 before ranking on both engines so argmax
+    * ties break identically (by id).
     */
   def q57AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(emb(spark, dir)).cache()
-    val cents = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
-        col("nn").as("nc"))
-    val allCos = e.select(col("vec_id"), col("embedding"), col("nn"))
-      .crossJoin(broadcast(cents))
-      .withColumn("cos",
-        round(dotC(spark, "embedding", "ce") / (sqrt(col("nn")) * sqrt(col("nc"))), 6))
-      .select(col("vec_id"), col("cent_id"), col("cos"))
-    // nearest centroid per vector: partial-aggregated argmax (ties → min id)
-    val assign = allCos.groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"), struct(col("cos"), -col("cent_id"))).as("list_id"))
-    // probes search their top-NPROBE lists
-    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cent_id"))
-    val probes = allCos.filter(col("vec_id") < 20)
-      .withColumn("prn", row_number().over(wProbe)).filter(col("prn") <= NPROBE)
-      .select(col("vec_id").as("p_id"), col("cent_id").as("list_id"))
+    // --- train: one k-means step (assignment to seeds + mean) ---
+    val seeds: Array[(Long, Array[Double])] = e.filter(col("vec_id") < IVF_K)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val dim = seeds.head._2.length
+    val seedAssignU = udf((v0: Seq[Float]) => {
+      val v = v0.toArray
+      var bestId = -1L
+      var bestD = Double.MaxValue
+      seeds.foreach { case (sid, s) =>
+        var d = 0.0
+        var i = 0
+        while (i < s.length) { val df = v(i).toDouble - s(i); d += df * df; i += 1 }
+        d = math.rint(d * 1e6) / 1e6
+        if (d < bestD) { bestD = d; bestId = sid } // ties keep the lower id
+      }
+      bestId
+    })
+    val sumCols = count(lit(1)).as("n") +: (0 until dim).map(i =>
+      sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
+    val cents: Array[(Long, Array[Double], Double)] = e
+      .groupBy(seedAssignU(col("embedding")).as("cent_id"))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .collect() // ≤ IVF_K rows of dim+2 values — bounded driver state
+      .map { r =>
+        val n = r.getLong(1)
+        val m = Array.tabulate(dim) { i =>
+          BigDecimal(r.getDouble(i + 2) / n)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        (r.getLong(0), m, m.map(x => x * x).sum)
+      }
+      .sortBy(_._1)
+    // --- assign + probe: pure map over the closure-broadcast centroids ---
+    def centCos(v0: Seq[Float]): Array[(Long, Double)] = {
+      val v = v0.toArray
+      var nn = 0.0
+      var i = 0
+      while (i < v.length) { nn += v(i).toDouble * v(i); i += 1 }
+      cents.map { case (cid, c, nc) =>
+        var dot = 0.0
+        var j = 0
+        while (j < c.length) { dot += v(j).toDouble * c(j); j += 1 }
+        (cid, math.rint(dot / (math.sqrt(nn) * math.sqrt(nc)) * 1e6) / 1e6)
+      }
+    }
+    val assignU = udf((v0: Seq[Float]) =>
+      centCos(v0).minBy { case (cid, cos) => (-cos, cid) }._1)
+    val topU = udf((v0: Seq[Float]) =>
+      centCos(v0).sortBy { case (cid, cos) => (-cos, cid) }.take(NPROBE).map(_._1).toSeq)
+    val assign = e.select(col("vec_id").as("c_id"),
+      assignU(col("embedding")).as("list_id"))
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("p_id"),
+        explode(topU(col("embedding"))).as("list_id"))
     val cand = probes
-      .join(assign.select(col("vec_id").as("c_id"), col("list_id")), Seq("list_id"))
+      .join(assign, Seq("list_id"))
       .filter(col("p_id") =!= col("c_id"))
       .select(col("p_id"), col("c_id"))
     val cos = cand
@@ -419,15 +473,30 @@ object Similarity {
     "q57_ann_ivf" ->
       s"""WITH $longFormCte,
         |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),
+        |sd AS (
+        |  SELECT a.vec_id, s.vec_id AS seed_id,
+        |    round(sum((a.v - s.v) * (a.v - s.v)), 6) AS d
+        |  FROM ex a JOIN ex s ON s.pos = a.pos AND s.vec_id < $IVF_K
+        |  GROUP BY 1, 2),
+        |sa AS (
+        |  SELECT vec_id, seed_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d, seed_id) AS rn
+        |    FROM sd) WHERE rn = 1),
+        |cents AS (
+        |  SELECT sa.seed_id AS cent_id, a.pos, round(avg(a.v), 6) AS cv
+        |  FROM ex a JOIN sa ON sa.vec_id = a.vec_id
+        |  GROUP BY 1, 2),
+        |cnorm AS (SELECT cent_id, sum(cv * cv) AS nc FROM cents GROUP BY 1),
         |adots AS (
-        |  SELECT a.vec_id, b.vec_id AS cent_id, sum(a.v * b.v) AS dot
-        |  FROM ex a JOIN ex b ON b.pos = a.pos AND b.vec_id % 50 = 0
+        |  SELECT a.vec_id, c.cent_id, sum(a.v * c.cv) AS dot
+        |  FROM ex a JOIN cents c ON c.pos = a.pos
         |  GROUP BY 1, 2),
         |acos AS (
-        |  SELECT d.vec_id, cent_id,
-        |    round(dot / (sqrt(nv.nn) * sqrt(nc.nn)), 6) AS cos
+        |  SELECT d.vec_id, d.cent_id,
+        |    round(dot / (sqrt(nv.nn) * sqrt(cn.nc)), 6) AS cos
         |  FROM adots d JOIN norms nv ON nv.vec_id = d.vec_id
-        |    JOIN norms nc ON nc.vec_id = d.cent_id),
+        |    JOIN cnorm cn ON cn.cent_id = d.cent_id),
         |ranked AS (
         |  SELECT vec_id, cent_id,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn

@@ -7,9 +7,12 @@ import graft.SparkSpec
   * as the corpus grows — these specs pin the recall they must keep against
   * the exact brute-force baseline, so a retune that silently guts recall
   * fails here instead of in production. Pair-collision probability is
-  * corpus-size-independent, so the fixture recall transfers to scale; IVF
-  * recall on this near-uniform corpus ≈ the scanned-list fraction, the
-  * honest floor for unclustered data (clustered corpora do far better).
+  * corpus-size-independent, so the fixture recall transfers to scale. IVF
+  * recall reflects how well the trained quantizer matches the corpus's
+  * cluster structure: the one-step k-means (IVF_K=16, NPROBE=4) measures
+  * 0.92 on this fixture — the 0.5 floor leaves headroom for dial retunes
+  * while still catching a quantizer regression (the untrained
+  * corpus-subset quantizer it replaced measured 0.27).
   */
 class AnnRecallSpec extends SparkSpec {
   import spark.implicits._
@@ -44,6 +47,6 @@ class AnnRecallSpec extends SparkSpec {
       (exactTop3(p) & ivf(p)).size.toDouble / exactTop3(p).size
     }.sum / probes.size
     info(f"IVF recall@3 = $recall%.3f over ${probes.size} probes")
-    assert(recall >= 0.25, f"IVF recall collapsed to $recall%.3f — check nprobe")
+    assert(recall >= 0.5, f"IVF recall collapsed to $recall%.3f — check nprobe/quantizer")
   }
 }
