@@ -68,6 +68,10 @@ object Main {
           (f until t by s).map(_.toString)
         } else {
           val Seq(f, t, s) = Seq(parts(0), parts(1), step).map(_.toDouble)
+          // np.arange raises on step 0 — and (t-f)/0 would make n
+          // Long.MaxValue here, failing later with an opaque NumericRange
+          // size error instead of naming the bad input
+          require(s != 0 && !s.isNaN, s"invalid step in range $r")
           // np.arange half-open float range: element i is f + i*s (one
           // rounding each, np.arange's arithmetic) — iterated addition
           // would accumulate FP error and can flip endpoint inclusion

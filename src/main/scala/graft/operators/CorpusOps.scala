@@ -120,24 +120,42 @@ object CorpusOps {
     * aggregates first), never a driver-side model. The per-doc mean is one
     * more hash aggregate. Four shuffles total, all on keys that scale with
     * vocabulary, not corpus size.
+    *
+    * Skew: `w1` is Zipfian — the head tokens put a constant fraction of all
+    * doc-bigram rows on a handful of reducers, the classic straggler. The
+    * unigram join is therefore frequency-gated salted ([[Skew.saltedJoinGated]]):
+    * keys whose count exceeds [[HOT_KEY_ROWS]] (read off `uni`, which the
+    * query builds anyway — no extra pass) spread over [[SKEW_SALTS]]
+    * reducer slots; the salt hashes the bigram's (doc_id, pos) identity, so
+    * it is deterministic under stage recomputation.
     */
+  /** Per-key probe-row budget before a key is salted. The fixture corpora
+    * cross it from sf0.01 up, so the salted path is exercised by the
+    * correctness gate; a production deployment raises it to the per-reducer
+    * row budget (e.g. 10⁷).
+    */
+  val HOT_KEY_ROWS = 500
+  val SKEW_SALTS = 8
+
   def q73LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
-      .cache()
+    val toks = graft.CacheScope.cache(docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens")))
     val uni = toks.select(explode(col("tokens")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val vocab = uni.select(count(lit(1)).as("v"))
     val docBigrams = toks
       .filter(size(col("tokens")) > 1)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), posexplode(expr(
         """transform(sequence(1, size(tokens) - 1),
-          |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))""".stripMargin)).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))""".stripMargin)).as(Seq("pos", "b")))
+      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val big = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    docBigrams
-      .join(big, Seq("w1", "w2"))
-      .join(uni, Seq("w1"))
+    val hot = uni.filter(col("c1") >= HOT_KEY_ROWS)
+    val scored = Skew.saltedJoinGated(
+      docBigrams.join(big, Seq("w1", "w2"))
+        .withColumn("_uid", concat_ws(":", col("doc_id"), col("pos"))),
+      uni, "w1", SKEW_SALTS, "_uid", hot)
+    scored
       .crossJoin(broadcast(vocab))
       .withColumn("nll", -log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
       .groupBy(col("doc_id"))

@@ -81,7 +81,7 @@ object Dedup {
     // returned plan, so it must outlive this call; the harness clears
     // per-query caches (Bench/Verify clearCache) once the result is
     // materialized.
-    val sh = shingleArrays(spark, dir).cache()
+    val sh = graft.CacheScope.cache(shingleArrays(spark, dir))
     val cand = ngramCandidates(sh)
     // exact Jaccard verify on the in-row shingle sets, with the
     // J≥0.5 ⇒ min/max≥0.5 size bound pruning pairs before intersection
@@ -156,7 +156,7 @@ object Dedup {
   }
 
   def q46MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSigs(shingleArrays(spark, dir)).cache()
+    val sig = graft.CacheScope.cache(minhashSigs(shingleArrays(spark, dir)))
     val cand = bandPairs(sig)
     val estU = udf((a: Seq[Long], b: Seq[Long]) =>
       a.zip(b).count(p => p._1 == p._2) / 16.0)
@@ -189,9 +189,8 @@ object Dedup {
       while (j < 16) { if (votes(j) > 0) v |= (1L << j); j += 1 }
       v
     })
-    val sim = docs(spark, dir)
-      .select(col("doc_id"), col("lang"), shU(split(col("text"), " ")).as("simhash"))
-      .cache()
+    val sim = graft.CacheScope.cache(docs(spark, dir)
+      .select(col("doc_id"), col("lang"), shU(split(col("text"), " ")).as("simhash")))
     // Pigeonhole banding: split the 16 bits into 3 bands (6|5|5). Hamming
     // distance ≤ 2 means at most 2 bands contain a differing bit, so at
     // least one band is bit-identical — candidates come from an equi-join
@@ -311,7 +310,9 @@ object Dedup {
       .toDF("src", "dst").localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       val changed = spark.sparkContext.longAccumulator("graft.cc.changed")
       val tally = udf((next: Long, prev: Long) => {
         if (next != prev) changed.add(1L)
@@ -331,6 +332,11 @@ object Dedup {
         .localCheckpoint()
       converged = changed.value == 0L
     }
+    // telemetry for the bench artifact: boundary size is the per-round
+    // shuffle volume, rounds × that is the propagation cost — the numbers
+    // that distinguish a latency tax from extra rounds when a CC timing
+    // moves (bi is checkpointed, so the count reads cached partitions)
+    System.err.println(s"[graft.cc] boundary_edges=${bi.count()} rounds=$rounds")
     labels
   }
 
@@ -345,8 +351,8 @@ object Dedup {
     *      canonical representative (`is_canonical` = survives dedup).
     */
   def q66DedupPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleArrays(spark, dir).cache()
-    val cand = bandPairs(minhashSigs(sh).cache())
+    val sh = graft.CacheScope.cache(shingleArrays(spark, dir))
+    val cand = bandPairs(graft.CacheScope.cache(minhashSigs(sh)))
     val edges = cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), Seq("b_id"))
@@ -418,9 +424,8 @@ object Dedup {
     })
     // cached: the self-join reads fps on BOTH sides — without this the
     // per-character digest pipeline (the query's dominant cost) runs twice
-    val fps = docs(spark, dir)
-      .select(col("doc_id"), explode(fpU(col("text"))).as("fp"))
-      .cache()
+    val fps = graft.CacheScope.cache(docs(spark, dir)
+      .select(col("doc_id"), explode(fpU(col("text"))).as("fp")))
     fps.select(col("doc_id").as("a_id"), col("fp"))
       .join(fps.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
       .filter(col("a_id") < col("b_id"))

@@ -143,8 +143,8 @@ object Similarity {
     * cosine re-rank keeps top-3.
     */
   def q49AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(emb(spark, dir)).cache()
-    val bands = bandedSigs(e).cache() // one signature pass feeds both join sides
+    val e = graft.CacheScope.cache(withNorm(emb(spark, dir)))
+    val bands = graft.CacheScope.cache(bandedSigs(e)) // one signature pass feeds both join sides
     val cand = bands.filter(col("vec_id") < 50)
       .select(col("vec_id").as("p_id"), col("band"), col("sig"))
       .withColumn("m", explode(typedLit(probeMasks)))
@@ -174,8 +174,8 @@ object Similarity {
     * hash-match exactly.
     */
   def q56EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(emb(spark, dir)).cache()
-    val bands = bandedSigs(e, DUP_BANDS).cache() // one signature pass, both sides
+    val e = graft.CacheScope.cache(withNorm(emb(spark, dir)))
+    val bands = graft.CacheScope.cache(bandedSigs(e, DUP_BANDS)) // one signature pass, both sides
     val cand = bands.select(col("vec_id").as("a_id"), col("band"), col("sig"))
       .join(bands.select(col("vec_id").as("b_id"), col("band"), col("sig")),
         Seq("band", "sig"))
@@ -212,7 +212,7 @@ object Similarity {
     * ties break identically (by id).
     */
   def q57AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(emb(spark, dir)).cache()
+    val e = graft.CacheScope.cache(withNorm(emb(spark, dir)))
     // --- train: one k-means step (assignment to seeds + mean) ---
     val seeds: Array[(Long, Array[Double])] = e.filter(col("vec_id") < IVF_K)
       .select(col("vec_id"), col("embedding")).collect()

@@ -42,6 +42,31 @@ object Skew {
     saltedWith(probe, build, key, salts,
       pmod(hash(monotonically_increasing_id()), lit(salts)))
 
+  /** Frequency-gated salted join — the production wiring shape: only probe
+    * rows whose key appears in `hotKeys` (a BOUNDED, broadcastable table of
+    * heavy-hitter key values, e.g. `counts.filter(c >= perReducerBudget)`)
+    * take the salted path; the cold majority joins plain, paying zero
+    * replication. Build rows are replicated ×`salts` ONLY for hot keys, so
+    * the blow-up is |hotKeys|·salts rows regardless of corpus size. Result
+    * equals the plain inner join exactly (SkewSpec proves both paths).
+    *
+    * `hotKeys` must be derivable without an extra corpus pass wherever
+    * possible — a count table the query already builds (q73's unigram
+    * counts), a dimension-side statistic, or ANALYZE-style metadata.
+    */
+  def saltedJoinGated(probe: DataFrame, build: DataFrame, key: String,
+                      salts: Int, uniqueKey: String,
+                      hotKeys: DataFrame): DataFrame = {
+    val hk = broadcast(hotKeys.select(col(key)).distinct()
+      .withColumn("_hot", lit(true)))
+    val tagged = probe.join(hk, Seq(key), "left")
+    val hot = tagged.filter(col("_hot").isNotNull).drop("_hot")
+    val cold = tagged.filter(col("_hot").isNull).drop("_hot")
+    val hotBuild = build.join(broadcast(hotKeys.select(col(key)).distinct()), Seq(key))
+    saltedJoin(hot, hotBuild, key, salts, uniqueKey)
+      .unionByName(cold.join(build, Seq(key)))
+  }
+
   private def saltedWith(probe: DataFrame, build: DataFrame, key: String,
                          salts: Int,
                          saltExpr: org.apache.spark.sql.Column): DataFrame = {

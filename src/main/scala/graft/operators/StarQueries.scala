@@ -62,7 +62,7 @@ object StarQueries {
     // descriptor fan-out ONCE, cached; train + score reuse it
     // (learnOnCoords / predictOnCoords instead of three feature passes)
     val sf = new StarsFilter(descriptors, Seq(new LDADec(), new QDADec()))
-    val coords = sf.spaceCoordinates(starsFromEvents(spark, dir).toDF()).cache()
+    val coords = graft.CacheScope.cache(sf.spaceCoordinates(starsFromEvents(spark, dir).toDF()))
     val model = sf.learnOnCoords(
       coords.filter(col("starClass") === "searched"),
       coords.filter(col("starClass") === "other"))
@@ -79,7 +79,7 @@ object StarQueries {
   def q52StarStatistic(spark: SparkSession, dir: String): DataFrame = {
     // one cached descriptor pass feeds training AND the confusion stats
     val sf = new StarsFilter(descriptors, Seq(new LDADec(), new QDADec()))
-    val coords = sf.spaceCoordinates(starsFromEvents(spark, dir).toDF()).cache()
+    val coords = graft.CacheScope.cache(sf.spaceCoordinates(starsFromEvents(spark, dir).toDF()))
     val sCoords = coords.filter(col("starClass") === "searched")
     val oCoords = coords.filter(col("starClass") === "other")
     val model = sf.learnOnCoords(sCoords, oCoords)
@@ -93,7 +93,7 @@ object StarQueries {
   def q53StarComparative(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // cached: the template collect and the transform both consume it
-    val stars = starsFromEvents(spark, dir).cache()
+    val stars = graft.CacheScope.cache(starsFromEvents(spark, dir))
     val templates = stars.orderBy("starId").limit(3).collect().toSeq
       .map(s => (s.lightCurves.head.time, s.lightCurves.head.mag))
     val descr = new HistShapeDescr(templates, bins = 10, alphabetSize = 7)
@@ -109,7 +109,7 @@ object StarQueries {
   def q71StarProbspace(spark: SparkSession, dir: String): DataFrame = {
     // ONE cached descriptor pass feeds training and the PCA mesh
     val sf = new StarsFilter(descriptors, Seq(new LDADec(), new QDADec()))
-    val coords = sf.spaceCoordinates(starsFromEvents(spark, dir).toDF()).cache()
+    val coords = graft.CacheScope.cache(sf.spaceCoordinates(starsFromEvents(spark, dir).toDF()))
     val sCoords = coords.filter(col("starClass") === "searched")
     val oCoords = coords.filter(col("starClass") =!= "searched")
     val model = sf.learnOnCoords(sCoords, oCoords)

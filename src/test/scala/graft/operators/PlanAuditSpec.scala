@@ -34,11 +34,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
-  test("q44/q57: aggregates keep a map-side partial phase") {
+  test("q44/q57: q44 keeps map-side partial agg; q57 assignment is a pure map") {
     assert(plan(Dedup.queries("q44_dedup_exact")(spark, dir)).contains("partial"))
+    // the trained centroids ride the UDF closure, so list assignment must
+    // stay a PURE MAP: no corpus × centroid join of any kind may reappear
+    // (the pre-r7 shape was a crossJoin + max_by aggregate — N·k rows
+    // through an exchange instead of zero)
     val p57 = plan(Similarity.queries("q57_ann_ivf")(spark, dir))
-    assert(p57.contains("partial_max_by"),
-      "IVF assignment lost its map-side max_by:\n" + p57)
+    assert(!p57.contains("Cartesian") && !p57.contains("BroadcastNestedLoop"),
+      "IVF assignment regressed to a corpus × centroid join:\n" + p57)
+    assert(!p57.contains("max_by"),
+      "IVF assignment regressed to the aggregate shape:\n" + p57)
   }
 
   test("q54: multimodal meta scan prunes unused document columns") {

@@ -59,4 +59,36 @@ class SkewSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
     }
   }
+
+  test("saltedJoinGated equals the plain join; only hot keys replicate") {
+    val probe = ((1 to 900).map(i => (1L, s"hot_$i")) ++
+      (1 to 100).map(i => ((i % 7 + 2).toLong, s"cold_$i")))
+      .toDF("k", "payload")
+      .withColumn("rid", monotonically_increasing_id()).cache()
+    val build = (1L to 8L).map(k => (k, s"dim_$k")).toDF("k", "attr")
+    // gate: keys with >= 500 probe rows (only k=1 qualifies)
+    val hot = probe.groupBy("k").count().filter(col("count") >= 500).select("k")
+
+    val plain = probe.join(build, Seq("k"))
+    val gated = Skew.saltedJoinGated(probe, build, "k", 4, "rid", hot)
+    assert(gated.columns.sorted.sameElements(plain.columns.sorted))
+    val a = plain.groupBy("k", "payload", "attr").count()
+    val b = gated.groupBy("k", "payload", "attr").count()
+    assert(a.except(b).isEmpty && b.except(a).isEmpty, "gated join changed the result")
+
+    // the hot probe rows spread across all 4 salts (deterministic rid salt)
+    val hotSalts = probe.filter(col("k") === 1L)
+      .select(pmod(hash(col("rid")), lit(4)).as("s")).distinct().count()
+    assert(hotSalts == 4L, "hot key must spread across all 4 salts")
+  }
+
+  test("q73's unigram join runs through the frequency-gated salted plan") {
+    // the fixture vocabulary's head crosses HOT_KEY_ROWS from sf0.01 up,
+    // so the salted branch carries real rows there (the correctness gate
+    // hash-matches THROUGH it); here assert the plan is wired
+    val plan = CorpusOps.queries("q73_lm_perplexity")(spark, "/root/testdata/sf0.001")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("_salt"), "q73 must route w1 through the salted join:\n" +
+      plan.take(2000))
+  }
 }
