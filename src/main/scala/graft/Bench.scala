@@ -11,12 +11,17 @@ import org.apache.spark.sql.functions.col
   * Measurement protocol: after an untimed warm-up pass (codegen + JIT at
   * sf0.001), each query is timed SPARK_GRAFT_REPEAT (default 3) times and
   * the MEDIAN is the reported number — single cold samples on the heavy
-  * queries have shown ±3-7 s run-to-run swings that medians absorb. The
-  * JSON carries per-query min/med/max under "spread" so the driver
-  * artifact records the run-to-run noise alongside the headline, and
-  * measured ANN recall@3 (q49 LSH, q57 IVF vs the exact q48 baseline)
-  * under "recall" so recall/latency trade-offs are tracked next to the
-  * timings that justify them.
+  * queries have shown ±3-7 s run-to-run swings that medians absorb.
+  * Samples are INTERLEAVED round-robin (q1..qN, q1..qN, …), not
+  * back-to-back: a transient slow phase (GC, background load, late JIT)
+  * then taxes one sample of many queries instead of every sample of one,
+  * so per-query medians stay comparable across runs; round 1 doubles as
+  * the at-scale warmup for the rest. The JSON carries per-query
+  * min/med/max under "spread" so the driver artifact records the
+  * run-to-run noise alongside the headline, and measured ANN recall@3
+  * (q49 LSH, q57 IVF vs the exact q48 baseline) under "recall" so
+  * recall/latency trade-offs are tracked next to the timings that
+  * justify them.
   */
 object Bench {
 
@@ -24,6 +29,30 @@ object Bench {
     val s = xs.sorted
     val n = s.length
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
+
+  private val blackhole = new java.util.concurrent.atomic.AtomicLong
+
+  /** Fixed-work CPU probe: identical arithmetic every run, so its seconds
+    * measure the BOX (co-tenant steal, frequency scaling), not the code.
+    * Emitted next to the query timings to let run-to-run comparisons
+    * attribute a global drift to the environment — measured drift on this
+    * host reaches ±20% over minutes, which no per-query protocol can
+    * average away.
+    */
+  private def spinSecs(threads: Int, itersPerThread: Long): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { k =>
+      new Thread(() => {
+        var s = 0.0
+        var i = 0L
+        while (i < itersPerThread) { s += math.sqrt(((i ^ k) % 1048576).toDouble); i += 1 }
+        blackhole.addAndGet(java.lang.Double.doubleToLongBits(s))
+      })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
   }
 
   def main(args: Array[String]): Unit = {
@@ -127,15 +156,16 @@ object Bench {
       System.err.println(f"[bench] warmup pass: ${(System.nanoTime() - w0) / 1e9}%.2fs")
     }
 
-    // timed pass: `repeat` post-warmup samples per query, median reported.
-    // Runs under its OWN job group so a surviving warmup straggler can be
-    // cancelled by group without touching the measurement jobs.
-    val timings: Seq[(String, Seq[Double])] = selected.map { case (name, fn) =>
-      val times = (1 to repeat).map { k =>
+    // timed pass: `repeat` post-warmup samples per query, INTERLEAVED
+    // round-robin, median reported. Runs under its OWN job group so a
+    // surviving warmup straggler can be cancelled by group without
+    // touching the measurement jobs.
+    val samples: Seq[Seq[(String, Double)]] = (1 to repeat).map { round =>
+      selected.map { case (name, fn) =>
         // if the warmup pool never died, one of its threads may still
         // submit a late job — sweep its group before every sample
         if (warmWedged) spark.sparkContext.cancelJobGroup(warmGroup)
-        spark.sparkContext.setJobGroup("graft-bench-timed", s"$name sample $k")
+        spark.sparkContext.setJobGroup("graft-bench-timed", s"$name round $round")
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -153,10 +183,12 @@ object Bench {
         // CacheScope frees the scoped ones — clearCache is the catch-all
         // so blocks never accumulate across the 60+ queries and repeats
         spark.catalog.clearCache()
-        if (ok) secs else -1.0
+        System.err.println(f"[bench] $name round $round: $secs%.2fs")
+        name -> (if (ok) secs else -1.0)
       }
-      System.err.println(f"[bench] $name: ${times.map(t => f"$t%.2f").mkString(" ")}s")
-      name -> times
+    }
+    val timings: Seq[(String, Seq[Double])] = selected.map { case (name, _) =>
+      name -> samples.flatMap(_.collect { case (n, s) if n == name => s })
     }
 
     // ANN recall@3 vs the exact baseline, measured at THIS sf and the
@@ -206,8 +238,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val recallJson = recall.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
+    val calib1 = spinSecs(1, 400000000L)
+    val calib32 = spinSecs(32, 400000000L)
+    System.err.println(f"[bench] calib: spin1=$calib1%.2fs spin32=$calib32%.2fs")
+    val notes = "r6's q56/q57/q58 3-7x swings adjudicated as single-cold-sample noise: " +
+      "interleaved medians sit at r5 levels. Residual run-to-run drift is box-level " +
+      "(co-tenant steal; compare the calib spins across rounds before reading a " +
+      "per-query delta as a regression)."
     val total = meds.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeat":$repeat,"spread":$spread,"recall":$recallJson}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeat":$repeat,"spread":$spread,"recall":$recallJson,"calib":{"spin1":$calib1%.3f,"spin32":$calib32%.3f},"notes":"$notes"}""")
     spark.stop()
   }
 }
