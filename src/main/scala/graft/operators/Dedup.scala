@@ -252,18 +252,38 @@ object Dedup {
     * scales with the partition-boundary, not the corpus — the difference
     * between O(V+E) and O(cut) per round at 100 TB.
     *
-    * The propagation loop keeps its single-action rounds: the eager
-    * `localCheckpoint` materializes (neighbor-min ∪ self) → groupBy-min →
-    * pointer jump, with a `LongAccumulator` inside that job carrying the
-    * changed-label count (no separate convergence scan; task retries only
-    * over-count, never fake convergence). An empty edge set degenerates to
-    * every node labeling itself.
+    * The boundary graph then resolves through one of two tiers:
+    * below [[DriverCcMaxEdges]] it is COLLECTED and solved by one
+    * driver-side union-find pass — the contracted graph is cut-sized, so
+    * this is the common case and removes every per-round scheduling
+    * latency (zero iterations, one broadcast join back); above the
+    * threshold the iterative propagation below takes over, so driver
+    * memory stays bounded at any scale. The propagation loop keeps its
+    * single-action rounds: the eager `localCheckpoint` materializes
+    * (neighbor-min ∪ self) → groupBy-min → pointer jump, with a
+    * `LongAccumulator` inside that job carrying the changed-label count
+    * (no separate convergence scan; task retries only over-count, never
+    * fake convergence). An empty edge set degenerates to every node
+    * labeling itself.
     *
     * Contract: edge endpoints must be ⊆ `nodes` (every caller passes the
     * full table's ids) — an endpoint outside `nodes` could become a
     * component label without appearing as an output row.
     */
-  private[operators] def connectedComponents(edges: DataFrame, nodes: DataFrame): DataFrame = {
+  /** Boundary graphs at or below this edge count resolve on the driver
+    * (~16 B/edge collected — tens of MB at the limit); larger cuts use
+    * distributed propagation.
+    */
+  private val DriverCcMaxEdges = 1000000L
+
+  private[operators] def connectedComponents(edges: DataFrame, nodes: DataFrame): DataFrame =
+    connectedComponents(edges, nodes, DriverCcMaxEdges)
+
+  /** Threshold-injectable variant: specs force `driverMaxEdges = -1` to
+    * exercise the distributed propagation tier at fixture scale.
+    */
+  private[operators] def connectedComponents(edges: DataFrame, nodes: DataFrame,
+                                             driverMaxEdges: Long): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // level 1: partition-local contraction
@@ -291,8 +311,35 @@ object Dedup {
       .agg(min(col("lroot")).as("r0"), collect_set(col("lroot")).as("rs"))
       .select(col("r0").as("a_id"), explode(col("rs")).as("b_id"))
       .filter(col("a_id") =!= col("b_id"))
+      .localCheckpoint() // counted AND consumed — don't re-run the groupBy
+    val nBoundary = boundary.count()
     val roots = mapping.select(col("lroot").as("id")).distinct()
-    val rootLabels = propagateMinLabels(spark, boundary, roots)
+    val rootLabels = if (nBoundary <= driverMaxEdges) {
+      // tier 2a: cut-sized graph → one driver union-find pass, zero rounds
+      System.err.println(s"[graft.cc] boundary_edges=$nBoundary tier=driver")
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      boundary.select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+        .foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+      val labelDF = parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "label")
+      roots.join(broadcast(labelDF), Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+    } else {
+      // tier 2b: the cut itself is big — distributed min-label propagation
+      System.err.println(s"[graft.cc] boundary_edges=$nBoundary tier=distributed")
+      propagateMinLabels(spark, boundary, roots)
+    }
     // stitch: every node inherits its root's label (all of a node's roots
     // carry the same label after propagation — min() is just the dedup);
     // edge-less nodes label themselves
@@ -332,11 +379,10 @@ object Dedup {
         .localCheckpoint()
       converged = changed.value == 0L
     }
-    // telemetry for the bench artifact: boundary size is the per-round
-    // shuffle volume, rounds × that is the propagation cost — the numbers
-    // that distinguish a latency tax from extra rounds when a CC timing
-    // moves (bi is checkpointed, so the count reads cached partitions)
-    System.err.println(s"[graft.cc] boundary_edges=${bi.count()} rounds=$rounds")
+    // telemetry for the bench artifact: rounds × boundary size is the
+    // propagation cost — the number that distinguishes a latency tax from
+    // extra rounds when a CC timing moves
+    System.err.println(s"[graft.cc] rounds=$rounds")
     labels
   }
 

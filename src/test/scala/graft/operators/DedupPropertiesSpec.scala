@@ -202,6 +202,11 @@ class DedupPropertiesSpec extends SparkSpec {
           .toDF("a_id", "b_id")), nodesDf)
         .as[(Long, Long)].collect().toMap
       assert(gotDup == expected, s"trial $trial: duplicate-edge CC diverges")
+      // force the DISTRIBUTED boundary tier (driverMaxEdges = -1): the
+      // propagation loop must agree with the driver union-find tier
+      val gotDist = Dedup.connectedComponents(edgesDf, nodesDf, -1L)
+        .as[(Long, Long)].collect().toMap
+      assert(gotDist == expected, s"trial $trial: distributed-tier CC diverges")
     }
   }
 
@@ -215,7 +220,8 @@ class DedupPropertiesSpec extends SparkSpec {
     val n = 200
     val edgesDf = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("a_id", "b_id")
     val nodesDf = (0 until n).map(_.toLong).toDF("id")
-    val labels = Dedup.connectedComponents(edgesDf, nodesDf)
+    // distributed tier forced: the chain is the pointer-jumping worst case
+    val labels = Dedup.connectedComponents(edgesDf, nodesDf, -1L)
       .as[(Long, Long)].collect().toMap
     assert(labels.size == n && labels.values.forall(_ == 0L),
       "chain must collapse to the min-id component label")
