@@ -212,13 +212,33 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), col("rk"), col("w"))
   }
 
+  /** Deterministic train/valid/test split by CONTENT hash (90/5/5): the
+    * dataset-split stage every training pipeline ends with. Hashing the
+    * text — not the id — pins exact duplicates to the SAME split, so a
+    * dup surviving upstream dedup can never leak train→test; the split is
+    * reproducible from the data alone (no RNG state, no shuffle — a pure
+    * per-row projection of built-in codegen'd functions that any engine
+    * replays identically).
+    */
+  def q80DatasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
+      .cast("long"), lit(100))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "valid")
+          .otherwise("test"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate,
     "q69_repetition" -> q69Repetition,
     "q70_pack_sequences" -> q70PackSequences,
     "q73_lm_perplexity" -> q73LmPerplexity,
     "q74_chunk_docs" -> q74ChunkDocs,
-    "q75_temperature_mix" -> q75TemperatureMix)
+    "q75_temperature_mix" -> q75TemperatureMix,
+    "q80_dataset_split" -> q80DatasetSplit)
 
   val oracleSql: Map[String, String] = Map(
     "q68_decontaminate" ->
@@ -313,5 +333,15 @@ object CorpusOps {
         |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
         |  FROM documents)
         |SELECT doc_id, source, CAST(rk AS INT) AS rk, w
-        |FROM r JOIN q USING (source) WHERE rk <= quota""".stripMargin)
+        |FROM r JOIN q USING (source) WHERE rk <= quota""".stripMargin,
+    "q80_dataset_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin)
 }

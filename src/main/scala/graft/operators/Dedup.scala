@@ -136,9 +136,11 @@ object Dedup {
     sh.select(col("doc_id"), sigU(col("shingles")).as("sig"))
   }
 
-  /** Banded candidate pairs: docs sharing any full 4-slot band. */
-  private def bandPairs(sig: DataFrame): DataFrame = {
-    val bands = sig.select(col("doc_id"), explode(transform(
+  /** (doc_id, band, m0..m3) band-key table — the LSH "index" rows a
+    * candidate join equi-joins on.
+    */
+  private def bandKeys(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(transform(
       sequence(lit(0), lit(3)),
       b => struct(b.as("band"),
         element_at(col("sig"), b * 4 + 1).as("m0"),
@@ -146,6 +148,10 @@ object Dedup {
         element_at(col("sig"), b * 4 + 3).as("m2"),
         element_at(col("sig"), b * 4 + 4).as("m3")))).as("b"))
       .select(col("doc_id"), col("b.*"))
+
+  /** Banded candidate pairs: docs sharing any full 4-slot band. */
+  private def bandPairs(sig: DataFrame): DataFrame = {
+    val bands = bandKeys(sig)
     bands.alias("x").join(bands.alias("y"),
       col("x.band") === col("y.band") &&
         col("x.m0") === col("y.m0") && col("x.m1") === col("y.m1") &&
@@ -480,6 +486,47 @@ object Dedup {
       .filter(col("n_shared") >= 2)
   }
 
+  /** INCREMENTAL dedup — the operational mode a 100 TB corpus actually
+    * runs: a nightly delta batch (here `doc_id % 10 == 0` stands in for
+    * the new arrivals) is checked against the EXISTING corpus without
+    * re-clustering anything. Candidates come from joining the delta's
+    * minhash band keys against the corpus band index (which a production
+    * deployment keeps materialized — here rebuilt from the same table);
+    * verified matches (est_sim ≥ 0.5, q46's estimator) rank by
+    * (est_sim desc, corpus id) and each delta doc reports its best match.
+    *
+    * Scale shape: work is |delta| × bucket occupancy — the corpus is
+    * touched only through the band-key equi-join, never corpus × corpus,
+    * and nothing about the existing clustering is recomputed.
+    */
+  def q79IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sig = graft.CacheScope.cache(minhashSigs(shingleArrays(spark, dir)))
+    val deltaKeys = bandKeys(sig.filter(col("doc_id") % 10 === 0))
+      .withColumnRenamed("doc_id", "a_id")
+    val corpusKeys = bandKeys(sig.filter(col("doc_id") % 10 =!= 0))
+      .withColumnRenamed("doc_id", "b_id")
+    val cand = deltaKeys
+      .join(corpusKeys, Seq("band", "m0", "m1", "m2", "m3"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val estU = udf((a: Seq[Long], b: Seq[Long]) =>
+      a.zip(b).count(p => p._1 == p._2) / 16.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id")).orderBy(col("est_sim").desc, col("b_id"))
+    val best = cand
+      .join(sig.toDF("a_id", "sig_a"), Seq("a_id"))
+      .join(sig.toDF("b_id", "sig_b"), Seq("b_id"))
+      .withColumn("est_sim", estU(col("sig_a"), col("sig_b")))
+      .filter(col("est_sim") >= 0.5)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a_id").as("doc_id"), col("b_id").as("dup_of"), col("est_sim"))
+    docs(spark, dir).select(col("doc_id")).filter(col("doc_id") % 10 === 0)
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("est_sim"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_dedup_exact" -> q44DedupExact,
     "q45_ngram_jaccard" -> q45NgramJaccard,
@@ -488,7 +535,8 @@ object Dedup {
     "q58_dedup_clusters" -> q58DedupClusters,
     "q66_dedup_pipeline" -> q66DedupPipeline,
     "q77_canonical_best" -> q77CanonicalBest,
-    "q78_winnow_fingerprint" -> q78WinnowFingerprint)
+    "q78_winnow_fingerprint" -> q78WinnowFingerprint,
+    "q79_incremental_dedup" -> q79IncrementalDedup)
 
   private val shingleCte =
     """t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS tok FROM documents),
@@ -544,6 +592,41 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "q79_incremental_dedup" ->
+      s"""WITH $shingleCte,
+        |sig AS (
+        |  SELECT doc_id, k,
+        |    min(('0x' || substr(md5(k || ':' || shingle), 1, 15))::BIGINT) AS mh
+        |  FROM sh, generate_series(0, 15) g(k)
+        |  GROUP BY doc_id, k),
+        |bands AS (
+        |  SELECT doc_id, k // 4 AS band,
+        |    max(CASE WHEN k % 4 = 0 THEN mh END) AS m0,
+        |    max(CASE WHEN k % 4 = 1 THEN mh END) AS m1,
+        |    max(CASE WHEN k % 4 = 2 THEN mh END) AS m2,
+        |    max(CASE WHEN k % 4 = 3 THEN mh END) AS m3
+        |  FROM sig GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.m0 = y.m0
+        |    AND x.m1 = y.m1 AND x.m2 = y.m2 AND x.m3 = y.m3
+        |    AND x.doc_id % 10 = 0 AND y.doc_id % 10 != 0),
+        |est AS (
+        |  SELECT a_id, b_id,
+        |    sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS est_sim
+        |  FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb
+        |    ON sb.doc_id = b_id AND sb.k = sa.k
+        |  GROUP BY a_id, b_id
+        |  HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 >= 0.5),
+        |best AS (
+        |  SELECT a_id, b_id, est_sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY a_id
+        |      ORDER BY est_sim DESC, b_id) AS rn
+        |    FROM est) WHERE rn = 1)
+        |SELECT d.doc_id, best.b_id AS dup_of, best.est_sim,
+        |  best.b_id IS NOT NULL AS is_dup
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN best ON best.a_id = d.doc_id""".stripMargin,
     "q45_ngram_jaccard" ->
       s"""WITH $shingleCte,
         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),

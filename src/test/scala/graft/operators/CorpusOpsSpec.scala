@@ -77,4 +77,24 @@ class CorpusOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(lang"), s"per-lang exchange expected:\n$plan")
   }
+
+  test("dataset split: content-keyed (dups co-split), ~90/5/5, shuffle-free") {
+    val out = CorpusOps.q80DatasetSplit(spark, sf).cache()
+    val rows = out.collect()
+    assert(rows.forall { r => val b = r.getLong(2); b >= 0 && b < 100 })
+    // exact duplicates land in the SAME split — the no-leakage property
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val splits = out.join(docs, Seq("doc_id"))
+      .groupBy("h").agg(countDistinct(col("split")).as("ns"))
+    assert(splits.filter(col("ns") > 1).count() == 0L,
+      "identical texts must share a split")
+    // proportions follow the bucket cut (loose: train dominates, all present)
+    val bySplit = rows.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(bySplit.getOrElse("train", 0) > rows.length / 2, s"split sizes: $bySplit")
+    // pure per-row projection: no exchange anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split must be shuffle-free:\n$plan")
+    spark.catalog.clearCache()
+  }
 }

@@ -210,6 +210,28 @@ class DedupPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q79: a delta doc duplicating a corpus doc reports it; fresh docs pass") {
+    val rng = new scala.util.Random(331)
+    val vocab = (0 until 40).map(i => s"w$i")
+    def freshText() = Seq.fill(40)(vocab(rng.nextInt(40))).mkString(" ")
+    // corpus = non-multiples of 10; delta = multiples of 10
+    val corpus = (1L to 19L).filter(_ % 10 != 0).map(i => (i, freshText()))
+    val copied = corpus.find(_._1 == 3L).get._2
+    val rows = (corpus ++ Seq(
+      (0L, copied),      // delta: exact copy of corpus doc 3
+      (10L, freshText()) // delta: genuinely new
+    )).map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("incdedup").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.q79IncrementalDedup(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(3))).toMap
+    assert(got(0L) == (Some(3L), true), s"exact copy must report dup_of=3: $got")
+    assert(got(10L)._2 == false, s"fresh delta doc must not be a dup: $got")
+    assert(got.keySet == Set(0L, 10L), "every delta doc gets exactly one row")
+  }
+
   test("CC on an empty graph returns empty (no driver-side aggregate to NPE)") {
     val edgesDf = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     val nodesDf = Seq.empty[Long].toDF("id")
