@@ -52,6 +52,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("n_chars"), "q54 must not read n_chars:\n" + p)
   }
 
+  test("q79: incremental dedup joins the band index, never corpus × corpus") {
+    val p = plan(Dedup.queries("q79_incremental_dedup")(spark, dir))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      "candidate generation must stay an equi-join on band keys:\n" + p)
+  }
+
+  test("q80: dataset split is a pure per-row projection — no exchange") {
+    val p = plan(CorpusOps.queries("q80_dataset_split")(spark, dir))
+    assert(!p.contains("Exchange"), "split must not shuffle:\n" + p)
+    // formatted explain stars codegen'd operators
+    assert(p.contains("* Project"), "split should codegen:\n" + p)
+  }
+
   test("q72: k-means assignment is a pure map — no exchange anywhere") {
     val p = plan(Similarity.queries("q72_kmeans_assign")(spark, dir))
     assert(!p.contains("Exchange"), "assignment must not shuffle:\n" + p)
