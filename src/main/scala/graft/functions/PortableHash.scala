@@ -19,14 +19,30 @@ object PortableHash {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  def md5Int60(s: String): Long = {
-    val md = local.get()
-    md.reset()
-    val d = md.digest(s.getBytes("UTF-8"))
+  private def top60(d: Array[Byte]): Long =
     // first 15 hex chars == top 60 bits of the first 8 bytes
     (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
       ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+
+  def md5Int60(s: String): Long = {
+    val md = local.get()
+    md.reset()
+    top60(md.digest(s.getBytes("UTF-8")))
+  }
+
+  /** Byte-level form for native expressions: digest of `prefix ++ s` —
+    * identical to `md5Int60(new String(prefix) + new String(s))` when both
+    * are UTF-8 (concatenating UTF-8 byte strings IS the UTF-8 of the
+    * concatenated string), without materializing a java.lang.String per
+    * element per hash.
+    */
+  def md5Int60(prefix: Array[Byte], s: Array[Byte]): Long = {
+    val md = local.get()
+    md.reset()
+    md.update(prefix)
+    md.update(s)
+    top60(md.digest())
   }
 
   /** Full md5 hex digest (thread-local digest reuse). */

@@ -1,0 +1,169 @@
+package graft.functions.expressions
+
+import graft.functions.PortableHash
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the dedup signature kernels — the
+  * per-row hot path of every near-dup operator (q46/q47/q49/q56/q58/q66/
+  * q67/q76/q79). They replace the ScalaUDF kernels, which paid a
+  * catalyst-array → boxed `Seq` conversion per row before the kernel
+  * could run; these read `ArrayData`/`UTF8String` straight from Tungsten
+  * and emit one static call inside whole-stage codegen, so the signature
+  * pass never leaves generated code. The hash family is byte-identical to
+  * the UDFs and the DuckDB oracle (PortableHash md5-60, k-prefixed), so
+  * every hash-matched query stays hash-matched.
+  */
+object SignatureExprs {
+
+  /** Register all signature functions on a session — idempotent. */
+  def register(spark: SparkSession): Unit = synchronized {
+    def reg(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!spark.sessionState.functionRegistry
+          .functionExists(FunctionIdentifier(name)))
+        spark.sessionState.functionRegistry
+          .createOrReplaceTempFunction(name, builder, "built-in")
+    reg("simhash16", exprs => SimhashExpr(exprs.head))
+    reg("minhash16", exprs => MinhashSigExpr(exprs.head))
+    reg("lsh_band_sigs", exprs => LshBandSigsExpr(exprs(0), exprs(1)))
+  }
+
+  private[expressions] def isStringArr(t: DataType) = t match {
+    case ArrayType(StringType, _) => true
+    case _                        => false
+  }
+
+  /** 16-bit token-vote SimHash — one pass over the token array with
+    * multiplicity (the oracle's `unnest`): bit j's vote is Σ ±1 by token
+    * hash bit j.
+    */
+  def simhash16(arr: ArrayData): Long = {
+    val votes = new Array[Int](16)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = PortableHash.md5Int60(EmptyPrefix, arr.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < 16) { votes(j) += (((h >> j) & 1L) * 2 - 1).toInt; j += 1 }
+      i += 1
+    }
+    var v = 0L
+    var j = 0
+    while (j < 16) { if (votes(j) > 0) v |= (1L << j); j += 1 }
+    v
+  }
+
+  private val EmptyPrefix = Array.emptyByteArray
+  // "0:" … "15:" — the k-prefix bytes of the minhash family, built once
+  private val KPrefixes: Array[Array[Byte]] =
+    Array.tabulate(16)(k => s"$k:".getBytes("UTF-8"))
+
+  /** 16-slot MinHash signature — min over the shingle set per k-prefixed
+    * hash; empty input yields all-Long.MaxValue (same as the UDF).
+    */
+  def minhash16(arr: ArrayData): ArrayData = {
+    val mh = Array.fill(16)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val b = arr.getUTF8String(i).getBytes
+      var k = 0
+      while (k < 16) {
+        val h = PortableHash.md5Int60(KPrefixes(k), b)
+        if (h < mh(k)) mh(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mh)
+  }
+
+  /** Per-band hyperplane LSH signatures over a float embedding — all
+    * bands×LSH_BITS plane dots in one kernel pass, band b's bits packed
+    * into slot b. Planes are the md5-derived cached family.
+    */
+  def lshBandSigs(arr: ArrayData, nBands: Int, bitsPerBand: Int): ArrayData = {
+    val e = arr.toFloatArray()
+    val nPlanes = nBands * bitsPerBand
+    val planes = PortableHash.lshPlanes(nPlanes, e.length)
+    val sigs = new Array[Long](nBands)
+    var p = 0
+    while (p < nPlanes) {
+      val w = planes(p)
+      var dot = 0.0
+      var i = 0
+      while (i < e.length) { dot += e(i).toDouble * w(i); i += 1 }
+      if (dot > 0) sigs(p / bitsPerBand) |= (1L << (p % bitsPerBand))
+      p += 1
+    }
+    new GenericArrayData(sigs)
+  }
+}
+
+case class SimhashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SignatureExprs.isStringArr(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash16 expects array<string>, got ${child.dataType}")
+
+  override protected def nullSafeEval(a: Any): Any =
+    SignatureExprs.simhash16(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.SignatureExprs.simhash16($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class MinhashSigExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SignatureExprs.isStringArr(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash16 expects array<string>, got ${child.dataType}")
+
+  override protected def nullSafeEval(a: Any): Any =
+    SignatureExprs.minhash16(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.SignatureExprs.minhash16($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** `lsh_band_sigs(embedding, nBands)` — nBands must be a foldable int
+  * literal (it sizes the output array); LSH_BITS rides from the
+  * Similarity dial at construction time via the registry closure.
+  */
+case class LshBandSigsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case ArrayType(FloatType, _) if right.dataType == IntegerType && right.foldable =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"lsh_band_sigs expects (array<float>, int literal), got " +
+        s"(${left.dataType}, ${right.dataType})")
+  }
+
+  private def bits = graft.operators.Similarity.LSH_BITS
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SignatureExprs.lshBandSigs(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Int], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.SignatureExprs.lshBandSigs($a, $b, $bits);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
+}

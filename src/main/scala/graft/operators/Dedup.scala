@@ -118,22 +118,13 @@ object Dedup {
     * tiny band-key self-join and the candidate-pair verify.
     */
   /** 16-slot minhash signature per doc — one kernel pass over the in-row
-    * shingle set.
+    * shingle set, via the native codegen'd
+    * [[graft.functions.expressions.MinhashSigExpr]] (ArrayData straight
+    * from Tungsten, no per-row Seq conversion).
     */
   private def minhashSigs(sh: DataFrame): DataFrame = {
-    val sigU = udf((shingles: Seq[String]) => {
-      val mh = Array.fill(16)(Long.MaxValue)
-      shingles.foreach { s =>
-        var k = 0
-        while (k < 16) {
-          val h = graft.functions.PortableHash.md5Int60(s"$k:$s")
-          if (h < mh(k)) mh(k) = h
-          k += 1
-        }
-      }
-      mh.toSeq
-    })
-    sh.select(col("doc_id"), sigU(col("shingles")).as("sig"))
+    graft.functions.expressions.SignatureExprs.register(sh.sparkSession)
+    sh.select(col("doc_id"), expr("minhash16(shingles)").as("sig"))
   }
 
   /** (doc_id, band, m0..m3) band-key table — the LSH "index" rows a
@@ -179,24 +170,12 @@ object Dedup {
     */
   def q47Simhash(spark: SparkSession, dir: String): DataFrame = {
     // one kernel pass per doc over its tokens (with multiplicity, matching
-    // the oracle's unnest) — replaces the (doc × token × bit) explode
-    val shU = udf((tokens: Seq[String]) => {
-      val votes = new Array[Int](16)
-      tokens.foreach { t =>
-        val h = graft.functions.PortableHash.md5Int60(t)
-        var j = 0
-        while (j < 16) {
-          votes(j) += (((h >> j) & 1L) * 2 - 1).toInt
-          j += 1
-        }
-      }
-      var v = 0L
-      var j = 0
-      while (j < 16) { if (votes(j) > 0) v |= (1L << j); j += 1 }
-      v
-    })
+    // the oracle's unnest) — the native codegen'd SimhashExpr replaces the
+    // earlier (doc × token × bit) explode and the ScalaUDF after it
+    graft.functions.expressions.SignatureExprs.register(spark)
     val sim = graft.CacheScope.cache(docs(spark, dir)
-      .select(col("doc_id"), col("lang"), shU(split(col("text"), " ")).as("simhash")))
+      .select(col("doc_id"), col("lang"),
+        expr("simhash16(split(text, ' '))").as("simhash")))
     // Pigeonhole banding: split the 16 bits into 3 bands (6|5|5). Hamming
     // distance ≤ 2 means at most 2 bands contain a differing bit, so at
     // least one band is bit-identical — candidates come from an equi-join

@@ -77,35 +77,18 @@ object Similarity {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nn", dotC(df.sparkSession, "embedding", "embedding"))
 
-  /** Per-band hyperplane signatures: one kernel pass over the vector
-    * computes all LSH_BANDS × LSH_BITS plane dots and packs band b's bits
-    * into sigs(b) — no per-plane explode; the only exchange downstream is
-    * the (band, sig) equi-join.
+  /** (vec_id, nn, band, sig) — one row per band per vector. The per-band
+    * signatures come from the native codegen'd
+    * [[graft.functions.expressions.LshBandSigsExpr]]: one kernel pass
+    * computes all nBands × LSH_BITS plane dots on the primitive float[]
+    * (no per-plane explode, no per-row Seq conversion); the only exchange
+    * downstream is the (band, sig) equi-join.
     */
-  private def bandSigU(nBands: Int) = udf((e0: Seq[Float]) => {
-    // copy ONCE to a primitive array: the catalyst-converted Seq is not
-    // guaranteed O(1)-indexed, and this kernel does planes×dims indexed
-    // reads per row — through a list-like Seq that turns quadratic
-    val e = e0.toArray
-    val nPlanes = nBands * LSH_BITS
-    val planes = graft.functions.PortableHash.lshPlanes(nPlanes, e.length)
-    val sigs = new Array[Long](nBands)
-    var p = 0
-    while (p < nPlanes) {
-      val w = planes(p)
-      var dot = 0.0
-      var i = 0
-      while (i < e.length) { dot += e(i).toDouble * w(i); i += 1 }
-      if (dot > 0) sigs(p / LSH_BITS) |= (1L << (p % LSH_BITS))
-      p += 1
-    }
-    sigs.toSeq
-  })
-
-  /** (vec_id, nn, band, sig) — one row per band per vector. */
-  private def bandedSigs(e: DataFrame, nBands: Int = LSH_BANDS): DataFrame =
+  private def bandedSigs(e: DataFrame, nBands: Int = LSH_BANDS): DataFrame = {
+    graft.functions.expressions.SignatureExprs.register(e.sparkSession)
     e.select(col("vec_id"), col("nn"),
-      posexplode(bandSigU(nBands)(col("embedding"))).as(Seq("band", "sig")))
+      posexplode(expr(s"lsh_band_sigs(embedding, $nBands)")).as(Seq("band", "sig")))
+  }
 
   /** Brute-force cosine top-5 for probe vectors (vec_id < 20) against the
     * whole corpus: compact probe×corpus pair join with an in-row array dot —
