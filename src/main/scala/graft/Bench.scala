@@ -209,7 +209,8 @@ object Bench {
           None
         }
       top3("q48_cosine_knn") match {
-        case None => Nil
+        case None                      => Nil
+        case Some(e) if e.isEmpty      => Nil // no probes at this sf → no recall line
         case Some(exact) =>
           Seq("q49_ann_lsh", "q57_ann_ivf").flatMap { q =>
             top3(q).map { approx =>
@@ -241,10 +242,9 @@ object Bench {
     val calib1 = spinSecs(1, 400000000L)
     val calib32 = spinSecs(32, 400000000L)
     System.err.println(f"[bench] calib: spin1=$calib1%.2fs spin32=$calib32%.2fs")
-    val notes = "r6's q56/q57/q58 3-7x swings adjudicated as single-cold-sample noise: " +
-      "interleaved medians sit at r5 levels. Residual run-to-run drift is box-level " +
-      "(co-tenant steal; compare the calib spins across rounds before reading a " +
-      "per-query delta as a regression)."
+    val notes = s"medians of $repeat interleaved samples per query; run-to-run drift " +
+      "on this host is box-level (co-tenant steal) — compare the calib spins across " +
+      "runs before reading a per-query delta as a regression."
     val total = meds.collect { case (_, v) if v >= 0 => v }.sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeat":$repeat,"spread":$spread,"recall":$recallJson,"calib":{"spin1":$calib1%.3f,"spin32":$calib32%.3f},"notes":"$notes"}""")
     spark.stop()

@@ -21,6 +21,12 @@ import org.apache.spark.sql.types._
   */
 object SignatureExprs {
 
+  /** Bits per LSH band — buckets per band = 2^LSH_BITS, the occupancy
+    * dial. Owned here because the codegen'd kernel bakes it into the
+    * generated call; `Similarity.LSH_BITS` aliases it (single source).
+    */
+  val LSH_BITS = 12
+
   /** Register all signature functions on a session — idempotent. */
   def register(spark: SparkSession): Unit = synchronized {
     def reg(name: String, builder: Seq[Expression] => Expression): Unit =
@@ -154,7 +160,7 @@ case class LshBandSigsExpr(left: Expression, right: Expression)
         s"(${left.dataType}, ${right.dataType})")
   }
 
-  private def bits = graft.operators.Similarity.LSH_BITS
+  private def bits = SignatureExprs.LSH_BITS
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     SignatureExprs.lshBandSigs(a.asInstanceOf[ArrayData],

@@ -140,8 +140,11 @@ object CorpusOps {
   def q73LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val toks = graft.CacheScope.cache(docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("tokens")))
-    val uni = toks.select(explode(col("tokens")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // cached: consumed by the vocab count, the gated join's hot-key
+    // broadcasts, and both build sides — without it each consumer re-runs
+    // the corpus-wide token explode + aggregation
+    val uni = graft.CacheScope.cache(toks.select(explode(col("tokens")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1")))
     val vocab = uni.select(count(lit(1)).as("v"))
     val docBigrams = toks
       .filter(size(col("tokens")) > 1)

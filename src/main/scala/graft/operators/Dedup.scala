@@ -255,11 +255,37 @@ object Dedup {
     * full table's ids) — an endpoint outside `nodes` could become a
     * component label without appearing as an output row.
     */
-  /** Boundary graphs at or below this edge count resolve on the driver
-    * (~16 B/edge collected — tens of MB at the limit); larger cuts use
-    * distributed propagation.
+  /** Boundary graphs at or below this edge count resolve on the driver.
+    * Budget the REAL driver footprint, not 16 B/edge: collect() boxes a
+    * Tuple2 per edge (~56 B), the union-find map holds up to 2 boxed
+    * entries per edge (~80 B each), and the label table materializes once
+    * more for the broadcast — roughly 300-400 B/edge transient, so 200k
+    * edges ≈ 60-80 MB, safe headroom on any reasonable driver. Larger
+    * cuts use distributed propagation.
     */
-  private val DriverCcMaxEdges = 1000000L
+  private val DriverCcMaxEdges = 200000L
+
+  /** Min-root union-find with path compression — shared verbatim by the
+    * partition-local contraction closure and the driver boundary tier so
+    * the two levels can never diverge.
+    */
+  private final class UnionFind extends Serializable {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    def roots: Iterator[(Long, Long)] = parent.keys.toArray.iterator.map(k => (k, find(k)))
+  }
 
   private[operators] def connectedComponents(edges: DataFrame, nodes: DataFrame): DataFrame =
     connectedComponents(edges, nodes, DriverCcMaxEdges)
@@ -274,21 +300,9 @@ object Dedup {
     // level 1: partition-local contraction
     val mapping = edges.select(col("a_id"), col("b_id")).as[(Long, Long)]
       .mapPartitions { it =>
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent(r) != r) r = parent(r)
-          var c = x
-          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-          r
-        }
-        it.foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a)
-          parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        }
-        parent.keys.toArray.iterator.map(k => (k, find(k)))
+        val uf = new UnionFind
+        it.foreach { case (a, b) => uf.union(a, b) }
+        uf.roots
       }.toDF("id", "lroot").localCheckpoint()
     // boundary edges: a node contracted to different roots in different
     // partitions links those roots (hub at the node's min root)
@@ -302,22 +316,10 @@ object Dedup {
     val rootLabels = if (nBoundary <= driverMaxEdges) {
       // tier 2a: cut-sized graph → one driver union-find pass, zero rounds
       System.err.println(s"[graft.cc] boundary_edges=$nBoundary tier=driver")
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-        r
-      }
+      val uf = new UnionFind
       boundary.select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
-        .foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a)
-          parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        }
-      val labelDF = parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "label")
+        .foreach { case (a, b) => uf.union(a, b) }
+      val labelDF = uf.roots.toSeq.toDF("id", "label")
       roots.join(broadcast(labelDF), Seq("id"), "left")
         .select(col("id"), coalesce(col("label"), col("id")).as("label"))
     } else {

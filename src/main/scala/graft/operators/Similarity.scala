@@ -33,7 +33,7 @@ object Similarity {
     * candidates stay an equi-join (AnnRecallSpec pins the floor).
     */
   val LSH_BANDS = 16
-  val LSH_BITS = 12
+  val LSH_BITS: Int = graft.functions.expressions.SignatureExprs.LSH_BITS
 
   /** Dup-detection band count (q56/q67): these queries join CORPUS ×
     * CORPUS, so every band multiplies the signature join and the verify
@@ -76,6 +76,14 @@ object Similarity {
 
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nn", dotC(df.sparkSession, "embedding", "embedding"))
+
+  /** Round half-AWAY-FROM-ZERO to 6 decimals — the semantics of both
+    * DuckDB `round()` and Spark `round()`, so kernel-side rounding can
+    * never diverge from the oracle on an exact .5-ULP tie (`math.rint`
+    * rounds half-to-even and would).
+    */
+  private def round6(x: Double): Double =
+    math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
 
   /** (vec_id, nn, band, sig) — one row per band per vector. The per-band
     * signatures come from the native codegen'd
@@ -210,7 +218,7 @@ object Similarity {
         var d = 0.0
         var i = 0
         while (i < s.length) { val df = v(i).toDouble - s(i); d += df * df; i += 1 }
-        d = math.rint(d * 1e6) / 1e6
+        d = round6(d)
         if (d < bestD) { bestD = d; bestId = sid } // ties keep the lower id
       }
       bestId
@@ -223,10 +231,7 @@ object Similarity {
       .collect() // ≤ IVF_K rows of dim+2 values — bounded driver state
       .map { r =>
         val n = r.getLong(1)
-        val m = Array.tabulate(dim) { i =>
-          BigDecimal(r.getDouble(i + 2) / n)
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        }
+        val m = Array.tabulate(dim)(i => round6(r.getDouble(i + 2) / n))
         (r.getLong(0), m, m.map(x => x * x).sum)
       }
       .sortBy(_._1)
@@ -240,7 +245,7 @@ object Similarity {
         var dot = 0.0
         var j = 0
         while (j < c.length) { dot += v(j).toDouble * c(j); j += 1 }
-        (cid, math.rint(dot / (math.sqrt(nn) * math.sqrt(nc)) * 1e6) / 1e6)
+        (cid, round6(dot / (math.sqrt(nn) * math.sqrt(nc))))
       }
     }
     val assignU = udf((v0: Seq[Float]) =>
@@ -312,7 +317,7 @@ object Similarity {
           d += diff * diff
           i += 1
         }
-        d = math.rint(d * 1e6) / 1e6
+        d = round6(d)
         if (d < bestD) { bestD = d; bestId = cid } // ties keep the lower cid
       }
       (bestId, bestD)

@@ -57,13 +57,15 @@ object Skew {
   def saltedJoinGated(probe: DataFrame, build: DataFrame, key: String,
                       salts: Int, uniqueKey: String,
                       hotKeys: DataFrame): DataFrame = {
-    val hk = broadcast(hotKeys.select(col(key)).distinct()
-      .withColumn("_hot", lit(true)))
+    // one shared distinct subtree: the probe tag and the build gate plan
+    // the same broadcast, so ReuseExchange ships it once
+    val hot = hotKeys.select(col(key)).distinct()
+    val hk = broadcast(hot.withColumn("_hot", lit(true)))
     val tagged = probe.join(hk, Seq(key), "left")
-    val hot = tagged.filter(col("_hot").isNotNull).drop("_hot")
+    val hotProbe = tagged.filter(col("_hot").isNotNull).drop("_hot")
     val cold = tagged.filter(col("_hot").isNull).drop("_hot")
-    val hotBuild = build.join(broadcast(hotKeys.select(col(key)).distinct()), Seq(key))
-    saltedJoin(hot, hotBuild, key, salts, uniqueKey)
+    val hotBuild = build.join(broadcast(hot), Seq(key))
+    saltedJoin(hotProbe, hotBuild, key, salts, uniqueKey)
       .unionByName(cold.join(build, Seq(key)))
   }
 
