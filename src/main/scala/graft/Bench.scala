@@ -242,8 +242,10 @@ object Bench {
     val calib1 = spinSecs(1, 400000000L)
     val calib32 = spinSecs(32, 400000000L)
     System.err.println(f"[bench] calib: spin1=$calib1%.2fs spin32=$calib32%.2fs")
+    // ASCII only: the forked JVM's stdout encoding mangles non-ASCII and
+    // this line is the driver-parsed artifact
     val notes = s"medians of $repeat interleaved samples per query; run-to-run drift " +
-      "on this host is box-level (co-tenant steal) — compare the calib spins across " +
+      "on this host is box-level (co-tenant steal) -- compare the calib spins across " +
       "runs before reading a per-query delta as a regression."
     val total = meds.collect { case (_, v) if v >= 0 => v }.sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeat":$repeat,"spread":$spread,"recall":$recallJson,"calib":{"spin1":$calib1%.3f,"spin32":$calib32%.3f},"notes":"$notes"}""")
