@@ -98,11 +98,16 @@ object Dedup {
   }
 
   /** Per-doc distinct word-3-gram shingle ARRAY (no explode — the shingle
-    * set stays in-row; scale axis is documents).
+    * set stays in-row; scale axis is documents). Docs with fewer than 3
+    * tokens are FILTERED, mirroring the oracle's `generate_series(1,
+    * len-2)` which is empty for them — without the filter,
+    * `sequence(1, 0)` is the DESCENDING [1, 0] and `element_at(tok, 0)`
+    * throws on any short document.
     */
   private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("tok", split(col("text"), " "))
+      .filter(size(col("tok")) >= 3)
       .withColumn("shingles", array_distinct(transform(
         sequence(lit(1), size(col("tok")) - 2),
         i => concat_ws(" ", element_at(col("tok"), i),

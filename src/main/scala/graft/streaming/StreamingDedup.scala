@@ -56,33 +56,26 @@ object StreamingDedup {
                  docSchema: org.apache.spark.sql.types.StructType,
                  cleanPath: String, checkpoint: String,
                  retention: String = "1 hour"): StreamingQuery = {
-    val sigU = udf((text: String) => {
-      val tok = text.split(" ")
-      if (tok.length < 3) {
-        // no 3-gram exists: every short doc would share the empty
-        // all-MaxValue signature and collapse onto the first arrival, so
-        // key them by exact content instead
-        "exact:" + graft.functions.PortableHash.md5Hex(text)
-      } else {
-        val mh = Array.fill(16)(Long.MaxValue)
-        var i = 0
-        while (i < tok.length - 2) {
-          val s = s"${tok(i)} ${tok(i + 1)} ${tok(i + 2)}"
-          var k = 0
-          while (k < 16) {
-            val h = graft.functions.PortableHash.md5Int60(s"$k:$s")
-            if (h < mh(k)) mh(k) = h
-            k += 1
-          }
-          i += 1
-        }
-        mh.mkString(",")
-      }
-    })
+    // the BATCH minhash kernel (native codegen'd MinhashSigExpr, q46's
+    // exact hash family — minima are multiplicity-invariant, so the
+    // distinct shingle set signs identically to a positional scan); docs
+    // too short for any 3-gram would all share the empty all-MaxValue
+    // signature and collapse onto the first arrival, so they key by
+    // exact content instead
+    graft.functions.expressions.SignatureExprs.register(spark)
+    val tok = split(col("text"), " ")
+    val shingles = array_distinct(transform(
+      sequence(lit(1), size(tok) - 2),
+      i => concat_ws(" ", element_at(tok, i),
+        element_at(tok, i + 1), element_at(tok, i + 2))))
+    val sigCol = when(size(tok) >= 3,
+      array_join(transform(call_function("minhash16", shingles),
+        _.cast("string")), ","))
+      .otherwise(concat(lit("exact:"), md5(col("text"))))
     spark.readStream
       .schema(docSchema)
       .parquet(docDir)
-      .withColumn("minhash_sig", sigU(col("text")))
+      .withColumn("minhash_sig", sigCol)
       .withColumn("ingest_ts", current_timestamp())
       .withWatermark("ingest_ts", retention)
       .dropDuplicatesWithinWatermark("minhash_sig")

@@ -232,6 +232,35 @@ class DedupPropertiesSpec extends SparkSpec {
     assert(got.keySet == Set(0L, 10L), "every delta doc gets exactly one row")
   }
 
+  test("shingle queries survive sub-3-token docs (oracle's empty-range semantics)") {
+    // sequence(1, size-2) on a 2-token doc is the DESCENDING [1, 0] and
+    // element_at(tok, 0) throws — the >= 3 filter must mirror DuckDB's
+    // empty generate_series instead: short docs simply have no shingles,
+    // so they never pair and an incremental-delta short doc is not a dup
+    val rng = new scala.util.Random(47)
+    val vocab = (0 until 30).map(i => s"w$i")
+    def freshText() = Seq.fill(30)(vocab(rng.nextInt(30))).mkString(" ")
+    val rows = (Seq(
+      (0L, "hi"),            // delta, 1 token
+      (1L, "two tokens"),    // corpus, 2 tokens
+      (2L, ""),              // corpus, empty text
+      (10L, "also two")      // delta, 2 tokens
+    ) ++ (3L to 7L).map(i => (i, freshText())))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("shortdocs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // none of these may throw, and short docs never appear in pair output
+    val p45 = Dedup.q45NgramJaccard(spark, dir).collect()
+    val p46 = Dedup.q46MinhashLsh(spark, dir).collect()
+    val short = Set(0L, 1L, 2L, 10L)
+    assert(!(p45 ++ p46).exists(r => short(r.getLong(0)) || short(r.getLong(1))))
+    val inc = Dedup.q79IncrementalDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(inc.keySet == Set(0L, 10L) && inc.values.forall(_ == false),
+      s"short delta docs must report not-dup: $inc")
+  }
+
   test("CC on an empty graph returns empty (no driver-side aggregate to NPE)") {
     val edgesDf = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     val nodesDf = Seq.empty[Long].toDF("id")
