@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CurveAbbeExpr, DotProductExpr}
+import graft.functions.expressions.{CurveAbbeExpr, CurveDensityExpr, DotProductExpr, LshBandSigsExpr, MinhashSigExpr, SaxWordExpr, SimhashExpr, VariogramSlopeExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -23,5 +23,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProductExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash16"),
+      new ExpressionInfo(classOf[SimhashExpr].getName, "simhash16"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimhashExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash16"),
+      new ExpressionInfo(classOf[MinhashSigExpr].getName, "minhash16"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinhashSigExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("lsh_band_sigs"),
+      new ExpressionInfo(classOf[LshBandSigsExpr].getName, "lsh_band_sigs"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LshBandSigsExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("variogram_slope"),
+      new ExpressionInfo(classOf[VariogramSlopeExpr].getName, "variogram_slope"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VariogramSlopeExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("curve_density"),
+      new ExpressionInfo(classOf[CurveDensityExpr].getName, "curve_density"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CurveDensityExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sax_word"),
+      new ExpressionInfo(classOf[SaxWordExpr].getName, "sax_word"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SaxWordExpr(exprs(0), exprs(1), exprs(2))))
   }
 }

@@ -140,13 +140,11 @@ object TimeSeries {
     * parity vs the reference is additionally pinned by the golden specs.
     */
   def q37KernelFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val abbeU = udf((t: Seq[Double], v: Seq[Double]) =>
-      Kernels.curveAbbe(t.toArray, v.toArray, Some(50)))
-    val saxU = udf((v: Seq[Double]) => Sax.toLetterRep(v.toArray, 8, 10).word)
-    val slopeU = udf((t: Seq[Double], v: Seq[Double]) =>
-      Kernels.variogramSlope(t.toArray, v.toArray, 1.0))
-    val densU = udf((t: Seq[Double], v: Seq[Double]) =>
-      Kernels.curveDensity(t.toArray, v.toArray))
+    // native codegen'd kernel expressions (primitive double[] from
+    // Tungsten, no boxed Seq conversion) — the whole feature projection
+    // stays inside one generated stage
+    graft.functions.expressions.CurveAbbeExpr.register(spark)
+    graft.functions.expressions.CurveKernelExprs.register(spark)
     ev(spark, dir)
       .withColumn("t_days", col("ts") / lit(86400e9)) // days since epoch
       .groupBy(col("user_id"))
@@ -155,10 +153,10 @@ object TimeSeries {
       .select(col("user_id"), col("pts.t").as("t"), col("pts.v").as("v"))
       .filter(size(col("t")) > 10)
       .select(col("user_id"),
-        round(abbeU(col("t"), col("v")), 6).as("abbe"),
-        saxU(col("v")).as("sax_word"),
-        round(slopeU(col("t"), col("v")), 6).as("vario_slope"),
-        round(densU(col("t"), col("v")), 6).as("density"))
+        round(expr("curve_abbe(t, v, 50)"), 6).as("abbe"),
+        expr("sax_word(v, 8, 10)").as("sax_word"),
+        round(expr("variogram_slope(t, v, 1.0d)"), 6).as("vario_slope"),
+        round(expr("curve_density(t, v)"), 6).as("density"))
   }
 
   /** AS-OF join: every click is matched to the user's most recent PRIOR

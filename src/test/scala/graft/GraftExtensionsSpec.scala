@@ -30,6 +30,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT curve_abbe(array(1.0D, 2.0D, 3.0D, 4.0D), " +
           "array(1.0D, 2.0D, 1.0D, 2.0D), 0) AS a").head().getDouble(0)
       assert(a > 0.0 && !a.isNaN)
+      // the signature + curve-kernel families inject too
+      val sh = spark.sql("SELECT simhash16(array('a', 'b', 'a')) AS s")
+        .head().getLong(0)
+      assert(sh >= 0L && sh < (1L << 16))
+      val mh = spark.sql("SELECT minhash16(array('x y z')) AS m")
+        .head().getSeq[Long](0)
+      assert(mh.length == 16 && mh.forall(_ >= 0L))
+      val bs = spark.sql(
+        "SELECT lsh_band_sigs(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 4) AS b")
+        .head().getSeq[Long](0)
+      assert(bs.length == 4)
+      // word length follows the reference's scaling-factor semantics
+      // (kernel parity is golden-pinned in SaxSpec) — here just prove the
+      // function injects and emits alphabet letters
+      val sw = spark.sql(
+        "SELECT sax_word(array(1.0D, 2.0D, 3.0D, 4.0D, 5.0D, 6.0D, 7.0D, 8.0D, " +
+          "9.0D, 10.0D), 4, 5) AS w").head().getString(0)
+      assert(sw.nonEmpty && sw.forall(c => c >= 'a' && c <= 'z'))
+      val vs = spark.sql(
+        "SELECT variogram_slope(array(1.0D, 2.0D, 3.0D, 4.0D), " +
+          "array(1.0D, 2.0D, 1.0D, 2.0D), 1.0D) AS v").head()
+      assert(!vs.isNullAt(0))
+      val cd = spark.sql(
+        "SELECT curve_density(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D, 3.0D)) AS c")
+        .head().getDouble(0)
+      assert(!cd.isNaN)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
