@@ -26,9 +26,9 @@ object CurveKernelExprs {
   def curveDensity(t: ArrayData, v: ArrayData): Double =
     Kernels.curveDensity(t.toDoubleArray(), v.toDoubleArray())
 
-  def saxWord(v: ArrayData, alphabetSize: Int, paaSize: Int): UTF8String =
+  def saxWord(v: ArrayData, wordSize: Int, alphabetSize: Int): UTF8String =
     UTF8String.fromString(
-      Sax.toLetterRep(v.toDoubleArray(), alphabetSize, paaSize).word)
+      Sax.toLetterRep(v.toDoubleArray(), wordSize, alphabetSize).word)
 
   private[expressions] def dblArr(t: DataType) = t match {
     case ArrayType(DoubleType, _) => true
@@ -94,7 +94,9 @@ case class CurveDensityExpr(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(l, r)
 }
 
-/** `sax_word(values, alphabet_size, paa_size)`. */
+/** `sax_word(values, word_size, alphabet_size)` — argument order matches
+  * `Sax.toLetterRep`: the PAA word length first, then the alphabet.
+  */
 case class SaxWordExpr(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
   override def dataType: DataType = StringType

@@ -97,22 +97,31 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
   }
 
+  /** THE word-3-gram shingle definition — one Column-level helper shared
+    * by batch ([[shingleArrays]]) and streaming (`StreamingDedup
+    * .runNearDup`), so the two surfaces can never drift apart on
+    * tokenization or gram construction. Callers must guard
+    * `size(split(text, " ")) >= 3`: `sequence(1, 0)` is the DESCENDING
+    * [1, 0] and `element_at(tok, 0)` throws on shorter input.
+    */
+  private[graft] def wordShingles(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val tok = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), size(tok) - 2),
+      i => concat_ws(" ", element_at(tok, i),
+        element_at(tok, i + 1), element_at(tok, i + 2))))
+  }
+
   /** Per-doc distinct word-3-gram shingle ARRAY (no explode — the shingle
     * set stays in-row; scale axis is documents). Docs with fewer than 3
     * tokens are FILTERED, mirroring the oracle's `generate_series(1,
-    * len-2)` which is empty for them — without the filter,
-    * `sequence(1, 0)` is the DESCENDING [1, 0] and `element_at(tok, 0)`
-    * throws on any short document.
+    * len-2)` which is empty for them.
     */
   private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("tok", split(col("text"), " "))
-      .filter(size(col("tok")) >= 3)
-      .withColumn("shingles", array_distinct(transform(
-        sequence(lit(1), size(col("tok")) - 2),
-        i => concat_ws(" ", element_at(col("tok"), i),
-          element_at(col("tok"), i + 1), element_at(col("tok"), i + 2)))))
-      .select(col("doc_id"), col("lang"), col("source"), col("shingles"))
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), col("lang"), col("source"),
+        wordShingles(col("text")).as("shingles"))
 
   /** MinHash + LSH banding: 4 bands × 4 rows; candidates share a band;
     * estimated similarity = matching minhashes / 16; threshold 0.5.

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.{Kernels, Sax}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._

@@ -56,22 +56,22 @@ object StreamingDedup {
                  docSchema: org.apache.spark.sql.types.StructType,
                  cleanPath: String, checkpoint: String,
                  retention: String = "1 hour"): StreamingQuery = {
-    // the BATCH minhash kernel (native codegen'd MinhashSigExpr, q46's
-    // exact hash family — minima are multiplicity-invariant, so the
-    // distinct shingle set signs identically to a positional scan); docs
-    // too short for any 3-gram would all share the empty all-MaxValue
-    // signature and collapse onto the first arrival, so they key by
-    // exact content instead
+    // the BATCH minhash kernel (native codegen'd MinhashSigExpr over the
+    // shared Dedup.wordShingles definition — q46's exact hash family;
+    // minima are multiplicity-invariant, so the distinct shingle set
+    // signs identically to a positional scan); docs too short for any
+    // 3-gram would all share the empty all-MaxValue signature and
+    // collapse onto the first arrival, so they key by exact content.
+    // Null text is treated as EMPTY content (both key identically) —
+    // keying on a raw null would also collapse null-text docs together
+    // but invisibly, via the state store's null grouping.
     graft.functions.expressions.SignatureExprs.register(spark)
-    val tok = split(col("text"), " ")
-    val shingles = array_distinct(transform(
-      sequence(lit(1), size(tok) - 2),
-      i => concat_ws(" ", element_at(tok, i),
-        element_at(tok, i + 1), element_at(tok, i + 2))))
-    val sigCol = when(size(tok) >= 3,
-      array_join(transform(call_function("minhash16", shingles),
+    val text = coalesce(col("text"), lit(""))
+    val sigCol = when(size(split(text, " ")) >= 3,
+      array_join(transform(
+        call_function("minhash16", graft.operators.Dedup.wordShingles(text)),
         _.cast("string")), ","))
-      .otherwise(concat(lit("exact:"), md5(col("text"))))
+      .otherwise(concat(lit("exact:"), md5(text)))
     spark.readStream
       .schema(docSchema)
       .parquet(docDir)

@@ -41,13 +41,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT lsh_band_sigs(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 4) AS b")
         .head().getSeq[Long](0)
       assert(bs.length == 4)
-      // word length follows the reference's scaling-factor semantics
-      // (kernel parity is golden-pinned in SaxSpec) — here just prove the
-      // function injects and emits alphabet letters
+      // sax_word(values, word_size, alphabet_size): 4-letter word over a
+      // 5-letter alphabet (kernel parity is golden-pinned in SaxSpec)
       val sw = spark.sql(
         "SELECT sax_word(array(1.0D, 2.0D, 3.0D, 4.0D, 5.0D, 6.0D, 7.0D, 8.0D, " +
           "9.0D, 10.0D), 4, 5) AS w").head().getString(0)
-      assert(sw.nonEmpty && sw.forall(c => c >= 'a' && c <= 'z'))
+      assert(sw.length == 4 && sw.forall(c => c >= 'a' && c <= 'e'), sw)
       val vs = spark.sql(
         "SELECT variogram_slope(array(1.0D, 2.0D, 3.0D, 4.0D), " +
           "array(1.0D, 2.0D, 1.0D, 2.0D), 1.0D) AS v").head()

@@ -18,19 +18,27 @@ import sys
 def load(path):
     with open(path) as f:
         txt = f.read()
-    # accept either a bare JSON object or a log containing the metric line
-    for line in txt.splitlines():
-        if line.startswith('{"metric"'):
-            return json.loads(line)
+    # accept either a bare JSON object or a log containing metric lines;
+    # with several appended bench runs, the LAST line is the current one
+    lines = [l for l in txt.splitlines() if l.startswith('{"metric"')]
+    if lines:
+        return json.loads(lines[-1])
     return json.loads(txt)
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     thr = 0.2
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else thr
+    args = []
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if tok.startswith("--threshold"):
+            thr = float(tok.split("=", 1)[1]) if "=" in tok else float(argv[i + 1])
+            i += 1 if "=" in tok else 2
+            continue
+        args.append(tok)
+        i += 1
     a, b = load(args[0]), load(args[1])
     ca = a.get("calib", {}).get("spin32")
     cb = b.get("calib", {}).get("spin32")
@@ -46,7 +54,7 @@ def main():
         if max(va, vb) <= 1.0:
             continue
         vbn = vb * scale
-        rel = abs(va - vbn) / min(va, vbn)
+        rel = abs(va - vbn) / max(min(va, vbn), 1e-3)
         mark = "REGRESSED" if rel > thr and vbn > va else (
             "IMPROVED" if rel > thr else "ok")
         print(f"{q:30s} A {va:7.2f}  B {vb:7.2f}  B(norm) {vbn:7.2f}  "
@@ -58,7 +66,8 @@ def main():
         spread_a = a.get("spread", {}).get(q)
         spread_b = b.get("spread", {}).get(q)
         print(f"  {q}: {mark}  A spread {spread_a}  B spread {spread_b}")
-    sys.exit(1 if any(m == "FAILED" for _, _, _, m in flagged) else 0)
+    # nonzero for anything a CI gate should stop on: failures OR regressions
+    sys.exit(1 if any(m in ("FAILED", "REGRESSED") for _, _, _, m in flagged) else 0)
 
 
 if __name__ == "__main__":
