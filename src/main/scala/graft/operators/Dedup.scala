@@ -100,17 +100,22 @@ object Dedup {
   /** THE word-3-gram shingle definition — one Column-level helper shared
     * by batch ([[shingleArrays]]) and streaming (`StreamingDedup
     * .runNearDup`), so the two surfaces can never drift apart on
-    * tokenization or gram construction. Callers must guard
-    * `size(split(text, " ")) >= 3`: `sequence(1, 0)` is the DESCENDING
+    * tokenization or gram construction.
+    *
+    * `tok` MUST be a materialized token-array COLUMN (e.g. from
+    * `withColumn("tok", split(...))`), never an inline `split(...)`
+    * expression: higher-order-function lambdas evaluate INTERPRETED, so
+    * an expression passed here replicates into the per-element lambda
+    * body — an inline split re-tokenizes the document for every shingle,
+    * turning construction quadratic (measured 2× on q66). Callers must
+    * also guard `size(tok) >= 3`: `sequence(1, 0)` is the DESCENDING
     * [1, 0] and `element_at(tok, 0)` throws on shorter input.
     */
-  private[graft] def wordShingles(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val tok = split(text, " ")
+  private[graft] def wordShingles(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     array_distinct(transform(
       sequence(lit(1), size(tok) - 2),
       i => concat_ws(" ", element_at(tok, i),
         element_at(tok, i + 1), element_at(tok, i + 2))))
-  }
 
   /** Per-doc distinct word-3-gram shingle ARRAY (no explode — the shingle
     * set stays in-row; scale axis is documents). Docs with fewer than 3
@@ -119,9 +124,10 @@ object Dedup {
     */
   private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("tok", split(col("text"), " "))
+      .filter(size(col("tok")) >= 3)
       .select(col("doc_id"), col("lang"), col("source"),
-        wordShingles(col("text")).as("shingles"))
+        wordShingles(col("tok")).as("shingles"))
 
   /** MinHash + LSH banding: 4 bands × 4 rows; candidates share a band;
     * estimated similarity = matching minhashes / 16; threshold 0.5.

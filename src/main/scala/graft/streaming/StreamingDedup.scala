@@ -66,16 +66,20 @@ object StreamingDedup {
     // keying on a raw null would also collapse null-text docs together
     // but invisibly, via the state store's null grouping.
     graft.functions.expressions.SignatureExprs.register(spark)
-    val text = coalesce(col("text"), lit(""))
-    val sigCol = when(size(split(text, " ")) >= 3,
+    // _tok is a real column so wordShingles' lambda reads a bound
+    // attribute, not a replicated split expression (see its scaladoc)
+    val sigCol = when(size(col("_tok")) >= 3,
       array_join(transform(
-        call_function("minhash16", graft.operators.Dedup.wordShingles(text)),
+        call_function("minhash16", graft.operators.Dedup.wordShingles(col("_tok"))),
         _.cast("string")), ","))
-      .otherwise(concat(lit("exact:"), md5(text)))
+      .otherwise(concat(lit("exact:"), md5(col("_text"))))
     spark.readStream
       .schema(docSchema)
       .parquet(docDir)
+      .withColumn("_text", coalesce(col("text"), lit("")))
+      .withColumn("_tok", split(col("_text"), " "))
       .withColumn("minhash_sig", sigCol)
+      .drop("_text", "_tok")
       .withColumn("ingest_ts", current_timestamp())
       .withWatermark("ingest_ts", retention)
       .dropDuplicatesWithinWatermark("minhash_sig")

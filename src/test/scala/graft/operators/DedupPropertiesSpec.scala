@@ -203,10 +203,18 @@ class DedupPropertiesSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       assert(gotDup == expected, s"trial $trial: duplicate-edge CC diverges")
       // force the DISTRIBUTED boundary tier (driverMaxEdges = -1): the
-      // propagation loop must agree with the driver union-find tier
+      // propagation loop must agree with the driver union-find tiers
       val gotDist = Dedup.connectedComponents(edgesDf, nodesDf, -1L)
         .as[(Long, Long)].collect().toMap
       assert(gotDist == expected, s"trial $trial: distributed-tier CC diverges")
+      // mid threshold: too many edges for the direct tier, but the
+      // contracted boundary fits — exercises contraction + boundary-UF
+      if (edges.nonEmpty) {
+        val gotMid = Dedup.connectedComponents(
+          edgesDf.repartition(4), nodesDf, edges.length - 1L)
+          .as[(Long, Long)].collect().toMap
+        assert(gotMid == expected, s"trial $trial: contraction-tier CC diverges")
+      }
     }
   }
 
