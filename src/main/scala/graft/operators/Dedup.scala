@@ -122,12 +122,15 @@ object Dedup {
     * tokens are FILTERED, mirroring the oracle's `generate_series(1,
     * len-2)` which is empty for them.
     */
-  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+  private def shingleArraysOf(docsDf: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    docsDf
       .withColumn("tok", split(col("text"), " "))
       .filter(size(col("tok")) >= 3)
-      .select(col("doc_id"), col("lang"), col("source"),
-        wordShingles(col("tok")).as("shingles"))
+      .select(col("doc_id") +: keep.map(col) :+
+        wordShingles(col("tok")).as("shingles"): _*)
+
+  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+    shingleArraysOf(docs(spark, dir), Seq("lang", "source"))
 
   /** MinHash + LSH banding: 4 bands × 4 rows; candidates share a band;
     * estimated similarity = matching minhashes / 16; threshold 0.5.
@@ -523,6 +526,55 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("a_id").as("doc_id"), col("b_id").as("dup_of"), col("est_sim"))
     docs(spark, dir).select(col("doc_id")).filter(col("doc_id") % 10 === 0)
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("est_sim"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
+  /** Materialize the corpus minhash band index — the artifact an
+    * incremental deployment keeps between batches so a delta run never
+    * recomputes the corpus side: the full 16-slot signatures (verify
+    * stage) and the exploded band-key rows (candidate equi-join side).
+    * `corpusDocs` is any (doc_id, text, …) frame.
+    */
+  def writeBandIndex(corpusDocs: DataFrame, path: String): Unit = {
+    graft.CacheScope.run {
+      val sig = graft.CacheScope.cache(minhashSigs(shingleArraysOf(corpusDocs)))
+      sig.write.mode("overwrite").parquet(s"$path/sigs")
+      bandKeys(sig).write.mode("overwrite").parquet(s"$path/bands")
+    }
+  }
+
+  /** q79's semantics against a PREBUILT index ([[writeBandIndex]]): only
+    * the delta batch is shingled and signed; the corpus participates
+    * through its stored band keys (candidate join) and signatures
+    * (verify) — the true nightly shape, where corpus work is zero.
+    */
+  def incrementalDedupAgainstIndex(deltaDocs: DataFrame, indexPath: String): DataFrame = {
+    val spark = deltaDocs.sparkSession
+    val corpusSigs = spark.read.parquet(s"$indexPath/sigs")
+      .select(col("doc_id").as("b_id"), col("sig").as("sig_b"))
+    val corpusBands = spark.read.parquet(s"$indexPath/bands")
+      .withColumnRenamed("doc_id", "b_id")
+    val dSig = graft.CacheScope.cache(minhashSigs(shingleArraysOf(deltaDocs)))
+    val cand = bandKeys(dSig).withColumnRenamed("doc_id", "a_id")
+      .join(corpusBands, Seq("band", "m0", "m1", "m2", "m3"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val estU = udf((a: Seq[Long], b: Seq[Long]) =>
+      a.zip(b).count(p => p._1 == p._2) / 16.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id")).orderBy(col("est_sim").desc, col("b_id"))
+    val best = cand
+      .join(dSig.toDF("a_id", "sig_a"), Seq("a_id"))
+      .join(corpusSigs, Seq("b_id"))
+      .withColumn("est_sim", estU(col("sig_a"), col("sig_b")))
+      .filter(col("est_sim") >= 0.5)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a_id").as("doc_id"), col("b_id").as("dup_of"), col("est_sim"))
+    deltaDocs.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"), col("est_sim"),
         col("dup_of").isNotNull.as("is_dup"))

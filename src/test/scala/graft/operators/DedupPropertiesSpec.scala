@@ -269,6 +269,21 @@ class DedupPropertiesSpec extends SparkSpec {
       s"short delta docs must report not-dup: $inc")
   }
 
+  test("q79 via a prebuilt band index matches the inline rebuild exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val idx = java.nio.file.Files.createTempDirectory("bandidx").toString
+    // index the corpus side (non-multiples of 10), run the delta against it
+    Dedup.writeBandIndex(docs.filter($"doc_id" % 10 =!= 0), idx)
+    val viaIndex = Dedup.incrementalDedupAgainstIndex(
+      docs.filter($"doc_id" % 10 === 0), idx)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(3))).toSet
+    val inline = Dedup.q79IncrementalDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(3))).toSet
+    assert(viaIndex == inline, "index path must reproduce the inline q79 result")
+    assert(inline.exists(_._3), "fixture should contain at least one delta dup")
+  }
+
   test("CC on an empty graph returns empty (no driver-side aggregate to NPE)") {
     val edgesDf = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     val nodesDf = Seq.empty[Long].toDF("id")
