@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CurveAbbeExpr, CurveDensityExpr, DotProductExpr, LshBandSigsExpr, MinhashSigExpr, SaxWordExpr, SimhashExpr, VariogramSlopeExpr}
+import graft.functions.expressions.{CurveAbbeExpr, CurveDensityExpr, DotProductExpr, LshBandSigsExpr, MinhashSigExpr, SaxWordExpr, SimhashExpr, VariogramSlopeExpr, WinnowFpsExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -53,5 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SaxWordExpr].getName, "sax_word"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SaxWordExpr(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFpsExpr].getName, "winnow_fps"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        WinnowFpsExpr(exprs.head)))
   }
 }

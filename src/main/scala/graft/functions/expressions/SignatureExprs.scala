@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the dedup signature kernels — the
   * per-row hot path of every near-dup operator (q46/q47/q49/q56/q58/q66/
@@ -37,6 +38,42 @@ object SignatureExprs {
     reg("simhash16", exprs => SimhashExpr(exprs.head))
     reg("minhash16", exprs => MinhashSigExpr(exprs.head))
     reg("lsh_band_sigs", exprs => LshBandSigsExpr(exprs(0), exprs(1)))
+    reg("winnow_fps", exprs => WinnowFpsExpr(exprs.head))
+  }
+
+  /** Winnowing dials (q78): gram length and window size in CODEPOINTS —
+    * any shared substring of ≥ WINNOW_GRAM + WINNOW_WINDOW − 1 chars
+    * selects at least one common fingerprint.
+    */
+  val WINNOW_GRAM = 20
+  val WINNOW_WINDOW = 10
+
+  /** Distinct winnowing fingerprints of a text: every WINNOW_GRAM-codepoint
+    * gram is hashed, each WINNOW_WINDOW-gram window keeps its minimum.
+    * CODEPOINT indexing, not UTF-16 units: DuckDB's substr/length count
+    * codepoints, and astral chars would misalign gram boundaries (and
+    * split surrogates) under String.substring.
+    */
+  def winnowFps(text: UTF8String): ArrayData = {
+    val cp = text.toString.codePoints().toArray
+    val a = WINNOW_GRAM
+    val w = WINNOW_WINDOW
+    if (cp.length < a + w - 1) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val hs = Array.tabulate(cp.length - a + 1)(i =>
+        PortableHash.md5Int60(new String(cp, i, a)))
+      val out = new scala.collection.mutable.ArrayBuffer[Long]()
+      val seen = new scala.collection.mutable.HashSet[Long]()
+      var j = 0
+      while (j <= hs.length - w) {
+        var m = Long.MaxValue
+        var k = j
+        while (k < j + w) { if (hs(k) < m) m = hs(k); k += 1 }
+        if (seen.add(m)) out += m
+        j += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
   }
 
   private[expressions] def isStringArr(t: DataType) = t match {
@@ -109,6 +146,23 @@ object SignatureExprs {
     }
     new GenericArrayData(sigs)
   }
+}
+
+case class WinnowFpsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps expects string, got ${child.dataType}")
+
+  override protected def nullSafeEval(a: Any): Any =
+    SignatureExprs.winnowFps(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.expressions.SignatureExprs.winnowFps($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 case class SimhashExpr(child: Expression) extends UnaryExpression {

@@ -460,28 +460,15 @@ object Dedup {
     * density/sensitivity dials.
     */
   def q78WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val (a, w) = (20, 10)
-    val fpU = udf((text: String) => {
-      // CODEPOINT indexing, not UTF-16 units: DuckDB's substr/length count
-      // codepoints, and astral chars would misalign gram boundaries (and
-      // split surrogates) under String.substring; null text yields no grams
-      val cp = if (text == null) Array.emptyIntArray else text.codePoints().toArray
-      if (cp.length < a + w - 1) Seq.empty[Long]
-      else {
-        val hs = Array.tabulate(cp.length - a + 1)(i =>
-          graft.functions.PortableHash.md5Int60(new String(cp, i, a)))
-        (0 to hs.length - w).map { j =>
-          var m = Long.MaxValue
-          var k = j
-          while (k < j + w) { if (hs(k) < m) m = hs(k); k += 1 }
-          m
-        }.distinct
-      }
-    })
+    // fingerprints via the native codegen'd WinnowFpsExpr (codepoint-true
+    // grams, first-occurrence-distinct window minima — the per-character
+    // digest kernel, no per-row String boxing detour); a null text
+    // null-propagates and explode drops it, same as the empty gram set
+    graft.functions.expressions.SignatureExprs.register(spark)
     // cached: the self-join reads fps on BOTH sides — without this the
     // per-character digest pipeline (the query's dominant cost) runs twice
     val fps = graft.CacheScope.cache(docs(spark, dir)
-      .select(col("doc_id"), explode(fpU(col("text"))).as("fp")))
+      .select(col("doc_id"), explode(expr("winnow_fps(text)")).as("fp")))
     fps.select(col("doc_id").as("a_id"), col("fp"))
       .join(fps.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
       .filter(col("a_id") < col("b_id"))

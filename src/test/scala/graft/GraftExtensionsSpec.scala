@@ -55,6 +55,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT curve_density(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D, 3.0D)) AS c")
         .head().getDouble(0)
       assert(!cd.isNaN)
+      // 30 chars >= gram(20)+window(10)-1, so at least one fingerprint
+      val wf = spark.sql(
+        "SELECT winnow_fps('abcdefghijklmnopqrstuvwxyz0123') AS f")
+        .head().getSeq[Long](0)
+      assert(wf.nonEmpty && wf.forall(_ >= 0L))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
