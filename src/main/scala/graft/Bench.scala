@@ -160,6 +160,8 @@ object Bench {
     // round-robin, median reported. Runs under its OWN job group so a
     // surviving warmup straggler can be cancelled by group without
     // touching the measurement jobs.
+    val telemetry = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    Telemetry.drain() // discard warmup-pass events
     val samples: Seq[Seq[(String, Double)]] = (1 to repeat).map { round =>
       selected.map { case (name, fn) =>
         // if the warmup pool never died, one of its threads may still
@@ -183,6 +185,8 @@ object Bench {
         // CacheScope frees the scoped ones — clearCache is the catch-all
         // so blocks never accumulate across the 60+ queries and repeats
         spark.catalog.clearCache()
+        val evs = Telemetry.drain()
+        if (evs.nonEmpty) telemetry(s"$name r$round") = evs
         System.err.println(f"[bench] $name round $round: $secs%.2fs")
         name -> (if (ok) secs else -1.0)
       }
@@ -248,7 +252,30 @@ object Bench {
       "on this host is box-level (co-tenant steal) -- compare the calib spins across " +
       "runs before reading a per-query delta as a regression."
     val total = meds.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeat":$repeat,"spread":$spread,"recall":$recallJson,"calib":{"spin1":$calib1%.3f,"spin32":$calib32%.3f},"notes":"$notes"}""")
+    // The driver archives only the TAIL of stdout (~4 KB) and parses its
+    // last line — round 7's single all-in-one line grew past that window
+    // and the artifact lost every early-query median. Split the output:
+    //   1. the FULL record (medians + spread + per-sample telemetry +
+    //      recall + calib + notes) goes to a file (committed in the repo,
+    //      so the complete artifact is always readable), and to stderr;
+    //   2. stdout's LAST line is the compact driver-contract record only —
+    //      metric/value/unit/queries/sf/repeat — which stays ~2 KB at 70
+    //      queries and fits any tail window.
+    val tele = telemetry.toSeq.sortBy(_._1).map { case (k, evs) =>
+      "\"" + k + "\":" + evs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeat":$repeat,"spread":$spread,"telemetry":$tele,"recall":$recallJson,"calib":{"spin1":$calib1%.3f,"spin32":$calib32%.3f},"notes":"$notes"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try {
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try w.println(fullJson) finally w.close()
+      System.err.println(s"[bench] full artifact written to $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    System.err.println(s"[bench-full] $fullJson")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeat":$repeat}""")
     spark.stop()
   }
 }

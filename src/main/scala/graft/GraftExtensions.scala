@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CurveAbbeExpr, CurveDensityExpr, DotProductExpr, LshBandSigsExpr, MinhashSigExpr, SaxWordExpr, SimhashExpr, VariogramSlopeExpr, WinnowFpsExpr}
+import graft.functions.expressions.{CurveAbbeExpr, CurveDensityExpr, DotProductExpr, LshBandSigsExpr, MinhashSigExpr, SaxWordExpr, SigMatchExpr, SimhashExpr, VariogramSlopeExpr, WinnowFpsExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -58,5 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WinnowFpsExpr].getName, "winnow_fps"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         WinnowFpsExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("sig_match16"),
+      new ExpressionInfo(classOf[SigMatchExpr].getName, "sig_match16"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SigMatchExpr(exprs(0), exprs(1))))
   }
 }

@@ -39,6 +39,7 @@ object SignatureExprs {
     reg("minhash16", exprs => MinhashSigExpr(exprs.head))
     reg("lsh_band_sigs", exprs => LshBandSigsExpr(exprs(0), exprs(1)))
     reg("winnow_fps", exprs => WinnowFpsExpr(exprs.head))
+    reg("sig_match16", exprs => SigMatchExpr(exprs(0), exprs(1)))
   }
 
   /** Winnowing dials (q78): gram length and window size in CODEPOINTS —
@@ -83,16 +84,20 @@ object SignatureExprs {
 
   /** 16-bit token-vote SimHash — one pass over the token array with
     * multiplicity (the oracle's `unnest`): bit j's vote is Σ ±1 by token
-    * hash bit j.
+    * hash bit j. Null elements are skipped (internal callers never produce
+    * them, but the function is registered for ad-hoc SQL where
+    * `array('a', NULL)` is legal input and must not NPE).
     */
   def simhash16(arr: ArrayData): Long = {
     val votes = new Array[Int](16)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = PortableHash.md5Int60(EmptyPrefix, arr.getUTF8String(i).getBytes)
-      var j = 0
-      while (j < 16) { votes(j) += (((h >> j) & 1L) * 2 - 1).toInt; j += 1 }
+      if (!arr.isNullAt(i)) {
+        val h = PortableHash.md5Int60(EmptyPrefix, arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < 16) { votes(j) += (((h >> j) & 1L) * 2 - 1).toInt; j += 1 }
+      }
       i += 1
     }
     var v = 0L
@@ -101,25 +106,51 @@ object SignatureExprs {
     v
   }
 
+  /** Fraction of agreeing slots between two equal-length signatures —
+    * THE minhash similarity estimator (matching slots / signature length),
+    * shared by q46's verify, q79's incremental verify, and the
+    * band-index path so the estimator can never drift between them.
+    * Null or length-mismatched inputs are a kernel-contract violation
+    * (signatures all come from minhash16); mismatch raises rather than
+    * silently truncating.
+    */
+  def sigMatch(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sig_match16: signature lengths differ (${n} vs ${b.numElements()})")
+    var same = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) same += 1
+      i += 1
+    }
+    same.toDouble / n
+  }
+
   private val EmptyPrefix = Array.emptyByteArray
   // "0:" … "15:" — the k-prefix bytes of the minhash family, built once
   private val KPrefixes: Array[Array[Byte]] =
     Array.tabulate(16)(k => s"$k:".getBytes("UTF-8"))
 
   /** 16-slot MinHash signature — min over the shingle set per k-prefixed
-    * hash; empty input yields all-Long.MaxValue (same as the UDF).
+    * hash; empty input yields all-Long.MaxValue (same as the UDF). Null
+    * elements are skipped, matching how the expression null-propagates a
+    * null ARRAY — ad-hoc SQL can pass `array('a', NULL)`.
     */
   def minhash16(arr: ArrayData): ArrayData = {
     val mh = Array.fill(16)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val b = arr.getUTF8String(i).getBytes
-      var k = 0
-      while (k < 16) {
-        val h = PortableHash.md5Int60(KPrefixes(k), b)
-        if (h < mh(k)) mh(k) = h
-        k += 1
+      if (!arr.isNullAt(i)) {
+        val b = arr.getUTF8String(i).getBytes
+        var k = 0
+        while (k < 16) {
+          val h = PortableHash.md5Int60(KPrefixes(k), b)
+          if (h < mh(k)) mh(k) = h
+          k += 1
+        }
       }
       i += 1
     }
@@ -199,8 +230,38 @@ case class MinhashSigExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
-/** `lsh_band_sigs(embedding, nBands)` — nBands must be a foldable int
-  * literal (it sizes the output array); LSH_BITS rides from the
+/** `sig_match16(sig_a, sig_b)` — fraction of agreeing slots between two
+  * minhash16 signatures: the similarity estimator of every banded-LSH
+  * verify stage (q46/q79/band index), as one codegen'd kernel instead of
+  * per-call ScalaUDF closures with boxed Seq conversions.
+  */
+case class SigMatchExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sig_match16 expects (array<bigint>, array<bigint>), got " +
+          s"(${left.dataType}, ${right.dataType})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SignatureExprs.sigMatch(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.SignatureExprs.sigMatch($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** `lsh_band_sigs(embedding, nBands)` — nBands must be a POSITIVE foldable
+  * int literal (it sizes the output array — validated here so a bad
+  * literal fails analysis with a readable message, not a
+  * NegativeArraySizeException at runtime); LSH_BITS rides from the
   * Similarity dial at construction time via the registry closure.
   */
 case class LshBandSigsExpr(left: Expression, right: Expression)
@@ -208,7 +269,11 @@ case class LshBandSigsExpr(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
     case ArrayType(FloatType, _) if right.dataType == IntegerType && right.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      right.eval() match {
+        case n: Int if n > 0 => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"lsh_band_sigs expects a positive band count, got $other")
+      }
     case _ => TypeCheckResult.TypeCheckFailure(
       s"lsh_band_sigs expects (array<float>, int literal), got " +
         s"(${left.dataType}, ${right.dataType})")

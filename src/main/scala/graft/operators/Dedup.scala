@@ -175,15 +175,24 @@ object Dedup {
       .distinct()
   }
 
+  /** THE minhash similarity estimator (matching slots / 16), shared by
+    * every verify stage via the native codegen'd
+    * [[graft.functions.expressions.SigMatchExpr]] — one definition, so
+    * q46 / q79 / the band-index path can never drift on the estimator.
+    */
+  private def estSim(df: DataFrame): org.apache.spark.sql.Column = {
+    graft.functions.expressions.SignatureExprs.register(df.sparkSession)
+    expr("sig_match16(sig_a, sig_b)")
+  }
+
   def q46MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sig = graft.CacheScope.cache(minhashSigs(shingleArrays(spark, dir)))
     val cand = bandPairs(sig)
-    val estU = udf((a: Seq[Long], b: Seq[Long]) =>
-      a.zip(b).count(p => p._1 == p._2) / 16.0)
-    cand
+    val joined = cand
       .join(sig.toDF("a_id", "sig_a"), Seq("a_id"))
       .join(sig.toDF("b_id", "sig_b"), Seq("b_id"))
-      .withColumn("est_sim", estU(col("sig_a"), col("sig_b")))
+    joined
+      .withColumn("est_sim", estSim(joined))
       .filter(col("est_sim") >= 0.5)
       .select(col("a_id"), col("b_id"), col("est_sim"))
   }
@@ -339,6 +348,7 @@ object Dedup {
     val rootLabels = if (nBoundary <= driverMaxEdges) {
       // tier 2a: cut-sized graph → one driver union-find pass, zero rounds
       System.err.println(s"[graft.cc] boundary_edges=$nBoundary tier=driver")
+      graft.Telemetry.record(s"cc boundary_edges=$nBoundary tier=driver")
       val uf = new UnionFind
       boundary.select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
         .foreach { case (a, b) => uf.union(a, b) }
@@ -348,6 +358,7 @@ object Dedup {
     } else {
       // tier 2b: the cut itself is big — distributed min-label propagation
       System.err.println(s"[graft.cc] boundary_edges=$nBoundary tier=distributed")
+      graft.Telemetry.record(s"cc boundary_edges=$nBoundary tier=distributed")
       propagateMinLabels(spark, boundary, roots)
     }
     // stitch: every node inherits its root's label (all of a node's roots
@@ -393,6 +404,7 @@ object Dedup {
     // propagation cost — the number that distinguishes a latency tax from
     // extra rounds when a CC timing moves
     System.err.println(s"[graft.cc] rounds=$rounds")
+    graft.Telemetry.record(s"cc rounds=$rounds")
     labels
   }
 
@@ -500,14 +512,13 @@ object Dedup {
       .join(corpusKeys, Seq("band", "m0", "m1", "m2", "m3"))
       .select(col("a_id"), col("b_id"))
       .distinct()
-    val estU = udf((a: Seq[Long], b: Seq[Long]) =>
-      a.zip(b).count(p => p._1 == p._2) / 16.0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a_id")).orderBy(col("est_sim").desc, col("b_id"))
-    val best = cand
+    val joined = cand
       .join(sig.toDF("a_id", "sig_a"), Seq("a_id"))
       .join(sig.toDF("b_id", "sig_b"), Seq("b_id"))
-      .withColumn("est_sim", estU(col("sig_a"), col("sig_b")))
+    val best = joined
+      .withColumn("est_sim", estSim(joined))
       .filter(col("est_sim") >= 0.5)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -549,14 +560,13 @@ object Dedup {
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
-    val estU = udf((a: Seq[Long], b: Seq[Long]) =>
-      a.zip(b).count(p => p._1 == p._2) / 16.0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a_id")).orderBy(col("est_sim").desc, col("b_id"))
-    val best = cand
+    val joined = cand
       .join(dSig.toDF("a_id", "sig_a"), Seq("a_id"))
       .join(corpusSigs, Seq("b_id"))
-      .withColumn("est_sim", estU(col("sig_a"), col("sig_b")))
+    val best = joined
+      .withColumn("est_sim", estSim(joined))
       .filter(col("est_sim") >= 0.5)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -565,6 +575,26 @@ object Dedup {
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of"), col("est_sim"),
         col("dup_of").isNotNull.as("is_dup"))
+  }
+
+  /** q79's semantics through the MATERIALIZED index path: the corpus side
+    * ([[writeBandIndex]]) is written to a per-sfdir location once and every
+    * subsequent run only shingles/signs the delta and joins the STORED
+    * band keys and signatures — the zero-corpus-recompute nightly shape,
+    * now exercised end-to-end (parquet round-trip included) by the
+    * correctness gate rather than only parity-spec'd. Identical output
+    * contract to q79, so it shares q79's oracle SQL.
+    */
+  def q81IncrementalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val indexPath = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_band_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+    // build-once: the index is the persistent artifact; a rerun (bench
+    // samples, verify after bench) reads it — corpus work amortized to zero
+    if (!new java.io.File(s"$indexPath/bands/_SUCCESS").exists())
+      writeBandIndex(d.filter(col("doc_id") % 10 =!= 0), indexPath)
+    incrementalDedupAgainstIndex(d.filter(col("doc_id") % 10 === 0), indexPath)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -576,7 +606,8 @@ object Dedup {
     "q66_dedup_pipeline" -> q66DedupPipeline,
     "q77_canonical_best" -> q77CanonicalBest,
     "q78_winnow_fingerprint" -> q78WinnowFingerprint,
-    "q79_incremental_dedup" -> q79IncrementalDedup)
+    "q79_incremental_dedup" -> q79IncrementalDedup,
+    "q81_incremental_index" -> q81IncrementalIndex)
 
   private val shingleCte =
     """t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS tok FROM documents),
@@ -588,6 +619,46 @@ object Dedup {
       |  SELECT DISTINCT doc_id, lang, source,
       |    tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS shingle
       |  FROM idx)""".stripMargin
+
+  /** The incremental-dedup oracle (delta = `doc_id % 10 = 0` vs the rest),
+    * shared verbatim by q79 (inline corpus recompute) and q81 (the
+    * materialized band-index path) — identical semantics by construction.
+    */
+  private val incrementalSql: String =
+    s"""WITH $shingleCte,
+      |sig AS (
+      |  SELECT doc_id, k,
+      |    min(('0x' || substr(md5(k || ':' || shingle), 1, 15))::BIGINT) AS mh
+      |  FROM sh, generate_series(0, 15) g(k)
+      |  GROUP BY doc_id, k),
+      |bands AS (
+      |  SELECT doc_id, k // 4 AS band,
+      |    max(CASE WHEN k % 4 = 0 THEN mh END) AS m0,
+      |    max(CASE WHEN k % 4 = 1 THEN mh END) AS m1,
+      |    max(CASE WHEN k % 4 = 2 THEN mh END) AS m2,
+      |    max(CASE WHEN k % 4 = 3 THEN mh END) AS m3
+      |  FROM sig GROUP BY doc_id, band),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.m0 = y.m0
+      |    AND x.m1 = y.m1 AND x.m2 = y.m2 AND x.m3 = y.m3
+      |    AND x.doc_id % 10 = 0 AND y.doc_id % 10 != 0),
+      |est AS (
+      |  SELECT a_id, b_id,
+      |    sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS est_sim
+      |  FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb
+      |    ON sb.doc_id = b_id AND sb.k = sa.k
+      |  GROUP BY a_id, b_id
+      |  HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 >= 0.5),
+      |best AS (
+      |  SELECT a_id, b_id, est_sim FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY a_id
+      |      ORDER BY est_sim DESC, b_id) AS rn
+      |    FROM est) WHERE rn = 1)
+      |SELECT d.doc_id, best.b_id AS dup_of, best.est_sim,
+      |  best.b_id IS NOT NULL AS is_dup
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+      |LEFT JOIN best ON best.a_id = d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q66_dedup_pipeline" ->
@@ -632,41 +703,10 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
-    "q79_incremental_dedup" ->
-      s"""WITH $shingleCte,
-        |sig AS (
-        |  SELECT doc_id, k,
-        |    min(('0x' || substr(md5(k || ':' || shingle), 1, 15))::BIGINT) AS mh
-        |  FROM sh, generate_series(0, 15) g(k)
-        |  GROUP BY doc_id, k),
-        |bands AS (
-        |  SELECT doc_id, k // 4 AS band,
-        |    max(CASE WHEN k % 4 = 0 THEN mh END) AS m0,
-        |    max(CASE WHEN k % 4 = 1 THEN mh END) AS m1,
-        |    max(CASE WHEN k % 4 = 2 THEN mh END) AS m2,
-        |    max(CASE WHEN k % 4 = 3 THEN mh END) AS m3
-        |  FROM sig GROUP BY doc_id, band),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-        |  FROM bands x JOIN bands y ON x.band = y.band AND x.m0 = y.m0
-        |    AND x.m1 = y.m1 AND x.m2 = y.m2 AND x.m3 = y.m3
-        |    AND x.doc_id % 10 = 0 AND y.doc_id % 10 != 0),
-        |est AS (
-        |  SELECT a_id, b_id,
-        |    sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS est_sim
-        |  FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb
-        |    ON sb.doc_id = b_id AND sb.k = sa.k
-        |  GROUP BY a_id, b_id
-        |  HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 >= 0.5),
-        |best AS (
-        |  SELECT a_id, b_id, est_sim FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY a_id
-        |      ORDER BY est_sim DESC, b_id) AS rn
-        |    FROM est) WHERE rn = 1)
-        |SELECT d.doc_id, best.b_id AS dup_of, best.est_sim,
-        |  best.b_id IS NOT NULL AS is_dup
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
-        |LEFT JOIN best ON best.a_id = d.doc_id""".stripMargin,
+    "q79_incremental_dedup" -> incrementalSql,
+    // the index path computes the SAME answer, just against stored
+    // signatures — one oracle serves both
+    "q81_incremental_index" -> incrementalSql,
     "q45_ngram_jaccard" ->
       s"""WITH $shingleCte,
         |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),

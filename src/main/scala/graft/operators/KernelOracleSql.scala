@@ -198,6 +198,142 @@ object KernelOracleSql {
        |FROM u JOIN eabbe e USING (user_id) JOIN sword w USING (user_id)
        |JOIN vslope v USING (user_id) JOIN dens d USING (user_id)""".stripMargin
 
+  /** q53 (`HistShapeDescr` over event-derived stars, templates = the first
+    * 3 stars by starId string order, bins = 10, alphabet = 7, slide = false,
+    * meth = average) as one SQL derivation:
+    *
+    *   1. `Kernels.histogram`: ekvi-PAA resample to the ORIGINAL length n
+    *      (same border/membership/gap-fill semantics as the abbe chain,
+    *      with b = n — CTEs `hbins…hfill`), mean-center, 10 edges over
+    *      [min, max] → 9 buckets (half-open, last closed — the membership
+    *      rule IS the Scala guard loops' post-condition; `mx = mn`
+    *      degenerates to bucket 8), z-score the 9 counts;
+    *   2. `Sax.toLetterRep(hist, wordSize=10, alphabet=7)`: normalize
+    *      AGAIN (the kernel's own z-norm — applied to already-normed
+    *      counts, kept for exact FP parity), then PAA 9→10. With
+    *      step = ceil(9/10) = 1 the frame starts are trunc(k·0.9) =
+    *      [0,0,1,…,8]: each word letter is one bucket's letter and bucket
+    *      0 appears TWICE — so MINDIST runs over the 9 buckets with
+    *      weight 2 on bucket 0;
+    *   3. MINDIST × scalingFactor √(9/10) (the template word's factor —
+    *      constant because every histogram is 9 long), letter distance 0
+    *      for adjacent letters else β[max−1] − β[min] on the alphabet-7
+    *      breakpoints; average over the 3 templates.
+    */
+  val q53Sql: String =
+    """WITH RECURSIVE pts AS (
+      |  SELECT user_id, epoch_ns(ts)/86400e9 AS t, value AS v,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)/86400e9, value) AS pos
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, count(*) AS n, min(t) AS tmin, max(t) AS tmax
+      |  FROM pts GROUP BY 1 HAVING count(*) > 10),
+      |hbins AS (
+      |  SELECT e.user_id, gs.i,
+      |    (e.tmin - e.h) + gs.i * ((e.tmax + e.h) - (e.tmin - e.h)) / e.n AS b_lo,
+      |    (e.tmin - e.h) + (gs.i + 1) * ((e.tmax + e.h) - (e.tmin - e.h)) / e.n AS b_hi
+      |  FROM (SELECT user_id, n, tmin, tmax, (tmax - tmin) / n / 2.0 AS h FROM u) e,
+      |    LATERAL (SELECT unnest(generate_series(0, e.n - 1)) AS i) gs),
+      |hxa AS (
+      |  SELECT hb.user_id, hb.i,
+      |    CASE WHEN count(p.t) > 0
+      |         THEN list_sum(list(p.t ORDER BY p.pos)) / count(p.t)
+      |         ELSE (hb.b_hi + hb.b_lo) / 2 END AS xa,
+      |    CASE WHEN count(p.t) > 0
+      |         THEN list_sum(list(p.v ORDER BY p.pos)) / count(p.t) END AS ya
+      |  FROM hbins hb LEFT JOIN pts p
+      |    ON p.user_id = hb.user_id AND p.t >= hb.b_lo AND p.t < hb.b_hi
+      |  GROUP BY hb.user_id, hb.i, hb.b_lo, hb.b_hi),
+      |hrep AS (
+      |  SELECT user_id, i, xa,
+      |    CASE WHEN ya IS NOT NULL THEN ya
+      |         WHEN i < fv THEN yfv WHEN i > lv THEN ylv END AS ya
+      |  FROM (
+      |    SELECT user_id, i, xa, ya,
+      |      min(CASE WHEN ya IS NOT NULL THEN i END) OVER (PARTITION BY user_id) AS fv,
+      |      max(CASE WHEN ya IS NOT NULL THEN i END) OVER (PARTITION BY user_id) AS lv,
+      |      first_value(ya IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY i
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS yfv,
+      |      last_value(ya IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY i
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS ylv
+      |    FROM hxa)),
+      |hgap AS (
+      |  SELECT g.user_id, g.i, g.xa, r.xa AS xr, r.ya AS yb
+      |  FROM (
+      |    SELECT user_id, i, xa, ya,
+      |      min(CASE WHEN ya IS NOT NULL THEN i END) OVER (PARTITION BY user_id
+      |        ORDER BY i ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ri
+      |    FROM hrep QUALIFY ya IS NULL) g
+      |  JOIN hrep r ON r.user_id = g.user_id AND r.i = g.ri),
+      |hfill AS (
+      |  SELECT user_id, i, xa, ya FROM hrep WHERE ya IS NOT NULL
+      |  UNION ALL
+      |  SELECT g.user_id, g.i, g.xa,
+      |    ((g.xa - p.xa) / ((g.xa - p.xa) + (g.xr - g.xa))) * p.ya
+      |      + ((g.xr - g.xa) / ((g.xa - p.xa) + (g.xr - g.xa))) * g.yb
+      |  FROM hfill p JOIN hgap g ON g.user_id = p.user_id AND g.i = p.i + 1),
+      |hcent AS (
+      |  SELECT f.user_id, f.i, f.ya - m.mv AS cv
+      |  FROM hfill f JOIN (SELECT user_id, list_sum(list(ya ORDER BY i)) / count(*) AS mv
+      |                     FROM hfill GROUP BY 1) m USING (user_id)),
+      |hrange AS (SELECT user_id, min(cv) AS mn, max(cv) AS mx FROM hcent GROUP BY 1),
+      |hbkt AS (
+      |  SELECT c.user_id, gs.j
+      |  FROM hcent c JOIN hrange r USING (user_id),
+      |    LATERAL (SELECT unnest(generate_series(0, 8)) AS j) gs
+      |  WHERE (r.mx = r.mn AND gs.j = 8)
+      |     OR (r.mx > r.mn
+      |         AND c.cv >= r.mn + gs.j * (r.mx - r.mn) / 9
+      |         AND (gs.j = 8 OR c.cv < r.mn + (gs.j + 1) * (r.mx - r.mn) / 9))),
+      |hcnt AS (
+      |  SELECT ug.user_id, ug.j, CAST(count(k.j) AS DOUBLE) AS c
+      |  FROM (SELECT u.user_id, gs.j FROM u,
+      |        (SELECT unnest(generate_series(0, 8)) AS j) gs) ug
+      |  LEFT JOIN hbkt k ON k.user_id = ug.user_id AND k.j = ug.j
+      |  GROUP BY ug.user_id, ug.j),
+      |hn1 AS (
+      |  SELECT c.user_id, c.j,
+      |    CASE WHEN s.sd < 1e-6 THEN 0.0 ELSE (c.c - s.m) / s.sd END AS v
+      |  FROM hcnt c JOIN (
+      |    SELECT c2.user_id, m.m AS m,
+      |      sqrt(list_sum(list((c2.c - m.m) * (c2.c - m.m) ORDER BY c2.j))
+      |        / count(*)) AS sd
+      |    FROM hcnt c2 JOIN (SELECT user_id, list_sum(list(c ORDER BY j)) / count(*) AS m
+      |                       FROM hcnt GROUP BY 1) m USING (user_id)
+      |    GROUP BY c2.user_id, m.m) s USING (user_id)),
+      |hn2 AS (
+      |  SELECT c.user_id, c.j,
+      |    CASE WHEN s.sd < 1e-6 THEN 0.0 ELSE (c.v - s.m) / s.sd END AS v
+      |  FROM hn1 c JOIN (
+      |    SELECT c2.user_id, m.m AS m,
+      |      sqrt(list_sum(list((c2.v - m.m) * (c2.v - m.m) ORDER BY c2.j))
+      |        / count(*)) AS sd
+      |    FROM hn1 c2 JOIN (SELECT user_id, list_sum(list(v ORDER BY j)) / count(*) AS m
+      |                      FROM hn1 GROUP BY 1) m USING (user_id)
+      |    GROUP BY c2.user_id, m.m) s USING (user_id)),
+      |hlet AS (
+      |  SELECT user_id, j,
+      |    CASE WHEN v < -1.07 THEN 0 WHEN v < -0.57 THEN 1 WHEN v < -0.18 THEN 2
+      |         WHEN v < 0.18 THEN 3 WHEN v < 0.57 THEN 4 WHEN v < 1.07 THEN 5
+      |         ELSE 6 END AS li
+      |  FROM hn2),
+      |tmpl AS (SELECT user_id FROM u ORDER BY 'user_' || user_id LIMIT 3),
+      |dist AS (
+      |  SELECT a.user_id, b.user_id AS t_id, a.j,
+      |    CASE WHEN abs(a.li - b.li) <= 1 THEN 0.0
+      |         ELSE ([-1.07, -0.57, -0.18, 0.18, 0.57, 1.07])[greatest(a.li, b.li)]
+      |            - ([-1.07, -0.57, -0.18, 0.18, 0.57, 1.07])[least(a.li, b.li) + 1] END AS d
+      |  FROM hlet a
+      |  JOIN hlet b ON b.j = a.j AND b.user_id IN (SELECT user_id FROM tmpl)),
+      |mind AS (
+      |  SELECT user_id, t_id,
+      |    sqrt(0.9) * sqrt(list_sum(
+      |      list((CASE WHEN j = 0 THEN 2.0 ELSE 1.0 END) * d * d ORDER BY j))) AS dd
+      |  FROM dist GROUP BY 1, 2)
+      |SELECT 'user_' || user_id AS starId,
+      |  round(list_sum(list(dd ORDER BY 'user_' || t_id)) / count(*), 6) AS hist_dissim
+      |FROM mind GROUP BY user_id""".stripMargin
+
   val q50Sql: String =
     s"""WITH RECURSIVE $kernelCtes,
        |skk AS (

@@ -77,10 +77,14 @@ object Similarity {
   private def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nn", dotC(df.sparkSession, "embedding", "embedding"))
 
-  /** Round half-AWAY-FROM-ZERO to 6 decimals — the semantics of both
-    * DuckDB `round()` and Spark `round()`, so kernel-side rounding can
-    * never diverge from the oracle on an exact .5-ULP tie (`math.rint`
-    * rounds half-to-even and would).
+  /** Round half-AWAY-FROM-ZERO to 6 decimals via the scaled-double
+    * formula — the semantics of DuckDB `round()` (the oracle side), so
+    * kernel-side rounding can never diverge from the oracle on an exact
+    * .5-ULP tie (`math.rint` rounds half-to-even and would). Note Spark's
+    * own `round()` goes through `BigDecimal.valueOf` (shortest-decimal
+    * HALF_UP) and can differ from this formula by 1 ULP near .5
+    * boundaries — parity holds because BOTH engines run this same
+    * formula, not because Spark `round()` is identical.
     */
   private def round6(x: Double): Double =
     math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6

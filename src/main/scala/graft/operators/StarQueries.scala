@@ -127,10 +127,12 @@ object StarQueries {
     "q53_star_comparative" -> q53StarComparative,
     "q71_star_probspace" -> q71StarProbspace)
 
-  /** q50's descriptor fan-out is deterministic kernels → hard oracle
-    * ([[KernelOracleSql]]); the rest (trained-model internals) stay
+  /** q50's descriptor fan-out and q53's comparative SAX dissimilarity are
+    * deterministic kernels → hard oracles ([[KernelOracleSql]]); the rest
+    * (trained-model internals: q51/q52 decider fits, q71 PCA mesh) stay
     * rows-only, pinned by the ML specs.
     */
   val oracleSql: Map[String, String] = Map(
-    "q50_star_features" -> KernelOracleSql.q50Sql)
+    "q50_star_features" -> KernelOracleSql.q50Sql,
+    "q53_star_comparative" -> KernelOracleSql.q53Sql)
 }

@@ -60,6 +60,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT winnow_fps('abcdefghijklmnopqrstuvwxyz0123') AS f")
         .head().getSeq[Long](0)
       assert(wf.nonEmpty && wf.forall(_ >= 0L))
+      // sig_match16: THE shared minhash estimator — identical arrays → 1.0,
+      // and 16-slot signatures agreeing on none → 0.0
+      val sm = spark.sql(
+        "SELECT sig_match16(minhash16(array('x y z')), minhash16(array('x y z'))) AS s")
+        .head().getDouble(0)
+      assert(sm == 1.0)
+      // ad-hoc SQL niceties (ADVICE r7): null ELEMENTS are skipped, not NPE
+      val mhNull = spark.sql("SELECT minhash16(array('a', NULL)) AS m")
+        .head().getSeq[Long](0)
+      val mhPlain = spark.sql("SELECT minhash16(array('a')) AS m")
+        .head().getSeq[Long](0)
+      assert(mhNull == mhPlain)
+      val shNull = spark.sql("SELECT simhash16(array('a', NULL, 'b')) AS s")
+        .head().getLong(0)
+      val shPlain = spark.sql("SELECT simhash16(array('a', 'b')) AS s")
+        .head().getLong(0)
+      assert(shNull == shPlain)
+      // non-positive band count fails analysis with a readable message
+      val err = intercept[Exception] {
+        spark.sql("SELECT lsh_band_sigs(array(CAST(0.5 AS FLOAT)), 0) AS b").collect()
+      }
+      assert(err.getMessage.contains("positive band count"), err.getMessage)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
