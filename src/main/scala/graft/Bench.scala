@@ -195,6 +195,21 @@ object Bench {
       name -> samples.flatMap(_.collect { case (n, s) if n == name => s })
     }
 
+    // q66 stage breakdown (untimed, after the timed pass): per-stage
+    // secs+rows telemetry so a moved q66 median is attributable to a
+    // specific stage in the SAME artifact. Skippable via NOSTAGES.
+    if (!sys.env.contains("SPARK_GRAFT_NOSTAGES")
+        && selected.exists(_._1.startsWith("q66"))) {
+      try {
+        operators.Dedup.q66StageProbe(spark, sfDir)
+        spark.catalog.clearCache()
+        val evs = Telemetry.drain()
+        if (evs.nonEmpty) telemetry("q66 stageprobe") = evs
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] q66 stage probe failed: ${e.getMessage}")
+      }
+    }
+
     // ANN recall@3 vs the exact baseline, measured at THIS sf and the
     // current dials (untimed; small collects — probes × 3 rows)
     val recall: Seq[(String, Double)] = {

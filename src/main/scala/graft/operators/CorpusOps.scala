@@ -121,20 +121,21 @@ object CorpusOps {
     * more hash aggregate. Four shuffles total, all on keys that scale with
     * vocabulary, not corpus size.
     *
-    * Skew: `w1` is Zipfian — the head tokens put a constant fraction of all
-    * doc-bigram rows on a handful of reducers, the classic straggler. The
-    * unigram join is therefore frequency-gated salted ([[Skew.saltedJoinGated]]):
-    * keys whose count exceeds [[HOT_KEY_ROWS]] (read off `uni`, which the
-    * query builds anyway — no extra pass) spread over [[SKEW_SALTS]]
-    * reducer slots; the salt hashes the bigram's (doc_id, pos) identity, so
-    * it is deterministic under stage recomputation.
+    * Skew: `w1` is Zipfian in a real corpus — head tokens put a constant
+    * fraction of all doc-bigram rows on a handful of reducers, the classic
+    * straggler. The unigram join runs through
+    * [[Skew.saltedJoinAdaptive]]: keys whose count crosses the straggler
+    * budget (Skew.StragglerFactor × mean per-reducer load, read off `uni`,
+    * which the query builds anyway — no extra pass) spread over
+    * [[SKEW_SALTS]] reducer slots with a salt hashed from the bigram's
+    * (doc_id, pos) identity (deterministic under stage recomputation);
+    * when no key crosses the budget — the fixture corpora at local scale,
+    * where the head token is ~1.1× the mean reducer load — the join stays
+    * PLAIN and pays zero salting overhead. Same query at 100 TB: "the"
+    * holds ~5% of all rows, crosses any per-reducer budget, and gets
+    * salted. SkewSpec proves both gate decisions and the salted path's
+    * partition spread.
     */
-  /** Per-key probe-row budget before a key is salted. The fixture corpora
-    * cross it from sf0.01 up, so the salted path is exercised by the
-    * correctness gate; a production deployment raises it to the per-reducer
-    * row budget (e.g. 10⁷).
-    */
-  val HOT_KEY_ROWS = 500
   val SKEW_SALTS = 8
 
   def q73LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
@@ -153,11 +154,10 @@ object CorpusOps {
           |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))""".stripMargin)).as(Seq("pos", "b")))
       .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val big = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val hot = uni.filter(col("c1") >= HOT_KEY_ROWS)
-    val scored = Skew.saltedJoinGated(
+    val scored = Skew.saltedJoinAdaptive(
       docBigrams.join(big, Seq("w1", "w2"))
         .withColumn("_uid", concat_ws(":", col("doc_id"), col("pos"))),
-      uni, "w1", SKEW_SALTS, "_uid", hot)
+      uni, "w1", SKEW_SALTS, "_uid", keyCounts = uni, cntCol = "c1")
     scored
       .crossJoin(broadcast(vocab))
       .withColumn("nll", -log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))

@@ -577,6 +577,43 @@ object Dedup {
         col("dup_of").isNotNull.as("is_dup"))
   }
 
+  /** Diagnostic stage breakdown of [[q66DedupPipeline]] for the bench
+    * artifact (r7 adjudication: q66's median doubled with 5× spread in a
+    * round that touched its kernels). Runs the pipeline's stages
+    * SEQUENTIALLY with the same cache structure as the query, materializing
+    * each, and records (stage, secs, rows) telemetry — so a moved q66
+    * timing can be attributed to shingling/signatures, the band join, the
+    * Jaccard verify, or the CC resolve instead of guessed at. Untimed
+    * relative to the headline (Bench calls it AFTER the timed pass).
+    */
+  def q66StageProbe(spark: SparkSession, dir: String): Unit = graft.CacheScope.run {
+    def stage(name: String)(rows: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = rows
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.Telemetry.record(f"q66probe stage=$name secs=$secs%.3f rows=$n")
+    }
+    val sh = graft.CacheScope.cache(shingleArrays(spark, dir))
+    stage("shingle")(sh.count())
+    val sig = graft.CacheScope.cache(minhashSigs(sh))
+    stage("minhash")(sig.count())
+    val cand = bandPairs(sig).localCheckpoint()
+    stage("band_join")(cand.count())
+    val edges = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), Seq("b_id"))
+      .filter(least(size(col("sh_a")), size(col("sh_b"))) * 2 >=
+        greatest(size(col("sh_a")), size(col("sh_b"))))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    stage("verify")(edges.count())
+    val nodes = docs(spark, dir).select(col("doc_id").as("id"))
+    stage("cc")(connectedComponents(edges, nodes).count())
+  }
+
   /** q79's semantics through the MATERIALIZED index path: the corpus side
     * ([[writeBandIndex]]) is written to a per-sfdir location once and every
     * subsequent run only shingles/signs the delta and joins the STORED

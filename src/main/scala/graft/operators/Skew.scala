@@ -69,6 +69,54 @@ object Skew {
       .unionByName(cold.join(build, Seq(key)))
   }
 
+  /** A key only becomes a straggler when its row count materially exceeds
+    * the MEAN per-reducer load — below that, the reducer holding it
+    * finishes with the pack and salting is pure overhead (replication +
+    * the widened shuffle key; measured 1.85× on q73 at sf0.1 where the
+    * head key is 1.1× the mean load). The budget multiplier: a key is hot
+    * when `cnt ≥ StragglerFactor × totalRows / shufflePartitions`.
+    */
+  val StragglerFactor = 2.0
+
+  /** [[saltedJoinGated]] with the hot set derived from a STRAGGLER BUDGET
+    * instead of a fixed row count: keys are salted only when their
+    * probe-row count crosses [[StragglerFactor]] × the mean per-reducer
+    * load, and when NO key crosses it the plain join returns untouched —
+    * zero tagging, replication, or union cost. This is the
+    * production-correct dial at every scale: a Zipfian head token at
+    * 100 TB holds several percent of all rows and crosses any per-reducer
+    * budget, while a merely-common key at local scale does not (and
+    * salting it would only tax the join).
+    *
+    * `keyCounts(key, cntCol)` is a count table the caller already has
+    * (q73 passes its unigram counts) — the decision costs ONE tiny
+    * aggregate over it, never a corpus pass. The decision (threshold,
+    * max key count, chosen path) is recorded in [[graft.Telemetry]] so
+    * bench artifacts show which plan actually ran.
+    */
+  def saltedJoinAdaptive(probe: DataFrame, build: DataFrame, key: String,
+                         salts: Int, uniqueKey: String,
+                         keyCounts: DataFrame, cntCol: String): DataFrame = {
+    val spark = probe.sparkSession
+    val parallelism = spark.sessionState.conf.numShufflePartitions.max(1)
+    val stats = keyCounts
+      .agg(coalesce(sum(col(cntCol)), lit(0L)).as("total"),
+        coalesce(max(col(cntCol)), lit(0L)).as("mx")).head()
+    val total = stats.getLong(0)
+    val maxCnt = stats.getLong(1)
+    val threshold = math.max(1L, (StragglerFactor * total / parallelism).toLong)
+    if (maxCnt < threshold) {
+      graft.Telemetry.record(
+        s"skew key=$key path=plain max_cnt=$maxCnt threshold=$threshold")
+      probe.join(build, Seq(key))
+    } else {
+      val hot = keyCounts.filter(col(cntCol) >= threshold)
+      graft.Telemetry.record(
+        s"skew key=$key path=salted max_cnt=$maxCnt threshold=$threshold")
+      saltedJoinGated(probe, build, key, salts, uniqueKey, hot)
+    }
+  }
+
   private def saltedWith(probe: DataFrame, build: DataFrame, key: String,
                          salts: Int,
                          saltExpr: org.apache.spark.sql.Column): DataFrame = {

@@ -82,13 +82,92 @@ class SkewSpec extends SparkSpec {
     assert(hotSalts == 4L, "hot key must spread across all 4 salts")
   }
 
-  test("q73's unigram join runs through the frequency-gated salted plan") {
-    // the fixture vocabulary's head crosses HOT_KEY_ROWS from sf0.01 up,
-    // so the salted branch carries real rows there (the correctness gate
-    // hash-matches THROUGH it); here assert the plan is wired
-    val plan = CorpusOps.queries("q73_lm_perplexity")(spark, "/root/testdata/sf0.001")
-      .queryExecution.analyzed.toString
-    assert(plan.contains("_salt"), "q73 must route w1 through the salted join:\n" +
-      plan.take(2000))
+  test("adaptive gate stays PLAIN when no key can straggle") {
+    // head key = 1.5× the mean per-reducer load at 8 partitions — common
+    // but not straggler-grade; the budget (2× mean load) must bypass
+    // salting entirely, so the plan carries no tagging/replication cost
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val probe = ((1 to 150).map(i => (1L, s"head_$i")) ++
+        (1 to 650).map(i => ((i % 13 + 2).toLong, s"cold_$i")))
+        .toDF("k", "payload")
+        .withColumn("rid", monotonically_increasing_id()).cache()
+      val counts = probe.groupBy("k").agg(count(lit(1)).as("c"))
+      val build = (1L to 15L).map(k => (k, s"dim_$k")).toDF("k", "attr")
+      graft.Telemetry.drain()
+      val joined = Skew.saltedJoinAdaptive(probe, build, "k", 4, "rid", counts, "c")
+      val evs = graft.Telemetry.drain()
+      assert(evs.exists(_.contains("path=plain")), s"expected plain-path telemetry: $evs")
+      assert(!joined.queryExecution.analyzed.toString.contains("_salt"),
+        "bypassed gate must not salt the plan")
+      val plain = probe.join(build, Seq("k"))
+      assert(joined.groupBy("k", "payload", "attr").count()
+        .except(plain.groupBy("k", "payload", "attr").count()).isEmpty)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("adaptive gate salts a straggler key, which then spreads over reducers") {
+    // head key = 72% of all probe rows (≈5.8× the mean load at 8
+    // partitions): a plain shuffle join lands every one of its rows on ONE
+    // reducer; the adaptive gate must salt it, and the PROOF of straggler
+    // removal is structural, not wall-clock — the max post-join partition
+    // holds a bounded share of the hot rows instead of all of them
+    val prevPart = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val probe = ((1 to 720).map(i => (1L, s"hot_$i")) ++
+        (1 to 280).map(i => ((i % 13 + 2).toLong, s"cold_$i")))
+        .toDF("k", "payload")
+        .withColumn("rid", monotonically_increasing_id()).cache()
+      val counts = probe.groupBy("k").agg(count(lit(1)).as("c"))
+      val build = (1L to 15L).map(k => (k, s"dim_$k")).toDF("k", "attr")
+      graft.Telemetry.drain()
+      val salted = Skew.saltedJoinAdaptive(probe, build, "k", 4, "rid", counts, "c")
+      val evs = graft.Telemetry.drain()
+      assert(evs.exists(_.contains("path=salted")), s"expected salted-path telemetry: $evs")
+      val plain = probe.join(build, Seq("k"))
+      assert(salted.groupBy("k", "payload", "attr").count()
+        .except(plain.groupBy("k", "payload", "attr").count()).isEmpty
+        && plain.groupBy("k", "payload", "attr").count()
+          .except(salted.groupBy("k", "payload", "attr").count()).isEmpty,
+        "adaptive salted join changed the result")
+      // structural straggler proof on the hot key's 720 output rows: the
+      // plain join's key partitioning puts ALL of them on one reducer; the
+      // salted key must land them on ≥2 reducers with none holding the
+      // full set (exact spread depends on how the 4 salt values hash into
+      // the 8 partitions, so assert the bound, not the layout)
+      def hotPartitionSizes(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+        df.filter(col("k") === 1L).select("payload")
+          .rdd.mapPartitions(it => Iterator.single(it.size))
+          .collect().toSeq.filter(_ > 0)
+      val plainSizes = hotPartitionSizes(plain)
+      val saltedSizes = hotPartitionSizes(salted)
+      assert(plainSizes == Seq(720),
+        s"plain join must put every hot row on one reducer, got $plainSizes")
+      assert(saltedSizes.sum == 720 && saltedSizes.length >= 2 && saltedSizes.max < 720,
+        s"salted join must spread the hot rows (720 total) over reducers, got $saltedSizes")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevPart)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+    }
+  }
+
+  test("q73's unigram join is wired through the adaptive skew gate") {
+    // at fixture scale the head token is ~1.1× the mean reducer load —
+    // the gate must (correctly) choose the plain join there, and the
+    // telemetry records the decision; the salted branch's behavior under
+    // real skew is proven by the two adaptive-gate tests above
+    graft.Telemetry.drain()
+    val df = CorpusOps.queries("q73_lm_perplexity")(spark, "/root/testdata/sf0.001")
+    val evs = graft.Telemetry.drain()
+    assert(evs.exists(e => e.contains("skew key=w1") && e.contains("path=")),
+      s"q73 must consult the adaptive gate: $evs")
+    assert(df.columns.contains("avg_nll"))
   }
 }
