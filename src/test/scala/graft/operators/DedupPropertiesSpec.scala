@@ -300,4 +300,19 @@ class DedupPropertiesSpec extends SparkSpec {
     assert(labels.size == n && labels.values.forall(_ == 0L),
       "chain must collapse to the min-id component label")
   }
+
+  test("q66 stage probe emits one telemetry event per pipeline stage") {
+    // the probe is Bench's regression-attribution instrument — if a stage
+    // is renamed or dropped the bench artifact silently loses its
+    // diagnostic value, so pin the contract here
+    graft.Telemetry.drain()
+    Dedup.q66StageProbe(spark, "/root/testdata/sf0.001")
+    val evs = graft.Telemetry.drain()
+    val stages = Seq("shingle", "minhash", "band_join", "verify", "cc")
+    stages.foreach { s =>
+      assert(evs.exists(e => e.startsWith(s"q66probe stage=$s ") &&
+        e.contains(" secs=") && e.contains(" rows=")),
+        s"missing stage=$s in: $evs")
+    }
+  }
 }
