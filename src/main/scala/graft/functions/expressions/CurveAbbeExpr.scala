@@ -18,6 +18,7 @@ import org.apache.spark.sql.SparkSession
   */
 case class CurveAbbeExpr(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
+  override def prettyName: String = "curve_abbe"
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {

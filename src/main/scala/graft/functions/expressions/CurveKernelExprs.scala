@@ -51,6 +51,7 @@ object CurveKernelExprs {
 /** `variogram_slope(time_days, values, days_per_bin)`. */
 case class VariogramSlopeExpr(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
+  override def prettyName: String = "variogram_slope"
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult =
     if (CurveKernelExprs.dblArr(first.dataType) &&
@@ -75,6 +76,7 @@ case class VariogramSlopeExpr(first: Expression, second: Expression, third: Expr
 /** `curve_density(time_days, values)`. */
 case class CurveDensityExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def prettyName: String = "curve_density"
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult =
     if (CurveKernelExprs.dblArr(left.dataType) && CurveKernelExprs.dblArr(right.dataType))
@@ -99,6 +101,7 @@ case class CurveDensityExpr(left: Expression, right: Expression)
   */
 case class SaxWordExpr(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
+  override def prettyName: String = "sax_word"
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): TypeCheckResult =
     if (CurveKernelExprs.dblArr(first.dataType) &&

@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def prettyName: String = "dot_product"
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {

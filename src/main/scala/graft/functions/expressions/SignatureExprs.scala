@@ -180,6 +180,7 @@ object SignatureExprs {
 }
 
 case class WinnowFpsExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "winnow_fps"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -197,6 +198,7 @@ case class WinnowFpsExpr(child: Expression) extends UnaryExpression {
 }
 
 case class SimhashExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash16"
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult =
     if (SignatureExprs.isStringArr(child.dataType)) TypeCheckResult.TypeCheckSuccess
@@ -214,6 +216,7 @@ case class SimhashExpr(child: Expression) extends UnaryExpression {
 }
 
 case class MinhashSigExpr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "minhash16"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
     if (SignatureExprs.isStringArr(child.dataType)) TypeCheckResult.TypeCheckSuccess
@@ -237,6 +240,7 @@ case class MinhashSigExpr(child: Expression) extends UnaryExpression {
   */
 case class SigMatchExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def prettyName: String = "sig_match16"
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -266,6 +270,7 @@ case class SigMatchExpr(left: Expression, right: Expression)
   */
 case class LshBandSigsExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def prettyName: String = "lsh_band_sigs"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
     case ArrayType(FloatType, _) if right.dataType == IntegerType && right.foldable =>

@@ -44,6 +44,42 @@ object StreamingDedup {
       .start()
   }
 
+  /** Streaming incremental dedup against a MATERIALIZED corpus band index
+    * ([[graft.operators.Dedup.writeBandIndex]]) — the realtime half of the
+    * nightly shape q81 gates: documents stream in, each micro-batch runs
+    * the BATCH delta-vs-index kernel
+    * ([[graft.operators.Dedup.incrementalDedupAgainstIndex]]) and appends
+    * its verdicts (doc_id, dup_of, est_sim, is_dup) to the sink. One
+    * shared definition means stream and nightly can never drift on
+    * candidate generation or the estimator; `foreachBatch` gives the
+    * batch planner (broadcasts, AQE) per micro-batch plus checkpointed
+    * exactly-once file-source progress.
+    *
+    * Scale: per-batch work is |batch| × bucket occupancy — the corpus
+    * participates only through the stored band keys (candidate equi-join)
+    * and signatures (verify); no streaming state at all, so there is no
+    * watermark to bound and a restart resumes from the checkpoint with
+    * zero rebuild.
+    */
+  def runAgainstIndex(spark: SparkSession, docDir: String,
+                      docSchema: org.apache.spark.sql.types.StructType,
+                      indexPath: String, outPath: String,
+                      checkpoint: String): StreamingQuery =
+    spark.readStream
+      .schema(docSchema)
+      .parquet(docDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.CacheScope.run {
+          graft.operators.Dedup.incrementalDedupAgainstIndex(batch, indexPath)
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming NEAR-dup suppression: state keys on the full 16-slot
     * minhash signature (word-3-gram shingles, the batch q46 hash family),
     * so textually near-identical documents — whitespace/ordering-invariant

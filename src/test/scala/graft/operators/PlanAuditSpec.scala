@@ -75,4 +75,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial"),
       "bigram/unigram counts lost map-side combine:\n" + p)
   }
+
+  test("q81: the corpus side comes from the stored index — zero corpus recompute") {
+    val p = plan(Dedup.queries("q81_incremental_index")(spark, dir))
+    // the whole point of the materialized path: corpus band keys and
+    // signatures are READ (parquet scans of the index), never re-derived —
+    // exactly one minhash16 kernel may appear, on the delta side
+    assert(p.contains("graft_band_index"),
+      "corpus side must scan the materialized index:\n" + p)
+    val kernels = "minhash16".r.findAllIn(p).length
+    assert(kernels == 1,
+      s"expected exactly one delta-side minhash16 kernel, found $kernels:\n" + p)
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      "candidate generation must stay an equi-join on band keys:\n" + p)
+  }
 }

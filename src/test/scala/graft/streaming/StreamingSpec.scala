@@ -100,6 +100,45 @@ class StreamingSpec extends SparkSpec {
     assert(clean.select("minhash_sig").distinct().count() == 2)
   }
 
+  test("streaming incremental dedup matches the batch kernel against a stored band index") {
+    val tmp = java.nio.file.Files.createTempDirectory("idxstream").toString
+    // corpus: two real documents, indexed once (the nightly artifact)
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta", "en", "web", 46L),
+      (101L, "one two three four five six seven eight nine", "en", "web", 44L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.operators.Dedup.writeBandIndex(corpus, s"$tmp/index")
+
+    // batch 1 of the stream: a verbatim copy of corpus doc 100 + a novel doc
+    val delta1 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en", "news", 46L),
+      (2L, "totally unrelated fresh content right here today", "en", "web", 48L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    delta1.write.mode("append").parquet(s"$tmp/in")
+    StreamingDedup.runAgainstIndex(spark, s"$tmp/in", delta1.schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val out1 = spark.read.parquet(s"$tmp/out")
+    // stream verdicts must EQUAL the batch kernel's on the same delta —
+    // one shared definition, zero drift
+    val batch1 = graft.operators.Dedup.incrementalDedupAgainstIndex(delta1, s"$tmp/index")
+    assert(out1.collect().map(_.toSeq).toSet == batch1.collect().map(_.toSeq).toSet,
+      "stream and batch verdicts diverged")
+    assert(out1.filter(col("doc_id") === 1L && col("is_dup") &&
+      col("dup_of") === 100L).count() == 1, "copy of an indexed doc must flag dup")
+    assert(out1.filter(col("doc_id") === 2L && !col("is_dup")).count() == 1)
+
+    // batch 2 resumes from the checkpoint: only the new file processes
+    Seq((3L, "one two three four five six seven eight nine", "fr", "web", 44L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$tmp/in")
+    StreamingDedup.runAgainstIndex(spark, s"$tmp/in", delta1.schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val out2 = spark.read.parquet(s"$tmp/out")
+    assert(out2.count() == 3, "restart must process only the new arrivals")
+    assert(out2.filter(col("doc_id") === 3L && col("is_dup") &&
+      col("dup_of") === 101L).count() == 1)
+  }
+
   test("near-dup suppression keys sub-3-token docs by exact content") {
     // no 3-gram exists for these, so without the exact-hash fallback they
     // would all share the empty signature and collapse onto the first
