@@ -76,6 +76,17 @@ class PlanAuditSpec extends SparkSpec {
       "bigram/unigram counts lost map-side combine:\n" + p)
   }
 
+  test("q82: ANN serves from the stored index — probes are the only signed side") {
+    val p = plan(Similarity.queries("q82_ann_index")(spark, dir))
+    assert(p.contains("graft_ann_index"),
+      "corpus side must scan the materialized ANN index:\n" + p)
+    val kernels = "lsh_band_sigs".r.findAllIn(p).length
+    assert(kernels == 1,
+      s"expected exactly one probe-side lsh_band_sigs kernel, found $kernels:\n" + p)
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      "candidate generation must stay a (band, sig) equi-join:\n" + p)
+  }
+
   test("q81: the corpus side comes from the stored index — zero corpus recompute") {
     val p = plan(Dedup.queries("q81_incremental_index")(spark, dir))
     // the whole point of the materialized path: corpus band keys and
