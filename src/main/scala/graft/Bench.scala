@@ -276,11 +276,23 @@ object Bench {
     //   2. stdout's LAST line is the compact driver-contract record only —
     //      metric/value/unit/queries/sf/repeat — which stays ~2 KB at 70
     //      queries and fits any tail window.
+    // JSON string escape for free-form content (telemetry events carry
+    // operator-interpolated text; sfDir is a path): an unescaped quote or
+    // backslash would corrupt the committed artifact undetectably
+    def esc(s: String): String = s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case '\n'         => "\\n"
+      case '\r'         => "\\r"
+      case '\t'         => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }
     val tele = telemetry.toSeq.sortBy(_._1).map { case (k, evs) =>
-      "\"" + k + "\":" + evs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      "\"" + esc(k) + "\":" + evs.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeat":$repeat,"spread":$spread,"telemetry":$tele,"recall":$recallJson,"calib":{"spin1":$calib1%.3f,"spin32":$calib32%.3f},"notes":"$notes"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","repeat":$repeat,"spread":$spread,"telemetry":$tele,"recall":$recallJson,"calib":{"spin1":$calib1%.3f,"spin32":$calib32%.3f},"notes":"${esc(notes)}"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
@@ -290,7 +302,7 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     System.err.println(s"[bench-full] $fullJson")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","repeat":$repeat}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","repeat":$repeat}""")
     spark.stop()
   }
 }

@@ -36,4 +36,16 @@ object Tables {
   /** Register all tables of a scale-factor dir as temp views. Idempotent. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+
+  /** Cheap content fingerprint of one table's parquet file (length +
+    * mtime, hex-hashed) — used to key build-once derived artifacts (the
+    * q81/q82 materialized indexes) so a REGENERATED fixture invalidates
+    * the cached index instead of silently serving results computed from
+    * the old corpus. Pure java.io; no Spark job.
+    */
+  def tableFingerprint(sfDir: String, name: String): String = {
+    val f = new java.io.File(s"$sfDir/$name.parquet")
+    java.lang.Long.toHexString(
+      java.util.Objects.hash(f.length(), f.lastModified()).toLong & 0xffffffffL)
+  }
 }

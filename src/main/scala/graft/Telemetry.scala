@@ -7,19 +7,31 @@ package graft
   * a timing move can be read against WHAT the operator actually did in that
   * run (tier flapping, extra rounds, hot-key count) instead of guessed at.
   *
-  * Concurrent-safe and allocation-light; a no-op cost when nothing drains
-  * it (Verify and production callers just let events fall out on clear).
+  * Concurrent-safe and allocation-light. Callers that never drain (Verify,
+  * a long-lived production session) are protected by [[MaxEvents]]: past
+  * the cap the OLDEST events are discarded, so the queue is a bounded ring
+  * rather than a slow leak.
   */
 object Telemetry {
-  private val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** Bound on retained events — generous for a bench sample (tens of
+    * events) while capping a never-drained process at a few MB worst case.
+    */
+  val MaxEvents = 8192
 
-  def record(event: String): Unit = q.add(event)
+  private val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val size = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def record(event: String): Unit = {
+    q.add(event)
+    if (size.incrementAndGet() > MaxEvents && q.poll() != null)
+      size.decrementAndGet()
+  }
 
   /** Remove and return everything recorded since the last drain. */
   def drain(): Seq[String] = {
     val out = Seq.newBuilder[String]
     var e = q.poll()
-    while (e != null) { out += e; e = q.poll() }
+    while (e != null) { out += e; size.decrementAndGet(); e = q.poll() }
     out.result()
   }
 }

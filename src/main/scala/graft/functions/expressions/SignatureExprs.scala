@@ -110,19 +110,23 @@ object SignatureExprs {
     * THE minhash similarity estimator (matching slots / signature length),
     * shared by q46's verify, q79's incremental verify, and the
     * band-index path so the estimator can never drift between them.
-    * Null or length-mismatched inputs are a kernel-contract violation
-    * (signatures all come from minhash16); mismatch raises rather than
-    * silently truncating.
+    * Length mismatch is a kernel-contract violation (signatures all come
+    * from minhash16) and raises rather than silently truncating. For
+    * ad-hoc SQL robustness (the registered function accepts any
+    * array<bigint>): a NULL slot never matches (ArrayData.getLong would
+    * read it as a phantom 0 and two nulls would count as agreement), and
+    * two empty arrays score 0.0 rather than NaN.
     */
   def sigMatch(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     if (b.numElements() != n)
       throw new IllegalArgumentException(
         s"sig_match16: signature lengths differ (${n} vs ${b.numElements()})")
+    if (n == 0) return 0.0
     var same = 0
     var i = 0
     while (i < n) {
-      if (a.getLong(i) == b.getLong(i)) same += 1
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) same += 1
       i += 1
     }
     same.toDouble / n

@@ -587,31 +587,48 @@ object Dedup {
     * relative to the headline (Bench calls it AFTER the timed pass).
     */
   def q66StageProbe(spark: SparkSession, dir: String): Unit = graft.CacheScope.run {
-    def stage(name: String)(rows: => Long): Unit = {
+    // stage() times a closure that BUILDS AND MATERIALIZES its stage —
+    // localCheckpoint() is EAGER, so it must run inside the timed closure
+    // or the stage's real work executes between the timers and the probe
+    // mis-attributes exactly the regressions it exists to explain
+    def stage[A](name: String)(work: => (A, Long)): A = {
       val t0 = System.nanoTime()
-      val n = rows
+      val (out, n) = work
       val secs = (System.nanoTime() - t0) / 1e9
       graft.Telemetry.record(f"q66probe stage=$name secs=$secs%.3f rows=$n")
+      out
     }
-    val sh = graft.CacheScope.cache(shingleArrays(spark, dir))
-    stage("shingle")(sh.count())
-    val sig = graft.CacheScope.cache(minhashSigs(sh))
-    stage("minhash")(sig.count())
-    val cand = bandPairs(sig).localCheckpoint()
-    stage("band_join")(cand.count())
-    val edges = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), Seq("b_id"))
-      .filter(least(size(col("sh_a")), size(col("sh_b"))) * 2 >=
-        greatest(size(col("sh_a")), size(col("sh_b"))))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .filter(col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
-      .select(col("a_id"), col("b_id"))
-      .localCheckpoint()
-    stage("verify")(edges.count())
+    val sh = stage("shingle") {
+      val d = graft.CacheScope.cache(shingleArrays(spark, dir))
+      (d, d.count())
+    }
+    val sig = stage("minhash") {
+      val d = graft.CacheScope.cache(minhashSigs(sh))
+      (d, d.count())
+    }
+    val cand = stage("band_join") {
+      val d = bandPairs(sig).localCheckpoint()
+      (d, d.count())
+    }
+    val edges = stage("verify") {
+      val d = cand
+        .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), Seq("a_id"))
+        .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), Seq("b_id"))
+        .filter(least(size(col("sh_a")), size(col("sh_b"))) * 2 >=
+          greatest(size(col("sh_a")), size(col("sh_b"))))
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .filter(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint()
+      (d, d.count())
+    }
     val nodes = docs(spark, dir).select(col("doc_id").as("id"))
-    stage("cc")(connectedComponents(edges, nodes).count())
+    stage("cc") {
+      val d = connectedComponents(edges, nodes)
+      (d, d.count())
+    }
+    ()
   }
 
   /** q79's semantics through the MATERIALIZED index path: the corpus side
@@ -624,11 +641,17 @@ object Dedup {
     */
   def q81IncrementalIndex(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
+    // build-once, keyed by dir AND the source file's fingerprint: a rerun
+    // (bench samples, verify after bench) reads the stored index — corpus
+    // work amortized to zero — while a REGENERATED fixture changes the key
+    // and forces a rebuild instead of silently serving the old corpus.
+    // The first run per (dir, content) pays the build inside its sample;
+    // the median of later samples reads pure index (visible as a high
+    // round-1 max in the bench spread).
     val indexPath = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_band_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
-    // build-once: the index is the persistent artifact; a rerun (bench
-    // samples, verify after bench) reads it — corpus work amortized to zero
+      "graft_band_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + graft.Tables.tableFingerprint(dir, "documents")).getPath
     if (!new java.io.File(s"$indexPath/bands/_SUCCESS").exists())
       writeBandIndex(d.filter(col("doc_id") % 10 =!= 0), indexPath)
     incrementalDedupAgainstIndex(d.filter(col("doc_id") % 10 === 0), indexPath)

@@ -218,9 +218,12 @@ object Similarity {
     */
   def q82AnnIndex(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
+    // keyed by dir + source fingerprint like q81: a regenerated fixture
+    // invalidates the stored index instead of silently serving stale sigs
     val indexPath = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_ann_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      "graft_ann_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + graft.Tables.tableFingerprint(dir, "embeddings")).getPath
     if (!new java.io.File(s"$indexPath/bands/_SUCCESS").exists())
       writeAnnIndex(e, indexPath)
     annAgainstIndex(e.filter(col("vec_id") < 50), indexPath)

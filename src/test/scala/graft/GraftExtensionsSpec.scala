@@ -66,6 +66,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT sig_match16(minhash16(array('x y z')), minhash16(array('x y z'))) AS s")
         .head().getDouble(0)
       assert(sm == 1.0)
+      // ad-hoc SQL: a NULL slot is never a match (not a phantom 0), and
+      // empty signatures score 0.0 rather than NaN
+      val smNull = spark.sql(
+        "SELECT sig_match16(array(CAST(NULL AS BIGINT)), array(CAST(NULL AS BIGINT))) AS s")
+        .head().getDouble(0)
+      assert(smNull == 0.0)
+      val smEmpty = spark.sql(
+        "SELECT sig_match16(CAST(array() AS ARRAY<BIGINT>), CAST(array() AS ARRAY<BIGINT>)) AS s")
+        .head().getDouble(0)
+      assert(smEmpty == 0.0)
       // ad-hoc SQL niceties (ADVICE r7): null ELEMENTS are skipped, not NPE
       val mhNull = spark.sql("SELECT minhash16(array('a', NULL)) AS m")
         .head().getSeq[Long](0)

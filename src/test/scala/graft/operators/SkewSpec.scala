@@ -102,8 +102,10 @@ class SkewSpec extends SparkSpec {
       assert(!joined.queryExecution.analyzed.toString.contains("_salt"),
         "bypassed gate must not salt the plan")
       val plain = probe.join(build, Seq("k"))
-      assert(joined.groupBy("k", "payload", "attr").count()
-        .except(plain.groupBy("k", "payload", "attr").count()).isEmpty)
+      val a = plain.groupBy("k", "payload", "attr").count()
+      val b = joined.groupBy("k", "payload", "attr").count()
+      assert(a.except(b).isEmpty && b.except(a).isEmpty,
+        "bypassed gate must be exactly the plain join")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
