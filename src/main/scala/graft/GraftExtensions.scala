@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CurveAbbeExpr, CurveDensityExpr, DotProductExpr, LshBandSigsExpr, MinhashSigExpr, SaxWordExpr, SigMatchExpr, SimhashExpr, VariogramSlopeExpr, WinnowFpsExpr}
+import graft.functions.expressions.{CurveAbbeExpr, CurveDensityExpr, DotProductExpr, LshBandSigsExpr, MinhashSigExpr, SaxWordExpr, SigMatchExpr, SimhashBitsExpr, SimhashExpr, VariogramSlopeExpr, WinnowFpsExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -63,5 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SigMatchExpr].getName, "sig_match16"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SigMatchExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[SimhashBitsExpr].getName, "simhash_bits"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimhashBitsExpr(exprs(0), exprs(1))))
   }
 }

@@ -36,6 +36,7 @@ object SignatureExprs {
         spark.sessionState.functionRegistry
           .createOrReplaceTempFunction(name, builder, "built-in")
     reg("simhash16", exprs => SimhashExpr(exprs.head))
+    reg("simhash_bits", exprs => SimhashBitsExpr(exprs(0), exprs(1)))
     reg("minhash16", exprs => MinhashSigExpr(exprs.head))
     reg("lsh_band_sigs", exprs => LshBandSigsExpr(exprs(0), exprs(1)))
     reg("winnow_fps", exprs => WinnowFpsExpr(exprs.head))
@@ -82,29 +83,39 @@ object SignatureExprs {
     case _                        => false
   }
 
-  /** 16-bit token-vote SimHash — one pass over the token array with
-    * multiplicity (the oracle's `unnest`): bit j's vote is Σ ±1 by token
-    * hash bit j. Null elements are skipped (internal callers never produce
-    * them, but the function is registered for ad-hoc SQL where
+  /** Maximum simhash width: the portable md5 hash yields 60 usable bits.
+    * 16 is the reference/oracle dial (q47); a 100 TB corpus runs 48-60 —
+    * at N >> 2^bits random hashes collide constantly and the pigeonhole
+    * band buckets go quadratic, so bit width is THE simhash scale dial.
+    */
+  val SIMHASH_MAX_BITS = 60
+
+  /** Token-vote SimHash at `nBits` width — one pass over the token array
+    * with multiplicity (the oracle's `unnest`): bit j's vote is Σ ±1 by
+    * token hash bit j. Null elements are skipped (internal callers never
+    * produce them, but the function is registered for ad-hoc SQL where
     * `array('a', NULL)` is legal input and must not NPE).
     */
-  def simhash16(arr: ArrayData): Long = {
-    val votes = new Array[Int](16)
+  def simhashBits(arr: ArrayData, nBits: Int): Long = {
+    val votes = new Array[Int](nBits)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val h = PortableHash.md5Int60(EmptyPrefix, arr.getUTF8String(i).getBytes)
         var j = 0
-        while (j < 16) { votes(j) += (((h >> j) & 1L) * 2 - 1).toInt; j += 1 }
+        while (j < nBits) { votes(j) += (((h >> j) & 1L) * 2 - 1).toInt; j += 1 }
       }
       i += 1
     }
     var v = 0L
     var j = 0
-    while (j < 16) { if (votes(j) > 0) v |= (1L << j); j += 1 }
+    while (j < nBits) { if (votes(j) > 0) v |= (1L << j); j += 1 }
     v
   }
+
+  /** The 16-bit reference dial (q47's oracle twin). */
+  def simhash16(arr: ArrayData): Long = simhashBits(arr, 16)
 
   /** Fraction of agreeing slots between two equal-length signatures —
     * THE minhash similarity estimator (matching slots / signature length),
@@ -199,6 +210,38 @@ case class WinnowFpsExpr(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.expressions.SignatureExprs.winnowFps($a);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** `simhash_bits(tokens, nBits)` — token-vote SimHash at a caller-chosen
+  * width (1..[[SignatureExprs.SIMHASH_MAX_BITS]]); nBits must be a
+  * foldable int literal (a deployment dial, never data-derived).
+  */
+case class SimhashBitsExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "simhash_bits"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SignatureExprs.isStringArr(left.dataType) &&
+        right.dataType == IntegerType && right.foldable)
+      right.eval() match {
+        case n: Int if n >= 1 && n <= SignatureExprs.SIMHASH_MAX_BITS =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"simhash_bits expects 1..${SignatureExprs.SIMHASH_MAX_BITS} bits, got $other")
+      }
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash_bits expects (array<string>, int literal), got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SignatureExprs.simhashBits(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.SignatureExprs.simhashBits($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 case class SimhashExpr(child: Expression) extends UnaryExpression {

@@ -197,41 +197,76 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("est_sim"))
   }
 
-  /** SimHash (16-bit, token-level): bit j votes by token-hash bit; near-dup
-    * pairs = same lang, hamming distance ≤ 2.
+  /** Pigeonhole band layout for hamming ≤ `maxHamming` over `bits`-wide
+    * hashes: maxHamming+1 contiguous bands (a pair within the hamming
+    * budget differs in at most maxHamming bands, so at least one band is
+    * bit-identical — zero false negatives), widths as even as bits allows.
+    * (bits=16, h=2) → the reference 6|5|5 layout.
     */
-  def q47Simhash(spark: SparkSession, dir: String): DataFrame = {
-    // one kernel pass per doc over its tokens (with multiplicity, matching
-    // the oracle's unnest) — the native codegen'd SimhashExpr replaces the
-    // earlier (doc × token × bit) explode and the ScalaUDF after it
-    graft.functions.expressions.SignatureExprs.register(spark)
-    val sim = graft.CacheScope.cache(docs(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        expr("simhash16(split(text, ' '))").as("simhash")))
-    // Pigeonhole banding: split the 16 bits into 3 bands (6|5|5). Hamming
-    // distance ≤ 2 means at most 2 bands contain a differing bit, so at
-    // least one band is bit-identical — candidates come from an equi-join
-    // on (lang, band, bits) instead of the N²-per-lang cross join, with
-    // IDENTICAL results (the hamming verify is unchanged). At 100 TB the
-    // exchange is on ~2^6-wide band keys spread over 3 bands, linear-ish
-    // in matches rather than quadratic in corpus.
-    val bandDefs = Seq((0, 0, 0x3FL), (1, 6, 0x1FL), (2, 11, 0x1FL))
-    val bands = sim.select(col("doc_id"), col("lang"), explode(array(bandDefs.map {
-      case (b, off, mask) => struct(lit(b).as("band"),
-        shiftright(col("simhash"), off).bitwiseAND(lit(mask)).as("bits"))
-    }: _*)).as("bd")).select(col("doc_id"), col("lang"), col("bd.*"))
-    val cand = bands.alias("x").join(bands.alias("y"),
+  private[operators] def simhashBandDefs(bits: Int, maxHamming: Int): Seq[(Int, Int, Long)] = {
+    val nBands = maxHamming + 1
+    val base = bits / nBands
+    val rem = bits % nBands
+    var off = 0
+    (0 until nBands).map { b =>
+      val w = base + (if (b < rem) 1 else 0)
+      val d = (b, off, (1L << w) - 1)
+      off += w
+      d
+    }
+  }
+
+  /** Band-equi-join candidate pairs for a (doc_id, lang, simhash) frame. */
+  private[operators] def simhashCandidates(sim: DataFrame, bits: Int,
+                                           maxHamming: Int): DataFrame = {
+    val bands = sim.select(col("doc_id"), col("lang"),
+      explode(array(simhashBandDefs(bits, maxHamming).map {
+        case (b, off, mask) => struct(lit(b).as("band"),
+          shiftright(col("simhash"), off).bitwiseAND(lit(mask)).as("bits"))
+      }: _*)).as("bd")).select(col("doc_id"), col("lang"), col("bd.*"))
+    bands.alias("x").join(bands.alias("y"),
       col("x.lang") === col("y.lang") && col("x.band") === col("y.band") &&
         col("x.bits") === col("y.bits") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    cand
+  }
+
+  /** Token-level SimHash near-dup pairs at a caller-chosen hash width:
+    * same-lang pairs within `maxHamming`, candidates from the pigeonhole
+    * band equi-join (never all-pairs), exact hamming verify after.
+    *
+    * `bits` is THE simhash scale dial: at corpus size N >> 2^bits random
+    * hashes collide constantly (the band buckets go quadratic and the
+    * hamming test itself stops discriminating), so a 100 TB deployment
+    * runs 48-60 bits (SimhashScaleSpec measures the candidate collapse);
+    * 16 is the reference dial q47 is oracled at.
+    */
+  def simhashNearDupPairs(docsDf: DataFrame, bits: Int = 16,
+                          maxHamming: Int = 2): DataFrame = {
+    require(bits >= 1 && bits <= graft.functions.expressions.SignatureExprs.SIMHASH_MAX_BITS,
+      s"bits must be 1..${graft.functions.expressions.SignatureExprs.SIMHASH_MAX_BITS}")
+    require(maxHamming >= 0 && maxHamming < bits, "maxHamming must be in [0, bits)")
+    graft.functions.expressions.SignatureExprs.register(docsDf.sparkSession)
+    // one kernel pass per doc over its tokens (with multiplicity, matching
+    // the oracle's unnest) — the native codegen'd SimhashBitsExpr replaces
+    // the earlier (doc × token × bit) explode and the ScalaUDF after it
+    val sim = graft.CacheScope.cache(docsDf
+      .select(col("doc_id"), col("lang"),
+        expr(s"simhash_bits(split(text, ' '), $bits)").as("simhash")))
+    simhashCandidates(sim, bits, maxHamming)
       .join(sim.select(col("doc_id").as("a_id"), col("simhash").as("ha")), Seq("a_id"))
       .join(sim.select(col("doc_id").as("b_id"), col("simhash").as("hb")), Seq("b_id"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("hamming") <= 2)
+      .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("ha"), col("hb"), col("hamming"))
   }
+
+  /** SimHash near-dup pairs at the 16-bit reference dial (hamming ≤ 2,
+    * 6|5|5 pigeonhole bands) — q47's oracle twin, via
+    * [[simhashNearDupPairs]].
+    */
+  def q47Simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashNearDupPairs(docs(spark, dir), bits = 16, maxHamming = 2)
 
   /** Duplicate-cluster assignment: connected components over the simhash
     * near-dup graph (q47 pairs), each document labeled with the min doc_id
