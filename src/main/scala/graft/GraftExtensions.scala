@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CurveAbbeExpr, CurveDensityExpr, DotProductExpr, LshBandSigsExpr, MinhashSigExpr, SaxWordExpr, SigMatchExpr, SimhashBitsExpr, SimhashExpr, VariogramSlopeExpr, WinnowFpsExpr}
+import graft.functions.expressions.{CurveAbbeExpr, CurveDensityExpr, DotProductExpr, LshBandSigsBitsExpr, LshBandSigsExpr, MinhashSigExpr, SaxWordExpr, SigMatchExpr, SimhashBitsExpr, SimhashExpr, VariogramSlopeExpr, WinnowFpsExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -37,7 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lsh_band_sigs"),
       new ExpressionInfo(classOf[LshBandSigsExpr].getName, "lsh_band_sigs"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        LshBandSigsExpr(exprs(0), exprs(1))))
+        exprs match {
+          case Seq(e, b)    => LshBandSigsExpr(e, b)
+          case Seq(e, b, w) => LshBandSigsBitsExpr(e, b, w)
+          case _ => throw new IllegalArgumentException(
+            s"lsh_band_sigs expects 2 or 3 arguments, got ${exprs.length}")
+        }))
     ext.injectFunction((
       FunctionIdentifier("variogram_slope"),
       new ExpressionInfo(classOf[VariogramSlopeExpr].getName, "variogram_slope"),

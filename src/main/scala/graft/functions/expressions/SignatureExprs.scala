@@ -38,7 +38,14 @@ object SignatureExprs {
     reg("simhash16", exprs => SimhashExpr(exprs.head))
     reg("simhash_bits", exprs => SimhashBitsExpr(exprs(0), exprs(1)))
     reg("minhash16", exprs => MinhashSigExpr(exprs.head))
-    reg("lsh_band_sigs", exprs => LshBandSigsExpr(exprs(0), exprs(1)))
+    // 2-arg form bakes the LSH_BITS dial; the 3-arg form makes bits per
+    // band a caller dial (bucket count 2^bits is the occupancy lever)
+    reg("lsh_band_sigs", {
+      case Seq(e, b)     => LshBandSigsExpr(e, b)
+      case Seq(e, b, w)  => LshBandSigsBitsExpr(e, b, w)
+      case exprs => throw new IllegalArgumentException(
+        s"lsh_band_sigs expects 2 or 3 arguments, got ${exprs.length}")
+    })
     reg("winnow_fps", exprs => WinnowFpsExpr(exprs.head))
     reg("sig_match16", exprs => SigMatchExpr(exprs(0), exprs(1)))
   }
@@ -307,6 +314,44 @@ case class SigMatchExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** `lsh_band_sigs(embedding, nBands, bitsPerBand)` — the 3-arg form with
+  * bits per band as an explicit caller dial (bucket count 2^bits is the
+  * occupancy lever a deployment turns as the corpus grows; ≤ 62 so the
+  * packed band signature stays a positive long). Both dial args must be
+  * positive foldable int literals.
+  */
+case class LshBandSigsBitsExpr(first: Expression, second: Expression,
+                               third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def prettyName: String = "lsh_band_sigs"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = first.dataType match {
+    case ArrayType(FloatType, _)
+        if second.dataType == IntegerType && second.foldable &&
+          third.dataType == IntegerType && third.foldable =>
+      (second.eval(), third.eval()) match {
+        case (n: Int, w: Int) if n > 0 && w > 0 && w <= 62 =>
+          TypeCheckResult.TypeCheckSuccess
+        case (n, w) => TypeCheckResult.TypeCheckFailure(
+          s"lsh_band_sigs expects positive band count and 1..62 bits per band, got ($n, $w)")
+      }
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"lsh_band_sigs expects (array<float>, int literal, int literal), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    SignatureExprs.lshBandSigs(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[Int], c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.functions.expressions.SignatureExprs.lshBandSigs($a, $b, $c);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
 }
 
 /** `lsh_band_sigs(embedding, nBands)` — nBands must be a POSITIVE foldable

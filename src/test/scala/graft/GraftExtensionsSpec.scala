@@ -92,6 +92,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
         spark.sql("SELECT lsh_band_sigs(array(CAST(0.5 AS FLOAT)), 0) AS b").collect()
       }
       assert(err.getMessage.contains("positive band count"), err.getMessage)
+      // 3-arg dial form: explicit LSH_BITS equals the 2-arg default; a
+      // narrower dial stays inside its band space
+      val bs2 = spark.sql(
+        "SELECT lsh_band_sigs(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 4, " +
+          graft.functions.expressions.SignatureExprs.LSH_BITS + ") AS b")
+        .head().getSeq[Long](0)
+      assert(bs2 == spark.sql(
+        "SELECT lsh_band_sigs(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 4) AS b")
+        .head().getSeq[Long](0))
+      val bs4 = spark.sql(
+        "SELECT lsh_band_sigs(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 4, 4) AS b")
+        .head().getSeq[Long](0)
+      assert(bs4.length == 4 && bs4.forall(s => s >= 0L && s < 16L), bs4.toString)
+      // bits-per-band dial out of range fails analysis too
+      val err3 = intercept[Exception] {
+        spark.sql("SELECT lsh_band_sigs(array(CAST(0.5 AS FLOAT)), 4, 63) AS b").collect()
+      }
+      assert(err3.getMessage.contains("bits per band"), err3.getMessage)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
