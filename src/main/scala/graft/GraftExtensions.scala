@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CurveAbbeExpr, CurveDensityExpr, DotProductExpr, LshBandSigsBitsExpr, LshBandSigsExpr, MinhashSigExpr, SaxWordExpr, SigMatchExpr, SimhashBitsExpr, SimhashExpr, VariogramSlopeExpr, WinnowFpsExpr}
+import graft.functions.expressions.{CurveAbbeExpr, CurveDensityExpr, DotProductExpr, LshBandSigsBitsExpr, LshBandSigsExpr, MinhashKExpr, MinhashSigExpr, SaxWordExpr, SigMatchExpr, SimhashBitsExpr, SimhashExpr, VariogramSlopeExpr, WinnowFpsExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -73,5 +73,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimhashBitsExpr].getName, "simhash_bits"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimhashBitsExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_k"),
+      new ExpressionInfo(classOf[MinhashKExpr].getName, "minhash_k"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinhashKExpr(exprs(0), exprs(1))))
   }
 }

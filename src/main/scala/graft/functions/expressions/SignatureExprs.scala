@@ -38,6 +38,7 @@ object SignatureExprs {
     reg("simhash16", exprs => SimhashExpr(exprs.head))
     reg("simhash_bits", exprs => SimhashBitsExpr(exprs(0), exprs(1)))
     reg("minhash16", exprs => MinhashSigExpr(exprs.head))
+    reg("minhash_k", exprs => MinhashKExpr(exprs(0), exprs(1)))
     // 2-arg form bakes the LSH_BITS dial; the 3-arg form makes bits per
     // band a caller dial (bucket count 2^bits is the occupancy lever)
     reg("lsh_band_sigs", {
@@ -151,24 +152,36 @@ object SignatureExprs {
   }
 
   private val EmptyPrefix = Array.emptyByteArray
-  // "0:" … "15:" — the k-prefix bytes of the minhash family, built once
-  private val KPrefixes: Array[Array[Byte]] =
-    Array.tabulate(16)(k => s"$k:".getBytes("UTF-8"))
 
-  /** 16-slot MinHash signature — min over the shingle set per k-prefixed
+  /** Maximum minhash signature length. 16 is the reference/oracle dial
+    * (q46/q79/q81); the estimator's std-dev is √(J(1−J)/k), so a
+    * production near-dup pass runs 64-256 permutations for a usable
+    * similarity resolution. Bounded so a bad literal cannot allocate
+    * absurd per-row state.
+    */
+  val MINHASH_MAX_K = 256
+
+  // "0:" … — the slot-prefix bytes of the minhash hash family, built once
+  // per slot index and shared by every width (slot k's hash is identical
+  // at every signature length, so a k-wide signature is a PREFIX of a
+  // wider one — estimators at different widths stay comparable)
+  private val KPrefixes: Array[Array[Byte]] =
+    Array.tabulate(MINHASH_MAX_K)(k => s"$k:".getBytes("UTF-8"))
+
+  /** k-slot MinHash signature — min over the shingle set per slot-prefixed
     * hash; empty input yields all-Long.MaxValue (same as the UDF). Null
     * elements are skipped, matching how the expression null-propagates a
     * null ARRAY — ad-hoc SQL can pass `array('a', NULL)`.
     */
-  def minhash16(arr: ArrayData): ArrayData = {
-    val mh = Array.fill(16)(Long.MaxValue)
+  def minhashK(arr: ArrayData, slots: Int): ArrayData = {
+    val mh = Array.fill(slots)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val b = arr.getUTF8String(i).getBytes
         var k = 0
-        while (k < 16) {
+        while (k < slots) {
           val h = PortableHash.md5Int60(KPrefixes(k), b)
           if (h < mh(k)) mh(k) = h
           k += 1
@@ -178,6 +191,9 @@ object SignatureExprs {
     }
     new GenericArrayData(mh)
   }
+
+  /** The 16-slot reference dial (q46/q79/q81's oracle twin). */
+  def minhash16(arr: ArrayData): ArrayData = minhashK(arr, 16)
 
   /** Per-band hyperplane LSH signatures over a float embedding — all
     * bands×LSH_BITS plane dots in one kernel pass, band b's bits packed
@@ -267,6 +283,39 @@ case class SimhashExpr(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.expressions.SignatureExprs.simhash16($a);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** `minhash_k(shingles, k)` — MinHash signature at a caller-chosen
+  * permutation count (1..[[SignatureExprs.MINHASH_MAX_K]]); k must be a
+  * foldable int literal. Slot hashes are width-independent, so a k-wide
+  * signature is a prefix of any wider one.
+  */
+case class MinhashKExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "minhash_k"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SignatureExprs.isStringArr(left.dataType) &&
+        right.dataType == IntegerType && right.foldable)
+      right.eval() match {
+        case n: Int if n >= 1 && n <= SignatureExprs.MINHASH_MAX_K =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"minhash_k expects 1..${SignatureExprs.MINHASH_MAX_K} slots, got $other")
+      }
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_k expects (array<string>, int literal), got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SignatureExprs.minhashK(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.expressions.SignatureExprs.minhashK($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 case class MinhashSigExpr(child: Expression) extends UnaryExpression {

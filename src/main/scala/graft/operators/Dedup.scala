@@ -185,6 +185,43 @@ object Dedup {
     expr("sig_match16(sig_a, sig_b)")
   }
 
+  /** MinHash near-dup pairs at caller-chosen dials: `k` permutations
+    * (estimator std-dev √(J(1−J)/k) — 16 is the reference dial, a
+    * production pass runs 64-256 for usable similarity resolution) split
+    * into `bands` bands of k/bands rows each (the recall/precision lever:
+    * a pair collides in a band with probability J^(k/bands)). Band keys
+    * are signature SLICES joined as array keys; the verify estimator is
+    * the shared native `sig_match16` kernel, so every width uses the one
+    * definition. q46/q79/q81 stay the oracle-pinned (16, 4) twins.
+    */
+  def minhashNearDupPairs(docsDf: DataFrame, k: Int = 16, bands: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    val maxK = graft.functions.expressions.SignatureExprs.MINHASH_MAX_K
+    require(k >= 1 && k <= maxK, s"k must be 1..$maxK")
+    require(bands >= 1 && k % bands == 0, "bands must divide k")
+    graft.functions.expressions.SignatureExprs.register(docsDf.sparkSession)
+    val rows = k / bands
+    val sig = graft.CacheScope.cache(shingleArraysOf(docsDf)
+      .select(col("doc_id"), expr(s"minhash_k(shingles, $k)").as("sig")))
+    val bandKeysDf = sig.select(col("doc_id"), explode(transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        slice(col("sig"), b * rows + 1, lit(rows)).as("bk")))).as("b"))
+      .select(col("doc_id"), col("b.*"))
+    val cand = bandKeysDf.alias("x").join(bandKeysDf.alias("y"),
+      col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val joined = cand
+      .join(sig.toDF("a_id", "sig_a"), Seq("a_id"))
+      .join(sig.toDF("b_id", "sig_b"), Seq("b_id"))
+    joined
+      .withColumn("est_sim", estSim(joined))
+      .filter(col("est_sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("est_sim"))
+  }
+
   def q46MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sig = graft.CacheScope.cache(minhashSigs(shingleArrays(spark, dir)))
     val cand = bandPairs(sig)
