@@ -140,36 +140,37 @@ object Dedup {
     * no exploded (doc × k × shingle) shuffle; the only exchanges are the
     * tiny band-key self-join and the candidate-pair verify.
     */
-  /** 16-slot minhash signature per doc — one kernel pass over the in-row
+  /** k-slot minhash signature per doc — one kernel pass over the in-row
     * shingle set, via the native codegen'd
-    * [[graft.functions.expressions.MinhashSigExpr]] (ArrayData straight
-    * from Tungsten, no per-row Seq conversion).
+    * [[graft.functions.expressions.MinhashKExpr]] (ArrayData straight
+    * from Tungsten, no per-row Seq conversion). k = 16 is the reference
+    * dial the oracles pin.
     */
-  private def minhashSigs(sh: DataFrame): DataFrame = {
+  private def minhashSigs(sh: DataFrame, k: Int = 16): DataFrame = {
     graft.functions.expressions.SignatureExprs.register(sh.sparkSession)
-    sh.select(col("doc_id"), expr("minhash16(shingles)").as("sig"))
+    sh.select(col("doc_id"), expr(s"minhash_k(shingles, $k)").as("sig"))
   }
 
-  /** (doc_id, band, m0..m3) band-key table — the LSH "index" rows a
-    * candidate join equi-joins on.
+  /** (doc_id, band, bk) band-key table — band b's key is the signature's
+    * b-th k/bands-slot SLICE, joined as an array key. One definition for
+    * every width: the inline pipelines, the generalized pairs API, and
+    * the materialized index all band identically.
     */
-  private def bandKeys(sig: DataFrame): DataFrame =
+  private def bandKeys(sig: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && k % bands == 0, "bands must divide k")
+    val rows = k / bands
     sig.select(col("doc_id"), explode(transform(
-      sequence(lit(0), lit(3)),
+      sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),
-        element_at(col("sig"), b * 4 + 1).as("m0"),
-        element_at(col("sig"), b * 4 + 2).as("m1"),
-        element_at(col("sig"), b * 4 + 3).as("m2"),
-        element_at(col("sig"), b * 4 + 4).as("m3")))).as("b"))
+        slice(col("sig"), b * rows + 1, lit(rows)).as("bk")))).as("b"))
       .select(col("doc_id"), col("b.*"))
+  }
 
-  /** Banded candidate pairs: docs sharing any full 4-slot band. */
-  private def bandPairs(sig: DataFrame): DataFrame = {
-    val bands = bandKeys(sig)
-    bands.alias("x").join(bands.alias("y"),
-      col("x.band") === col("y.band") &&
-        col("x.m0") === col("y.m0") && col("x.m1") === col("y.m1") &&
-        col("x.m2") === col("y.m2") && col("x.m3") === col("y.m3") &&
+  /** Banded candidate pairs: docs sharing any full band slice. */
+  private def bandPairs(sig: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val bk = bandKeys(sig, k, bands)
+    bk.alias("x").join(bk.alias("y"),
+      col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
@@ -200,19 +201,8 @@ object Dedup {
     require(k >= 1 && k <= maxK, s"k must be 1..$maxK")
     require(bands >= 1 && k % bands == 0, "bands must divide k")
     graft.functions.expressions.SignatureExprs.register(docsDf.sparkSession)
-    val rows = k / bands
-    val sig = graft.CacheScope.cache(shingleArraysOf(docsDf)
-      .select(col("doc_id"), expr(s"minhash_k(shingles, $k)").as("sig")))
-    val bandKeysDf = sig.select(col("doc_id"), explode(transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        slice(col("sig"), b * rows + 1, lit(rows)).as("bk")))).as("b"))
-      .select(col("doc_id"), col("b.*"))
-    val cand = bandKeysDf.alias("x").join(bandKeysDf.alias("y"),
-      col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+    val sig = graft.CacheScope.cache(minhashSigs(shingleArraysOf(docsDf), k))
+    val cand = bandPairs(sig, k, bands)
     val joined = cand
       .join(sig.toDF("a_id", "sig_a"), Seq("a_id"))
       .join(sig.toDF("b_id", "sig_b"), Seq("b_id"))
@@ -581,7 +571,7 @@ object Dedup {
     val corpusKeys = bandKeys(sig.filter(col("doc_id") % 10 =!= 0))
       .withColumnRenamed("doc_id", "b_id")
     val cand = deltaKeys
-      .join(corpusKeys, Seq("band", "m0", "m1", "m2", "m3"))
+      .join(corpusKeys, Seq("band", "bk"))
       .select(col("a_id"), col("b_id"))
       .distinct()
     val w = org.apache.spark.sql.expressions.Window
@@ -603,32 +593,56 @@ object Dedup {
 
   /** Materialize the corpus minhash band index — the artifact an
     * incremental deployment keeps between batches so a delta run never
-    * recomputes the corpus side: the full 16-slot signatures (verify
-    * stage) and the exploded band-key rows (candidate equi-join side).
-    * `corpusDocs` is any (doc_id, text, …) frame.
+    * recomputes the corpus side: the full k-slot signatures (verify
+    * stage) and the exploded band-key rows (candidate equi-join side),
+    * plus a metadata file recording the (k, bands) dials. `corpusDocs`
+    * is any (doc_id, text, …) frame.
     */
-  def writeBandIndex(corpusDocs: DataFrame, path: String): Unit = {
+  def writeBandIndex(corpusDocs: DataFrame, path: String,
+                     k: Int = 16, bands: Int = 4): Unit = {
     graft.CacheScope.run {
-      val sig = graft.CacheScope.cache(minhashSigs(shingleArraysOf(corpusDocs)))
+      val sig = graft.CacheScope.cache(minhashSigs(shingleArraysOf(corpusDocs), k))
       sig.write.mode("overwrite").parquet(s"$path/sigs")
-      bandKeys(sig).write.mode("overwrite").parquet(s"$path/bands")
+      bandKeys(sig, k, bands).write.mode("overwrite").parquet(s"$path/bands")
+    }
+    // the index RECORDS its dials: a delta reader signs at the stored k
+    // and bands at the stored layout, so index and delta can never be
+    // compared at mismatched widths (silent zero-candidate failure mode)
+    val props = new java.util.Properties
+    props.setProperty("k", k.toString)
+    props.setProperty("bands", bands.toString)
+    val out = new java.io.FileOutputStream(s"$path/meta.properties")
+    try props.store(out, "graft band index dials") finally out.close()
+  }
+
+  /** The (k, bands) dials a stored index was built with. */
+  private def readIndexDials(indexPath: String): (Int, Int) = {
+    val f = new java.io.File(s"$indexPath/meta.properties")
+    if (!f.exists()) (16, 4) // pre-dial indexes were always the reference layout
+    else {
+      val props = new java.util.Properties
+      val in = new java.io.FileInputStream(f)
+      try props.load(in) finally in.close()
+      (props.getProperty("k", "16").toInt, props.getProperty("bands", "4").toInt)
     }
   }
 
   /** q79's semantics against a PREBUILT index ([[writeBandIndex]]): only
-    * the delta batch is shingled and signed; the corpus participates
-    * through its stored band keys (candidate join) and signatures
-    * (verify) — the true nightly shape, where corpus work is zero.
+    * the delta batch is shingled and signed — at the dials the index
+    * RECORDS, never a caller guess; the corpus participates through its
+    * stored band keys (candidate join) and signatures (verify) — the true
+    * nightly shape, where corpus work is zero.
     */
   def incrementalDedupAgainstIndex(deltaDocs: DataFrame, indexPath: String): DataFrame = {
     val spark = deltaDocs.sparkSession
+    val (k, bands) = readIndexDials(indexPath)
     val corpusSigs = spark.read.parquet(s"$indexPath/sigs")
       .select(col("doc_id").as("b_id"), col("sig").as("sig_b"))
     val corpusBands = spark.read.parquet(s"$indexPath/bands")
       .withColumnRenamed("doc_id", "b_id")
-    val dSig = graft.CacheScope.cache(minhashSigs(shingleArraysOf(deltaDocs)))
-    val cand = bandKeys(dSig).withColumnRenamed("doc_id", "a_id")
-      .join(corpusBands, Seq("band", "m0", "m1", "m2", "m3"))
+    val dSig = graft.CacheScope.cache(minhashSigs(shingleArraysOf(deltaDocs), k))
+    val cand = bandKeys(dSig, k, bands).withColumnRenamed("doc_id", "a_id")
+      .join(corpusBands, Seq("band", "bk"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
@@ -720,9 +734,11 @@ object Dedup {
     // The first run per (dir, content) pays the build inside its sample;
     // the median of later samples reads pure index (visible as a high
     // round-1 max in the bench spread).
+    // v2: the stored band layout (array bk keys + meta) — versioning the
+    // path retires indexes from the pre-dial m0..m3 layout
     val indexPath = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_band_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+      "graft_band_index_v2_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
         "_" + graft.Tables.tableFingerprint(dir, "documents")).getPath
     if (!new java.io.File(s"$indexPath/bands/_SUCCESS").exists())
       writeBandIndex(d.filter(col("doc_id") % 10 =!= 0), indexPath)

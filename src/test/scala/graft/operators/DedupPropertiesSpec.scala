@@ -284,6 +284,26 @@ class DedupPropertiesSpec extends SparkSpec {
     assert(inline.exists(_._3), "fixture should contain at least one delta dup")
   }
 
+  test("a wide-dial index records (k, bands) and the delta reader honors them") {
+    // corpus doc + a verbatim delta copy: an index built at k=64/bands=16
+    // must catch it, and the reader must pick the dials up from the stored
+    // metadata (signing the delta at a guessed 16 would zero the join)
+    val corpus = Seq(
+      (100L, "one two three four five six seven eight nine ten"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "completely novel content with no corpus counterpart here"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("bandidx64").toString
+    Dedup.writeBandIndex(corpus, idx, k = 64, bands = 16)
+    val out = Dedup.incrementalDedupAgainstIndex(delta, idx)
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((Some(100L), true)), s"verbatim copy must flag dup: $out")
+    assert(!out(2L)._2, s"novel doc must pass: $out")
+  }
+
   test("CC on an empty graph returns empty (no driver-side aggregate to NPE)") {
     val edgesDf = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
     val nodesDf = Seq.empty[Long].toDF("id")

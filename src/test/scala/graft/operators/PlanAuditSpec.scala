@@ -94,9 +94,9 @@ class PlanAuditSpec extends SparkSpec {
     // exactly one minhash16 kernel may appear, on the delta side
     assert(p.contains("graft_band_index"),
       "corpus side must scan the materialized index:\n" + p)
-    val kernels = "minhash16".r.findAllIn(p).length
+    val kernels = "minhash_k".r.findAllIn(p).length
     assert(kernels == 1,
-      s"expected exactly one delta-side minhash16 kernel, found $kernels:\n" + p)
+      s"expected exactly one delta-side minhash kernel, found $kernels:\n" + p)
     assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
       "candidate generation must stay an equi-join on band keys:\n" + p)
   }
