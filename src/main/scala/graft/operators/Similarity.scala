@@ -272,9 +272,12 @@ object Similarity {
     * Cosines are rounded to 6 before ranking on both engines so argmax
     * ties break identically (by id).
     */
-  def q57AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = graft.CacheScope.cache(withNorm(emb(spark, dir)))
-    // --- train: one k-means step (assignment to seeds + mean) ---
+  /** One deterministic k-means step with the IVF_K lowest vec_ids as
+    * seeds: squared-L2 assignment (rounded, ties to the lower id) then
+    * per-list rounded means. Returns (cent_id, centroid, ‖centroid‖²) —
+    * ≤ IVF_K rows of dim+2 values, bounded driver state.
+    */
+  private def trainCentroids(e: DataFrame): Array[(Long, Array[Double], Double)] = {
     val seeds: Array[(Long, Array[Double])] = e.filter(col("vec_id") < IVF_K)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
@@ -295,8 +298,7 @@ object Similarity {
     })
     val sumCols = count(lit(1)).as("n") +: (0 until dim).map(i =>
       sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
-    val cents: Array[(Long, Array[Double], Double)] = e
-      .groupBy(seedAssignU(col("embedding")).as("cent_id"))
+    e.groupBy(seedAssignU(col("embedding")).as("cent_id"))
       .agg(sumCols.head, sumCols.tail: _*)
       .collect() // ≤ IVF_K rows of dim+2 values — bounded driver state
       .map { r =>
@@ -305,43 +307,129 @@ object Similarity {
         (r.getLong(0), m, m.map(x => x * x).sum)
       }
       .sortBy(_._1)
-    // --- assign + probe: pure map over the closure-broadcast centroids ---
-    def centCos(v0: Seq[Float]): Array[(Long, Double)] = {
-      val v = v0.toArray
-      var nn = 0.0
-      var i = 0
-      while (i < v.length) { nn += v(i).toDouble * v(i); i += 1 }
-      cents.map { case (cid, c, nc) =>
-        var dot = 0.0
-        var j = 0
-        while (j < c.length) { dot += v(j).toDouble * c(j); j += 1 }
-        (cid, round6(dot / (math.sqrt(nn) * math.sqrt(nc))))
-      }
+  }
+
+  /** vector → cosine against every centroid (closure-broadcast cents). */
+  private def centCosOf(cents: Array[(Long, Array[Double], Double)])(
+      v0: Seq[Float]): Array[(Long, Double)] = {
+    val v = v0.toArray
+    var nn = 0.0
+    var i = 0
+    while (i < v.length) { nn += v(i).toDouble * v(i); i += 1 }
+    cents.map { case (cid, c, nc) =>
+      var dot = 0.0
+      var j = 0
+      while (j < c.length) { dot += v(j).toDouble * c(j); j += 1 }
+      (cid, round6(dot / (math.sqrt(nn) * math.sqrt(nc))))
     }
-    val assignU = udf((v0: Seq[Float]) =>
-      centCos(v0).minBy { case (cid, cos) => (-cos, cid) }._1)
-    val topU = udf((v0: Seq[Float]) =>
-      centCos(v0).sortBy { case (cid, cos) => (-cos, cid) }.take(NPROBE).map(_._1).toSeq)
+  }
+
+  private def listAssignUdf(cents: Array[(Long, Array[Double], Double)]) =
+    udf((v0: Seq[Float]) =>
+      centCosOf(cents)(v0).minBy { case (cid, cos) => (-cos, cid) }._1)
+
+  private def topListsUdf(cents: Array[(Long, Array[Double], Double)]) =
+    udf((v0: Seq[Float]) =>
+      centCosOf(cents)(v0).sortBy { case (cid, cos) => (-cos, cid) }
+        .take(NPROBE).map(_._1).toSeq)
+
+  def q57AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.CacheScope.cache(withNorm(emb(spark, dir)))
+    val cents = trainCentroids(e)
+    // --- assign + probe: pure map over the closure-broadcast centroids ---
     val assign = e.select(col("vec_id").as("c_id"),
-      assignU(col("embedding")).as("list_id"))
+      listAssignUdf(cents)(col("embedding")).as("list_id"))
     val probes = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("p_id"),
-        explode(topU(col("embedding"))).as("list_id"))
+        explode(topListsUdf(cents)(col("embedding"))).as("list_id"))
     val cand = probes
       .join(assign, Seq("list_id"))
       .filter(col("p_id") =!= col("c_id"))
       .select(col("p_id"), col("c_id"))
+    ivfRerank(cand,
+      e.select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("nn").as("np")),
+      e.select(col("vec_id").as("c_id"), col("embedding").as("ce2"), col("nn").as("nc2")))
+  }
+
+  /** Shared exact-cosine re-rank tail: candidates × probe/corpus vector
+    * sides → top-3 per probe.
+    */
+  private def ivfRerank(cand: DataFrame, probeSide: DataFrame,
+                        corpusSide: DataFrame): DataFrame = {
+    val spark = cand.sparkSession
     val cos = cand
-      .join(e.select(col("vec_id").as("p_id"), col("embedding").as("pe"),
-        col("nn").as("np")), Seq("p_id"))
-      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("ce2"),
-        col("nn").as("nc2")), Seq("c_id"))
+      .join(probeSide, Seq("p_id"))
+      .join(corpusSide, Seq("c_id"))
       .withColumn("cosine",
         round(dotC(spark, "pe", "ce2") / (sqrt(col("np")) * sqrt(col("nc2"))), 6))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cosine").desc, col("c_id"))
     cos.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("p_id"), col("c_id"), col("cosine"), col("rn"))
+  }
+
+  /** Materialize the IVF index — [[q57AnnIvf]]'s corpus artifacts: the
+    * trained quantizer (centroids + norms), the inverted lists (vec →
+    * list assignment), and the vectors+norms for the exact re-rank. The
+    * quantizer trains ONCE here; serving never touches corpus embeddings
+    * except through the probed lists.
+    */
+  def writeIvfIndex(corpusEmb: DataFrame, path: String): Unit =
+    graft.CacheScope.run {
+      val spark = corpusEmb.sparkSession
+      import spark.implicits._
+      val e = graft.CacheScope.cache(withNorm(corpusEmb))
+      val cents = trainCentroids(e)
+      cents.toSeq.map { case (cid, m, nc) => (cid, m.toSeq, nc) }
+        .toDF("cent_id", "centroid", "norm")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      e.select(col("vec_id").as("c_id"),
+        listAssignUdf(cents)(col("embedding")).as("list_id"))
+        .write.mode("overwrite").parquet(s"$path/lists")
+      e.select(col("vec_id"), col("embedding"), col("nn"))
+        .write.mode("overwrite").parquet(s"$path/vectors")
+    }
+
+  /** [[q57AnnIvf]]'s semantics against a PREBUILT index
+    * ([[writeIvfIndex]]): the stored quantizer rides the closure (≤ IVF_K
+    * rows collected — bounded), probes pick their NPROBE lists with a
+    * pure map, candidates come from the STORED inverted lists, and the
+    * re-rank reads stored vectors — per-batch corpus work is zero.
+    */
+  def ivfSearchAgainstIndex(probes: DataFrame, indexPath: String): DataFrame = {
+    val spark = probes.sparkSession
+    val cents: Array[(Long, Array[Double], Double)] =
+      spark.read.parquet(s"$indexPath/centroids").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+    val lists = spark.read.parquet(s"$indexPath/lists")
+    val vecs = spark.read.parquet(s"$indexPath/vectors")
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce2"), col("nn").as("nc2"))
+    val p = graft.CacheScope.cache(withNorm(probes))
+    val probeLists = p.select(col("vec_id").as("p_id"),
+      explode(topListsUdf(cents)(col("embedding"))).as("list_id"))
+    val cand = probeLists
+      .join(lists, Seq("list_id"))
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"))
+    ivfRerank(cand,
+      p.select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("nn").as("np")),
+      vecs)
+  }
+
+  /** q57 through the materialized IVF index (build-once per sf dir, like
+    * q81/q82): identical output contract, so it shares q57's oracle.
+    */
+  def q83IvfIndex(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val indexPath = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + graft.Tables.tableFingerprint(dir, "embeddings")).getPath
+    // vectors written LAST → its _SUCCESS marks the whole index complete
+    if (!new java.io.File(s"$indexPath/vectors/_SUCCESS").exists())
+      writeIvfIndex(e, indexPath)
+    ivfSearchAgainstIndex(e.filter(col("vec_id") < 20), indexPath)
   }
 
   /** Embedding dedup pipeline: the vector-side counterpart of q66 —
@@ -422,6 +510,7 @@ object Similarity {
     "q49_ann_lsh" -> q49AnnLsh,
     "q56_embedding_neardup" -> q56EmbeddingNeardup,
     "q57_ann_ivf" -> q57AnnIvf,
+    "q83_ivf_index" -> q83IvfIndex,
     "q67_embedding_dedup" -> q67EmbeddingDedupPipeline,
     "q72_kmeans_assign" -> q72KmeansAssign,
     "q76_crossmodal_dedup" -> q76CrossmodalDedup,
@@ -477,6 +566,59 @@ object Similarity {
       |SELECT p_id, c_id, cosine, CAST(rn AS INT) AS rn FROM (
       |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
       |  FROM cos) WHERE rn <= 3""".stripMargin
+
+  /** q57's full SQL — shared verbatim by q57 (inline train+assign) and
+    * q83 (the materialized IVF index): identical semantics by construction.
+    */
+  private val ivfSql: String =
+    s"""WITH $longFormCte,
+        |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),
+        |sd AS (
+        |  SELECT a.vec_id, s.vec_id AS seed_id,
+        |    round(sum((a.v - s.v) * (a.v - s.v)), 6) AS d
+        |  FROM ex a JOIN ex s ON s.pos = a.pos AND s.vec_id < $IVF_K
+        |  GROUP BY 1, 2),
+        |sa AS (
+        |  SELECT vec_id, seed_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY d, seed_id) AS rn
+        |    FROM sd) WHERE rn = 1),
+        |cents AS (
+        |  SELECT sa.seed_id AS cent_id, a.pos, round(avg(a.v), 6) AS cv
+        |  FROM ex a JOIN sa ON sa.vec_id = a.vec_id
+        |  GROUP BY 1, 2),
+        |cnorm AS (SELECT cent_id, sum(cv * cv) AS nc FROM cents GROUP BY 1),
+        |adots AS (
+        |  SELECT a.vec_id, c.cent_id, sum(a.v * c.cv) AS dot
+        |  FROM ex a JOIN cents c ON c.pos = a.pos
+        |  GROUP BY 1, 2),
+        |acos AS (
+        |  SELECT d.vec_id, d.cent_id,
+        |    round(dot / (sqrt(nv.nn) * sqrt(cn.nc)), 6) AS cos
+        |  FROM adots d JOIN norms nv ON nv.vec_id = d.vec_id
+        |    JOIN cnorm cn ON cn.cent_id = d.cent_id),
+        |ranked AS (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+        |  FROM acos),
+        |assign AS (SELECT vec_id, cent_id AS list_id FROM ranked WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS p_id, cent_id AS list_id FROM ranked
+        |  WHERE vec_id < 20 AND rn <= $NPROBE),
+        |cand AS (
+        |  SELECT p_id, a.vec_id AS c_id
+        |  FROM probes p JOIN assign a ON a.list_id = p.list_id AND a.vec_id != p.p_id),
+        |dots AS (
+        |  SELECT p_id, c_id, sum(a.v * b.v) AS dot
+        |  FROM cand JOIN ex a ON a.vec_id = p_id
+        |    JOIN ex b ON b.vec_id = c_id AND b.pos = a.pos
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT p_id, c_id, round(dot / (sqrt(np.nn) * sqrt(nc.nn)), 6) AS cosine
+        |  FROM dots JOIN norms np ON np.vec_id = p_id JOIN norms nc ON nc.vec_id = c_id)
+        |SELECT p_id, c_id, cosine, CAST(rn AS INT) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
+        |  FROM cos) WHERE rn <= 3""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q82_ann_index" -> annLshSql,
@@ -535,55 +677,8 @@ object Similarity {
         |SELECT id AS vec_id, min(label) AS canonical_id,
         |  (min(label) = id) AS is_canonical
         |FROM reach GROUP BY 1""".stripMargin,
-    "q57_ann_ivf" ->
-      s"""WITH $longFormCte,
-        |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),
-        |sd AS (
-        |  SELECT a.vec_id, s.vec_id AS seed_id,
-        |    round(sum((a.v - s.v) * (a.v - s.v)), 6) AS d
-        |  FROM ex a JOIN ex s ON s.pos = a.pos AND s.vec_id < $IVF_K
-        |  GROUP BY 1, 2),
-        |sa AS (
-        |  SELECT vec_id, seed_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY d, seed_id) AS rn
-        |    FROM sd) WHERE rn = 1),
-        |cents AS (
-        |  SELECT sa.seed_id AS cent_id, a.pos, round(avg(a.v), 6) AS cv
-        |  FROM ex a JOIN sa ON sa.vec_id = a.vec_id
-        |  GROUP BY 1, 2),
-        |cnorm AS (SELECT cent_id, sum(cv * cv) AS nc FROM cents GROUP BY 1),
-        |adots AS (
-        |  SELECT a.vec_id, c.cent_id, sum(a.v * c.cv) AS dot
-        |  FROM ex a JOIN cents c ON c.pos = a.pos
-        |  GROUP BY 1, 2),
-        |acos AS (
-        |  SELECT d.vec_id, d.cent_id,
-        |    round(dot / (sqrt(nv.nn) * sqrt(cn.nc)), 6) AS cos
-        |  FROM adots d JOIN norms nv ON nv.vec_id = d.vec_id
-        |    JOIN cnorm cn ON cn.cent_id = d.cent_id),
-        |ranked AS (
-        |  SELECT vec_id, cent_id,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
-        |  FROM acos),
-        |assign AS (SELECT vec_id, cent_id AS list_id FROM ranked WHERE rn = 1),
-        |probes AS (
-        |  SELECT vec_id AS p_id, cent_id AS list_id FROM ranked
-        |  WHERE vec_id < 20 AND rn <= $NPROBE),
-        |cand AS (
-        |  SELECT p_id, a.vec_id AS c_id
-        |  FROM probes p JOIN assign a ON a.list_id = p.list_id AND a.vec_id != p.p_id),
-        |dots AS (
-        |  SELECT p_id, c_id, sum(a.v * b.v) AS dot
-        |  FROM cand JOIN ex a ON a.vec_id = p_id
-        |    JOIN ex b ON b.vec_id = c_id AND b.pos = a.pos
-        |  GROUP BY 1, 2),
-        |cos AS (
-        |  SELECT p_id, c_id, round(dot / (sqrt(np.nn) * sqrt(nc.nn)), 6) AS cosine
-        |  FROM dots JOIN norms np ON np.vec_id = p_id JOIN norms nc ON nc.vec_id = c_id)
-        |SELECT p_id, c_id, cosine, CAST(rn AS INT) AS rn FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
-        |  FROM cos) WHERE rn <= 3""".stripMargin,
+    "q57_ann_ivf" -> ivfSql,
+    "q83_ivf_index" -> ivfSql,
     "q76_crossmodal_dedup" -> {
       val nPlanes = DUP_BANDS * LSH_BITS
       s"""WITH RECURSIVE

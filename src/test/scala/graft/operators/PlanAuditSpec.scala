@@ -87,6 +87,18 @@ class PlanAuditSpec extends SparkSpec {
       "candidate generation must stay a (band, sig) equi-join:\n" + p)
   }
 
+  test("q83: IVF serves from the stored quantizer and inverted lists") {
+    val p = plan(Similarity.queries("q83_ivf_index")(spark, dir))
+    assert(p.contains("graft_ivf_index"),
+      "candidates and re-rank must scan the materialized IVF index:\n" + p)
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      "candidate generation must stay a list_id equi-join:\n" + p)
+    // the quantizer must NOT retrain at serve time: no corpus-wide
+    // centroid aggregation may appear in the serving plan
+    assert(!p.contains("cent_id"),
+      "serving plan re-trains the quantizer:\n" + p)
+  }
+
   test("q81: the corpus side comes from the stored index — zero corpus recompute") {
     val p = plan(Dedup.queries("q81_incremental_index")(spark, dir))
     // the whole point of the materialized path: corpus band keys and
