@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ANN serving against a MATERIALIZED LSH index
+  * ([[graft.operators.Similarity.writeAnnIndex]]) — the realtime half of
+  * q82's serving shape: probe vectors stream in, each micro-batch runs the
+  * BATCH index-search kernel
+  * ([[graft.operators.Similarity.annAgainstIndex]]) and appends its
+  * (p_id, c_id, cosine, rn) neighbors to the sink. One shared definition
+  * means streamed and batched probes can never disagree on banding,
+  * multiprobe expansion, or the re-rank; `foreachBatch` gives the batch
+  * planner per micro-batch plus checkpointed exactly-once file-source
+  * progress.
+  *
+  * Scale: per-batch work is |batch| × (bands × multiprobe masks) joins
+  * into the stored band table — the corpus participates only through the
+  * index parquet; no streaming state, no watermark, restart resumes from
+  * the checkpoint with zero rebuild.
+  */
+object StreamingAnn {
+
+  def runAgainstIndex(spark: SparkSession, probeDir: String,
+                      probeSchema: org.apache.spark.sql.types.StructType,
+                      indexPath: String, outPath: String,
+                      checkpoint: String): StreamingQuery =
+    spark.readStream
+      .schema(probeSchema)
+      .parquet(probeDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.CacheScope.run {
+          graft.operators.Similarity.annAgainstIndex(batch, indexPath)
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .start()
+}
