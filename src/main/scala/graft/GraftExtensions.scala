@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CurveAbbeExpr, CurveDensityExpr, DotProductExpr, LshBandSigsBitsExpr, LshBandSigsExpr, MinhashKExpr, MinhashSigExpr, SaxWordExpr, SigMatchExpr, SimhashBitsExpr, SimhashExpr, VariogramSlopeExpr, WinnowFpsExpr}
+import graft.functions.expressions.{CurveAbbeExpr, CurveDensityExpr, DotProductExpr, LshBandSigsExpr, MinhashKExpr, MinhashSigExpr, SaxWordExpr, SigMatchExpr, SimhashBitsExpr, SimhashExpr, VariogramSlopeExpr, WinnowFpsExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -36,13 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("lsh_band_sigs"),
       new ExpressionInfo(classOf[LshBandSigsExpr].getName, "lsh_band_sigs"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        exprs match {
-          case Seq(e, b)    => LshBandSigsExpr(e, b)
-          case Seq(e, b, w) => LshBandSigsBitsExpr(e, b, w)
-          case _ => throw new IllegalArgumentException(
-            s"lsh_band_sigs expects 2 or 3 arguments, got ${exprs.length}")
-        }))
+      graft.functions.expressions.SignatureExprs.lshBandSigsBuilder))
     ext.injectFunction((
       FunctionIdentifier("variogram_slope"),
       new ExpressionInfo(classOf[VariogramSlopeExpr].getName, "variogram_slope"),

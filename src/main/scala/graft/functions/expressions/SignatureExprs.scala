@@ -39,17 +39,40 @@ object SignatureExprs {
     reg("simhash_bits", exprs => SimhashBitsExpr(exprs(0), exprs(1)))
     reg("minhash16", exprs => MinhashSigExpr(exprs.head))
     reg("minhash_k", exprs => MinhashKExpr(exprs(0), exprs(1)))
-    // 2-arg form bakes the LSH_BITS dial; the 3-arg form makes bits per
-    // band a caller dial (bucket count 2^bits is the occupancy lever)
-    reg("lsh_band_sigs", {
-      case Seq(e, b)     => LshBandSigsExpr(e, b)
-      case Seq(e, b, w)  => LshBandSigsBitsExpr(e, b, w)
-      case exprs => throw new IllegalArgumentException(
-        s"lsh_band_sigs expects 2 or 3 arguments, got ${exprs.length}")
-    })
+    reg("lsh_band_sigs", lshBandSigsBuilder)
     reg("winnow_fps", exprs => WinnowFpsExpr(exprs.head))
     reg("sig_match16", exprs => SigMatchExpr(exprs(0), exprs(1)))
   }
+
+  /** THE lsh_band_sigs arity dispatch — shared by [[register]] and
+    * `GraftExtensions` so the temp-function and SQL-extension paths can
+    * never diverge: the 2-arg form bakes the LSH_BITS dial, the 3-arg
+    * form makes bits per band a caller dial (bucket count 2^bits is the
+    * occupancy lever).
+    */
+  val lshBandSigsBuilder: Seq[Expression] => Expression = {
+    case Seq(e, b)    => LshBandSigsExpr(e, b)
+    case Seq(e, b, w) => LshBandSigsBitsExpr(e, b, w)
+    case exprs => throw new IllegalArgumentException(
+      s"lsh_band_sigs expects 2 or 3 arguments, got ${exprs.length}")
+  }
+
+  /** Total hyperplane budget (nBands × bitsPerBand): the planes matrix is
+    * cached per executor and each row allocates an nBands-slot signature,
+    * so an absurd literal must fail ANALYSIS, not OOM a task. 2^16 planes
+    * is far past any sane banding (production dials run tens of bands ×
+    * tens of bits).
+    */
+  val LSH_MAX_PLANES = 65536
+
+  /** Shared analysis-time check for a foldable positive int dial. */
+  private[expressions] def foldableDial(e: Expression): Option[Int] =
+    if (e.dataType == IntegerType && e.foldable)
+      e.eval() match {
+        case n: Int => Some(n)
+        case _      => None
+      }
+    else None
 
   /** Winnowing dials (q78): gram length and window size in CODEPOINTS —
     * any shared substring of ≥ WINNOW_GRAM + WINNOW_WINDOW − 1 chars
@@ -377,14 +400,17 @@ case class LshBandSigsBitsExpr(first: Expression, second: Expression,
   override def prettyName: String = "lsh_band_sigs"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = first.dataType match {
-    case ArrayType(FloatType, _)
-        if second.dataType == IntegerType && second.foldable &&
-          third.dataType == IntegerType && third.foldable =>
-      (second.eval(), third.eval()) match {
-        case (n: Int, w: Int) if n > 0 && w > 0 && w <= 62 =>
+    case ArrayType(FloatType, _) =>
+      (SignatureExprs.foldableDial(second), SignatureExprs.foldableDial(third)) match {
+        case (Some(n), Some(w)) if n > 0 && w > 0 && w <= 62 &&
+            n.toLong * w <= SignatureExprs.LSH_MAX_PLANES =>
           TypeCheckResult.TypeCheckSuccess
-        case (n, w) => TypeCheckResult.TypeCheckFailure(
-          s"lsh_band_sigs expects positive band count and 1..62 bits per band, got ($n, $w)")
+        case (Some(n), Some(w)) => TypeCheckResult.TypeCheckFailure(
+          s"lsh_band_sigs expects positive band count, 1..62 bits per band, and " +
+            s"bands*bits <= ${SignatureExprs.LSH_MAX_PLANES} planes, got ($n, $w)")
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"lsh_band_sigs expects (array<float>, int literal, int literal), got " +
+            s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
       }
     case _ => TypeCheckResult.TypeCheckFailure(
       s"lsh_band_sigs expects (array<float>, int literal, int literal), got " +
@@ -414,11 +440,17 @@ case class LshBandSigsExpr(left: Expression, right: Expression)
   override def prettyName: String = "lsh_band_sigs"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
-    case ArrayType(FloatType, _) if right.dataType == IntegerType && right.foldable =>
-      right.eval() match {
-        case n: Int if n > 0 => TypeCheckResult.TypeCheckSuccess
-        case other => TypeCheckResult.TypeCheckFailure(
-          s"lsh_band_sigs expects a positive band count, got $other")
+    case ArrayType(FloatType, _) =>
+      SignatureExprs.foldableDial(right) match {
+        case Some(n) if n > 0 &&
+            n.toLong * SignatureExprs.LSH_BITS <= SignatureExprs.LSH_MAX_PLANES =>
+          TypeCheckResult.TypeCheckSuccess
+        case Some(n) => TypeCheckResult.TypeCheckFailure(
+          s"lsh_band_sigs expects a positive band count with bands*${SignatureExprs.LSH_BITS}" +
+            s" <= ${SignatureExprs.LSH_MAX_PLANES} planes, got $n")
+        case None => TypeCheckResult.TypeCheckFailure(
+          s"lsh_band_sigs expects (array<float>, int literal), got " +
+            s"(${left.dataType}, ${right.dataType})")
       }
     case _ => TypeCheckResult.TypeCheckFailure(
       s"lsh_band_sigs expects (array<float>, int literal), got " +

@@ -600,31 +600,43 @@ object Dedup {
     */
   def writeBandIndex(corpusDocs: DataFrame, path: String,
                      k: Int = 16, bands: Int = 4): Unit = {
+    // the index RECORDS its dials: a delta reader signs at the stored k
+    // and bands at the stored layout, so index and delta can never be
+    // compared at mismatched widths (silent zero-candidate failure mode).
+    // Written FIRST (the bands table's _SUCCESS, written last, marks the
+    // index complete — so completeness implies the meta exists) and
+    // through the Hadoop filesystem of the path, so hdfs://- or
+    // s3a://-hosted indexes work and readers on other machines see it.
+    val spark = corpusDocs.sparkSession
+    val props = new java.util.Properties
+    props.setProperty("k", k.toString)
+    props.setProperty("bands", bands.toString)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta.properties")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    try props.store(out, "graft band index dials") finally out.close()
     graft.CacheScope.run {
       val sig = graft.CacheScope.cache(minhashSigs(shingleArraysOf(corpusDocs), k))
       sig.write.mode("overwrite").parquet(s"$path/sigs")
       bandKeys(sig, k, bands).write.mode("overwrite").parquet(s"$path/bands")
     }
-    // the index RECORDS its dials: a delta reader signs at the stored k
-    // and bands at the stored layout, so index and delta can never be
-    // compared at mismatched widths (silent zero-candidate failure mode)
-    val props = new java.util.Properties
-    props.setProperty("k", k.toString)
-    props.setProperty("bands", bands.toString)
-    val out = new java.io.FileOutputStream(s"$path/meta.properties")
-    try props.store(out, "graft band index dials") finally out.close()
   }
 
-  /** The (k, bands) dials a stored index was built with. */
-  private def readIndexDials(indexPath: String): (Int, Int) = {
-    val f = new java.io.File(s"$indexPath/meta.properties")
-    if (!f.exists()) (16, 4) // pre-dial indexes were always the reference layout
-    else {
-      val props = new java.util.Properties
-      val in = new java.io.FileInputStream(f)
-      try props.load(in) finally in.close()
-      (props.getProperty("k", "16").toInt, props.getProperty("bands", "4").toInt)
-    }
+  /** The (k, bands) dials a stored index was built with. STRICT: a
+    * missing meta file is an incomplete or foreign index — guessing a
+    * width would zero the candidate join silently, the exact failure the
+    * metadata exists to prevent, so raise instead.
+    */
+  private def readIndexDials(spark: SparkSession, indexPath: String): (Int, Int) = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta.properties")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath))
+      throw new IllegalStateException(
+        s"band index at $indexPath has no meta.properties — rebuild with writeBandIndex")
+    val props = new java.util.Properties
+    val in = fs.open(metaPath)
+    try props.load(in) finally in.close()
+    (props.getProperty("k").toInt, props.getProperty("bands").toInt)
   }
 
   /** q79's semantics against a PREBUILT index ([[writeBandIndex]]): only
@@ -635,7 +647,7 @@ object Dedup {
     */
   def incrementalDedupAgainstIndex(deltaDocs: DataFrame, indexPath: String): DataFrame = {
     val spark = deltaDocs.sparkSession
-    val (k, bands) = readIndexDials(indexPath)
+    val (k, bands) = readIndexDials(spark, indexPath)
     val corpusSigs = spark.read.parquet(s"$indexPath/sigs")
       .select(col("doc_id").as("b_id"), col("sig").as("sig_b"))
     val corpusBands = spark.read.parquet(s"$indexPath/bands")

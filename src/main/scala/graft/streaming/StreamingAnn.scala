@@ -11,8 +11,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * (p_id, c_id, cosine, rn) neighbors to the sink. One shared definition
   * means streamed and batched probes can never disagree on banding,
   * multiprobe expansion, or the re-rank; `foreachBatch` gives the batch
-  * planner per micro-batch plus checkpointed exactly-once file-source
-  * progress.
+  * planner per micro-batch plus checkpointed file-source progress.
+  *
+  * Sink idempotence: foreachBatch is AT-LEAST-ONCE on failure retry, so
+  * each batch OVERWRITES its own deterministic `batch_<id>` directory — a
+  * replayed batch replaces rather than duplicates its neighbors. Readers
+  * load the sink with `recursiveFileLookup=true` (the batch directories
+  * are plain subdirs, not partition keys).
   *
   * Scale: per-batch work is |batch| × (bands × multiprobe masks) joins
   * into the stored band table — the corpus participates only through the
@@ -31,10 +36,10 @@ object StreamingAnn {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.CacheScope.run {
           graft.operators.Similarity.annAgainstIndex(batch, indexPath)
-            .write.mode("append").parquet(outPath)
+            .write.mode("overwrite").parquet(s"$outPath/batch_$batchId")
         }
         ()
       }

@@ -71,10 +71,14 @@ object StreamingDedup {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is AT-LEAST-ONCE on failure retry: each batch
+        // OVERWRITES its own deterministic batch_<id> directory, so a
+        // replayed batch replaces rather than duplicates its verdicts.
+        // Readers load the sink with recursiveFileLookup=true.
         graft.CacheScope.run {
           graft.operators.Dedup.incrementalDedupAgainstIndex(batch, indexPath)
-            .write.mode("append").parquet(outPath)
+            .write.mode("overwrite").parquet(s"$outPath/batch_$batchId")
         }
         ()
       }

@@ -117,7 +117,7 @@ class StreamingSpec extends SparkSpec {
     delta1.write.mode("append").parquet(s"$tmp/in")
     StreamingDedup.runAgainstIndex(spark, s"$tmp/in", delta1.schema,
       s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
-    val out1 = spark.read.parquet(s"$tmp/out")
+    val out1 = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
     // stream verdicts must EQUAL the batch kernel's on the same delta —
     // one shared definition, zero drift
     val batch1 = graft.operators.Dedup.incrementalDedupAgainstIndex(delta1, s"$tmp/index")
@@ -133,7 +133,7 @@ class StreamingSpec extends SparkSpec {
       .write.mode("append").parquet(s"$tmp/in")
     StreamingDedup.runAgainstIndex(spark, s"$tmp/in", delta1.schema,
       s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
-    val out2 = spark.read.parquet(s"$tmp/out")
+    val out2 = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
     assert(out2.count() == 3, "restart must process only the new arrivals")
     assert(out2.filter(col("doc_id") === 3L && col("is_dup") &&
       col("dup_of") === 101L).count() == 1)
@@ -154,7 +154,7 @@ class StreamingSpec extends SparkSpec {
     probes1.write.mode("append").parquet(s"$tmp/in")
     StreamingAnn.runAgainstIndex(spark, s"$tmp/in", probes1.schema,
       s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
-    val out1 = spark.read.parquet(s"$tmp/out")
+    val out1 = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
     val batch1 = graft.operators.Similarity.annAgainstIndex(probes1, s"$tmp/index")
     assert(out1.collect().map(_.toSeq).toSet == batch1.collect().map(_.toSeq).toSet,
       "streamed and batch neighbors diverged")
@@ -166,7 +166,7 @@ class StreamingSpec extends SparkSpec {
       .write.mode("append").parquet(s"$tmp/in")
     StreamingAnn.runAgainstIndex(spark, s"$tmp/in", probes1.schema,
       s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
-    val out2 = spark.read.parquet(s"$tmp/out")
+    val out2 = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
     assert(out2.filter(col("p_id") === 101L).count() > 0, "new probe served")
     assert(out2.filter(col("p_id") === 100L).count() == out1.count(),
       "restart must not re-serve processed probes")
