@@ -70,7 +70,7 @@ class GaussianNBDec(val threshold: Double = 0.5) extends Decider {
 /** `TreeDec` — evaluate returns HARD predictions, a reference quirk
   * (`supervised_deciders.py:102-117`).
   */
-class TreeDec(val threshold: Double = 0.5, maxDepth: Int = 5) extends Decider {
+class TreeDec(val threshold: Double = 0.5, val maxDepth: Int = 5) extends Decider {
   val name = "TreeDec"
   def learn(train: DataFrame): DeciderModel =
     new ProbClassifierModelWrap(name, threshold,
@@ -79,7 +79,7 @@ class TreeDec(val threshold: Double = 0.5, maxDepth: Int = 5) extends Decider {
 }
 
 /** `RandomForestDec` (`supervised_deciders.py:146-171`). */
-class RandomForestDec(val threshold: Double = 0.5, numTrees: Int = 20) extends Decider {
+class RandomForestDec(val threshold: Double = 0.5, val numTrees: Int = 20) extends Decider {
   val name = "RandomForestDec"
   def learn(train: DataFrame): DeciderModel =
     new ProbClassifierModelWrap(name, threshold,
@@ -242,7 +242,7 @@ object ExtraTreesDec {
 }
 
 /** `GradBoostDec` (`supervised_deciders.py:119-144`). */
-class GradBoostDec(val threshold: Double = 0.5, maxIter: Int = 20) extends Decider {
+class GradBoostDec(val threshold: Double = 0.5, val maxIter: Int = 20) extends Decider {
   val name = "GradBoostDec"
   def learn(train: DataFrame): DeciderModel =
     new ProbClassifierModelWrap(name, threshold,
@@ -401,8 +401,8 @@ object SVCDec {
 /** `NeuronDecider`: MLP `[dim, hidden, 2]` with softmax out ≈ the keras
   * Dense(h, relu) → Dense(1, sigmoid) (`neuron_decider.py:124-131`).
   */
-class NeuronDecider(val threshold: Double = 0.5, hidden: Int = 10,
-                    maxIter: Int = 150) extends Decider {
+class NeuronDecider(val threshold: Double = 0.5, val hidden: Int = 10,
+                    val maxIter: Int = 150) extends Decider {
   val name = "NeuronDecider"
   def learn(train: DataFrame): DeciderModel = {
     val dim = train.select("features").head().getAs[Vector](0).size
@@ -547,24 +547,41 @@ class CustomDecider(val boundaries: Seq[(Option[Double], Option[Double])],
   }
 }
 
-/** `KMeansDecider` (`unsupervised/k_means_decider.py:8-21`): unsupervised;
-  * `evaluate` yields the membership degree of the cluster richer in
-  * searched-like objects — here, distance-based soft score to the nearest
-  * centroid, normalized like the reference's cluster-id output scaled to
-  * [0,1].
+/** `KMeansDecider` (`unsupervised/k_means_decider.py:8-21`): unsupervised
+  * clustering as a decider.
+  *
+  * Deviation (deliberate, survey §7.5 spirit): the reference's `evaluate`
+  * returns the RAW cluster id (`unsupervised_base.py:25-26`) — whose
+  * polarity is arbitrary (the searched-rich cluster may be labeled 0, making
+  * every true match score 0.0) — and its `learn(coords)` arity doesn't even
+  * match the `decider.learn(searched, others)` call in
+  * `stars_filter.py:144`, so the reference path raises TypeError. Here the
+  * cluster fit stays unsupervised, but each cluster's emitted probability is
+  * the fraction of searched (label=1) TRAINING rows it captured — a
+  * deterministic orientation that makes the score a real membership degree.
+  * Driver state is k cluster fractions (bounded).
   */
-class KMeansDecider(val threshold: Double = 0.5, k: Int = 2) extends Decider {
+class KMeansDecider(val threshold: Double = 0.5, val k: Int = 2) extends Decider {
   val name = "KMeansDecider"
   def learn(train: DataFrame): DeciderModel = {
     val model = new KMeans().setK(k).setSeed(42).fit(train)
+    val frac: Map[Int, Double] = model.transform(train)
+      .groupBy(col("prediction"))
+      .agg(avg(col("label")).as("frac"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDouble(1))
+      .toMap
     val thr = threshold
     new DeciderModel {
       val name = "KMeansDecider"
       val threshold: Double = thr
       override def evaluate(df: DataFrame): DataFrame = {
         val scored = model.transform(df)
-        finishProb(scored, col("prediction").cast("double") / (k - 1).toDouble)
-          .drop("prediction")
+        // k-entry when-chain — stays in codegen, no UDF
+        val prob = frac.foldLeft(lit(0.0)) { case (acc, (cid, f)) =>
+          when(col("prediction") === cid, lit(f)).otherwise(acc)
+        }
+        finishProb(scored, prob).drop("prediction")
       }
     }
   }

@@ -28,7 +28,10 @@ abstract class Descriptor(override val uid: String) extends Transformer {
 
   protected def lcTime: Column = col("lightCurves").getItem(0).getField("time")
   protected def lcMag: Column = col("lightCurves").getItem(0).getField("mag")
-  protected def hasLc: Column = size(col("lightCurves")) > 0
+  // A present-but-empty curve counts as "no LC" (`stars_searcher.py:74`
+  // checks `len(star.lightCurve.mag)`), so empty arrays never reach the
+  // kernels — they null out like the NONE_VALUE contract instead.
+  protected def hasLc: Column = size(col("lightCurves")) > 0 && size(lcMag) > 0
 
   /** Guard: null when the star has no LC (NONE_VALUE semantics). */
   protected def lcFeature(feature: Column): Column =

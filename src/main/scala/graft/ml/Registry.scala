@@ -26,44 +26,70 @@ object Registry {
     p.get(k).map(num(_).toInt).getOrElse(d)
   private def intOpt(p: Map[String, Value], k: String): Option[Int] =
     p.get(k).map(num(_).toInt)
+  private def dblOpt(p: Map[String, Value], k: String): Option[Double] =
+    p.get(k).map(num)
+  private def bool(p: Map[String, Value], k: String, d: Boolean): Boolean =
+    p.get(k).map {
+      case VBool(b) => b
+      case VStr(s)  => s.equalsIgnoreCase("true") || s == "1"
+      case v        => num(v) != 0.0
+    }.getOrElse(d)
+  private def str(p: Map[String, Value], k: String, d: String): String =
+    p.get(k).map { case VStr(s) => s; case v => v.toString }.getOrElse(d)
 
   /** Comparative descriptors take the template curves collected from the
     * `-t` sample; the rest ignore `templates`.
     */
   def descriptor(name: String, p: Map[String, Value],
                  templates: Templates = Nil): Descriptor = name match {
-    case "AbbeValueDescr"      => new AbbeValueDescr(intOpt(p, "bins"))
-    case "SkewnessDescr"       => new SkewnessDescr(intOpt(p, "bins"))
-    case "KurtosisDescr"       => new KurtosisDescr(intOpt(p, "bins"))
-    case "CurveDensityDescr"   => new CurveDensityDescr()
-    case "VariogramSlopeDescr" => new VariogramSlopeDescr(dbl(p, "days_per_bin", 1.0))
-    case "PositionDescriptor"  => new PositionDescriptor()
+    case "AbbeValueDescr" => new AbbeValueDescr(intOpt(p, "bins"))
+    case "SkewnessDescr" =>
+      new SkewnessDescr(intOpt(p, "bins"), bool(p, "absolute", d = false))
+    case "KurtosisDescr" =>
+      new KurtosisDescr(intOpt(p, "bins"), bool(p, "absolute", d = false))
+    case "CurveDensityDescr" => new CurveDensityDescr()
+    case "VariogramSlopeDescr" =>
+      new VariogramSlopeDescr(dbl(p, "days_per_bin", 1.0),
+        bool(p, "absolute", d = false))
+    case "PositionDescriptor" => new PositionDescriptor()
     case "CurveDescr" =>
       new CurveDescr(int(p, "bins", 100), intOpt(p, "height"), intOpt(p, "red_dim"))
     case "CurvesShapeDescr" =>
       new CurvesShapeDescr(templates, dbl(p, "days_per_bin", 10.0),
-        int(p, "alphabet_size", 10))
+        int(p, "alphabet_size", 10),
+        dblOpt(p, "slide").orElse(Some(0.25)), str(p, "meth", "average"))
     case "HistShapeDescr" =>
-      new HistShapeDescr(templates, int(p, "bins", 10), int(p, "alphabet_size", 7))
+      new HistShapeDescr(templates, int(p, "bins", 10), int(p, "alphabet_size", 7),
+        bool(p, "slide", d = false), str(p, "meth", "average"))
     case "VariogramShapeDescr" =>
-      new VariogramShapeDescr(templates, int(p, "bins", 10), int(p, "alphabet_size", 7))
+      new VariogramShapeDescr(templates, int(p, "bins", 10), int(p, "alphabet_size", 7),
+        bool(p, "slide", d = false), str(p, "meth", "average"))
     case other => throw new IllegalArgumentException(s"Unknown descriptor: $other")
   }
 
+  /** Hyperparameter names are the reference's sklearn-style snake_case
+    * (`supervised_deciders.py`, `neuron_decider.py`, `k_means_decider.py`) —
+    * a `Class:param` tuning header over any of them fans out REAL model
+    * variants, not N copies of the defaults.
+    */
   def decider(name: String, p: Map[String, Value]): Decider = {
     val t = dbl(p, "threshold", 0.5)
     name match {
-      case "QDADec"          => new QDADec(t)
-      case "LDADec"          => new LDADec(t)
-      case "GaussianNBDec"   => new GaussianNBDec(t)
-      case "TreeDec"         => new TreeDec(t)
-      case "RandomForestDec" => new RandomForestDec(t)
-      case "ExtraTreesDec"   => new ExtraTreesDec(t)
-      case "GradBoostDec"    => new GradBoostDec(t)
-      case "AdaBoostDec"     => new AdaBoostDec(t)
-      case "SVCDec"          => new SVCDec(t)
-      case "NeuronDecider"   => new NeuronDecider(t)
-      case "KMeansDecider"   => new KMeansDecider(t)
+      case "QDADec"        => new QDADec(t)
+      case "LDADec"        => new LDADec(t)
+      case "GaussianNBDec" => new GaussianNBDec(t)
+      case "TreeDec"       => new TreeDec(t, int(p, "max_depth", 5))
+      case "RandomForestDec" =>
+        new RandomForestDec(t, int(p, "n_estimators", 20))
+      case "ExtraTreesDec" =>
+        new ExtraTreesDec(t, int(p, "n_estimators", 10), int(p, "max_depth", 5))
+      case "GradBoostDec" => new GradBoostDec(t, int(p, "n_estimators", 20))
+      case "AdaBoostDec" =>
+        new AdaBoostDec(t, int(p, "n_estimators", 30), int(p, "max_depth", 1))
+      case "SVCDec"       => new SVCDec(t, dblOpt(p, "gamma"))
+      case "NeuronDecider" =>
+        new NeuronDecider(t, int(p, "hidden_neurons", 10), int(p, "max_epochs", 150))
+      case "KMeansDecider" => new KMeansDecider(t, int(p, "n_clusters", 2))
       case other => throw new IllegalArgumentException(s"Unknown decider: $other")
     }
   }

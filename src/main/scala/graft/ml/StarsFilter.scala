@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The composite filter (SURVEY §2.10, `stars_filter.py:13-389`):
@@ -93,6 +93,19 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
 
   def probCols: Seq[String] = models.map(m => s"prob_${m.name}")
 
+  /** Score coordinates with every decider — the one scoring fold every
+    * evaluation path shares.
+    */
+  private def score(coords: DataFrame): DataFrame =
+    models.foldLeft(coords)((df, m) => m.evaluate(df))
+
+  /** Evenly spaced `n`-point axis over [lo, hi] (degenerate n=1 → lo). */
+  private def linspace(spark: SparkSession, name: String,
+                       lo: Double, hi: Double, n: Int): DataFrame = {
+    val step = if (n > 1) (hi - lo) / (n - 1) else 0.0
+    spark.range(0, n.toLong.max(1L)).select((lit(lo) + col("id") * step).as(name))
+  }
+
   /** The `getAllPredictions` column contract (`stars_filter.py:264-288`):
     * feature columns, per-decider probability + passed flag, and the AND'd
     * `passed` column.
@@ -105,9 +118,11 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
     * re-deriving features per evaluation).
     */
   def predictOnCoords(coords: DataFrame): DataFrame = {
-    val scored = models.foldLeft(coords)((df, m) => m.evaluate(df))
+    val scored = score(coords)
+    // >= like the reference's filter (`base_decider.py:131`), so passed_*
+    // agrees with getStatistic's hit counting at exact-threshold scores
     val withPassed = models.foldLeft(scored) { (df, m) =>
-      df.withColumn(s"passed_${m.name}", col(s"prob_${m.name}") > m.threshold)
+      df.withColumn(s"passed_${m.name}", col(s"prob_${m.name}") >= m.threshold)
     }
     val allPassed = models.map(m => col(s"passed_${m.name}"))
       .reduce(_ && _)
@@ -125,7 +140,9 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
       case "mean"    => ps.reduce(_ + _) / ps.length
       case other     => throw new IllegalArgumentException(s"Invalid method $other")
     }
-    scored.withColumn("combined_prob", round(combined, 2))
+    // bround = HALF_EVEN, matching the reference's `round(np.mean(coo), 2)`
+    // (numpy scalars round half-even) and this repo's other rint paths
+    scored.withColumn("combined_prob", bround(combined, 2))
   }
 
   /** `filterStars` (`stars_filter.py:77-117`): keep stars whose combined
@@ -140,8 +157,7 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
       case other  => throw new IllegalArgumentException(s"Invalid filtering method $other")
     }
     val threshold = models.map(_.threshold).sum / models.length
-    val scored = models.foldLeft(filterInstance.spaceCoordinates(stars))(
-      (df, m) => m.evaluate(df))
+    val scored = score(filterInstance.spaceCoordinates(stars))
     evaluateCoordinates(scored, meth).filter(col("combined_prob") >= threshold)
   }
 
@@ -218,20 +234,17 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
     import org.apache.spark.ml.feature.VectorAssembler
     val spark = stars.sparkSession
     val coords = filterInstance.spaceCoordinates(stars)
-    val bounds = coords.agg(
-      featureCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))).head,
-      featureCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))).tail: _*)
-      .head()
+    val aggs = featureCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val bounds = coords.agg(aggs.head, aggs.tail: _*).head()
     val axes = featureCols.map { c =>
-      val lo = bounds.getAs[Double](s"min_$c")
-      val hi = bounds.getAs[Double](s"max_$c")
-      spark.range(0, gridPerDim)
-        .select((lit(lo) + col("id") * (hi - lo) / (gridPerDim - 1)).as(c))
+      linspace(spark, c,
+        bounds.getAs[Double](s"min_$c"), bounds.getAs[Double](s"max_$c"), gridPerDim)
     }
     val grid = axes.reduce(_ crossJoin _)
     val vec = new VectorAssembler().setInputCols(featureCols.toArray)
       .setOutputCol("features").transform(grid)
-    models.foldLeft(vec)((df, m) => m.evaluate(df))
+    score(vec)
   }
 
   /** N-D probability space (`tools/visualization.py:117-199`
@@ -281,18 +294,15 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
       val (xmin, xmax, ymin, ymax) =
         (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
       val (xw, yw) = (xmax - xmin, ymax - ymin)
-      def axis(name: String, lo: Double, hi: Double) =
-        spark.range(0, gridPerDim)
-          .select((lit(lo) + col("id") * (hi - lo) / (gridPerDim - 1)).as(name))
-      val grid = axis("x", xmin - xw * overlay, xmax + xw * overlay)
-        .crossJoin(axis("y", ymin - yw * overlay, ymax + yw * overlay))
+      val grid = linspace(spark, "x", xmin - xw * overlay, xmax + xw * overlay, gridPerDim)
+        .crossJoin(linspace(spark, "y", ymin - yw * overlay, ymax + yw * overlay, gridPerDim))
       // inverse_transform: feature_i = mean_i + x·c0_i + y·c1_i
       val back = featureCols.zipWithIndex.foldLeft(grid) { case (df, (c, i)) =>
         df.withColumn(c, lit(mean(i)) + col("x") * comp(0)(i) + col("y") * comp(1)(i))
       }
       val vec = new VectorAssembler().setInputCols(featureCols.toArray)
         .setOutputCol("features").transform(back)
-      evaluateCoordinates(models.foldLeft(vec)((df, m) => m.evaluate(df)))
+      evaluateCoordinates(score(vec))
     } finally all.unpersist()
   }
 
@@ -302,15 +312,12 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
     */
   def roc(searched: DataFrame, others: DataFrame, nPoints: Int = 20): DataFrame = {
     val spark = searched.sparkSession
-    val s = evaluateCoordinates(
-      models.foldLeft(filterInstance.spaceCoordinates(searched))((df, m) => m.evaluate(df)))
+    val s = evaluateCoordinates(score(filterInstance.spaceCoordinates(searched)))
       .withColumn("label", lit(1))
-    val o = evaluateCoordinates(
-      models.foldLeft(filterInstance.spaceCoordinates(others))((df, m) => m.evaluate(df)))
+    val o = evaluateCoordinates(score(filterInstance.spaceCoordinates(others)))
       .withColumn("label", lit(0))
     val scored = s.unionByName(o).select("combined_prob", "label")
-    val thresholds = spark.range(0, nPoints)
-      .select((lit(0.01) + col("id") * (0.99 - 0.01) / (nPoints - 1)).as("thr"))
+    val thresholds = linspace(spark, "thr", 0.01, 0.99, nPoints)
     scored.crossJoin(broadcast(thresholds))
       .groupBy("thr")
       .agg(

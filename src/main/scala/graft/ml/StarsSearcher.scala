@@ -71,27 +71,45 @@ class StarsSearcher(
         }
     }
 
-    val predictions = model.getAllPredictions(stars)
-      .withColumn("found", lit(true))
-      .withColumn("lc", size(col("lightCurves")) > 0)
+    // ONE cached fetch feeds the scoring pipeline AND the status base;
+    // ONE cached scoring pass feeds the matched sink AND the status join
+    // (the dominant cost of a search run is fetch + scoring)
+    val fetched = stars.cache()
+    val predictions = model.getAllPredictions(fetched).cache()
 
-    val statusCols = Seq(col("query_id"), col("starId"), col("found"), col("lc")) ++
-      model.featureCols.map(col) ++
-      model.models.map(m => col(s"prob_${m.name}")) ++
-      model.models.map(m => col(s"passed_${m.name}")) :+ col("passed")
-
-    val status = predictions.select(statusCols: _*).cache()
+    val probCols = model.models.map(m => s"prob_${m.name}")
+    val passedCols = model.models.map(m => s"passed_${m.name}")
     try {
       // matched-star sink (reference: one FITS per match — here append parquet
       // of the full star rows, the scalable native sink)
       predictions.filter(col("passed"))
-        .drop(model.featureCols ++ model.models.flatMap(m =>
-          Seq(s"prob_${m.name}", s"passed_${m.name}")): _*)
+        .drop(model.featureCols ++ probCols ++ passedCols: _*)
         .drop("features", "passed")
         .write.mode(SaveMode.Append).parquet(matchedPath)
-      // status sink (`uploadStatus`, stars_searcher.py:188-215)
+      // Status notes EVERY queried star (`uploadStatus`, stars_searcher.py:
+      // 188-215): stars the NaN-drop removed from the scored set come back
+      // found=true / passed=false via the left join, and zero-hit queries
+      // record a found=false "Noname" row (`stars_searcher.py:100-105`) so
+      // the resume anti-join converges instead of re-running them forever.
+      val starBase = fetched.select(col("query_id"), col("starId"),
+        lit(true).as("found"),
+        (size(col("lightCurves")) > 0 &&
+          size(col("lightCurves").getItem(0).getField("mag")) > 0).as("lc"))
+      val scored = predictions.select(
+        Seq(col("query_id"), col("starId")) ++
+          (model.featureCols ++ probCols).map(col) ++
+          (passedCols :+ "passed").map(col): _*)
+      val perStar = starBase.join(scored, Seq("query_id", "starId"), "left")
+      val noHit = todoDf
+        .join(starBase.select("query_id").distinct(), Seq("query_id"), "left_anti")
+        .select(col("query_id"), lit("Noname").as("starId"),
+          lit(false).as("found"), lit(false).as("lc"))
+      val status = perStar.unionByName(noHit, allowMissingColumns = true)
+        .select(Seq(col("query_id"), col("starId"), col("found"), col("lc")) ++
+          (model.featureCols ++ probCols).map(col) ++
+          (passedCols :+ "passed").map(c => coalesce(col(c), lit(false)).as(c)): _*)
       status.write.mode(SaveMode.Append).parquet(statusPath)
       status
-    } finally status.unpersist()
+    } finally { predictions.unpersist(); fetched.unpersist() }
   }
 }

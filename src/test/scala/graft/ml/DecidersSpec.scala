@@ -118,10 +118,12 @@ class DecidersSpec extends SparkSpec {
     assert(ps > 0.4 && po == 0.0) // all-dims-above-0.9 is rarer for cluster at 0
   }
 
-  test("KMeansDecider clusters the two blobs") {
+  test("KMeansDecider clusters the two blobs, oriented searched-high") {
     val m = new KMeansDecider().learn(train)
     val ps = m.evaluate(searched).agg(avg(col("prob_KMeansDecider"))).head().getDouble(0)
     val po = m.evaluate(others).agg(avg(col("prob_KMeansDecider"))).head().getDouble(0)
-    assert(math.abs(ps - po) > 0.9) // cluster ids separate; orientation arbitrary
+    // clusters separate AND the searched-rich cluster scores high — the
+    // orientation is no longer an artifact of k-means label assignment
+    assert(ps - po > 0.9)
   }
 }

@@ -140,9 +140,14 @@ class DescriptorsSpec extends SparkSpec {
       Star("with", None, Map.empty, Map.empty, Map.empty, None,
         Seq(LightCurveData(Array(1.0, 2, 3, 4), Array(1.0, 2, 1, 2),
           Array(0.0, 0, 0, 0), Map.empty))),
-      Star("without", None, Map.empty, Map.empty, Map.empty, None, Nil)).toDF()
+      Star("without", None, Map.empty, Map.empty, Map.empty, None, Nil),
+      // present-but-empty curve (`stars_searcher.py:74` counts it as no LC):
+      // must null out, not crash the kernel on the empty array
+      Star("emptyLc", None, Map.empty, Map.empty, Map.empty, None,
+        Seq(LightCurveData(Array.empty, Array.empty, Array.empty, Map.empty)))).toDF()
     val out = new AbbeValueDescr().transform(stars)
     assert(!out.filter(col("starId") === "with").select("abbe_value").head().isNullAt(0))
     assert(out.filter(col("starId") === "without").select("abbe_value").head().isNullAt(0))
+    assert(out.filter(col("starId") === "emptyLc").select("abbe_value").head().isNullAt(0))
   }
 }

@@ -212,15 +212,23 @@ class SourcesSpec extends SparkSpec {
     val tmp = java.nio.file.Files.createTempDirectory("search").toString
     val searcher = new StarsSearcher(model, "FileManager",
       s"$tmp/matched", s"$tmp/status")
+    val emptyDir = java.nio.file.Files.createTempDirectory("nostars").toString
     val queries = Seq(
       ("q_qso", Map("path" -> qsoPath, "suffix" -> "fits", "star_class" -> "quasar")),
-      ("q_be", Map("path" -> bePath, "suffix" -> "fits", "star_class" -> "be_star")))
+      ("q_be", Map("path" -> bePath, "suffix" -> "fits", "star_class" -> "be_star")),
+      ("q_empty", Map("path" -> emptyDir, "suffix" -> "fits", "star_class" -> "none")))
       .toDF("query_id", "params")
     val status = searcher.queryStars(spark, queries)
-    assert(status.count() == 36, "status row per fetched star")
+    assert(status.count() == 37, "status row per fetched star + Noname zero-hit row")
+    // zero-hit query records completion like the reference
+    // (`stars_searcher.py:100-105`): found=false "Noname" row
+    val empty = status.filter(col("query_id") === "q_empty").collect()
+    assert(empty.length == 1 && empty.head.getAs[String]("starId") == "Noname" &&
+      !empty.head.getAs[Boolean]("found") && !empty.head.getAs[Boolean]("passed"))
     val matched = spark.read.parquet(s"$tmp/matched")
     assert(matched.count() >= 10, "most qso should pass")
-    // resume: all queries already done -> nothing left
+    // resume: all queries already done -> nothing left, INCLUDING the
+    // zero-hit one (it must not be re-run forever)
     assert(searcher.unsearchedQueries(spark, queries).count() == 0)
   }
 }
