@@ -137,7 +137,9 @@ class ArchiveConnector(config: ArchiveConfig) extends StarsConnector {
         case _ => stars
       }
     }
-    dfs.reduce(_ unionByName _)
+    // an empty query list (e.g. a header-only query file) is a valid
+    // no-op fetch, not an `empty.reduce` crash
+    if (dfs.isEmpty) spark.emptyDataset[Star] else dfs.reduce(_ unionByName _)
   }
 
   private def toStars(df: DataFrame, cfg: ArchiveConfig = config): Dataset[Star] = {
@@ -159,7 +161,10 @@ class ArchiveConnector(config: ArchiveConfig) extends StarsConnector {
     * refine and per-query `nearest` run post-join as window ops.
     */
   def supportsJoinedFetch(keys: Set[String]): Boolean = {
-    val special = Set("ra", "dec", "delta", "nearest", "base_dir")
+    // `base_dir` rebinds the archive path per query (`config.path`), which a
+    // single joined scan cannot express — those batches keep the loop path
+    if (keys.contains("base_dir")) return false
+    val special = Set("ra", "dec", "delta", "nearest")
     // `max_bins` is a per-query CONFIG override (read-time downsample), not
     // a column predicate, and OGLE-style target fan-out rewrites a cone
     // query into one per target — both change per-query semantics the
@@ -201,10 +206,13 @@ class ArchiveConnector(config: ArchiveConfig) extends StarsConnector {
         col(cfg.raCol).between(p("ra").cast("double") / cfg.raScale - d,
           p("ra").cast("double") / cfg.raScale + d) &&
           col(cfg.decCol).between(p("dec").cast("double") - d, p("dec").cast("double") + d))
-    val eqCond: Column = (keys -- Set("ra", "dec", "delta", "nearest", "base_dir"))
+    val eqCond: Column = (keys -- Set("ra", "dec", "delta", "nearest"))
       .map { k =>
         val c = cfg.queryAliases.getOrElse(k, k)
-        p(k).isNull || col(c).cast("string") === p(k)
+        // cast the PARAM to the column's type — the same coercion
+        // `col(c) === v` applies on the per-query path, so a numeric
+        // column matches "123" instead of comparing "123.0" to "123"
+        p(k).isNull || col(c) === p(k).cast(src.schema(c).dataType)
       }.foldLeft(lit(true))(_ && _)
 
     val joined = src.join(broadcast(queries), boxCond && eqCond)
@@ -260,21 +268,30 @@ object ArchiveConnector {
         ra <- str(cfg.raCol).flatMap(_.toDoubleOption)
         dec <- str(cfg.decCol).flatMap(_.toDoubleOption)
       } yield Coordinates(ra * cfg.raScale, dec)
+      // LC columns are optional like every other configured column: the
+      // projection skips names absent from this archive table, so presence
+      // (and null cells) must be guarded here too. A missing/null err
+      // column degrades to zeros, like the FITS reader's 2-field tables.
+      def arr(c: String): Option[Array[Double]] =
+        if (row.schema.fieldNames.contains(c) && !row.isNullAt(row.fieldIndex(c)))
+          Some(row.getSeq[Double](row.fieldIndex(c)).toArray)
+        else None
       val lcs = cfg.lcBands.flatMap { case (tc, mc, ec, band) =>
-        if (row.isNullAt(row.fieldIndex(tc))) None
-        else {
-          var t = row.getSeq[Double](row.fieldIndex(tc)).toArray
-          var m = row.getSeq[Double](row.fieldIndex(mc)).toArray
-          var e = row.getSeq[Double](row.fieldIndex(ec)).toArray
-            .map(_ / cfg.errMagRatio)
-          // source-side dimension reduction (`corot.py:107-112`)
-          cfg.maxBins.filter(_ < t.length).foreach { mb =>
-            val (tr, mr) = Kernels.ekviPaa(t, m, Some(mb.toDouble))
-            val (_, er) = Kernels.ekviPaa(t, e, Some(mb.toDouble))
-            t = tr; m = mr; e = er
-          }
-          val (ct, cm, ce) = Kernels.cleanLc(t, m, e)
-          Some(LightCurveData(ct, cm, ce, Map("color" -> band, "origin" -> cfg.name)))
+        (arr(tc), arr(mc)) match {
+          case (Some(t0), Some(m0)) =>
+            var t = t0
+            var m = m0
+            var e = arr(ec).getOrElse(new Array[Double](t0.length))
+              .map(_ / cfg.errMagRatio)
+            // source-side dimension reduction (`corot.py:107-112`)
+            cfg.maxBins.filter(_ < t.length).foreach { mb =>
+              val (tr, mr) = Kernels.ekviPaa(t, m, Some(mb.toDouble))
+              val (_, er) = Kernels.ekviPaa(t, e, Some(mb.toDouble))
+              t = tr; m = mr; e = er
+            }
+            val (ct, cm, ce) = Kernels.cleanLc(t, m, e)
+            Some(LightCurveData(ct, cm, ce, Map("color" -> band, "origin" -> cfg.name)))
+          case _ => None
         }
       }
       val baseName = cfg.nameCol.flatMap(str)

@@ -22,7 +22,7 @@ class CatalinaConnector extends StarsConnector {
 
   override def getStars(spark: SparkSession, queries: Seq[QuerySpec]): Dataset[Star] = {
     import spark.implicits._
-    queries.map { q =>
+    val dfs = queries.map { q =>
       val path = q.get("path").getOrElse(
         throw new IllegalArgumentException("Catalina offline connector needs 'path'"))
       val stars = spark.read.format("binaryFile")
@@ -42,7 +42,8 @@ class CatalinaConnector extends StarsConnector {
             nearest = q.get("nearest").contains("true")).drop("dist_deg").as[Star]
         case _ => byId
       }
-    }.reduce(_ unionByName _)
+    }
+    if (dfs.isEmpty) spark.emptyDataset[Star] else dfs.reduce(_ unionByName _)
   }
 }
 
@@ -66,7 +67,11 @@ object CatalinaConnector {
       s.replaceAll("\\b" + k + "\\b(?=\\s*:)", "\"" + k + "\""))
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val parsed = JsonMethods.parse("{" + quoted + "}")
+    // malformed mirrors (e.g. JS single-quoted strings jackson rejects)
+    // yield no star, like the reference's no-data return — they must not
+    // fail the whole fetch job
+    val parsed = scala.util.Try(JsonMethods.parse("{" + quoted + "}"))
+      .getOrElse(return None)
     val label = parsed \ "label" match {
       case JString(s) => s
       case _          => return None

@@ -148,12 +148,23 @@ object ConfigParsers {
       col("coo.dec").as("b_dec"))
     // box join on eps-sized cells would be the scale path; at fixture sizes a
     // conditioned join suffices and Catalyst picks BNLJ on the tiny side
-    val dups = a.join(b,
+    val coordDups = a.join(b,
       col("a_id") < col("b_id") &&
         abs(col("a_ra") - col("b_ra")) < epsDeg &&
         abs(col("a_dec") - col("b_dec")) < epsDeg)
       .select(col("b_id").as("starId"))
-      .distinct()
+    // ident-sharing criterion (`star.py:115-118`): same db key carrying the
+    // same name is the same star even when coordinates differ between
+    // catalogs (or are null). Equi-join on (db, name) — one shuffle, no
+    // all-pairs.
+    val idents = stars.select(col("starId"),
+      explode(col("identNames")).as(Seq("db", "nm")))
+    val identDups = idents.select(col("starId").as("a_id"), col("db"), col("nm"))
+      .join(idents.select(col("starId").as("b_id"), col("db"), col("nm")),
+        Seq("db", "nm"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("b_id").as("starId"))
+    val dups = coordDups.unionByName(identDups).distinct()
     stars.join(dups, Seq("starId"), "left_anti")
   }
 }

@@ -115,11 +115,17 @@ object Fits {
   // ---------- writer (`writeToFITS`, file_manager.py:350-404) ----------
 
   private def card(key: String, value: String, quote: Boolean): String = {
-    val v = if (quote) s"'$value'" else value
-    val base =
-      if (key.length <= 8) f"${key}%-8s= $v"
-      else s"HIERARCH $key = $v" // ESO long-keyword convention
-    base.padTo(CardSize, ' ').substring(0, CardSize)
+    val prefix =
+      if (key.length <= 8) f"${key}%-8s= "
+      else s"HIERARCH $key = " // ESO long-keyword convention
+    // A card is exactly 80 chars: clamp the VALUE so a quoted string keeps
+    // its closing quote (a blind substring would corrupt it on read-back).
+    // Deviation: over-long values truncate cleanly instead of using the
+    // CONTINUE long-string convention.
+    val room = CardSize - prefix.length - (if (quote) 2 else 0)
+    val clamped = if (value.length > room) value.substring(0, room.max(0)) else value
+    val v = if (quote) s"'$clamped'" else clamped
+    (prefix + v).padTo(CardSize, ' ').substring(0, CardSize)
   }
 
   private def pad(bytes: Array[Byte]): Array[Byte] = {
@@ -186,7 +192,10 @@ object Fits {
         card("TTYPE3", "error", quote = true),
         card("TFORM3", "E", quote = true),
         card("TUNIT3", "mag", quote = true),
-        card("FILTER", lc.meta.getOrElse("color", "N/A"), quote = true))
+        card("FILTER", lc.meta.getOrElse("color", "N/A"), quote = true),
+        // readLightCurve sources `origin` from DB_ORIGIN — emit it so a
+        // write→read round-trip keeps the curve's provenance
+        card("DB_ORIGIN", lc.meta.getOrElse("origin", ""), quote = true))
       out.write(headerBlock(header))
       val data = java.nio.ByteBuffer.allocate(n * 12) // big-endian default
       var i = 0

@@ -80,7 +80,7 @@ class FileManagerConnector extends StarsConnector {
 
   override def getStars(spark: SparkSession, queries: Seq[QuerySpec]): Dataset[Star] = {
     import spark.implicits._
-    queries.map { q0 =>
+    val dfs = queries.map { q0 =>
       // star_class may carry a ":N" / "%f" sample restriction
       val (q, restr) = q0.get("star_class").map(parseSampleName) match {
         case Some((clean, r)) => (QuerySpec(q0.params + ("star_class" -> clean)), r)
@@ -142,7 +142,8 @@ class FileManagerConnector extends StarsConnector {
           }
         }
       limited
-    }.reduce(_ unionByName _)
+    }
+    if (dfs.isEmpty) spark.emptyDataset[Star] else dfs.reduce(_ unionByName _)
   }
 
   private def strip(name: String): String =
@@ -172,9 +173,12 @@ class FileManagerConnector extends StarsConnector {
         case Some(sc) => val (c, r) = parseSampleName(sc); (Some(c), r)
         case None     => (None, None)
       }
+      // dedup like the per-query path's Set — "a;a;b" must not double
+      // star rows through the join or inflate the `%f` window count
       val wanted: Seq[String] = q.get("object_file_name").map(n => Seq(strip(n)))
         .orElse(q.get("files_to_load").map(_.split(";").map(n => strip(n.trim)).toSeq))
         .getOrElse(Seq.empty)
+        .distinct
       val limit = q.get("files_limit").flatMap(_.toIntOption)
         .orElse(restr.flatMap(_.left.toOption))
       // the per-query path gives `files_limit`/`:N` precedence over `%f`

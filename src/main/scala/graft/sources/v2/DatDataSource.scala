@@ -141,8 +141,12 @@ class DatPartitionReader(file: String, required: StructType)
     val needCurves = required.fieldNames.contains("lightCurves")
     val star =
       if (needCurves)
-        DatFile.parse(file, java.nio.file.Files.readString(
-          java.nio.file.Paths.get(file)), None, None)
+        // lossy UTF-8 like the FileManager path (String replaces malformed
+        // bytes with U+FFFD; strict Files.readString would throw where the
+        // equivalent per-query scan succeeds)
+        DatFile.parse(file, new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)),
+          java.nio.charset.StandardCharsets.UTF_8), None, None)
       else // pruned projection: never parse or clean the curve data
         Star(DatFile.starName(file), None, Map.empty, Map.empty, Map.empty, None, Nil)
     val full = DatPartitionReader.serializer(star)

@@ -267,6 +267,18 @@ class ArchiveConnectorSpec extends SparkSpec {
     assert(!ogle2.supportsJoinedFetch(Set("ra", "dec", "delta", "nearest")))
     // non-cone queries cannot fan out -> joined fetch stays available
     assert(ogle2.supportsJoinedFetch(Set("target", "starcat")))
+    // base_dir rebinds the archive path per query -> loop path only
+    assert(!ogle2.supportsJoinedFetch(Set("starcat", "base_dir")))
+
+    // numeric-column equality coerces like the per-query path: "0.98"
+    // must match the double column (not compare "0.98" to "0.98" cast
+    // through a double's string form)
+    val numQ = Seq(("qn", Map("pgood" -> "0.98"))).toDF("query_id", "params")
+    val viaJoin = ogle2.getStarsJoined(spark, numQ)
+      .select("starId").as[String].collect().toSet
+    val viaLoop = ogle2.getStars(spark, Seq(QuerySpec(Map("pgood" -> "0.98"))))
+      .toDF().select("starId").as[String].collect().toSet
+    assert(viaJoin == viaLoop && viaJoin.nonEmpty)
 
     // searcher end-to-end: a max_bins query routes to the loop path and
     // still applies the override instead of throwing AnalysisException
@@ -286,6 +298,36 @@ class ArchiveConnectorSpec extends SparkSpec {
     val status = searcher.queryStars(spark,
       Seq(("q1", Map("max_bins" -> "200"))).toDF("query_id", "params"))
     assert(status.select("query_id").as[String].collect().toSeq == Seq("q1"))
+  }
+
+  test("archive robustness: empty query list, LC-less tables, null LC cells") {
+    import spark.implicits._
+    // empty query list is a valid no-op fetch, not empty.reduce
+    val macho = new ArchiveConnector(ArchiveConfigs.macho(machoDir))
+    assert(macho.getStars(spark, Nil).count() == 0)
+
+    // metadata-only archive table (no lc_* columns at all): stars build
+    // without curves instead of crashing on fieldIndex
+    val metaDir = java.nio.file.Files.createTempDirectory("nolc").toString
+    Seq(("a1", 10.0, 20.0)).toDF("ASAS", "RAJ2000", "DEJ2000")
+      .write.mode("overwrite").parquet(metaDir)
+    val metaStars = new ArchiveConnector(ArchiveConfigs.asas(metaDir))
+      .getStars(spark, Seq(QuerySpec(Map.empty))).collect()
+    assert(metaStars.length == 1 && metaStars.head.lightCurves.isEmpty)
+
+    // null mag cell: that band is skipped, not an NPE; missing err column
+    // degrades to zeros like a 2-field FITS table
+    val nulDir = java.nio.file.Files.createTempDirectory("nullc").toString
+    Seq(
+      ("ok", 1.0, 2.0, Some(Seq(1.0, 2.0)), Some(Seq(13.0, 13.1))),
+      ("nul", 1.5, 2.5, Some(Seq(1.0)), None: Option[Seq[Double]]))
+      .toDF("ASAS", "RAJ2000", "DEJ2000", "lc_time", "lc_mag")
+      .write.mode("overwrite").parquet(nulDir)
+    val byId = new ArchiveConnector(ArchiveConfigs.asas(nulDir))
+      .getStars(spark, Seq(QuerySpec(Map.empty)))
+      .collect().map(s => s.starId -> s).toMap
+    assert(byId("ok").lightCurves.head.err.forall(_ == 0.0))
+    assert(byId("nul").lightCurves.isEmpty)
   }
 
   test("ADQL rendering of the pushed predicates") {

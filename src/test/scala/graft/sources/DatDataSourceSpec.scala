@@ -66,7 +66,10 @@ class DatDataSourceSpec extends SparkSpec {
       ("qb", Map("path" -> dir, "object_file_name" -> "star_12.dat")),
       ("qc", Map("path" -> dir, "files_to_load" -> (1 to 10).map(i => f"star_$i%02d").mkString(";"),
         "star_class" -> "be%0.5")),
-      ("qd", Map("path" -> dir, "object_file_name" -> "star_19", "load_lc" -> "false")))
+      ("qd", Map("path" -> dir, "object_file_name" -> "star_19", "load_lc" -> "false")),
+      // duplicate names must dedup like the per-query path's Set — no
+      // doubled rows through the join, no inflated %f window count
+      ("qe", Map("path" -> dir, "files_to_load" -> "star_02;star_02;star_04")))
     assert(FileManagerConnector.datRoutable(todo))
 
     val joined = fm.getStarsDatJoined(spark, todo)
@@ -96,7 +99,7 @@ class DatDataSourceSpec extends SparkSpec {
     got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
     // sanity on the per-query semantics: qa limited to 3, qc keeps floor(10*0.5)
     val byQ = got.groupBy(_._1).view.mapValues(_.length).toMap
-    assert(byQ == Map("qa" -> 3, "qb" -> 1, "qc" -> 5, "qd" -> 1))
+    assert(byQ == Map("qa" -> 3, "qb" -> 1, "qc" -> 5, "qd" -> 1, "qe" -> 2))
   }
 
   test("files_limit / sample_fraction options prune the planned files") {

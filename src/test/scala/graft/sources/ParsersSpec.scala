@@ -76,6 +76,22 @@ class ParsersSpec extends SparkSpec {
     assert(deduped.select("starId").as[String].collect().toSet == Set("a", "c"))
   }
 
+  test("crossmatch dedup collapses ident-sharing duplicates (star.py __eq__)") {
+    val stars = Seq(
+      // same MACHO ident, coordinates far apart (catalog disagreement)
+      Star("a", Some(Coordinates(10.0, 20.0)), Map("MACHO" -> "1.2.3"),
+        Map.empty, Map.empty, None, Nil),
+      Star("b", Some(Coordinates(11.0, 21.0)), Map("MACHO" -> "1.2.3"),
+        Map.empty, Map.empty, None, Nil),
+      // same ident value under a DIFFERENT db key: not a duplicate
+      Star("c", None, Map("OGLE" -> "1.2.3"), Map.empty, Map.empty, None, Nil),
+      // null coordinates + shared ident: still collapses
+      Star("d", None, Map("CRTS" -> "x9"), Map.empty, Map.empty, None, Nil),
+      Star("e", None, Map("CRTS" -> "x9"), Map.empty, Map.empty, None, Nil)).toDF()
+    val deduped = crossmatchDedup(stars)
+    assert(deduped.select("starId").as[String].collect().toSet == Set("a", "c", "d"))
+  }
+
   test("FITS writer round-trips through the reader") {
     val star = Star("test_1", Some(Coordinates(12.5, -30.25)),
       Map("MACHO" -> "1.2.3"), Map("MACHO:field" -> "1"),
@@ -97,6 +113,22 @@ class ParsersSpec extends SparkSpec {
     assert(back.lightCurves.head.time.sameElements(star.lightCurves.head.time))
     assert(back.lightCurves.head.mag.sameElements(star.lightCurves.head.mag))
     assert(back.lightCurves.head.meta("color") == "B")
+  }
+
+  test("FITS writer round-trips curve origin and clamps over-long cards") {
+    val longRemark = "x" * 120 // longer than an 80-char card can carry
+    val star = Star("long_1", None, Map.empty, Map.empty,
+      Map("remarks" -> longRemark), None,
+      Seq(LightCurveData(Array(1.0, 2.0), Array(13.5, 13.6), Array(0.1, 0.1),
+        Map("color" -> "V", "origin" -> "crts"))))
+    val back = Fits.readStar(Fits.writeStar(star))
+    // origin survives via DB_ORIGIN
+    assert(back.lightCurves.head.meta("origin") == "crts")
+    // over-long value truncates CLEANLY (closing quote intact — no mangled
+    // leading-quote artifact), and the prefix is preserved
+    val remark = back.more("remarks")
+    assert(!remark.startsWith("'") && longRemark.startsWith(remark) &&
+      remark.length > 50)
   }
 
   test("cross-database name parsers (Macho / OgleII conventions)") {
