@@ -22,6 +22,10 @@ object Kernels {
     */
   def paa(x: Array[Double], bins: Int): Array[Double] = {
     val n = x.length
+    // degenerate input: step would be 0 and the frame loop could never
+    // advance (reachable from SQL `sax_word(array(), …)` and from
+    // sub-unit slide windows) — no frames, not a hang
+    if (n == 0 || bins <= 0) return Array.empty
     val stepFloat = n / bins.toDouble
     val step = math.ceil(stepFloat).toInt
     val out = new ArrayBuffer[Double]()
@@ -113,21 +117,34 @@ object Kernels {
     val lo = xmin - halfStep
     val hi = xmax + halfStep
     val borders = Array.tabulate(b + 1)(i => lo + i * (hi - lo) / b)
+    // single pass over the points, O(n + b) instead of the O(b·n) border
+    // scan (histogram calls this with b = n, making the scan quadratic on
+    // the comparative hot path). The computed index is nudged until it
+    // satisfies the EXACT border predicates of the scan, so membership —
+    // and the per-bin, j-ascending summation order — is bit-identical.
+    val sx = new Array[Double](b)
+    val sy = new Array[Double](b)
+    val cnt = new Array[Int](b)
+    val width = (hi - lo) / b
+    var j = 0
+    while (j < n) {
+      val xj = x(j)
+      var idx = if (width > 0) ((xj - lo) / width).toInt else 0
+      if (idx < 0) idx = 0 else if (idx > b - 1) idx = b - 1
+      while (idx < b - 1 && xj >= borders(idx + 1)) idx += 1
+      while (idx > 0 && xj < borders(idx)) idx -= 1
+      if (xj >= borders(idx) && xj < borders(idx + 1)) {
+        sx(idx) += xj; sy(idx) += y(j); cnt(idx) += 1
+      }
+      j += 1
+    }
     val xa = new Array[Double](b)
     val ya = new Array[Double](b)
     var i = 0
     while (i < b) {
-      var sx = 0.0; var sy = 0.0; var cnt = 0
-      var j = 0
-      while (j < n) {
-        if (x(j) >= borders(i) && x(j) < borders(i + 1)) {
-          sx += x(j); sy += y(j); cnt += 1
-        }
-        j += 1
-      }
-      if (cnt > 0) {
-        xa(i) = if (meanTime) sx / cnt else (borders(i + 1) + borders(i)) / 2
-        ya(i) = sy / cnt
+      if (cnt(i) > 0) {
+        xa(i) = if (meanTime) sx(i) / cnt(i) else (borders(i + 1) + borders(i)) / 2
+        ya(i) = sy(i) / cnt(i)
       } else {
         xa(i) = (borders(i + 1) + borders(i)) / 2
         ya(i) = Double.NaN
@@ -226,6 +243,10 @@ object Kernels {
       x = x.map(_ - m)
     }
     x = x.filter(!_.isNaN)
+    // all-NaN reduced curve (e.g. every observation on one timestamp):
+    // a NaN histogram instead of min-of-empty crashing the task
+    if (x.isEmpty)
+      return (Array.fill(binsNum - 1)(Double.NaN), Array.fill(binsNum)(Double.NaN))
     val mn = x.min
     val mx = x.max
     val edges = Array.tabulate(binsNum)(i => mn + i * (mx - mn) / (binsNum - 1))
@@ -331,9 +352,15 @@ object Kernels {
     (t.toArray, m.toArray, e.toArray)
   }
 
-  /** python3 round(): half-even on the exact binary value. */
+  /** python3 round(): half-even on the EXACT binary value. Scala's
+    * `BigDecimal(Double)` uses the shortest-decimal form (so 2.675 would
+    * look like a tie and round UP to 2.68 where CPython sees
+    * 2.67499999999999982 and rounds down) — the java.math constructor
+    * keeps the exact expansion.
+    */
   def pyRound(v: Double, digits: Int): Double =
-    BigDecimal(v).setScale(digits, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    BigDecimal(new java.math.BigDecimal(v))
+      .setScale(digits, BigDecimal.RoundingMode.HALF_EVEN).toDouble
 
   private def centralMoment(x: Array[Double], k: Int): Double = {
     val n = x.length
@@ -347,15 +374,21 @@ object Kernels {
     acc / n
   }
 
-  /** scipy.stats.skew default semantics (biased): m3 / m2^1.5
-    * (`skewness_desc.py:37-62`).
+  /** scipy.stats.skew default semantics (biased): m3 / m2^1.5, with the
+    * pinned scipy 0.19's `np.where(m2 == 0, 0, …)` zero-variance guard
+    * (`skewness_desc.py:37-62`) — a constant curve scores 0, not NaN.
     */
-  def skewness(x: Array[Double]): Double =
-    centralMoment(x, 3) / math.pow(centralMoment(x, 2), 1.5)
+  def skewness(x: Array[Double]): Double = {
+    val m2 = centralMoment(x, 2)
+    if (m2 == 0.0) 0.0 else centralMoment(x, 3) / math.pow(m2, 1.5)
+  }
 
-  /** scipy.stats.kurtosis default semantics (Fisher, biased): m4/m2² − 3
+  /** scipy.stats.kurtosis default semantics (Fisher, biased): m4/m2² − 3,
+    * zero-variance → 0 − 3 like the pinned scipy 0.19
     * (`kurtosis_desc.py:37-61`).
     */
-  def kurtosis(x: Array[Double]): Double =
-    centralMoment(x, 4) / math.pow(centralMoment(x, 2), 2.0) - 3.0
+  def kurtosis(x: Array[Double]): Double = {
+    val m2 = centralMoment(x, 2)
+    if (m2 == 0.0) -3.0 else centralMoment(x, 4) / math.pow(m2, 2.0) - 3.0
+  }
 }

@@ -57,10 +57,13 @@ object PortableHash {
     * position), recomputing them per vector would do dims×planes digests
     * per row).
     */
-  private val planeCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  // Long key: an Int `planes * K + dims` would overflow (and collide) at
+  // plane counts LSH_MAX_PLANES still permits. Bounded in practice by the
+  // distinct (planes, dims) dial pairs a job uses.
+  private val planeCache = new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Double]]]()
 
   def lshPlanes(planes: Int, dims: Int): Array[Array[Double]] =
-    planeCache.computeIfAbsent(planes * 100000 + dims, _ =>
+    planeCache.computeIfAbsent((planes.toLong << 32) | (dims & 0xffffffffL), _ =>
       Array.tabulate(planes, dims)((p, i) =>
         md5Int60(s"$p:${i + 1}") / 576460752303423488.0 - 1.0)) // 2^59
 }

@@ -137,7 +137,9 @@ object Sax {
       val (longMags, longWs, shortMags, shortWs) =
         if (wordSizeA >= wordSizeB) (magsA, wordSizeA, magsB, wordSizeB)
         else (magsB, wordSizeB, magsA, wordSizeA)
-      val windowSize = longMags.length * shortWs / longWs.toDouble
+      // a sub-unit window (sparse curve over a huge time span) would slice
+      // zero points per window — clamp to one so every window carries data
+      val windowSize = math.max(1.0, longMags.length * shortWs / longWs.toDouble)
       val overlay = slide * windowSize
       val words = new scala.collection.mutable.ArrayBuffer[String]()
       var fromI = 0

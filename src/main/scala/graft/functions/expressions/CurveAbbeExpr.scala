@@ -22,8 +22,10 @@ case class CurveAbbeExpr(first: Expression, second: Expression, third: Expressio
 
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = first.dataType.isInstanceOf[ArrayType] &&
-      second.dataType.isInstanceOf[ArrayType] && third.dataType == IntegerType
+    // element type matters: a bare ArrayType check would let array<int>
+    // through analysis and toDoubleArray would misread the slots at runtime
+    val ok = CurveKernelExprs.dblArr(first.dataType) &&
+      CurveKernelExprs.dblArr(second.dataType) && third.dataType == IntegerType
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"curve_abbe expects (array<double>, array<double>, int), got " +
@@ -51,11 +53,7 @@ object CurveAbbeExpr {
   /** Register as a SQL function on a session — once (see
     * [[DotProductExpr.register]]).
     */
-  def register(spark: SparkSession): Unit = synchronized {
-    // synchronized: concurrent callers must not double-register (WARN spam)
-    if (!spark.sessionState.functionRegistry
-        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("curve_abbe")))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "curve_abbe", exprs => CurveAbbeExpr(exprs(0), exprs(1), exprs(2)), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    Registration.registerOnce(spark,
+      "curve_abbe" -> (exprs => CurveAbbeExpr(exprs(0), exprs(1), exprs(2))))
 }

@@ -36,16 +36,11 @@ object CurveKernelExprs {
   }
 
   /** Register all curve-kernel functions on a session — idempotent. */
-  def register(spark: SparkSession): Unit = synchronized {
-    def reg(name: String, builder: Seq[Expression] => Expression): Unit =
-      if (!spark.sessionState.functionRegistry
-          .functionExists(FunctionIdentifier(name)))
-        spark.sessionState.functionRegistry
-          .createOrReplaceTempFunction(name, builder, "built-in")
-    reg("variogram_slope", exprs => VariogramSlopeExpr(exprs(0), exprs(1), exprs(2)))
-    reg("curve_density", exprs => CurveDensityExpr(exprs(0), exprs(1)))
-    reg("sax_word", exprs => SaxWordExpr(exprs(0), exprs(1), exprs(2)))
-  }
+  def register(spark: SparkSession): Unit =
+    Registration.registerOnce(spark,
+      "variogram_slope" -> (exprs => VariogramSlopeExpr(exprs(0), exprs(1), exprs(2))),
+      "curve_density" -> (exprs => CurveDensityExpr(exprs(0), exprs(1))),
+      "sax_word" -> (exprs => SaxWordExpr(exprs(0), exprs(1), exprs(2))))
 }
 
 /** `variogram_slope(time_days, values, days_per_bin)`. */
@@ -105,9 +100,21 @@ case class SaxWordExpr(first: Expression, second: Expression, third: Expression)
   override def dataType: DataType = StringType
   override def checkInputDataTypes(): TypeCheckResult =
     if (CurveKernelExprs.dblArr(first.dataType) &&
-        second.dataType == IntegerType && third.dataType == IntegerType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+        second.dataType == IntegerType && third.dataType == IntegerType) {
+      // bound the dials at ANALYSIS like the signature expressions: a bad
+      // literal must not hang (word_size ≤ 0 → zero PAA step) or throw
+      // per-row (alphabet outside the Gaussian breakpoint table)
+      (SignatureExprs.foldableDial(second), SignatureExprs.foldableDial(third)) match {
+        case (Some(ws), _) if ws < 1 =>
+          TypeCheckResult.TypeCheckFailure(s"sax_word word_size must be ≥ 1, got $ws")
+        case (_, Some(a)) if a < graft.functions.Sax.MinAlphabet ||
+            a > graft.functions.Sax.MaxAlphabet =>
+          TypeCheckResult.TypeCheckFailure(
+            s"sax_word alphabet_size must be in [${graft.functions.Sax.MinAlphabet}, " +
+              s"${graft.functions.Sax.MaxAlphabet}], got $a")
+        case _ => TypeCheckResult.TypeCheckSuccess
+      }
+    } else TypeCheckResult.TypeCheckFailure(
       s"sax_word expects (array<double>, int, int), got " +
         s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
 

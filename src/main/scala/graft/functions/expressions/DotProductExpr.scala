@@ -61,12 +61,7 @@ object DotProductExpr {
     * already-present function makes SimpleFunctionRegistry WARN on every
     * query that calls through here.
     */
-  def register(spark: SparkSession): Unit = synchronized {
-    // synchronized: concurrent callers (e.g. the bench warmup pool) must
-    // not both pass the existence check and double-register (WARN spam)
-    if (!spark.sessionState.functionRegistry
-        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product")))
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "dot_product", exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    Registration.registerOnce(spark,
+      "dot_product" -> (exprs => DotProductExpr(exprs(0), exprs(1))))
 }

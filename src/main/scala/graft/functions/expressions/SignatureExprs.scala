@@ -29,20 +29,15 @@ object SignatureExprs {
   val LSH_BITS = 12
 
   /** Register all signature functions on a session — idempotent. */
-  def register(spark: SparkSession): Unit = synchronized {
-    def reg(name: String, builder: Seq[Expression] => Expression): Unit =
-      if (!spark.sessionState.functionRegistry
-          .functionExists(FunctionIdentifier(name)))
-        spark.sessionState.functionRegistry
-          .createOrReplaceTempFunction(name, builder, "built-in")
-    reg("simhash16", exprs => SimhashExpr(exprs.head))
-    reg("simhash_bits", exprs => SimhashBitsExpr(exprs(0), exprs(1)))
-    reg("minhash16", exprs => MinhashSigExpr(exprs.head))
-    reg("minhash_k", exprs => MinhashKExpr(exprs(0), exprs(1)))
-    reg("lsh_band_sigs", lshBandSigsBuilder)
-    reg("winnow_fps", exprs => WinnowFpsExpr(exprs.head))
-    reg("sig_match16", exprs => SigMatchExpr(exprs(0), exprs(1)))
-  }
+  def register(spark: SparkSession): Unit =
+    Registration.registerOnce(spark,
+      "simhash16" -> (exprs => SimhashExpr(exprs.head)),
+      "simhash_bits" -> (exprs => SimhashBitsExpr(exprs(0), exprs(1))),
+      "minhash16" -> (exprs => MinhashSigExpr(exprs.head)),
+      "minhash_k" -> (exprs => MinhashKExpr(exprs(0), exprs(1))),
+      "lsh_band_sigs" -> lshBandSigsBuilder,
+      "winnow_fps" -> (exprs => WinnowFpsExpr(exprs.head)),
+      "sig_match16" -> (exprs => SigMatchExpr(exprs(0), exprs(1))))
 
   /** THE lsh_band_sigs arity dispatch — shared by [[register]] and
     * `GraftExtensions` so the temp-function and SQL-extension paths can

@@ -93,4 +93,57 @@ class KernelPropertiesSpec extends AnyFunSuite {
         math.abs(Sax.minDist(a, b, alpha, 2.5) - 2.5 * ab) < 1e-9
     })
   }
+
+  test("degenerate kernel inputs: no hang, scipy-0.19 zero-variance values") {
+    // empty input / non-positive bins: a zero PAA step must yield no
+    // frames, not an unbounded loop (reachable from SQL sax_word)
+    assert(Kernels.paa(Array.empty[Double], 10).isEmpty)
+    assert(Kernels.paa(Array(1.0, 2.0), 0).isEmpty)
+    // the pinned scipy 0.19 guards m2 == 0 with np.where(…, 0, …)
+    assert(Kernels.skewness(Array(5.0, 5.0, 5.0)) == 0.0)
+    assert(Kernels.kurtosis(Array(5.0, 5.0, 5.0)) == -3.0)
+    // python3 round(): 2.675 is exactly 2.67499999999999982 in binary —
+    // CPython rounds DOWN; a shortest-decimal BigDecimal would see a tie
+    assert(Kernels.pyRound(2.675, 2) == 2.67)
+    assert(Kernels.pyRound(0.125, 2) == 0.12) // representable tie: half-even
+    // all observations on one timestamp: NaN histogram, not min-of-empty
+    val (h, _) = Kernels.histogram(Array(3.0, 3.0, 3.0), Array(1.0, 2.0, 3.0))
+    assert(h.forall(_.isNaN))
+    // sub-unit slide window (sparse curve over a huge span): finite result
+    val sparse = Array.tabulate(20)(i => 10.0 + (i % 5) * 0.3)
+    val d = Sax.dissimilaritySlide(sparse, 5000, sparse, 5, 7, 0.25)
+    assert(!d.isNaN && !d.isInfinite)
+  }
+
+  test("ekviPaa single-pass binning matches the O(b·n) border-scan definition") {
+    check(Prop.forAll(timedSeries, Gen.choose(2, 50)) { case ((t, y), bins) =>
+      if (t.length < 2 || t.length != y.length || t.length < bins) true
+      else {
+        val yy = y.take(t.length)
+        val (xa, ya) = Kernels.ekviPaa(t, yy, Some(bins.toDouble), fixNans = false)
+        // re-derive with the definitional nested border scan
+        val b = bins
+        val (xmin, xmax) = (t.min, t.max)
+        val halfStep = (xmax - xmin) / b / 2.0
+        val lo = xmin - halfStep
+        val hi = xmax + halfStep
+        val borders = Array.tabulate(b + 1)(i => lo + i * (hi - lo) / b)
+        (0 until b).forall { i =>
+          var sx = 0.0; var sy = 0.0; var cnt = 0
+          t.indices.foreach { j =>
+            if (t(j) >= borders(i) && t(j) < borders(i + 1)) {
+              sx += t(j); sy += yy(j); cnt += 1
+            }
+          }
+          val (ex, ey) =
+            if (cnt > 0) (sx / cnt, sy / cnt)
+            else ((borders(i + 1) + borders(i)) / 2, Double.NaN)
+          // exact equality including NaN slots — the rewrite must be
+          // bit-identical, not approximately equal
+          java.lang.Double.compare(xa(i), ex) == 0 &&
+            java.lang.Double.compare(ya(i), ey) == 0
+        }
+      }
+    })
+  }
 }
