@@ -480,10 +480,13 @@ object Dedup {
     *   4. every document labeled with its component's min doc_id as the
     *      canonical representative (`is_canonical` = survives dedup).
     */
-  def q66DedupPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val sh = graft.CacheScope.cache(shingleArrays(spark, dir))
-    val cand = bandPairs(graft.CacheScope.cache(minhashSigs(sh)))
-    val edges = cand
+  /** q66's Jaccard-verify stage — the ONE definition the pipeline and its
+    * bench stage probe ([[q66StageProbe]]) share, so the probe's per-stage
+    * timings can never drift from the query they exist to explain:
+    * size-ratio prune, exact shingle-set Jaccard ≥ 0.5.
+    */
+  private def jaccardVerify(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), Seq("b_id"))
       .filter(least(size(col("sh_a")), size(col("sh_b"))) * 2 >=
@@ -492,6 +495,11 @@ object Dedup {
       .filter(col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
       .select(col("a_id"), col("b_id"))
+
+  def q66DedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.CacheScope.cache(shingleArrays(spark, dir))
+    val cand = bandPairs(graft.CacheScope.cache(minhashSigs(sh)))
+    val edges = jaccardVerify(cand, sh)
     val nodes = docs(spark, dir).select(col("doc_id").as("id"))
     connectedComponents(edges, nodes)
       .select(col("id").as("doc_id"), col("label").as("canonical_id"),
@@ -608,13 +616,8 @@ object Dedup {
     // through the Hadoop filesystem of the path, so hdfs://- or
     // s3a://-hosted indexes work and readers on other machines see it.
     val spark = corpusDocs.sparkSession
-    val props = new java.util.Properties
-    props.setProperty("k", k.toString)
-    props.setProperty("bands", bands.toString)
-    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta.properties")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(metaPath, true)
-    try props.store(out, "graft band index dials") finally out.close()
+    IndexMeta.write(spark, path, "graft band index dials",
+      "k" -> k.toString, "bands" -> bands.toString)
     graft.CacheScope.run {
       val sig = graft.CacheScope.cache(minhashSigs(shingleArraysOf(corpusDocs), k))
       sig.write.mode("overwrite").parquet(s"$path/sigs")
@@ -628,14 +631,7 @@ object Dedup {
     * metadata exists to prevent, so raise instead.
     */
   private def readIndexDials(spark: SparkSession, indexPath: String): (Int, Int) = {
-    val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta.properties")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(metaPath))
-      throw new IllegalStateException(
-        s"band index at $indexPath has no meta.properties — rebuild with writeBandIndex")
-    val props = new java.util.Properties
-    val in = fs.open(metaPath)
-    try props.load(in) finally in.close()
+    val props = IndexMeta.read(spark, indexPath, "writeBandIndex")
     (props.getProperty("k").toInt, props.getProperty("bands").toInt)
   }
 
@@ -709,16 +705,7 @@ object Dedup {
       (d, d.count())
     }
     val edges = stage("verify") {
-      val d = cand
-        .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), Seq("a_id"))
-        .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), Seq("b_id"))
-        .filter(least(size(col("sh_a")), size(col("sh_b"))) * 2 >=
-          greatest(size(col("sh_a")), size(col("sh_b"))))
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-        .filter(col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")) >= 0.5)
-        .select(col("a_id"), col("b_id"))
-        .localCheckpoint()
+      val d = jaccardVerify(cand, sh).localCheckpoint()
       (d, d.count())
     }
     val nodes = docs(spark, dir).select(col("doc_id").as("id"))

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Index-dial metadata shared by every materialized index (minhash band /
+  * embedding ANN / IVF): a small properties file written through the
+  * path's Hadoop filesystem (so hdfs://- and s3a://-hosted indexes work
+  * and readers on other machines see it), written BEFORE the data tables —
+  * the last table's `_SUCCESS` marks the index complete, so completeness
+  * implies the dials exist. Readers are STRICT: serving at guessed dials
+  * zeroes the candidate join silently, the exact failure the metadata
+  * exists to prevent.
+  */
+private[operators] object IndexMeta {
+
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/meta.properties")
+
+  def write(spark: SparkSession, path: String, comment: String,
+            kv: (String, String)*): Unit = {
+    val props = new java.util.Properties
+    kv.foreach { case (k, v) => props.setProperty(k, v) }
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try props.store(out, comment) finally out.close()
+  }
+
+  def read(spark: SparkSession, path: String,
+           rebuildHint: String): java.util.Properties = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"index at $path has no meta.properties — incomplete or foreign; " +
+          s"rebuild with $rebuildHint")
+    val props = new java.util.Properties
+    val in = fs.open(p)
+    try props.load(in) finally in.close()
+    props
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = metaPath(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

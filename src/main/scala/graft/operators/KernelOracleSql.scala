@@ -47,9 +47,11 @@ object KernelOracleSql {
       |  FROM eb e, LATERAL (SELECT unnest(generate_series(0, e.b - 1)) AS i) gs),
       |exa AS (
       |  SELECT eb2.user_id, eb2.i,
-      |    CASE WHEN count(p.t) > 0 THEN sum(p.t) / count(p.t)
+      |    CASE WHEN count(p.t) > 0
+      |         THEN list_sum(list(p.t ORDER BY p.pos)) / count(p.t)
       |         ELSE (eb2.b_hi + eb2.b_lo) / 2 END AS xa,
-      |    CASE WHEN count(p.t) > 0 THEN sum(p.v) / count(p.t) END AS ya
+      |    CASE WHEN count(p.t) > 0
+      |         THEN list_sum(list(p.v ORDER BY p.pos)) / count(p.t) END AS ya
       |  FROM ebins eb2 LEFT JOIN pts p
       |    ON p.user_id = eb2.user_id AND p.t >= eb2.b_lo AND p.t < eb2.b_hi
       |  GROUP BY eb2.user_id, eb2.i, eb2.b_lo, eb2.b_hi),
@@ -84,13 +86,16 @@ object KernelOracleSql {
       |eabbe AS (
       |  SELECT d.user_id,
       |    u.n / (2.0 * (u.n - 1.0)) * d.sum1 / c.sum2 AS abbe
-      |  FROM (SELECT user_id, sum((ya - yp) * (ya - yp)) AS sum1
-      |        FROM (SELECT user_id, ya,
+      |  FROM (SELECT user_id,
+      |          list_sum(list((ya - yp) * (ya - yp) ORDER BY i)) AS sum1
+      |        FROM (SELECT user_id, i, ya,
       |                lag(ya) OVER (PARTITION BY user_id ORDER BY i) AS yp
       |              FROM efill) GROUP BY 1) d
-      |  JOIN (SELECT f.user_id, sum((f.ya - a.mn) * (f.ya - a.mn)) AS sum2
-      |        FROM efill f JOIN (SELECT user_id, sum(ya) / count(*) AS mn
-      |                           FROM efill GROUP BY 1) a USING (user_id)
+      |  JOIN (SELECT f.user_id,
+      |          list_sum(list((f.ya - a.mn) * (f.ya - a.mn) ORDER BY f.i)) AS sum2
+      |        FROM efill f
+      |        JOIN (SELECT user_id, list_sum(list(ya ORDER BY i)) / count(*) AS mn
+      |              FROM efill GROUP BY 1) a USING (user_id)
       |        GROUP BY 1) c USING (user_id)
       |  JOIN u USING (user_id)),
       |dbins AS (
@@ -103,7 +108,8 @@ object KernelOracleSql {
       |  SELECT user_id, count(*) / (max(xa) - min(xa)) AS density
       |  FROM (
       |    SELECT db.user_id, db.i,
-      |      CASE WHEN count(p.t) > 0 THEN sum(p.t) / count(p.t)
+      |      CASE WHEN count(p.t) > 0
+      |           THEN list_sum(list(p.t ORDER BY p.pos)) / count(p.t)
       |           ELSE (db.b_hi + db.b_lo) / 2 END AS xa
       |    FROM dbins db LEFT JOIN pts p
       |      ON p.user_id = db.user_id AND p.t >= db.b_lo AND p.t < db.b_hi
@@ -123,7 +129,9 @@ object KernelOracleSql {
       |    LATERAL (SELECT unnest(generate_series(0, 2 * s.b + 2)) AS k) gs
       |  WHERE CAST(trunc(gs.k * (s.n / CAST(s.b AS DOUBLE))) AS INT) <= s.n - s.step),
       |vpaa AS (
-      |  SELECT f.user_id, f.k, sum(p.t) / count(*) AS xr, sum(p.v) / count(*) AS yr
+      |  SELECT f.user_id, f.k,
+      |    list_sum(list(p.t ORDER BY p.pos)) / count(*) AS xr,
+      |    list_sum(list(p.v ORDER BY p.pos)) / count(*) AS yr
       |  FROM vfr f JOIN pts p ON p.user_id = f.user_id
       |    AND p.pos BETWEEN f.fstart + 1 AND f.fstart + f.step
       |  GROUP BY 1, 2),
@@ -146,12 +154,17 @@ object KernelOracleSql {
       |  WHERE CAST(trunc(gs.k * (s.m / CAST(s.b AS DOUBLE))) AS INT) <= s.m - s.step2),
       |vslope AS (
       |  SELECT user_id,
-      |    (count(*) * sum(lx * ly) - sum(lx) * sum(ly)) /
-      |    (count(*) * sum(lx * lx) - sum(lx) * sum(lx)) AS vario_slope
+      |    (count(*) * list_sum(list(lx * ly ORDER BY k))
+      |       - list_sum(list(lx ORDER BY k)) * list_sum(list(ly ORDER BY k))) /
+      |    (count(*) * list_sum(list(lx * lx ORDER BY k))
+      |       - list_sum(list(lx ORDER BY k)) * list_sum(list(lx ORDER BY k)))
+      |      AS vario_slope
       |  FROM (
-      |    SELECT q.user_id, log10(q.rx) AS lx, log10(q.ry) AS ly
+      |    SELECT q.user_id, q.k, log10(q.rx) AS lx, log10(q.ry) AS ly
       |    FROM (
-      |      SELECT f.user_id, f.k, sum(s.vx) / count(*) AS rx, sum(s.vy) / count(*) AS ry
+      |      SELECT f.user_id, f.k,
+      |        list_sum(list(s.vx ORDER BY s.pos)) / count(*) AS rx,
+      |        list_sum(list(s.vy ORDER BY s.pos)) / count(*) AS ry
       |      FROM v2fr f JOIN vsorted s ON s.user_id = f.user_id
       |        AND s.pos BETWEEN f.fstart + 1 AND f.fstart + f.step2
       |      GROUP BY 1, 2) q)
@@ -166,9 +179,11 @@ object KernelOracleSql {
       |    CASE WHEN st.sd < 1e-6 THEN 0.0 ELSE (p.v - st.mv) / st.sd END AS nv
       |  FROM pts p
       |  JOIN (SELECT p2.user_id, m.mv,
-      |          sqrt(sum((p2.v - m.mv) * (p2.v - m.mv)) / count(*)) AS sd
-      |        FROM pts p2 JOIN (SELECT user_id, sum(v) / count(*) AS mv
-      |                          FROM pts GROUP BY 1) m USING (user_id)
+      |          sqrt(list_sum(list((p2.v - m.mv) * (p2.v - m.mv) ORDER BY p2.pos))
+      |            / count(*)) AS sd
+      |        FROM pts p2
+      |        JOIN (SELECT user_id, list_sum(list(v ORDER BY pos)) / count(*) AS mv
+      |              FROM pts GROUP BY 1) m USING (user_id)
       |        GROUP BY p2.user_id, m.mv) st ON st.user_id = p.user_id
       |  JOIN u ON u.user_id = p.user_id),
       |xfr AS (
@@ -185,7 +200,8 @@ object KernelOracleSql {
       |         WHEN pv < 0.52 THEN 'g' WHEN pv < 0.84 THEN 'h'
       |         WHEN pv < 1.28 THEN 'i' ELSE 'j' END, '' ORDER BY k) AS sax_word
       |  FROM (
-      |    SELECT f.user_id, f.k, sum(s.nv) / count(*) AS pv
+      |    SELECT f.user_id, f.k,
+      |      list_sum(list(s.nv ORDER BY s.pos)) / count(*) AS pv
       |    FROM xfr f JOIN snorm s ON s.user_id = f.user_id
       |      AND s.pos BETWEEN f.fstart + 1 AND f.fstart + f.step
       |    GROUP BY 1, 2)
@@ -337,14 +353,19 @@ object KernelOracleSql {
   val q50Sql: String =
     s"""WITH RECURSIVE $kernelCtes,
        |skk AS (
-       |  SELECT p.user_id,
-       |    (sum(pow(p.v - m.mv, 3)) / count(*)) /
-       |      pow(sum(pow(p.v - m.mv, 2)) / count(*), 1.5) AS skewness,
-       |    (sum(pow(p.v - m.mv, 4)) / count(*)) /
-       |      pow(sum(pow(p.v - m.mv, 2)) / count(*), 2.0) - 3.0 AS kurtosis
-       |  FROM pts p JOIN (SELECT user_id, sum(v) / count(*) AS mv FROM pts GROUP BY 1) m
-       |    USING (user_id)
-       |  GROUP BY 1)
+       |  SELECT user_id,
+       |    CASE WHEN m2 = 0 THEN 0.0 ELSE m3 / pow(m2, 1.5) END AS skewness,
+       |    CASE WHEN m2 = 0 THEN -3.0 ELSE m4 / pow(m2, 2.0) - 3.0 END AS kurtosis
+       |  FROM (
+       |    SELECT p.user_id,
+       |      list_sum(list(pow(p.v - m.mv, 2) ORDER BY p.pos)) / count(*) AS m2,
+       |      list_sum(list(pow(p.v - m.mv, 3) ORDER BY p.pos)) / count(*) AS m3,
+       |      list_sum(list(pow(p.v - m.mv, 4) ORDER BY p.pos)) / count(*) AS m4
+       |    FROM pts p
+       |    JOIN (SELECT user_id, list_sum(list(v ORDER BY pos)) / count(*) AS mv
+       |          FROM pts GROUP BY 1) m
+       |      USING (user_id)
+       |    GROUP BY 1))
        |SELECT 'user_' || u.user_id AS starId, round(e.abbe, 6) AS abbe_value,
        |  round(k.skewness, 6) AS skewness, round(k.kurtosis, 6) AS kurtosis,
        |  round(d.density, 6) AS curve_density, round(v.vario_slope, 6) AS variogram_slope

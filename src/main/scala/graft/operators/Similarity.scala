@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -89,17 +89,29 @@ object Similarity {
   private def round6(x: Double): Double =
     math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
 
-  /** (vec_id, nn, band, sig) — one row per band per vector. The per-band
+  /** Column twin of [[round6]] — the same scaled-double formula, so the
+    * DataFrame-side cosines can never diverge from the oracle's DuckDB
+    * `round()` at a 1-ULP tie (Spark's `round()` rounds the
+    * shortest-decimal form and could, per the note above).
+    */
+  private def round6c(c: Column): Column =
+    signum(c) * floor(abs(c) * 1e6 + 0.5) / 1e6
+
+  /** (vec_id, band, sig) — one row per band per vector. The per-band
     * signatures come from the native codegen'd
     * [[graft.functions.expressions.LshBandSigsExpr]]: one kernel pass
     * computes all nBands × LSH_BITS plane dots on the primitive float[]
     * (no per-plane explode, no per-row Seq conversion); the only exchange
-    * downstream is the (band, sig) equi-join.
+    * downstream is the (band, sig) equi-join. No norm column: every caller
+    * re-joins vectors for the cosine re-rank, so carrying `nn` here would
+    * just bloat the cached bands table nBands-fold.
     */
-  private def bandedSigs(e: DataFrame, nBands: Int = LSH_BANDS): DataFrame = {
+  private def bandedSigs(e: DataFrame, nBands: Int = LSH_BANDS,
+                         bits: Int = LSH_BITS): DataFrame = {
     graft.functions.expressions.SignatureExprs.register(e.sparkSession)
-    e.select(col("vec_id"), col("nn"),
-      posexplode(expr(s"lsh_band_sigs(embedding, $nBands)")).as(Seq("band", "sig")))
+    e.select(col("vec_id"),
+      posexplode(expr(s"lsh_band_sigs(embedding, $nBands, $bits)"))
+        .as(Seq("band", "sig")))
   }
 
   /** Brute-force cosine top-5 for probe vectors (vec_id < 20) against the
@@ -115,7 +127,7 @@ object Similarity {
       col("nn").as("nc"))
     val cos = broadcast(probes).join(cands, col("p_id") =!= col("c_id"))
       .withColumn("cosine",
-        round(dotC(spark, "pe", "ce") / (sqrt(col("np")) * sqrt(col("nc"))), 6))
+        round6c(dotC(spark, "pe", "ce") / (sqrt(col("np")) * sqrt(col("nc")))))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cosine").desc, col("c_id"))
     cos.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
@@ -130,8 +142,10 @@ object Similarity {
     * lands only on the (small) probe set — the corpus side stays one
     * signature per band regardless of corpus size.
     */
-  private val probeMasks: Seq[Long] =
-    (0 until (1 << LSH_BITS)).filter(m => Integer.bitCount(m) <= 2).map(_.toLong)
+  private def probeMasksFor(bits: Int): Seq[Long] =
+    (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= 2).map(_.toLong)
+
+  private val probeMasks: Seq[Long] = probeMasksFor(LSH_BITS)
 
   /** Banded hyperplane LSH ANN: candidates for probes (vec_id < 50) share a
     * band signature up to hamming distance 2 (probe-side multiprobe); exact
@@ -156,7 +170,7 @@ object Similarity {
       .join(e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
         col("nn").as("nc")), Seq("c_id"))
       .withColumn("cosine",
-        round(dotC(spark, "pe", "ce") / (sqrt(col("np")) * sqrt(col("nc"))), 6))
+        round6c(dotC(spark, "pe", "ce") / (sqrt(col("np")) * sqrt(col("nc")))))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cosine").desc, col("c_id"))
     cos.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
@@ -170,14 +184,23 @@ object Similarity {
     * deployment signs its corpus once and every probe batch joins the
     * stored tables.
     */
-  def writeAnnIndex(corpusEmb: DataFrame, path: String): Unit =
+  def writeAnnIndex(corpusEmb: DataFrame, path: String,
+                    bands: Int = LSH_BANDS, bits: Int = LSH_BITS): Unit = {
+    // the index RECORDS its banding dials (like Dedup.writeBandIndex):
+    // serving signs probes at the STORED bands/bits, so index and probe
+    // signatures can never be compared at mismatched widths — the silent
+    // zero-candidate failure mode. Meta first; bands/_SUCCESS (written
+    // last) marks the index complete, so completeness implies dials exist.
+    IndexMeta.write(corpusEmb.sparkSession, path, "graft ANN index dials",
+      "bands" -> bands.toString, "bits" -> bits.toString)
     graft.CacheScope.run {
       val e = graft.CacheScope.cache(withNorm(corpusEmb))
       e.select(col("vec_id"), col("embedding"), col("nn"))
         .write.mode("overwrite").parquet(s"$path/vectors")
-      bandedSigs(e).select(col("vec_id"), col("band"), col("sig"))
+      bandedSigs(e, bands, bits).select(col("vec_id"), col("band"), col("sig"))
         .write.mode("overwrite").parquet(s"$path/bands")
     }
+  }
 
   /** [[q49AnnLsh]]'s semantics against a PREBUILT index
     * ([[writeAnnIndex]]): only the probe batch is signed (one
@@ -188,14 +211,18 @@ object Similarity {
     */
   def annAgainstIndex(probes: DataFrame, indexPath: String, k: Int = 3): DataFrame = {
     val spark = probes.sparkSession
+    // sign probes at the dials the index RECORDS, never a caller guess
+    val meta = IndexMeta.read(spark, indexPath, "writeAnnIndex")
+    val (idxBands, idxBits) =
+      (meta.getProperty("bands").toInt, meta.getProperty("bits").toInt)
     val corpusBands = spark.read.parquet(s"$indexPath/bands")
       .select(col("vec_id").as("c_id"), col("band"), col("sig"))
     val corpusVecs = spark.read.parquet(s"$indexPath/vectors")
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nn").as("nc"))
     val p = graft.CacheScope.cache(withNorm(probes))
-    val cand = bandedSigs(p)
+    val cand = bandedSigs(p, idxBands, idxBits)
       .select(col("vec_id").as("p_id"), col("band"), col("sig"))
-      .withColumn("m", explode(typedLit(probeMasks)))
+      .withColumn("m", explode(typedLit(probeMasksFor(idxBits))))
       .select(col("p_id"), col("band"), col("sig").bitwiseXOR(col("m")).as("sig"))
       .join(corpusBands, Seq("band", "sig"))
       .filter(col("p_id") =!= col("c_id"))
@@ -206,7 +233,7 @@ object Similarity {
         col("nn").as("np")), Seq("p_id"))
       .join(corpusVecs, Seq("c_id"))
       .withColumn("cosine",
-        round(dotC(spark, "pe", "ce") / (sqrt(col("np")) * sqrt(col("nc"))), 6))
+        round6c(dotC(spark, "pe", "ce") / (sqrt(col("np")) * sqrt(col("nc")))))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cosine").desc, col("c_id"))
     cos.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -224,7 +251,9 @@ object Similarity {
       sys.props("java.io.tmpdir"),
       "graft_ann_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
         "_" + graft.Tables.tableFingerprint(dir, "embeddings")).getPath
-    if (!new java.io.File(s"$indexPath/bands/_SUCCESS").exists())
+    // a pre-meta index dir (older layout) counts as incomplete → rebuild
+    if (!new java.io.File(s"$indexPath/bands/_SUCCESS").exists() ||
+        !new java.io.File(s"$indexPath/meta.properties").exists())
       writeAnnIndex(e, indexPath)
     annAgainstIndex(e.filter(col("vec_id") < 50), indexPath)
   }
@@ -249,7 +278,7 @@ object Similarity {
       .join(e.select(col("vec_id").as("b_id"), col("embedding").as("be"),
         col("nn").as("nb")), Seq("b_id"))
       .withColumn("cosine",
-        round(dotC(spark, "ae", "be") / (sqrt(col("na")) * sqrt(col("nb"))), 6))
+        round6c(dotC(spark, "ae", "be") / (sqrt(col("na")) * sqrt(col("nb")))))
       .filter(col("cosine") >= 0.35)
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
@@ -277,14 +306,25 @@ object Similarity {
     * per-list rounded means. Returns (cent_id, centroid, ‖centroid‖²) —
     * ≤ IVF_K rows of dim+2 values, bounded driver state.
     */
-  private def trainCentroids(e: DataFrame): Array[(Long, Array[Double], Double)] = {
-    val seeds: Array[(Long, Array[Double])] = e.filter(col("vec_id") < IVF_K)
-      .select(col("vec_id"), col("embedding")).collect()
+  /** The k rows with the LOWEST vec_ids — the documented seed contract for
+    * any (vec_id, embedding, …) frame, not just id-contiguous fixtures
+    * where `vec_id < k` happens to coincide (a re-keyed corpus whose ids
+    * start above k would otherwise collect ZERO seeds and crash).
+    */
+  private def lowestIdSeeds(e: DataFrame, k: Int): Array[(Long, Array[Double])] =
+    e.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
-    val dim = seeds.head._2.length
-    val seedAssignU = udf((v0: Seq[Float]) => {
-      val v = v0.toArray
+
+  /** Squared-L2 argmin over a broadcast seed table: distance rounded to 6
+    * BEFORE the argmin, ties to the lower id — the ONE kernel shared by
+    * q72, IVF training and IVF serving, so their documented equivalence
+    * cannot drift. Returns (best_id, best_dist2).
+    */
+  private def nearestSeedU(seeds: Array[(Long, Array[Double])]) =
+    udf((v0: Seq[Float]) => {
+      val v = v0.toArray // O(1) indexing for the k×dims distance loops
       var bestId = -1L
       var bestD = Double.MaxValue
       seeds.foreach { case (sid, s) =>
@@ -294,11 +334,15 @@ object Similarity {
         d = round6(d)
         if (d < bestD) { bestD = d; bestId = sid } // ties keep the lower id
       }
-      bestId
+      (bestId, bestD)
     })
+
+  private def trainCentroids(e: DataFrame): Array[(Long, Array[Double], Double)] = {
+    val seeds = lowestIdSeeds(e, IVF_K)
+    val dim = seeds.head._2.length
     val sumCols = count(lit(1)).as("n") +: (0 until dim).map(i =>
       sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
-    e.groupBy(seedAssignU(col("embedding")).as("cent_id"))
+    e.groupBy(nearestSeedU(seeds)(col("embedding")).getField("_1").as("cent_id"))
       .agg(sumCols.head, sumCols.tail: _*)
       .collect() // ≤ IVF_K rows of dim+2 values — bounded driver state
       .map { r =>
@@ -361,7 +405,7 @@ object Similarity {
       .join(probeSide, Seq("p_id"))
       .join(corpusSide, Seq("c_id"))
       .withColumn("cosine",
-        round(dotC(spark, "pe", "ce2") / (sqrt(col("np")) * sqrt(col("nc2"))), 6))
+        round6c(dotC(spark, "pe", "ce2") / (sqrt(col("np")) * sqrt(col("nc2")))))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cosine").desc, col("c_id"))
     cos.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
@@ -374,7 +418,11 @@ object Similarity {
     * quantizer trains ONCE here; serving never touches corpus embeddings
     * except through the probed lists.
     */
-  def writeIvfIndex(corpusEmb: DataFrame, path: String): Unit =
+  def writeIvfIndex(corpusEmb: DataFrame, path: String): Unit = {
+    // list count recorded like every materialized index's dials — a reader
+    // of a foreign/incomplete index fails loudly instead of serving it
+    IndexMeta.write(corpusEmb.sparkSession, path, "graft IVF index dials",
+      "ivf_k" -> IVF_K.toString)
     graft.CacheScope.run {
       val spark = corpusEmb.sparkSession
       import spark.implicits._
@@ -389,6 +437,7 @@ object Similarity {
       e.select(col("vec_id"), col("embedding"), col("nn"))
         .write.mode("overwrite").parquet(s"$path/vectors")
     }
+  }
 
   /** [[q57AnnIvf]]'s semantics against a PREBUILT index
     * ([[writeIvfIndex]]): the stored quantizer rides the closure (≤ IVF_K
@@ -398,6 +447,7 @@ object Similarity {
     */
   def ivfSearchAgainstIndex(probes: DataFrame, indexPath: String): DataFrame = {
     val spark = probes.sparkSession
+    IndexMeta.read(spark, indexPath, "writeIvfIndex") // strict: no foreign indexes
     val cents: Array[(Long, Array[Double], Double)] =
       spark.read.parquet(s"$indexPath/centroids").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
@@ -426,8 +476,10 @@ object Similarity {
       sys.props("java.io.tmpdir"),
       "graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
         "_" + graft.Tables.tableFingerprint(dir, "embeddings")).getPath
-    // vectors written LAST → its _SUCCESS marks the whole index complete
-    if (!new java.io.File(s"$indexPath/vectors/_SUCCESS").exists())
+    // vectors written LAST → its _SUCCESS marks the whole index complete;
+    // a pre-meta index dir (older layout) counts as incomplete → rebuild
+    if (!new java.io.File(s"$indexPath/vectors/_SUCCESS").exists() ||
+        !new java.io.File(s"$indexPath/meta.properties").exists())
       writeIvfIndex(e, indexPath)
     ivfSearchAgainstIndex(e.filter(col("vec_id") < 20), indexPath)
   }
@@ -458,29 +510,8 @@ object Similarity {
     */
   def q72KmeansAssign(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val cents: Array[(Long, Array[Double])] = e.filter(col("vec_id") < 8)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-      .sortBy(_._1)
-    val assignU = udf((v0: Seq[Float]) => {
-      val v = v0.toArray // O(1) indexing for the k×dims distance loops
-      var bestId = -1L
-      var bestD = Double.MaxValue
-      cents.foreach { case (cid, c) =>
-        var d = 0.0
-        var i = 0
-        while (i < c.length) {
-          val diff = v(i).toDouble - c(i)
-          d += diff * diff
-          i += 1
-        }
-        d = round6(d)
-        if (d < bestD) { bestD = d; bestId = cid } // ties keep the lower cid
-      }
-      (bestId, bestD)
-    })
-    e.select(col("vec_id"), assignU(col("embedding")).as("a"))
+    val cents = lowestIdSeeds(e, 8)
+    e.select(col("vec_id"), nearestSeedU(cents)(col("embedding")).as("a"))
       .select(col("vec_id"), col("a._1").as("cluster"), col("a._2").as("dist2"))
   }
 
@@ -493,7 +524,7 @@ object Similarity {
     * of the two pipelines.
     */
   def q76CrossmodalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val text = Dedup.queries("q58_dedup_clusters")(spark, dir)
+    val text = Dedup.q58DedupClusters(spark, dir) // compile-checked, not map-keyed
       .select(col("doc_id"), col("cluster_id"))
     val vec = q67EmbeddingDedupPipeline(spark, dir)
       .select(col("vec_id"), col("canonical_id"))
