@@ -248,15 +248,19 @@ object Bench {
       val good = ts.filter(_ >= 0)
       name -> (if (good.isEmpty) -1.0 else median(good))
     }
-    val qs = meds.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    // d3: locale-stable decimals — the f-interpolator formats with the JVM
+    // default locale, and a comma-decimal locale would corrupt the JSON
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = meds.map { case (k, v) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
     val spread = timings.map { case (name, ts) =>
       val good = ts.filter(_ >= 0)
       if (good.isEmpty) "\"" + name + "\":{\"min\":-1,\"med\":-1,\"max\":-1}"
-      else "\"" + name +
-        f"""":{"min":${good.min}%.3f,"med":${median(good)}%.3f,"max":${good.max}%.3f}"""
+      else "\"" + name + "\":{\"min\":" + d3(good.min) +
+        ",\"med\":" + d3(median(good)) + ",\"max\":" + d3(good.max) + "}"
     }.mkString("{", ",", "}")
-    val recallJson = recall.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val recallJson = recall.map { case (k, v) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
     val calib1 = spinSecs(1, 400000000L)
     val calib32 = spinSecs(32, 400000000L)
@@ -292,7 +296,7 @@ object Bench {
       "\"" + esc(k) + "\":" + evs.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","repeat":$repeat,"spread":$spread,"telemetry":$tele,"recall":$recallJson,"calib":{"spin1":$calib1%.3f,"spin32":$calib32%.3f},"notes":"${esc(notes)}"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","repeat":$repeat,"spread":$spread,"telemetry":$tele,"recall":$recallJson,"calib":{"spin1":${d3(calib1)},"spin32":${d3(calib32)}},"notes":"${esc(notes)}"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
@@ -302,7 +306,7 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     System.err.println(s"[bench-full] $fullJson")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","repeat":$repeat}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","repeat":$repeat}""")
     spark.stop()
   }
 }

@@ -183,8 +183,13 @@ object Main {
     val queries = qDf
       .withColumn("params", map_from_arrays(
         array(cols.map(lit): _*), array(cols.map(col): _*)))
+      // CONTENT-derived id, not monotonically_increasing_id: the resume
+      // anti-join matches query_id across runs, and monotonic ids shift
+      // with partitioning (core count, session) — a rerun on a different
+      // layout would silently re-run every completed query. Identical
+      // query lines collapse to one id, which is the same query anyway.
       .withColumn("query_id",
-        concat(lit("q"), monotonically_increasing_id()))
+        concat(lit("q"), md5(to_json(col("params")))))
       .select(col("query_id"), col("params"))
 
     val runDir = Paths.get(settings.results, runName)

@@ -641,13 +641,32 @@ object Dedup {
     * stored band keys (candidate join) and signatures (verify) — the true
     * nightly shape, where corpus work is zero.
     */
-  def incrementalDedupAgainstIndex(deltaDocs: DataFrame, indexPath: String): DataFrame = {
-    val spark = deltaDocs.sparkSession
+  /** A resolved band index — dials + corpus frames loaded ONCE (the index
+    * is immutable for the life of a serving query); streaming callers
+    * hoist this outside `foreachBatch` instead of re-reading the meta and
+    * parquet footers every micro-batch.
+    */
+  final case class LoadedBandIndex private[operators] (
+      k: Int, bands: Int, corpusSigs: DataFrame, corpusBands: DataFrame)
+
+  def loadBandIndex(spark: SparkSession, indexPath: String): LoadedBandIndex = {
     val (k, bands) = readIndexDials(spark, indexPath)
-    val corpusSigs = spark.read.parquet(s"$indexPath/sigs")
-      .select(col("doc_id").as("b_id"), col("sig").as("sig_b"))
-    val corpusBands = spark.read.parquet(s"$indexPath/bands")
-      .withColumnRenamed("doc_id", "b_id")
+    LoadedBandIndex(k, bands,
+      spark.read.parquet(s"$indexPath/sigs")
+        .select(col("doc_id").as("b_id"), col("sig").as("sig_b")),
+      spark.read.parquet(s"$indexPath/bands")
+        .withColumnRenamed("doc_id", "b_id"))
+  }
+
+  def incrementalDedupAgainstIndex(deltaDocs: DataFrame, indexPath: String): DataFrame =
+    incrementalDedupAgainstLoaded(deltaDocs,
+      loadBandIndex(deltaDocs.sparkSession, indexPath))
+
+  def incrementalDedupAgainstLoaded(deltaDocs: DataFrame,
+                                    idx: LoadedBandIndex): DataFrame = {
+    val (k, bands) = (idx.k, idx.bands)
+    val corpusSigs = idx.corpusSigs
+    val corpusBands = idx.corpusBands
     val dSig = graft.CacheScope.cache(minhashSigs(shingleArraysOf(deltaDocs), k))
     val cand = bandKeys(dSig, k, bands).withColumnRenamed("doc_id", "a_id")
       .join(corpusBands, Seq("band", "bk"))

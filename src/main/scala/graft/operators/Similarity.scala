@@ -209,16 +209,33 @@ object Similarity {
     * stored vectors+norms (re-rank) — corpus work per probe batch is
     * zero, the true serving shape.
     */
-  def annAgainstIndex(probes: DataFrame, indexPath: String, k: Int = 3): DataFrame = {
-    val spark = probes.sparkSession
+  /** A resolved ANN index — dials read from meta, corpus frames resolved
+    * ONCE. The index is immutable for the life of a serving query, so
+    * streaming callers hoist this outside `foreachBatch` instead of
+    * re-reading meta.properties and parquet footers every micro-batch.
+    */
+  final case class LoadedAnnIndex private[operators] (
+      bands: Int, bits: Int, corpusBands: DataFrame, corpusVecs: DataFrame)
+
+  def loadAnnIndex(spark: SparkSession, indexPath: String): LoadedAnnIndex = {
     // sign probes at the dials the index RECORDS, never a caller guess
     val meta = IndexMeta.read(spark, indexPath, "writeAnnIndex")
-    val (idxBands, idxBits) =
-      (meta.getProperty("bands").toInt, meta.getProperty("bits").toInt)
-    val corpusBands = spark.read.parquet(s"$indexPath/bands")
-      .select(col("vec_id").as("c_id"), col("band"), col("sig"))
-    val corpusVecs = spark.read.parquet(s"$indexPath/vectors")
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nn").as("nc"))
+    LoadedAnnIndex(
+      meta.getProperty("bands").toInt, meta.getProperty("bits").toInt,
+      spark.read.parquet(s"$indexPath/bands")
+        .select(col("vec_id").as("c_id"), col("band"), col("sig")),
+      spark.read.parquet(s"$indexPath/vectors")
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nn").as("nc")))
+  }
+
+  def annAgainstIndex(probes: DataFrame, indexPath: String, k: Int = 3): DataFrame =
+    annSearch(probes, loadAnnIndex(probes.sparkSession, indexPath), k)
+
+  def annSearch(probes: DataFrame, idx: LoadedAnnIndex, k: Int = 3): DataFrame = {
+    val spark = probes.sparkSession
+    val (idxBands, idxBits) = (idx.bands, idx.bits)
+    val corpusBands = idx.corpusBands
+    val corpusVecs = idx.corpusVecs
     val p = graft.CacheScope.cache(withNorm(probes))
     val cand = bandedSigs(p, idxBands, idxBits)
       .select(col("vec_id").as("p_id"), col("band"), col("sig"))

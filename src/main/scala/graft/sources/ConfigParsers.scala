@@ -94,9 +94,15 @@ object ConfigParsers {
       .asScala.toSeq.filter(_.trim.nonEmpty)
     require(lines.nonEmpty && lines.head.startsWith("#"),
       s"query file $path must start with a #-header")
-    val header = lines.head.drop(1).split(";", -1).map(_.trim)
+    // delimiter auto-detect from the header: prepare-query can write with a
+    // custom -d, and splitting a ','-delimited file on ';' would silently
+    // yield a single garbage column that passes the length check
+    val headerLine = lines.head.drop(1)
+    val delim = Seq(";", ",", "\t").find(headerLine.contains).getOrElse(";")
+    val splitRe = java.util.regex.Pattern.quote(delim)
+    val header = headerLine.split(splitRe, -1).map(_.trim)
     val rows = lines.tail.map { l =>
-      val vals = l.split(";", -1).map(_.trim)
+      val vals = l.split(splitRe, -1).map(_.trim)
       require(vals.length == header.length,
         s"Number of header params and values have to be the same. Got $l")
       org.apache.spark.sql.Row(vals: _*)

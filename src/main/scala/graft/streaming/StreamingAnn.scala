@@ -29,7 +29,10 @@ object StreamingAnn {
   def runAgainstIndex(spark: SparkSession, probeDir: String,
                       probeSchema: org.apache.spark.sql.types.StructType,
                       indexPath: String, outPath: String,
-                      checkpoint: String): StreamingQuery =
+                      checkpoint: String): StreamingQuery = {
+    // the index is immutable for the life of the query: resolve its dials
+    // and corpus frames ONCE, not per micro-batch
+    val idx = graft.operators.Similarity.loadAnnIndex(spark, indexPath)
     spark.readStream
       .schema(probeSchema)
       .parquet(probeDir)
@@ -38,10 +41,11 @@ object StreamingAnn {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.CacheScope.run {
-          graft.operators.Similarity.annAgainstIndex(batch, indexPath)
+          graft.operators.Similarity.annSearch(batch, idx)
             .write.mode("overwrite").parquet(s"$outPath/batch_$batchId")
         }
         ()
       }
       .start()
+  }
 }

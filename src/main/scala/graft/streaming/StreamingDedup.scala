@@ -30,7 +30,10 @@ object StreamingDedup {
       .schema(docSchema)
       .parquet(docDir)
     docs
-      .withColumn("content_hash", md5(col("text")))
+      // null text keys as empty content (runNearDup's documented
+      // convention) — md5(null) would group all null-text docs under the
+      // state store's invisible null key and silently drop the later ones
+      .withColumn("content_hash", md5(coalesce(col("text"), lit(""))))
       .withColumn("ingest_ts", current_timestamp())
       .withWatermark("ingest_ts", retention)
       .dropDuplicatesWithinWatermark("content_hash")
@@ -64,7 +67,11 @@ object StreamingDedup {
   def runAgainstIndex(spark: SparkSession, docDir: String,
                       docSchema: org.apache.spark.sql.types.StructType,
                       indexPath: String, outPath: String,
-                      checkpoint: String): StreamingQuery =
+                      checkpoint: String): StreamingQuery = {
+    // the index is immutable for the life of the query: resolve its dials
+    // and corpus frames ONCE, not per micro-batch (meta + parquet footer
+    // reads would otherwise dominate small batches)
+    val idx = graft.operators.Dedup.loadBandIndex(spark, indexPath)
     spark.readStream
       .schema(docSchema)
       .parquet(docDir)
@@ -77,12 +84,13 @@ object StreamingDedup {
         // replayed batch replaces rather than duplicates its verdicts.
         // Readers load the sink with recursiveFileLookup=true.
         graft.CacheScope.run {
-          graft.operators.Dedup.incrementalDedupAgainstIndex(batch, indexPath)
+          graft.operators.Dedup.incrementalDedupAgainstLoaded(batch, idx)
             .write.mode("overwrite").parquet(s"$outPath/batch_$batchId")
         }
         ()
       }
       .start()
+  }
 
   /** Streaming NEAR-dup suppression: state keys on the full 16-slot
     * minhash signature (word-3-gram shingles, the batch q46 hash family),

@@ -30,17 +30,22 @@ object StreamingSearch {
     stars.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val preds = model.getAllPredictions(batch).cache()
           try {
+            // sink idempotence like every sibling streaming sink:
+            // foreachBatch is at-least-once on failure retry, so each batch
+            // OVERWRITES its own deterministic batch_<id> directory — a
+            // replay replaces rather than duplicates matches/status rows.
+            // Readers load with recursiveFileLookup=true.
             preds.filter(col("passed"))
               .select("starId", "starClass")
-              .write.mode("append").parquet(matchedPath)
+              .write.mode("overwrite").parquet(s"$matchedPath/batch_$batchId")
             val statusCols = Seq(col("starId")) ++
               model.models.map(m => col(s"prob_${m.name}")) :+ col("passed")
             preds.select(statusCols: _*)
-              .write.mode("append").parquet(statusPath)
+              .write.mode("overwrite").parquet(s"$statusPath/batch_$batchId")
           } finally preds.unpersist()
         }
         ()

@@ -41,15 +41,22 @@ object StreamingStarBuilder {
           val merged = (prev.t.zip(prev.v) ++ incoming).sortBy(_._1)
           var t = merged.map(_._1)
           var v = merged.map(_._2)
-          // bounded state: decimate to maxPoints/2 once the cap is hit
+          // bounded state: decimate to maxPoints/2 once the cap is hit.
+          // Floor the bin count at 2: ekviPaa reads values in (0, 1] as a
+          // FRACTION of the curve length (maxPoints=2 would mean bins=1.0
+          // = "keep 100%", silently voiding the state bound).
           if (t.length > maxPoints) {
-            val (tr, vr) = Kernels.ekviPaa(t, v, Some(maxPoints / 2.0))
+            val (tr, vr) = Kernels.ekviPaa(t, v, Some(math.max(2.0, maxPoints / 2.0)))
             t = tr; v = vr
           }
           val buf = PointBuffer(t, v, prev.total + incoming.length)
           state.update(buf)
+          // abbe's n is the ORIGINAL accumulated count, matching the batch
+          // path (curveAbbe passes the full curve length, not the reduced
+          // buffer's) — decimated keys must not drift from batch scores
+          val abbeN = math.min(buf.total, Int.MaxValue.toLong).toInt
           StarUpdate(user, buf.total, t.min, t.max, v.sum / v.length,
-            if (t.length >= 3) Kernels.abbe(v, v.length) else Double.NaN)
+            if (t.length >= 3) Kernels.abbe(v, abbeN) else Double.NaN)
         })
   }
 
@@ -62,8 +69,10 @@ object StreamingStarBuilder {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[StarUpdate], _: Long) =>
-        batch.write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: Dataset[StarUpdate], batchId: Long) =>
+        // at-least-once replay overwrites its own batch_<id> dir instead of
+        // appending duplicate update rows (readers: recursiveFileLookup)
+        batch.write.mode("overwrite").parquet(s"$outPath/batch_$batchId")
         ()
       }
       .start()

@@ -37,7 +37,7 @@ class StreamingSpec extends SparkSpec {
     val q1 = StreamingSearch.run(spark, model, starDir,
       s"$tmp/matched", s"$tmp/status", s"$tmp/ckpt")
     q1.awaitTermination()
-    val statusAfter1 = spark.read.parquet(s"$tmp/status").count()
+    val statusAfter1 = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/status").count()
     assert(statusAfter1 == 10, s"first batch status rows: $statusAfter1")
 
     // new files arrive; restart with same checkpoint → only new files scored
@@ -45,10 +45,10 @@ class StreamingSpec extends SparkSpec {
     val q2 = StreamingSearch.run(spark, model, starDir,
       s"$tmp/matched", s"$tmp/status", s"$tmp/ckpt")
     q2.awaitTermination()
-    val statusAfter2 = spark.read.parquet(s"$tmp/status").count()
+    val statusAfter2 = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/status").count()
     assert(statusAfter2 == 20, s"resume processed only the new files: $statusAfter2")
 
-    val matched = spark.read.parquet(s"$tmp/matched")
+    val matched = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/matched")
     assert(matched.count() >= 8, "most searched-family stars pass")
   }
 
@@ -206,7 +206,7 @@ class StreamingSpec extends SparkSpec {
     def stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
     val q1 = StreamingStarBuilder.run(stream, s"$tmp/out", s"$tmp/ckpt", maxPoints = 50)
     q1.awaitTermination()
-    val after1 = spark.read.parquet(s"$tmp/out")
+    val after1 = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
       .groupBy("user_id").agg(max("n_points").as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(after1 == Map(1L -> 40L, 2L -> 40L, 3L -> 40L))
@@ -216,7 +216,7 @@ class StreamingSpec extends SparkSpec {
     batch(40, 40).write.mode("append").parquet(s"$tmp/in")
     val q2 = StreamingStarBuilder.run(stream, s"$tmp/out", s"$tmp/ckpt", maxPoints = 50)
     q2.awaitTermination()
-    val after2 = spark.read.parquet(s"$tmp/out")
+    val after2 = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
       .orderBy(col("n_points").desc).collect()
       .groupBy(_.getAs[Long]("user_id")).map { case (u, rs) => u -> rs.head }
     assert(after2(1L).getAs[Long]("n_points") == 80L, "state carries totals across restart")
