@@ -37,15 +37,28 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
 
-  /** Cheap content fingerprint of one table's parquet file (length +
-    * mtime, hex-hashed) — used to key build-once derived artifacts (the
-    * q81/q82 materialized indexes) so a REGENERATED fixture invalidates
-    * the cached index instead of silently serving results computed from
-    * the old corpus. Pure java.io; no Spark job.
+  /** Cheap content fingerprint of one table's parquet path — used to key
+    * build-once derived artifacts (the q81/q82/q83 materialized indexes) so
+    * a REGENERATED fixture invalidates the cached index instead of silently
+    * serving results computed from the old corpus. Goes through the path's
+    * Hadoop FileSystem (java.io.File length/mtime is meaningless for
+    * directory-style parquet outputs and non-local hdfs://, s3a:// dirs)
+    * and folds every data file's (path, length, mtime) in sorted order.
+    * Metadata-only; no Spark job.
     */
   def tableFingerprint(sfDir: String, name: String): String = {
-    val f = new java.io.File(s"$sfDir/$name.parquet")
-    java.lang.Long.toHexString(
-      java.util.Objects.hash(f.length(), f.lastModified()).toLong & 0xffffffffL)
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = path.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val s = it.next()
+      files += ((s.getPath.toUri.getPath, s.getLen, s.getModificationTime))
+    }
+    val h = files.sortBy(_._1).foldLeft(1125899906842597L) { case (acc, (p, len, mt)) =>
+      ((acc * 31 + p.hashCode) * 31 + len) * 31 + mt
+    }
+    java.lang.Long.toHexString(h)
   }
 }

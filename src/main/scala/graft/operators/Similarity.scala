@@ -142,8 +142,18 @@ object Similarity {
     * lands only on the (small) probe set — the corpus side stays one
     * signature per band regardless of corpus size.
     */
-  private def probeMasksFor(bits: Int): Seq[Long] =
-    (0 until (1 << bits)).filter(m => Integer.bitCount(m) <= 2).map(_.toLong)
+  private def probeMasksFor(bits: Int): Seq[Long] = {
+    // combinatorial, not enumerate-and-filter: 2^bits wraps (Int shift is
+    // mod 32) or explodes driver memory for the wide dials LshBandSigsExpr
+    // permits (1..62 bits); 1 + bits + C(bits,2) masks is O(bits²) always
+    require(bits >= 1 && bits <= 62, s"probe mask bits out of range: $bits")
+    val singles = (0 until bits).map(i => 1L << i)
+    val pairs = for {
+      i <- 0 until bits
+      j <- (i + 1) until bits
+    } yield (1L << i) | (1L << j)
+    0L +: (singles ++ pairs)
+  }
 
   private val probeMasks: Seq[Long] = probeMasksFor(LSH_BITS)
 

@@ -66,4 +66,25 @@ class RegistrySpec extends AnyFunSuite {
     // threshold still threads everywhere
     assert(Registry.decider("QDADec", p("threshold" -> VFloat(0.7))).threshold == 0.7)
   }
+
+  test("reference spellings and defaults: maxEpochs camelCase, n_clusters=3") {
+    // neuron_decider.py:59 spells it maxEpochs — the reference-spelled
+    // tuning header must reach the instance, not fall back to the default
+    assert(Registry.decider("NeuronDecider", p("maxEpochs" -> VInt(77)))
+      .asInstanceOf[NeuronDecider].maxIter == 77)
+    // k_means_decider.py:13 defaults n_clusters=3
+    assert(Registry.decider("KMeansDecider", p())
+      .asInstanceOf[KMeansDecider].k == 3)
+  }
+
+  test("unknown tuning keys raise instead of silently fanning out defaults") {
+    val e = intercept[IllegalArgumentException] {
+      Registry.decider("NeuronDecider", p("max_epoches" -> VInt(40)))
+    }
+    assert(e.getMessage.contains("max_epoches"))
+    val e2 = intercept[IllegalArgumentException] {
+      Registry.descriptor("SkewnessDescr", p("bin" -> VInt(5)))
+    }
+    assert(e2.getMessage.contains("bin"))
+  }
 }
