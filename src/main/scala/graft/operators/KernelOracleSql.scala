@@ -350,25 +350,209 @@ object KernelOracleSql {
       |  round(list_sum(list(dd ORDER BY 'user_' || t_id)) / count(*), 6) AS hist_dissim
       |FROM mind GROUP BY user_id""".stripMargin
 
+  /** Skewness/kurtosis from raw central moments, appended after
+    * [[kernelCtes]]. Shared by q50 and the q51/q52 discriminant chain.
+    */
+  val skkCte: String =
+    """skk AS (
+      |  SELECT user_id,
+      |    CASE WHEN m2 = 0 THEN 0.0 ELSE m3 / pow(m2, 1.5) END AS skewness,
+      |    CASE WHEN m2 = 0 THEN -3.0 ELSE m4 / pow(m2, 2.0) - 3.0 END AS kurtosis
+      |  FROM (
+      |    SELECT p.user_id,
+      |      list_sum(list(pow(p.v - m.mv, 2) ORDER BY p.pos)) / count(*) AS m2,
+      |      list_sum(list(pow(p.v - m.mv, 3) ORDER BY p.pos)) / count(*) AS m3,
+      |      list_sum(list(pow(p.v - m.mv, 4) ORDER BY p.pos)) / count(*) AS m4
+      |    FROM pts p
+      |    JOIN (SELECT user_id, list_sum(list(v ORDER BY pos)) / count(*) AS mv
+      |          FROM pts GROUP BY 1) m
+      |      USING (user_id)
+      |    GROUP BY 1))""".stripMargin
+
   val q50Sql: String =
     s"""WITH RECURSIVE $kernelCtes,
-       |skk AS (
-       |  SELECT user_id,
-       |    CASE WHEN m2 = 0 THEN 0.0 ELSE m3 / pow(m2, 1.5) END AS skewness,
-       |    CASE WHEN m2 = 0 THEN -3.0 ELSE m4 / pow(m2, 2.0) - 3.0 END AS kurtosis
-       |  FROM (
-       |    SELECT p.user_id,
-       |      list_sum(list(pow(p.v - m.mv, 2) ORDER BY p.pos)) / count(*) AS m2,
-       |      list_sum(list(pow(p.v - m.mv, 3) ORDER BY p.pos)) / count(*) AS m3,
-       |      list_sum(list(pow(p.v - m.mv, 4) ORDER BY p.pos)) / count(*) AS m4
-       |    FROM pts p
-       |    JOIN (SELECT user_id, list_sum(list(v ORDER BY pos)) / count(*) AS mv
-       |          FROM pts GROUP BY 1) m
-       |      USING (user_id)
-       |    GROUP BY 1))
+       |$skkCte
        |SELECT 'user_' || u.user_id AS starId, round(e.abbe, 6) AS abbe_value,
        |  round(k.skewness, 6) AS skewness, round(k.kurtosis, 6) AS kurtosis,
        |  round(d.density, 6) AS curve_density, round(v.vario_slope, 6) AS variogram_slope
        |FROM u JOIN eabbe e USING (user_id) JOIN skk k USING (user_id)
        |JOIN vslope v USING (user_id) JOIN dens d USING (user_id)""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q51/q52: the LDA/QDA Gaussian discriminants (`supervised_deciders.py:12-49`
+  // via `ml/Deciders.scala` GaussianFit/LDADec/QDADec) unrolled into SQL over
+  // the q50 feature matrix. Both deciders are closed-form deterministic —
+  // per-class moment sums → covariance (+1e-6 ridge) → log-likelihood — so
+  // the whole train-and-score pipeline is SQL-expressible the same way q53
+  // unrolled histogram→SAX→MINDIST. The 5×5 inverse never materializes:
+  // each quadratic form (x−μ)ᵀΣ⁻¹(x−μ) is an unrolled Cholesky factorization
+  // (15 lateral-alias entries) followed by forward substitution, and
+  // log|Σ| = 2·Σ ln L_ii. Feature order f1..f5 matches the VectorAssembler
+  // column order (abbe, skewness, kurtosis, curve_density, variogram_slope);
+  // moment sums are ordered list_sum(... ORDER BY user_id) so the oracle is
+  // deterministic under DuckDB's parallel aggregation.
+  // -------------------------------------------------------------------------
+
+  private val dims = 1 to 5
+  private val upper: Seq[(Int, Int)] = for { i <- dims; j <- i to 5 } yield (i, j)
+
+  /** n, Σf_i, Σf_i·f_j per class — GaussianFit.momentsBoth's sums. */
+  private def momSums(pfx: String): String = {
+    val n = s"count(*) AS ${pfx}n"
+    val s1 = dims.map(i => s"list_sum(list(f$i ORDER BY user_id)) AS ${pfx}s$i")
+    val s2 = upper.map { case (i, j) =>
+      s"list_sum(list(f$i*f$j ORDER BY user_id)) AS ${pfx}s$i$j"
+    }
+    (n +: (s1 ++ s2)).mkString(",\n    ")
+  }
+
+  /** Cholesky L of the symmetric matrix `a(i,j)` (i ≤ j), emitted as
+    * lateral-alias columns `l`+ij — the standard recurrence, 15 entries.
+    */
+  private def cholLines(a: (Int, Int) => String, l: String): Seq[String] =
+    dims.flatMap { j =>
+      val diagTail = (1 until j).map(k => s" - $l$j$k*$l$j$k").mkString
+      val diag = s"sqrt(${a(j, j)}$diagTail) AS $l$j$j"
+      val below = ((j + 1) to 5).map { i =>
+        val tail = (1 until j).map(k => s" - $l$i$k*$l$j$k").mkString
+        // symmetric: entry (i,j) with i>j lives in the upper triangle as (j,i)
+        s"(${a(j, i)}$tail) / $l$j$j AS $l$i$j"
+      }
+      diag +: below
+    }
+
+  /** Forward substitution L·z = (f − μ) plus the quadratic form Σz_i². */
+  private def solveLines(l: String, mean: Int => String,
+                         z: String, quad: String): Seq[String] = {
+    val zs = dims.map { i =>
+      val tail = (1 until i).map(k => s" - $l$i$k*$z$k").mkString
+      s"((f$i - ${mean(i)})$tail) / $l$i$i AS $z$i"
+    }
+    zs :+ (dims.map(i => s"$z$i*$z$i").mkString(" + ") + s" AS $quad")
+  }
+
+  private def logDet(l: String): String =
+    dims.map(i => s"ln($l$i$i)").mkString(" + ")
+
+  /** QDA per-class covariance entry: sxx/n − μμᵀ (+ridge), exactly
+    * GaussianFit.gaussian's formula.
+    */
+  private def qdaCov(c: Int)(i: Int, j: Int): String = {
+    val ridge = if (i == j) " + 1e-6" else ""
+    s"(m${c}s$i$j/m${c}n - mm${c}_$i*mm${c}_$j$ridge)"
+  }
+
+  /** LDA pooled covariance entry: ((sxx0 − μ0μ0ᵀ·n0) + (sxx1 − μ1μ1ᵀ·n1))
+    * / total (+ridge), exactly LDADec.learn's formula.
+    */
+  private def ldaCov(i: Int, j: Int): String = {
+    val ridge = if (i == j) " + 1e-6" else ""
+    s"((m0s$i$j - mm0_$i*mm0_$j*m0n + m1s$i$j - mm1_$i*mm1_$j*m1n)/(m0n+m1n)$ridge)"
+  }
+
+  /** Banker's rounding to 3 decimals (math.rint parity): the `= 0.5` tie
+    * arm reproduces ties-to-even, same pattern as computeBins' `vb` CTE.
+    */
+  private def rint3(x: String): String =
+    s"(CASE WHEN ($x)*1000 - floor(($x)*1000) = 0.5 " +
+      s"THEN 2.0*round(($x)*1000/2.0) ELSE round(($x)*1000) END)/1000"
+
+  /** WITH-prefix shared by q51 and q52: features → per-class moments →
+    * model (means, three Cholesky factors) → per-star scores `sc`
+    * (p_lda, p_qda, lbl).
+    */
+  private val discriminantCtes: String = {
+    val means = (for { c <- Seq(0, 1); i <- dims }
+      yield s"m${c}s$i/m${c}n AS mm${c}_$i").mkString(",\n    ")
+    val chol = (cholLines(qdaCov(0), "q0l") ++ cholLines(qdaCov(1), "q1l") ++
+      cholLines(ldaCov, "pl")).mkString(",\n    ")
+    val score = (solveLines("pl", i => s"mm0_$i", "zl0_", "quad_l0") ++
+      solveLines("pl", i => s"mm1_$i", "zl1_", "quad_l1") ++
+      solveLines("q0l", i => s"mm0_$i", "zq0_", "quad_q0") ++
+      solveLines("q1l", i => s"mm1_$i", "zq1_", "quad_q1")).mkString(",\n    ")
+    s"""WITH RECURSIVE $kernelCtes,
+       |$skkCte,
+       |fv AS (
+       |  SELECT u.user_id,
+       |    CASE WHEN u.user_id % 2 = 0 THEN 1 ELSE 0 END AS lbl,
+       |    e.abbe AS f1, k.skewness AS f2, k.kurtosis AS f3,
+       |    d.density AS f4, v.vario_slope AS f5
+       |  FROM u JOIN eabbe e USING (user_id) JOIN skk k USING (user_id)
+       |  JOIN vslope v USING (user_id) JOIN dens d USING (user_id)
+       |  WHERE e.abbe IS NOT NULL AND NOT isnan(e.abbe)
+       |    AND k.skewness IS NOT NULL AND NOT isnan(k.skewness)
+       |    AND k.kurtosis IS NOT NULL AND NOT isnan(k.kurtosis)
+       |    AND d.density IS NOT NULL AND NOT isnan(d.density)
+       |    AND v.vario_slope IS NOT NULL AND NOT isnan(v.vario_slope)),
+       |m0 AS (SELECT ${momSums("m0")} FROM fv WHERE lbl = 0),
+       |m1 AS (SELECT ${momSums("m1")} FROM fv WHERE lbl = 1),
+       |mdl0 AS (SELECT *,
+       |    $means
+       |  FROM m0, m1),
+       |mdl AS (SELECT *,
+       |    $chol
+       |  FROM mdl0),
+       |sc AS (
+       |  SELECT fv.user_id, fv.lbl,
+       |    $score,
+       |    ln(m0n/CAST(m0n+m1n AS DOUBLE)) - 0.5*(2*(${logDet("pl")})) - 0.5*quad_l0 AS ll_l0,
+       |    ln(m1n/CAST(m0n+m1n AS DOUBLE)) - 0.5*(2*(${logDet("pl")})) - 0.5*quad_l1 AS ll_l1,
+       |    ln(m0n/CAST(m0n+m1n AS DOUBLE)) - 0.5*(2*(${logDet("q0l")})) - 0.5*quad_q0 AS ll_q0,
+       |    ln(m1n/CAST(m0n+m1n AS DOUBLE)) - 0.5*(2*(${logDet("q1l")})) - 0.5*quad_q1 AS ll_q1,
+       |    exp(ll_l1 - greatest(ll_l0, ll_l1)) /
+       |      (exp(ll_l0 - greatest(ll_l0, ll_l1)) + exp(ll_l1 - greatest(ll_l0, ll_l1))) AS p_lda,
+       |    exp(ll_q1 - greatest(ll_q0, ll_q1)) /
+       |      (exp(ll_q0 - greatest(ll_q0, ll_q1)) + exp(ll_q1 - greatest(ll_q0, ll_q1))) AS p_qda
+       |  FROM fv, mdl)""".stripMargin
+  }
+
+  /** q51 (`getAllPredictions` over LDA/QDA): per-star probabilities (4 dp)
+    * and threshold flags at 0.5 — thresholds apply to the RAW probability,
+    * as predictOnCoords does.
+    */
+  val q51Sql: String =
+    s"""$discriminantCtes
+       |SELECT 'user_' || user_id AS starId,
+       |  round(p_lda, 4) AS prob_lda, round(p_qda, 4) AS prob_qda,
+       |  p_lda >= 0.5 AS passed_LDADec, p_qda >= 0.5 AS passed_QDADec,
+       |  (p_lda >= 0.5 AND p_qda >= 0.5) AS passed
+       |FROM sc""".stripMargin
+
+  /** q52 (`getStatistic`): confusion metrics per decider + the mean row,
+    * mirroring getStatisticOnCoords — tp counts ≥-threshold on searched,
+    * tn counts <-threshold on others; precision/tpr/tnr/fpr/fnr
+    * banker's-rounded to 3 dp BEFORE the mean row averages them;
+    * accuracy/f1 unrounded.
+    */
+  val q52Sql: String =
+    s"""$discriminantCtes,
+       |agg AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN lbl = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS ns,
+       |    CAST(sum(CASE WHEN lbl = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS no_,
+       |    CAST(sum(CASE WHEN lbl = 1 AND p_lda >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) AS tp_lda,
+       |    CAST(sum(CASE WHEN lbl = 0 AND p_lda < 0.5 THEN 1 ELSE 0 END) AS DOUBLE) AS tn_lda,
+       |    CAST(sum(CASE WHEN lbl = 1 AND p_qda >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) AS tp_qda,
+       |    CAST(sum(CASE WHEN lbl = 0 AND p_qda < 0.5 THEN 1 ELSE 0 END) AS DOUBLE) AS tn_qda
+       |  FROM sc),
+       |cm AS (
+       |  SELECT 'LDADec' AS decider, tp_lda AS tp, tn_lda AS tn, ns, no_ FROM agg
+       |  UNION ALL
+       |  SELECT 'QDADec', tp_qda, tn_qda, ns, no_ FROM agg),
+       |per AS (
+       |  SELECT decider,
+       |    ${rint3("CASE WHEN tp + (no_ - tn) > 0 THEN tp / (tp + (no_ - tn)) ELSE 0.0 END")} AS "precision",
+       |    (tp + tn) / (ns + no_) AS accuracy,
+       |    2 * tp / (2 * tp + (no_ - tn) + (ns - tp)) AS f1_score,
+       |    ${rint3("tp / ns")} AS true_positive_rate,
+       |    ${rint3("tn / no_")} AS true_negative_rate,
+       |    ${rint3("(1 - tn / no_)")} AS false_positive_rate,
+       |    ${rint3("(1 - tp / ns)")} AS false_negative_rate
+       |  FROM cm)
+       |SELECT * FROM per
+       |UNION ALL
+       |SELECT 'mean', avg("precision"), avg(accuracy), avg(f1_score),
+       |  avg(true_positive_rate), avg(true_negative_rate),
+       |  avg(false_positive_rate), avg(false_negative_rate)
+       |FROM per""".stripMargin
 }

@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
 /** Star-pipeline operators surfaced as driver queries: the events table is
   * deterministically reshaped into stars (user → star, ts/value → curve) so
   * the descriptor/decider/filter/searcher stack runs against driver data at
-  * any scale factor. Rows-only checks (model internals aren't
-  * SQL-expressible); exact kernel parity is pinned by the golden specs and
-  * decider behavior by the ML specs.
+  * any scale factor. q50–q53 are hard-oracled ([[KernelOracleSql]] —
+  * including the q51/q52 LDA/QDA train-and-score pipeline, which is
+  * closed-form deterministic); only q71's PCA mesh stays rows-only
+  * (eigenbasis sign/ordering is convention-dependent), pinned by
+  * StarsFilterSpec. Exact kernel parity is additionally pinned by the
+  * golden specs and decider behavior by the ML specs.
   */
 object StarQueries {
 
@@ -127,12 +130,16 @@ object StarQueries {
     "q53_star_comparative" -> q53StarComparative,
     "q71_star_probspace" -> q71StarProbspace)
 
-  /** q50's descriptor fan-out and q53's comparative SAX dissimilarity are
-    * deterministic kernels → hard oracles ([[KernelOracleSql]]); the rest
-    * (trained-model internals: q51/q52 decider fits, q71 PCA mesh) stay
-    * rows-only, pinned by the ML specs.
+  /** q50's descriptor fan-out, q53's comparative SAX dissimilarity AND the
+    * q51/q52 LDA/QDA train-and-score pipeline are deterministic kernels →
+    * hard oracles ([[KernelOracleSql]]; the discriminants unroll to a 5×5
+    * Cholesky over per-class moment sums). Only q71 (PCA eigenbasis —
+    * sign/ordering convention-dependent) stays rows-only, pinned by
+    * StarsFilterSpec.
     */
   val oracleSql: Map[String, String] = Map(
     "q50_star_features" -> KernelOracleSql.q50Sql,
+    "q51_star_classify" -> KernelOracleSql.q51Sql,
+    "q52_star_statistic" -> KernelOracleSql.q52Sql,
     "q53_star_comparative" -> KernelOracleSql.q53Sql)
 }
