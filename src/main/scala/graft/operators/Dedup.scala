@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def docs(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
 
   /** Exact dedup: canonical = min doc_id per content hash. */
@@ -129,7 +129,7 @@ object Dedup {
       .select(col("doc_id") +: keep.map(col) :+
         wordShingles(col("tok")).as("shingles"): _*)
 
-  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     shingleArraysOf(docs(spark, dir), Seq("lang", "source"))
 
   /** MinHash + LSH banding: 4 bands × 4 rows; candidates share a band;
@@ -146,7 +146,7 @@ object Dedup {
     * from Tungsten, no per-row Seq conversion). k = 16 is the reference
     * dial the oracles pin.
     */
-  private def minhashSigs(sh: DataFrame, k: Int = 16): DataFrame = {
+  private[operators] def minhashSigs(sh: DataFrame, k: Int = 16): DataFrame = {
     graft.functions.expressions.SignatureExprs.register(sh.sparkSession)
     sh.select(col("doc_id"), expr(s"minhash_k(shingles, $k)").as("sig"))
   }
@@ -167,7 +167,7 @@ object Dedup {
   }
 
   /** Banded candidate pairs: docs sharing any full band slice. */
-  private def bandPairs(sig: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+  private[operators] def bandPairs(sig: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val bk = bandKeys(sig, k, bands)
     bk.alias("x").join(bk.alias("y"),
       col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&

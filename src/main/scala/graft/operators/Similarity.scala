@@ -60,7 +60,7 @@ object Similarity {
     */
   val NPROBE = 4
 
-  private def emb(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def emb(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "embeddings")
 
   /** Sequential-order dot product of two float embeddings in double
@@ -74,7 +74,7 @@ object Similarity {
     expr(s"dot_product($a, $b)")
   }
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private[operators] def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nn", dotC(df.sparkSession, "embedding", "embedding"))
 
   /** Round half-AWAY-FROM-ZERO to 6 decimals via the scaled-double
@@ -106,7 +106,7 @@ object Similarity {
     * re-joins vectors for the cosine re-rank, so carrying `nn` here would
     * just bloat the cached bands table nBands-fold.
     */
-  private def bandedSigs(e: DataFrame, nBands: Int = LSH_BANDS,
+  private[operators] def bandedSigs(e: DataFrame, nBands: Int = LSH_BANDS,
                          bits: Int = LSH_BITS): DataFrame = {
     graft.functions.expressions.SignatureExprs.register(e.sparkSession)
     e.select(col("vec_id"),
