@@ -195,18 +195,26 @@ object Bench {
       name -> samples.flatMap(_.collect { case (n, s) if n == name => s })
     }
 
-    // q66 stage breakdown (untimed, after the timed pass): per-stage
-    // secs+rows telemetry so a moved q66 median is attributable to a
-    // specific stage in the SAME artifact. Skippable via NOSTAGES.
-    if (!sys.env.contains("SPARK_GRAFT_NOSTAGES")
-        && selected.exists(_._1.startsWith("q66"))) {
-      try {
-        operators.Dedup.q66StageProbe(spark, sfDir)
-        spark.catalog.clearCache()
-        val evs = Telemetry.drain()
-        if (evs.nonEmpty) telemetry("q66 stageprobe") = evs
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] q66 stage probe failed: ${e.getMessage}")
+    // Stage breakdowns (untimed, after the timed pass): per-stage
+    // secs+rows telemetry so a moved median on the probed queries is
+    // attributable to a specific stage in the SAME artifact — q66 (the
+    // composite dedup pipeline) and q45 (the heaviest standalone query,
+    // prefix-join dominated). Skippable via NOSTAGES.
+    if (!sys.env.contains("SPARK_GRAFT_NOSTAGES")) {
+      val probes: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+        "q66" -> (operators.Dedup.q66StageProbe _),
+        "q45" -> (operators.Dedup.q45StageProbe _))
+      probes.foreach { case (q, probe) =>
+        if (selected.exists(_._1.startsWith(q))) {
+          try {
+            probe(spark, sfDir)
+            spark.catalog.clearCache()
+            val evs = Telemetry.drain()
+            if (evs.nonEmpty) telemetry(s"$q stageprobe") = evs
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $q stage probe failed: ${e.getMessage}")
+          }
+        }
       }
     }
 
@@ -306,7 +314,19 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     System.err.println(s"[bench-full] $fullJson")
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","repeat":$repeat}""")
+    // Compact contract line: the ~4 KB stdout tail window prices every
+    // byte, and at ~85 full-length query keys the line would overflow it
+    // again. Keys shrink to their qNN prefix (unique by construction;
+    // guarded below — a collision falls back to full names) and sf to its
+    // basename; the full-name record lives in the file/stderr artifact.
+    val shortNames = meds.map { case (k, _) => "^(q\\d+).*".r.replaceAllIn(k, "$1") }
+    val qsCompact =
+      if (shortNames.distinct.length == shortNames.length)
+        meds.zip(shortNames).map { case ((_, v), s) => "\"" + s + "\":" + d3(v) }
+          .mkString("{", ",", "}")
+      else qs
+    val sfShort = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qsCompact,"sf":"${esc(sfShort)}","repeat":$repeat}""")
     spark.stop()
   }
 }

@@ -51,13 +51,17 @@ object Dedup {
     * generation (q46) with this join as the verify stage — that
     * composition is the 100 TB dedup pipeline (q66).
     */
-  private[operators] def ngramCandidates(sh: DataFrame): DataFrame = {
+  /** The ranked prefix table (explode → global df → rarest-first rank →
+    * probe/index prefix cut) — stage 1 of the candidate join, split out so
+    * the q45 stage probe times THE SAME definition the query runs.
+    */
+  private[operators] def ngramPrefixes(sh: DataFrame): DataFrame = {
     val ex = sh.select(col("doc_id"), col("lang"), col("source"),
       size(col("shingles")).as("n_sh"), explode(col("shingles")).as("shingle"))
     val freq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    val pref = ex.join(freq, Seq("shingle"))
+    ex.join(freq, Seq("shingle"))
       .withColumn("rk", row_number().over(w))
       // probe prefix: n − ⌈n/2⌉ + 1; index prefix: n − ⌈2n/3⌉ + 1
       .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * 0.5) + 1)
@@ -65,6 +69,10 @@ object Dedup {
         col("rk") <= col("n_sh") - expr("(2 * n_sh + 2) div 3") + 1)
       .select(col("doc_id"), col("lang"), col("source"), col("shingle"),
         col("n_sh"), col("in_index"))
+  }
+
+  /** Stage 2: the asymmetric prefix self-join over [[ngramPrefixes]]. */
+  private[operators] def ngramPrefixJoin(pref: DataFrame): DataFrame =
     // the smaller set (ties by doc_id) takes the indexed role
     pref.alias("x").join(pref.alias("y"),
       col("x.shingle") === col("y.shingle") && col("x.lang") === col("y.lang") &&
@@ -74,17 +82,15 @@ object Dedup {
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
       .distinct()
-  }
 
-  def q45NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Cache scope: `sh` backs both the candidate and verify sides of one
-    // returned plan, so it must outlive this call; the harness clears
-    // per-query caches (Bench/Verify clearCache) once the result is
-    // materialized.
-    val sh = graft.CacheScope.cache(shingleArrays(spark, dir))
-    val cand = ngramCandidates(sh)
-    // exact Jaccard verify on the in-row shingle sets, with the
-    // J≥0.5 ⇒ min/max≥0.5 size bound pruning pairs before intersection
+  private[operators] def ngramCandidates(sh: DataFrame): DataFrame =
+    ngramPrefixJoin(ngramPrefixes(sh))
+
+  /** Exact Jaccard verify on the in-row shingle sets, with the
+    * J≥0.5 ⇒ min/max≥0.5 size bound pruning pairs before intersection —
+    * shared between q45 and its stage probe so they cannot drift.
+    */
+  private[operators] def ngramVerify(cand: DataFrame, sh: DataFrame): DataFrame =
     cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), Seq("b_id"))
@@ -95,6 +101,14 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
+
+  def q45NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // Cache scope: `sh` backs both the candidate and verify sides of one
+    // returned plan, so it must outlive this call; the harness clears
+    // per-query caches (Bench/Verify clearCache) once the result is
+    // materialized.
+    val sh = graft.CacheScope.cache(shingleArrays(spark, dir))
+    ngramVerify(ngramCandidates(sh), sh)
   }
 
   /** THE word-3-gram shingle definition — one Column-level helper shared
@@ -730,6 +744,42 @@ object Dedup {
     val nodes = docs(spark, dir).select(col("doc_id").as("id"))
     stage("cc") {
       val d = connectedComponents(edges, nodes)
+      (d, d.count())
+    }
+    ()
+  }
+
+  /** Per-stage probe for q45 — the heaviest standalone query: the prefix
+    * self-join's candidate volume is its dominant cost, and this
+    * attributes a moved median to shingling, the ranked-prefix build
+    * (explode + global df + window), the prefix join, or the Jaccard
+    * verify. Same contract as [[q66StageProbe]]: stages run the EXACT
+    * definitions the query composes ([[ngramPrefixes]]/[[ngramPrefixJoin]]/
+    * [[ngramVerify]]), each materialized inside its timer, telemetry into
+    * the bench artifact, untimed relative to the headline.
+    */
+  def q45StageProbe(spark: SparkSession, dir: String): Unit = graft.CacheScope.run {
+    def stage[A](name: String)(work: => (A, Long)): A = {
+      val t0 = System.nanoTime()
+      val (out, n) = work
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.Telemetry.record(f"q45probe stage=$name secs=$secs%.3f rows=$n")
+      out
+    }
+    val sh = stage("shingle") {
+      val d = graft.CacheScope.cache(shingleArrays(spark, dir))
+      (d, d.count())
+    }
+    val pref = stage("prefix_build") {
+      val d = ngramPrefixes(sh).localCheckpoint()
+      (d, d.count())
+    }
+    val cand = stage("prefix_join") {
+      val d = ngramPrefixJoin(pref).localCheckpoint()
+      (d, d.count())
+    }
+    stage("verify") {
+      val d = ngramVerify(cand, sh)
       (d, d.count())
     }
     ()
