@@ -11,10 +11,45 @@ import org.apache.spark.sql.SparkSession
   * zeroes the candidate join silently, the exact failure the metadata
   * exists to prevent.
   */
-private[operators] object IndexMeta {
+private[graft] object IndexMeta {
 
   private def metaPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/meta.properties")
+
+  /** Identity of the index BUILD, not just its dials: sorted meta content
+    * plus the meta file's (mtime, length). Every writer rewrites
+    * meta.properties first, so ANY rebuild — even one at identical dials —
+    * changes the fingerprint. Used by the streaming serving paths to fail
+    * loudly instead of silently serving frames resolved from a replaced
+    * index.
+    */
+  def fingerprint(spark: SparkSession, path: String): String = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val props = read(spark, path, rebuildHint = "the index writer")
+    val kv = {
+      import scala.jdk.CollectionConverters._
+      props.stringPropertyNames().asScala.toSeq.sorted
+        .map(k => s"$k=${props.getProperty(k)}").mkString(";")
+    }
+    s"$kv@${st.getModificationTime}:${st.getLen}"
+  }
+
+  /** The restart-on-rebuild contract for streaming serving: a running
+    * query resolved its dials and corpus frames ONCE at start; if the
+    * index is rebuilt underneath it, the next micro-batch must fail with
+    * this error (prompting a restart that re-resolves), never keep
+    * serving a mixture of old plan and new files.
+    */
+  def requireUnchanged(spark: SparkSession, path: String, loadedFp: String): Unit = {
+    val now = fingerprint(spark, path)
+    if (now != loadedFp)
+      throw new IllegalStateException(
+        s"index at $path was rebuilt under a running streaming query " +
+          s"(loaded '$loadedFp', found '$now'); restart the query to serve " +
+          "the new index")
+  }
 
   def write(spark: SparkSession, path: String, comment: String,
             kv: (String, String)*): Unit = {

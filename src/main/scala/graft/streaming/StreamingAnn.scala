@@ -31,8 +31,12 @@ object StreamingAnn {
                       indexPath: String, outPath: String,
                       checkpoint: String): StreamingQuery = {
     // the index is immutable for the life of the query: resolve its dials
-    // and corpus frames ONCE, not per micro-batch
+    // and corpus frames ONCE, not per micro-batch. Restart-on-rebuild is
+    // the contract — each batch re-checks the meta fingerprint (one tiny
+    // FS stat + read) and fails loudly if the index was replaced, instead
+    // of silently serving frames resolved from the retired build.
     val idx = graft.operators.Similarity.loadAnnIndex(spark, indexPath)
+    val loadedFp = graft.operators.IndexMeta.fingerprint(spark, indexPath)
     spark.readStream
       .schema(probeSchema)
       .parquet(probeDir)
@@ -40,6 +44,7 @@ object StreamingAnn {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.IndexMeta.requireUnchanged(spark, indexPath, loadedFp)
         graft.CacheScope.run {
           graft.operators.Similarity.annSearch(batch, idx)
             .write.mode("overwrite").parquet(s"$outPath/batch_$batchId")

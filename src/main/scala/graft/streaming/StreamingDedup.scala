@@ -70,8 +70,12 @@ object StreamingDedup {
                       checkpoint: String): StreamingQuery = {
     // the index is immutable for the life of the query: resolve its dials
     // and corpus frames ONCE, not per micro-batch (meta + parquet footer
-    // reads would otherwise dominate small batches)
+    // reads would otherwise dominate small batches). Restart-on-rebuild
+    // is the contract — each batch re-checks the meta fingerprint (one
+    // tiny FS stat + read) and fails loudly if the index was replaced,
+    // instead of silently serving frames resolved from the retired build.
     val idx = graft.operators.Dedup.loadBandIndex(spark, indexPath)
+    val loadedFp = graft.operators.IndexMeta.fingerprint(spark, indexPath)
     spark.readStream
       .schema(docSchema)
       .parquet(docDir)
@@ -83,6 +87,7 @@ object StreamingDedup {
         // OVERWRITES its own deterministic batch_<id> directory, so a
         // replayed batch replaces rather than duplicates its verdicts.
         // Readers load the sink with recursiveFileLookup=true.
+        graft.operators.IndexMeta.requireUnchanged(spark, indexPath, loadedFp)
         graft.CacheScope.run {
           graft.operators.Dedup.incrementalDedupAgainstLoaded(batch, idx)
             .write.mode("overwrite").parquet(s"$outPath/batch_$batchId")

@@ -34,6 +34,31 @@ class IndexContractSpec extends SparkSpec {
     }
   }
 
+  test("a rebuild invalidates the loaded fingerprint — even at identical dials") {
+    // restart-on-rebuild is the streaming serving contract: a running
+    // query holds the fingerprint it loaded at start and every micro-batch
+    // re-checks it (StreamingAnn/StreamingDedup.runAgainstIndex). The
+    // fingerprint must change on ANY rebuild — same dials included, since
+    // same-dial rebuilds replace the corpus frames too — and the check
+    // must fail loudly, not serve the retired build's plan.
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("bandidx").toString
+    Dedup.writeBandIndex(docs, s"$tmp/idx")
+    val fp = IndexMeta.fingerprint(spark, s"$tmp/idx")
+    IndexMeta.requireUnchanged(spark, s"$tmp/idx", fp) // loaded build serves
+    Thread.sleep(50) // local-FS mtime resolution
+    Dedup.writeBandIndex(docs, s"$tmp/idx") // identical dials, new build
+    assert(IndexMeta.fingerprint(spark, s"$tmp/idx") != fp)
+    val e = intercept[IllegalStateException] {
+      IndexMeta.requireUnchanged(spark, s"$tmp/idx", fp)
+    }
+    assert(e.getMessage.contains("rebuilt"))
+    // changed-dial rebuilds differ in content, not just mtime
+    Dedup.writeBandIndex(docs, s"$tmp/idx2", k = 32, bands = 8)
+    val fp2 = IndexMeta.fingerprint(spark, s"$tmp/idx2")
+    assert(fp2.takeWhile(_ != '@') != fp.takeWhile(_ != '@'))
+  }
+
   test("IVF index builds on a re-keyed corpus (ids not starting at 0)") {
     // the documented seed contract is 'the k lowest vec_ids' — an id
     // space starting above IVF_K used to collect zero seeds and crash
