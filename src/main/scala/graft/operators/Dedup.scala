@@ -371,7 +371,12 @@ object Dedup {
     * edges ≈ 60-80 MB, safe headroom on any reasonable driver. Larger
     * cuts use distributed propagation.
     */
-  private val DriverCcMaxEdges = 200000L
+  private val DriverCcMaxEdges: Long =
+    // env-overridable so a bench run can PRICE the distributed tier at
+    // will (SPARK_GRAFT_CC_MAXEDGES=0 forces every boundary graph down
+    // the propagation path; recorded in SCALE.md) — production keeps the
+    // default
+    sys.env.get("SPARK_GRAFT_CC_MAXEDGES").map(_.toLong).getOrElse(200000L)
 
   /** Min-root union-find with path compression — shared verbatim by the
     * partition-local contraction closure and the driver boundary tier so

@@ -86,12 +86,22 @@ class StarsFilterSpec extends SparkSpec {
   }
 
   test("ParamsEstimator parallel fit matches the sequential argmax and is faster") {
+    // 8 combinations (a realistic small tuning grid — descriptor variants ×
+    // decider thresholds), so the measured ratio prices the concurrent-fit
+    // claim at grid width, not at a toy 2-3 entries
     def grid = Seq(
       TuneCombination("abbe30", Seq(new AbbeValueDescr(Some(30))), Seq(new QDADec())),
       TuneCombination("abbe100", Seq(new AbbeValueDescr(Some(100))), Seq(new QDADec())),
       TuneCombination("slope30", Seq(new VariogramSlopeDescr(30)), Seq(new QDADec())),
       TuneCombination("abbe+slope",
-        Seq(new AbbeValueDescr(Some(100)), new VariogramSlopeDescr(30)), Seq(new QDADec())))
+        Seq(new AbbeValueDescr(Some(100)), new VariogramSlopeDescr(30)), Seq(new QDADec())),
+      TuneCombination("abbe30_lda", Seq(new AbbeValueDescr(Some(30))), Seq(new LDADec())),
+      TuneCombination("abbe100_t7",
+        Seq(new AbbeValueDescr(Some(100))), Seq(new QDADec(threshold = 0.7))),
+      TuneCombination("slope30_lda", Seq(new VariogramSlopeDescr(30)), Seq(new LDADec())),
+      TuneCombination("abbe+slope_t3",
+        Seq(new AbbeValueDescr(Some(100)), new VariogramSlopeDescr(30)),
+        Seq(new QDADec(threshold = 0.3))))
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
     }
