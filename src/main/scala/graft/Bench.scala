@@ -213,6 +213,10 @@ object Bench {
             if (evs.nonEmpty) telemetry(s"$q stageprobe") = evs
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $q stage probe failed: ${e.getMessage}")
+            // a probe that died mid-way left partial events queued; file
+            // them under ITS key, or the next drain misattributes them
+            val evs = Telemetry.drain()
+            if (evs.nonEmpty) telemetry(s"$q stageprobe (failed)") = evs
           }
         }
       }

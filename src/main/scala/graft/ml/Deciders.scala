@@ -561,7 +561,7 @@ class CustomDecider(val boundaries: Seq[(Option[Double], Option[Double])],
   * deterministic orientation that makes the score a real membership degree.
   * Driver state is k cluster fractions (bounded).
   */
-class KMeansDecider(val threshold: Double = 0.5, val k: Int = 2) extends Decider {
+class KMeansDecider(val threshold: Double = 0.5, val k: Int = 3) extends Decider {
   val name = "KMeansDecider"
   def learn(train: DataFrame): DeciderModel = {
     val model = new KMeans().setK(k).setSeed(42).fit(train)

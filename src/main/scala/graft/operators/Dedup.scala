@@ -375,8 +375,15 @@ object Dedup {
     // env-overridable so a bench run can PRICE the distributed tier at
     // will (SPARK_GRAFT_CC_MAXEDGES=0 forces every boundary graph down
     // the propagation path; recorded in SCALE.md) — production keeps the
-    // default
-    sys.env.get("SPARK_GRAFT_CC_MAXEDGES").map(_.toLong).getOrElse(200000L)
+    // default. Parsed defensively: a bad value inside an object
+    // initializer would otherwise surface as an opaque
+    // ExceptionInInitializerError on the first dedup call
+    sys.env.get("SPARK_GRAFT_CC_MAXEDGES").map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CC_MAXEDGES must be a long, got '$v'")
+      }
+    }.getOrElse(200000L)
 
   /** Min-root union-find with path compression — shared verbatim by the
     * partition-local contraction closure and the driver boundary tier so

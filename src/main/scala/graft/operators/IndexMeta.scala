@@ -17,11 +17,15 @@ private[graft] object IndexMeta {
     new org.apache.hadoop.fs.Path(s"$path/meta.properties")
 
   /** Identity of the index BUILD, not just its dials: sorted meta content
-    * plus the meta file's (mtime, length). Every writer rewrites
-    * meta.properties first, so ANY rebuild — even one at identical dials —
-    * changes the fingerprint. Used by the streaming serving paths to fail
-    * loudly instead of silently serving frames resolved from a replaced
-    * index.
+    * (which includes the per-build `build_id` nonce [[write]] stamps, so
+    * ANY rebuild — identical dials included, on any clock granularity —
+    * changes the fingerprint) plus the meta file's (mtime, length) as a
+    * second witness. Used by the streaming serving paths to fail loudly
+    * instead of silently serving frames resolved from a replaced index.
+    * Callers MUST capture the fingerprint BEFORE resolving the index
+    * frames: captured after, a rebuild landing between resolve and
+    * capture is permanently masked (the stale frames pass every check);
+    * captured before, the same race fails the first batch loudly.
     */
   def fingerprint(spark: SparkSession, path: String): String = {
     val p = metaPath(path)
@@ -55,6 +59,11 @@ private[graft] object IndexMeta {
             kv: (String, String)*): Unit = {
     val props = new java.util.Properties
     kv.foreach { case (k, v) => props.setProperty(k, v) }
+    // unique per BUILD: makes the fingerprint change on every rebuild by
+    // CONTENT, not just mtime — coarse-timestamp filesystems (1 s ticks on
+    // ext3/NFSv3, second-granularity object stores) could otherwise miss
+    // an identical-dials rebuild landing inside one tick
+    props.setProperty("build_id", java.util.UUID.randomUUID().toString)
     val p = metaPath(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)

@@ -74,8 +74,11 @@ object StreamingDedup {
     // is the contract — each batch re-checks the meta fingerprint (one
     // tiny FS stat + read) and fails loudly if the index was replaced,
     // instead of silently serving frames resolved from the retired build.
-    val idx = graft.operators.Dedup.loadBandIndex(spark, indexPath)
+    // fingerprint BEFORE the load: a rebuild landing between the two calls
+    // then fails the first batch loudly instead of being masked forever
+    // (fingerprint-after would equal the NEW build while idx held the old)
     val loadedFp = graft.operators.IndexMeta.fingerprint(spark, indexPath)
+    val idx = graft.operators.Dedup.loadBandIndex(spark, indexPath)
     spark.readStream
       .schema(docSchema)
       .parquet(docDir)

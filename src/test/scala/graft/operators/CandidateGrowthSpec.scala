@@ -47,7 +47,7 @@ class CandidateGrowthSpec extends SparkSpec {
       s"$name: candidate volume ${m.cand} exceeds 10×(verified+n)=${10 * (m.verified + m.n)}")
   }
 
-  private def measure(dir: String, cand: => DataFrame, n: => Long,
+  private def measure(cand: => DataFrame, n: => Long,
                       verified: => DataFrame): M = {
     val m = M(n, cand.count(), verified.count())
     spark.catalog.clearCache()
@@ -57,7 +57,7 @@ class CandidateGrowthSpec extends SparkSpec {
   test("ngram prefix-filter: bounded excess, far from all-pairs") {
     def at(dir: String): M = {
       val sh = graft.CacheScope.cache(Dedup.shingleArrays(spark, dir))
-      measure(dir, Dedup.ngramCandidates(sh), sh.count(),
+      measure(Dedup.ngramCandidates(sh), sh.count(),
         Dedup.queries("q45_ngram_jaccard")(spark, dir))
     }
     val (mLo, mHi) = (at(lo), at(hi))
@@ -68,7 +68,7 @@ class CandidateGrowthSpec extends SparkSpec {
   test("minhash (16,4) bands: bounded excess, far from all-pairs") {
     def at(dir: String): M = {
       val sig = graft.CacheScope.cache(Dedup.minhashSigs(Dedup.shingleArrays(spark, dir)))
-      measure(dir, Dedup.bandPairs(sig), sig.count(),
+      measure(Dedup.bandPairs(sig), sig.count(),
         Dedup.queries("q46_minhash_lsh")(spark, dir))
     }
     val (mLo, mHi) = (at(lo), at(hi))
@@ -82,7 +82,7 @@ class CandidateGrowthSpec extends SparkSpec {
       val sim = graft.CacheScope.cache(Dedup.docs(spark, dir)
         .select(col("doc_id"), col("lang"),
           expr(s"simhash_bits(split(text, ' '), $bits)").as("simhash")))
-      measure(dir, Dedup.simhashCandidates(sim, bits, 2), sim.count(),
+      measure(Dedup.simhashCandidates(sim, bits, 2), sim.count(),
         Dedup.simhashNearDupPairs(Dedup.docs(spark, dir), bits, 2))
     }
     val m16Lo = at(lo, 16); val m16Hi = at(hi, 16)
@@ -106,7 +106,7 @@ class CandidateGrowthSpec extends SparkSpec {
           Seq("band", "sig"))
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id")).distinct()
-      measure(dir, cand, bands.select(col("vec_id")).distinct().count(),
+      measure(cand, bands.select(col("vec_id")).distinct().count(),
         Similarity.queries("q56_embedding_neardup")(spark, dir))
     }
     val (mLo, mHi) = (at(lo), at(hi))
@@ -123,7 +123,7 @@ class CandidateGrowthSpec extends SparkSpec {
         .join(fps.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id")).distinct()
-      measure(dir, cand, fps.select(col("doc_id")).distinct().count(),
+      measure(cand, fps.select(col("doc_id")).distinct().count(),
         Dedup.queries("q78_winnow_fingerprint")(spark, dir))
     }
     val (mLo, mHi) = (at(lo), at(hi))
