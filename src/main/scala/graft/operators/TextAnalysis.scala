@@ -153,8 +153,57 @@ object TextAnalysis {
       .select(col("doc_id"), col("token").as("top_token"), col("tfidf"))
   }
 
+  /** PII redaction patterns — RE2/Java-compatible by construction (ASCII
+    * classes, no lookaround, no backreferences), so the Spark regexes and
+    * the DuckDB oracle's behave identically; `\b` is the ASCII word
+    * boundary in both engines.
+    */
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val PhoneRe = "\\b\\d{2}-\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** The scrub kernel: emails then phones, each span replaced by its tag.
+    * One shared Column definition for the query and the planted-case spec.
+    */
+  private[operators] def scrubPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** PII scrubbing — the redaction stage every training-data curation
+    * pipeline runs before packing (no reference analog; pipeline-family
+    * operator like q68/q69). The fixture's word-soup documents contain no
+    * PII, so the query assembles a deterministic contact-card text per
+    * CUSTOMER row (the q50 pattern: reshape a driver table into the shape
+    * the operator needs) with real variance — every 5th key has no email,
+    * even keys carry a second phone — then counts matches and redacts.
+    * The scrubbed text's md5 is the oracle gate: both engines must agree
+    * on every redaction SPAN, not just the counts.
+    *
+    * Scale: per-row regex inside one codegen span, zero shuffle; at
+    * 100 TB this is a map-only pass whose cost is the regex automaton,
+    * which RE2-class patterns keep linear in text length.
+    */
+  def q84PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val emailLocal = lower(regexp_replace(col("c_name"), "#", "."))
+    val k = col("c_custkey")
+    val phone1 = format_string("%02d-%03d-%03d-%04d",
+      k % 90 + 10, k % 900 + 100, (k * 7) % 900 + 100, (k * 13) % 9000 + 1000)
+    val phone2 = format_string("%02d-%03d-%03d-%04d",
+      k % 80 + 10, (k * 3) % 900 + 100, (k * 11) % 900 + 100, (k * 17) % 9000 + 1000)
+    val contact = when(k % 5 === 0, lit("no-contact"))
+      .otherwise(concat(lit("<"), emailLocal, lit("@example.com>")))
+    val text = concat(col("c_name"), lit(" "), contact, lit(" phone "), phone1,
+      when(k % 2 === 0, concat(lit(" alt "), phone2)).otherwise(lit("")),
+      lit(" segment "), col("c_mktsegment"))
+    c.select(col("c_custkey"),
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phones"),
+      md5(scrubPii(text)).as("scrubbed_md5"),
+      length(scrubPii(text)).as("scrubbed_len"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_tfidf" -> q65Tfidf,
+    "q84_pii_scrub" -> q84PiiScrub,
     "q40_token_count" -> q40TokenCount,
     "q41_quality" -> q41Quality,
     "q42_lang_id" -> q42LangId,
@@ -164,6 +213,33 @@ object TextAnalysis {
     "q64_vocab" -> q64Vocab)
 
   val oracleSql: Map[String, String] = Map(
+    "q84_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT c_custkey,
+        |    c_name || ' ' ||
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'no-contact'
+        |         ELSE '<' || lower(replace(c_name, '#', '.')) || '@example.com>' END ||
+        |    ' phone ' ||
+        |    printf('%02d-%03d-%03d-%04d', c_custkey % 90 + 10, c_custkey % 900 + 100,
+        |           (c_custkey * 7) % 900 + 100, (c_custkey * 13) % 9000 + 1000) ||
+        |    CASE WHEN c_custkey % 2 = 0 THEN ' alt ' ||
+        |      printf('%02d-%03d-%03d-%04d', c_custkey % 80 + 10, (c_custkey * 3) % 900 + 100,
+        |             (c_custkey * 11) % 900 + 100, (c_custkey * 17) % 9000 + 1000)
+        |      ELSE '' END ||
+        |    ' segment ' || c_mktsegment AS txt
+        |  FROM customer),
+        |s AS (
+        |  SELECT c_custkey, txt,
+        |    regexp_replace(regexp_replace(txt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scr
+        |  FROM t)
+        |SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(txt, '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+        |  md5(scr) AS scrubbed_md5,
+        |  CAST(length(scr) AS INT) AS scrubbed_len
+        |FROM s""".stripMargin,
     "q65_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
