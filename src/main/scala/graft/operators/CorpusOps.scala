@@ -47,6 +47,36 @@ object CorpusOps {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** SUBSTRING-level decontamination — the second decontamination modality
+    * next to q68's token-8-gram overlap: winnowing fingerprints (q78's
+    * native `winnow_fps` kernel — content-defined window minima over
+    * 20-char gram hashes) catch verbatim eval text that survives token
+    * re-segmentation, truncation mid-gram, or punctuation drift, at
+    * sub-8-gram granularity. A corpus doc is contaminated when it shares
+    * ≥ 2 fingerprints with the eval set (1 can be window-minimum chance;
+    * 2 is q78's shared-substring evidence threshold).
+    *
+    * Scale shape identical to q68: the EVAL fingerprint set (eval suites
+    * are small by construction) broadcasts; the corpus side is one
+    * per-row kernel pass + a map-side broadcast join + one groupBy — the
+    * corpus never shuffles its text.
+    */
+  def q85DecontaminateSubstr(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.expressions.SignatureExprs.register(spark)
+    val d = docs(spark, dir)
+    def fps(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), explode(expr("winnow_fps(text)")).as("fp"))
+    val evalFps = fps(d.filter(col("source") === "src0")).select(col("fp")).distinct()
+    val hits = fps(d.filter(col("source") =!= "src0"))
+      .join(broadcast(evalFps), Seq("fp"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp_hits"))
+    d.filter(col("source") =!= "src0")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_fp_hits"), lit(0L)).as("n_fp_hits"),
+        (coalesce(col("n_fp_hits"), lit(0L)) >= 2).as("contaminated"))
+  }
+
   /** Repetition-based quality scoring (the Gopher-rule family): fraction
     * of the document covered by its most frequent token, and the fraction
     * of duplicate 2-grams. Both are in-row array expressions — a narrow
@@ -236,6 +266,7 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate,
+    "q85_decontaminate_substr" -> q85DecontaminateSubstr,
     "q69_repetition" -> q69Repetition,
     "q70_pack_sequences" -> q70PackSequences,
     "q73_lm_perplexity" -> q73LmPerplexity,
@@ -244,6 +275,25 @@ object CorpusOps {
     "q80_dataset_split" -> q80DatasetSplit)
 
   val oracleSql: Map[String, String] = Map(
+    // the fps CTEs mirror q78's oracle (same 20-char grams, 10-window
+    // minima, first-occurrence-distinct) with q68's eval/corpus split
+    "q85_decontaminate_substr" ->
+      """WITH g AS (
+        |  SELECT doc_id, source, list_transform(range(1, length(text) - 18),
+        |    i -> ('0x' || substr(md5(substr(text, i, 20)), 1, 15))::BIGINT) AS hs
+        |  FROM documents WHERE length(text) >= 29),
+        |f AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(1, len(hs) - 8), j -> list_min(hs[j:j+9]))) AS fp
+        |  FROM g WHERE len(hs) >= 10),
+        |ev AS (SELECT DISTINCT fp FROM f WHERE source = 'src0'),
+        |hits AS (
+        |  SELECT f.doc_id, count(*) AS n_fp_hits
+        |  FROM f JOIN ev USING (fp) WHERE f.source != 'src0' GROUP BY 1)
+        |SELECT d.doc_id, coalesce(hits.n_fp_hits, 0) AS n_fp_hits,
+        |  coalesce(hits.n_fp_hits, 0) >= 2 AS contaminated
+        |FROM documents d LEFT JOIN hits USING (doc_id)
+        |WHERE d.source != 'src0'""".stripMargin,
     "q68_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),

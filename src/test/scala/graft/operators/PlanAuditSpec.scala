@@ -58,6 +58,13 @@ class PlanAuditSpec extends SparkSpec {
       "candidate generation must stay an equi-join on band keys:\n" + p)
   }
 
+  test("q68/q85: decontamination broadcasts the eval side — corpus text never shuffles") {
+    for (q <- Seq("q68_decontaminate", "q85_decontaminate_substr")) {
+      val p = plan(CorpusOps.queries(q)(spark, dir))
+      assert(p.contains("BroadcastHashJoin"), s"$q eval join not broadcast:\n$p")
+    }
+  }
+
   test("q80: dataset split is a pure per-row projection — no exchange") {
     val p = plan(CorpusOps.queries("q80_dataset_split")(spark, dir))
     assert(!p.contains("Exchange"), "split must not shuffle:\n" + p)
