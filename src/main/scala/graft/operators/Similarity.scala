@@ -550,6 +550,38 @@ object Similarity {
     * id-to-id, so the composition adds one co-partitioned exchange on top
     * of the two pipelines.
     */
+  /** Cluster-balanced sampling — the semantic-diversity mixing operator a
+    * training-data pipeline runs after clustering (q72): a fixed quota per
+    * embedding cluster, rows chosen in deterministic md5 order (q63's
+    * stratified-sample convention, keyed on vec_id).
+    *
+    * Scale shape: a naive `row_number over (partition by cluster)` would
+    * funnel the WHOLE corpus through k reducers (k = 8 here — the
+    * canonical few-huge-groups skew). Top-k-per-group with tiny k·quota
+    * is therefore TWO-PHASE: a local quota per (cluster, input partition)
+    * — the shuffle key carries the partition id, so it spreads over every
+    * reducer — then the global quota over the ≤ k·quota·partitions
+    * survivors. Each partition forwards its local best 25, which bounds
+    * phase 2's input regardless of corpus size; the result is
+    * partitioning-independent because a global winner is necessarily a
+    * local winner. Assignment itself rides q72's pure-map kernel.
+    */
+  def q86ClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = q72KmeansAssign(spark, dir)
+      .withColumn("ord", md5(col("vec_id").cast("string")))
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+    val local = Window.partitionBy(col("cluster"), col("pid"))
+      .orderBy(col("ord"), col("vec_id"))
+    val global = Window.partitionBy(col("cluster"))
+      .orderBy(col("ord"), col("vec_id"))
+    assigned
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= 25)
+      .withColumn("rk", row_number().over(global))
+      .filter(col("rk") <= 25)
+      .select(col("vec_id"), col("cluster"), col("rk"))
+  }
+
   def q76CrossmodalDedup(spark: SparkSession, dir: String): DataFrame = {
     val text = Dedup.q58DedupClusters(spark, dir) // compile-checked, not map-keyed
       .select(col("doc_id"), col("cluster_id"))
@@ -571,6 +603,7 @@ object Similarity {
     "q83_ivf_index" -> q83IvfIndex,
     "q67_embedding_dedup" -> q67EmbeddingDedupPipeline,
     "q72_kmeans_assign" -> q72KmeansAssign,
+    "q86_cluster_sample" -> q86ClusterSample,
     "q76_crossmodal_dedup" -> q76CrossmodalDedup,
     "q82_ann_index" -> q82AnnIndex)
 
@@ -814,5 +847,26 @@ object Similarity {
         |SELECT vec_id, c_id AS cluster, dist2 FROM (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id
         |    ORDER BY dist2, c_id) AS rn
-        |  FROM d) WHERE rn = 1""".stripMargin)
+        |  FROM d) WHERE rn = 1""".stripMargin,
+    // q72's assignment + a 25-per-cluster quota in md5(vec_id) order; the
+    // oracle states the two-phase Spark plan's semantic equivalent (a
+    // global winner is necessarily a local winner, so one window suffices)
+    "q86_cluster_sample" ->
+      s"""WITH $longFormCte,
+        |cents AS (SELECT vec_id AS c_id, pos, v FROM ex WHERE vec_id < 8),
+        |d AS (
+        |  SELECT ex.vec_id, c.c_id,
+        |    round(sum((ex.v - c.v) * (ex.v - c.v)), 6) AS dist2
+        |  FROM ex JOIN cents c ON c.pos = ex.pos
+        |  GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, c_id AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist2, c_id) AS rn
+        |    FROM d) WHERE rn = 1)
+        |SELECT vec_id, cluster, CAST(rk AS INT) AS rk FROM (
+        |  SELECT vec_id, cluster,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |  FROM assigned) WHERE rk <= 25""".stripMargin)
 }
