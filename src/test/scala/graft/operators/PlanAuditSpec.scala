@@ -65,6 +65,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q84: PII scrub is a pure per-row projection — no exchange") {
+    val p = plan(TextAnalysis.queries("q84_pii_scrub")(spark, dir))
+    assert(!p.contains("Exchange"), "per-row scrub gained a shuffle:\n" + p)
+  }
+
+  test("q86: cluster sample keeps the two-phase quota (local window keyed by partition id)") {
+    val p = plan(Similarity.queries("q86_cluster_sample")(spark, dir))
+    // phase 1's window key carries SPARK_PARTITION_ID — the whole corpus
+    // must never funnel through k=8 reducers in a single global window
+    assert(p.toLowerCase.contains("spark_partition_id"),
+      "two-phase quota collapsed to a single per-cluster window:\n" + p)
+    assert("\\bWindow\\b".r.findAllIn(p).size >= 2,
+      "expected both quota phases as Window operators:\n" + p)
+  }
+
   test("q80: dataset split is a pure per-row projection — no exchange") {
     val p = plan(CorpusOps.queries("q80_dataset_split")(spark, dir))
     assert(!p.contains("Exchange"), "split must not shuffle:\n" + p)
