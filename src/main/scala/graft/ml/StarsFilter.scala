@@ -283,6 +283,15 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
         .setInputCol("_vec").setOutputCol("_red").setK(2).fit(all).pc
       val d = featureCols.length
       val comp = Array.tabulate(2)(j => Array.tabulate(d)(i => pc(i, j)))
+      // deterministic orientation: an eigenvector's sign is solver
+      // convention (LAPACK here), not geometry — flip each component so
+      // its largest-|coefficient| entry (ties → lowest index) is positive.
+      // The mesh and scores become solver-independent, which is what lets
+      // q71's SQL oracle (power iteration) reproduce them exactly.
+      for (j <- 0 until 2) {
+        val iMax = (0 until d).maxBy(i => (math.abs(comp(j)(i)), -i))
+        if (comp(j)(iMax) < 0) (0 until d).foreach(i => comp(j)(i) = -comp(j)(i))
+      }
       // projected extremes of the training coords (one small agg)
       def proj(j: Int): Column =
         featureCols.zipWithIndex.map { case (c, i) =>

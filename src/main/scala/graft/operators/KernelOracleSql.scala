@@ -457,22 +457,41 @@ object KernelOracleSql {
     s"(CASE WHEN ($x)*1000 - floor(($x)*1000) = 0.5 " +
       s"THEN 2.0*round(($x)*1000/2.0) ELSE round(($x)*1000) END)/1000"
 
-  /** WITH-prefix shared by q51 and q52: features → per-class moments →
+  /** The per-row scoring block (Cholesky solves → log-likelihoods →
+    * posteriors) — one definition shared by `sc` (q51/q52, rows = stars)
+    * and q71's `gsc` (rows = PCA mesh points); both supply f1..f5.
+    */
+  private val scoreExprBlock: String = {
+    val score = (solveLines("pl", i => s"mm0_$i", "zl0_", "quad_l0") ++
+      solveLines("pl", i => s"mm1_$i", "zl1_", "quad_l1") ++
+      solveLines("q0l", i => s"mm0_$i", "zq0_", "quad_q0") ++
+      solveLines("q1l", i => s"mm1_$i", "zq1_", "quad_q1")).mkString(",\n    ")
+    s"""$score,
+       |    ln(m0n/CAST(m0n+m1n AS DOUBLE)) - 0.5*(2*(${logDet("pl")})) - 0.5*quad_l0 AS ll_l0,
+       |    ln(m1n/CAST(m0n+m1n AS DOUBLE)) - 0.5*(2*(${logDet("pl")})) - 0.5*quad_l1 AS ll_l1,
+       |    ln(m0n/CAST(m0n+m1n AS DOUBLE)) - 0.5*(2*(${logDet("q0l")})) - 0.5*quad_q0 AS ll_q0,
+       |    ln(m1n/CAST(m0n+m1n AS DOUBLE)) - 0.5*(2*(${logDet("q1l")})) - 0.5*quad_q1 AS ll_q1,
+       |    exp(ll_l1 - greatest(ll_l0, ll_l1)) /
+       |      (exp(ll_l0 - greatest(ll_l0, ll_l1)) + exp(ll_l1 - greatest(ll_l0, ll_l1))) AS p_lda,
+       |    exp(ll_q1 - greatest(ll_q0, ll_q1)) /
+       |      (exp(ll_q0 - greatest(ll_q0, ll_q1)) + exp(ll_q1 - greatest(ll_q0, ll_q1))) AS p_qda""".stripMargin
+  }
+
+  /** WITH-prefix shared by q51/q52/q71: features → per-class moments →
     * model (means, three Cholesky factors) → per-star scores `sc`
-    * (p_lda, p_qda, lbl).
+    * (p_lda, p_qda, lbl). `fv`/`mdl0`/`mdl` are MATERIALIZED: q71's
+    * recursive power-iteration CTEs reference downstream derivations, and
+    * DuckDB would otherwise re-inline (and re-run) the whole kernel chain
+    * on every iteration.
     */
   private val discriminantCtes: String = {
     val means = (for { c <- Seq(0, 1); i <- dims }
       yield s"m${c}s$i/m${c}n AS mm${c}_$i").mkString(",\n    ")
     val chol = (cholLines(qdaCov(0), "q0l") ++ cholLines(qdaCov(1), "q1l") ++
       cholLines(ldaCov, "pl")).mkString(",\n    ")
-    val score = (solveLines("pl", i => s"mm0_$i", "zl0_", "quad_l0") ++
-      solveLines("pl", i => s"mm1_$i", "zl1_", "quad_l1") ++
-      solveLines("q0l", i => s"mm0_$i", "zq0_", "quad_q0") ++
-      solveLines("q1l", i => s"mm1_$i", "zq1_", "quad_q1")).mkString(",\n    ")
     s"""WITH RECURSIVE $kernelCtes,
        |$skkCte,
-       |fv AS (
+       |fv AS MATERIALIZED (
        |  SELECT u.user_id,
        |    CASE WHEN u.user_id % 2 = 0 THEN 1 ELSE 0 END AS lbl,
        |    e.abbe AS f1, k.skewness AS f2, k.kurtosis AS f3,
@@ -486,23 +505,15 @@ object KernelOracleSql {
        |    AND v.vario_slope IS NOT NULL AND NOT isnan(v.vario_slope)),
        |m0 AS (SELECT ${momSums("m0")} FROM fv WHERE lbl = 0),
        |m1 AS (SELECT ${momSums("m1")} FROM fv WHERE lbl = 1),
-       |mdl0 AS (SELECT *,
+       |mdl0 AS MATERIALIZED (SELECT *,
        |    $means
        |  FROM m0, m1),
-       |mdl AS (SELECT *,
+       |mdl AS MATERIALIZED (SELECT *,
        |    $chol
        |  FROM mdl0),
        |sc AS (
        |  SELECT fv.user_id, fv.lbl,
-       |    $score,
-       |    ln(m0n/CAST(m0n+m1n AS DOUBLE)) - 0.5*(2*(${logDet("pl")})) - 0.5*quad_l0 AS ll_l0,
-       |    ln(m1n/CAST(m0n+m1n AS DOUBLE)) - 0.5*(2*(${logDet("pl")})) - 0.5*quad_l1 AS ll_l1,
-       |    ln(m0n/CAST(m0n+m1n AS DOUBLE)) - 0.5*(2*(${logDet("q0l")})) - 0.5*quad_q0 AS ll_q0,
-       |    ln(m1n/CAST(m0n+m1n AS DOUBLE)) - 0.5*(2*(${logDet("q1l")})) - 0.5*quad_q1 AS ll_q1,
-       |    exp(ll_l1 - greatest(ll_l0, ll_l1)) /
-       |      (exp(ll_l0 - greatest(ll_l0, ll_l1)) + exp(ll_l1 - greatest(ll_l0, ll_l1))) AS p_lda,
-       |    exp(ll_q1 - greatest(ll_q0, ll_q1)) /
-       |      (exp(ll_q0 - greatest(ll_q0, ll_q1)) + exp(ll_q1 - greatest(ll_q0, ll_q1))) AS p_qda
+       |    $scoreExprBlock
        |  FROM fv, mdl)""".stripMargin
   }
 
@@ -555,4 +566,120 @@ object KernelOracleSql {
        |  avg(true_positive_rate), avg(true_negative_rate),
        |  avg(false_positive_rate), avg(false_negative_rate)
        |FROM per""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // q71: the PCA-plane probability mesh (`plotNDProbabSpace`). The only
+  // solver-dependent step — the 2-component PCA eigenbasis — becomes
+  // SQL-expressible because (a) the Scala side canonicalizes component
+  // signs (largest-|coefficient| entry positive, StarsFilter.scala), so
+  // orientation is geometry, not LAPACK convention, and (b) the feature
+  // covariance's spectrum is strongly gapped (measured λ2/λ1 ≈ 0.007–0.013,
+  // λ3/λ2 ≈ 0.33–0.37 at all three sf dirs), so 100 power-iteration steps
+  // converge the eigenvectors to far below ((λ3/λ2)^100 ≈ 1e-44) the 6-dp
+  // output rounding. v1 comes from power iteration on the sample
+  // covariance (n−1, matching Spark's RowMatrix.computeCovariance), v2
+  // from the λ1-deflated matrix; the mesh (0.4 overlay, 20 per dim) and
+  // inverse transform mirror probabilitySpaceNDOnCoords expression for
+  // expression, and scoring reuses the q51 model CTEs verbatim.
+  // -------------------------------------------------------------------------
+
+  /** u_i = Σ_j C_ij·w_j with C stored upper-triangular (i ≤ j). */
+  private def matVecLines(cpfx: String, wpfx: String): String =
+    dims.map { i =>
+      dims.map { j =>
+        val (a, b) = (math.min(i, j), math.max(i, j))
+        s"$cpfx$a$b*$wpfx$j"
+      }.mkString(" + ") + s" AS u$i"
+    }.mkString(",\n      ")
+
+  /** Sign of the largest-|entry| (first-true CASE = ties → lowest index),
+    * mirroring the Scala canonicalization's maxBy.
+    */
+  private def signCase(w: String): String =
+    "CASE " + dims.map { i =>
+      val ands = ((i + 1) to 5).map(j => s"abs($w$i) >= abs($w$j)").mkString(" AND ")
+      if (ands.nonEmpty) s"WHEN $ands THEN $w$i" else s"ELSE $w$i"
+    }.mkString(" ") + " END"
+
+  /** Normalized power iteration as a recursive CTE over a one-row matrix
+    * CTE `src` (entries `cpfx`+ij). The anchor casts to DOUBLE — DuckDB
+    * types recursive columns from the anchor, and bare `1.0` literals are
+    * DECIMAL(2,1), which would quantize every iterate to one decimal.
+    * `src` must be MATERIALIZED or the recursion re-runs its whole
+    * derivation chain per step.
+    */
+  private def powerIterCte(name: String, src: String, cpfx: String): String =
+    s"""$name(it, w1, w2, w3, w4, w5) AS (
+       |  SELECT 0, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+       |    CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE)
+       |  UNION ALL
+       |  SELECT it + 1, u1/nrm, u2/nrm, u3/nrm, u4/nrm, u5/nrm FROM (
+       |    SELECT it, u1, u2, u3, u4, u5,
+       |      sqrt(u1*u1 + u2*u2 + u3*u3 + u4*u4 + u5*u5) AS nrm FROM (
+       |      SELECT it,
+       |      ${matVecLines(cpfx, "w")}
+       |      FROM $name, $src WHERE it < 100)))""".stripMargin
+
+  /** Banker's rounding to 2 decimals — evaluateCoordinates' bround parity. */
+  private def rint2(x: String): String =
+    s"(CASE WHEN ($x)*100 - floor(($x)*100) = 0.5 " +
+      s"THEN 2.0*round(($x)*100/2.0) ELSE round(($x)*100) END)/100"
+
+  val q71Sql: String = {
+    val meanCols = dims.map(i => s"(m0s$i+m1s$i)/(m0n+m1n) AS pm_$i").mkString(",\n    ")
+    val covCols = upper.map { case (i, j) =>
+      s"((m0s$i$j+m1s$i$j) - (m0n+m1n)*pm_$i*pm_$j)/(m0n+m1n-1) AS pc_$i$j"
+    }.mkString(",\n    ")
+    def vCols(v: String) =
+      dims.map(i => s"CASE WHEN s < 0 THEN -w$i ELSE w$i END AS ${v}_$i").mkString(",\n    ")
+    val lam = dims.map { i =>
+      s"v1_$i*(" + dims.map { j =>
+        s"pc_${math.min(i, j)}${math.max(i, j)}*v1_$j"
+      }.mkString(" + ") + ")"
+    }.mkString(" + ")
+    val deflCols = upper.map { case (i, j) =>
+      s"pc_$i$j - lam1*v1_$i*v1_$j AS dc_$i$j"
+    }.mkString(",\n    ")
+    val px = dims.map(i => s"(f$i - pm_$i)*v1_$i").mkString(" + ")
+    val py = dims.map(i => s"(f$i - pm_$i)*v2_$i").mkString(" + ")
+    val finv = dims.map(i => s"pm_$i + gx.x*v1_$i + gy.y*v2_$i AS f$i").mkString(",\n    ")
+    s"""$discriminantCtes,
+       |pca AS MATERIALIZED (SELECT *,
+       |    $meanCols,
+       |    $covCols
+       |  FROM mdl0),
+       |${powerIterCte("pit1", "pca", "pc_")},
+       |v1 AS (
+       |  SELECT ${vCols("v1")} FROM (
+       |    SELECT *, ${signCase("w")} AS s FROM pit1 WHERE it = 100)),
+       |defl AS MATERIALIZED (
+       |  SELECT *,
+       |    $deflCols
+       |  FROM (SELECT *, $lam AS lam1 FROM pca, v1)),
+       |${powerIterCte("pit2", "defl", "dc_")},
+       |v2 AS (
+       |  SELECT ${vCols("v2")} FROM (
+       |    SELECT *, ${signCase("w")} AS s FROM pit2 WHERE it = 100)),
+       |ext AS (
+       |  SELECT min(px) AS xmn, max(px) AS xmx, min(py) AS ymn, max(py) AS ymx FROM (
+       |    SELECT $px AS px, $py AS py FROM fv, pca, v1, v2)),
+       |gax AS (
+       |  SELECT xmn - (xmx - xmn)*0.4 + gi.i*(((xmx + (xmx - xmn)*0.4) - (xmn - (xmx - xmn)*0.4))/19) AS x
+       |  FROM ext, (SELECT unnest(generate_series(0, 19)) AS i) gi),
+       |gay AS (
+       |  SELECT ymn - (ymx - ymn)*0.4 + gi.i*(((ymx + (ymx - ymn)*0.4) - (ymn - (ymx - ymn)*0.4))/19) AS y
+       |  FROM ext, (SELECT unnest(generate_series(0, 19)) AS i) gi),
+       |grid AS (
+       |  SELECT gx.x, gy.y,
+       |    $finv
+       |  FROM gax gx, gay gy, pca, v1, v2),
+       |gsc AS (
+       |  SELECT grid.x, grid.y,
+       |    $scoreExprBlock
+       |  FROM grid, mdl)
+       |SELECT round(x, 6) AS x, round(y, 6) AS y,
+       |  round(p_lda, 4) AS prob_lda, round(p_qda, 4) AS prob_qda,
+       |  ${rint2("(p_lda + p_qda)/2")} AS combined_prob
+       |FROM gsc""".stripMargin
+  }
 }

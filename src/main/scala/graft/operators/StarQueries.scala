@@ -105,9 +105,10 @@ object StarQueries {
   }
 
   /** N-D probability space (`plotNDProbabSpace`): PCA-plane meshgrid,
-    * inverse-transformed and scored by the trained deciders. Model-internal
-    * (PCA basis + decider fits) → rows-only; the grid geometry and scoring
-    * are pinned by StarsFilterSpec.
+    * inverse-transformed and scored by the trained deciders. Hard-oracled
+    * since r9: the PCA basis is sign-canonicalized (StarsFilter), so the
+    * SQL oracle's power-iteration eigenvectors reproduce the mesh exactly;
+    * grid geometry and scoring are additionally pinned by StarsFilterSpec.
     */
   def q71StarProbspace(spark: SparkSession, dir: String): DataFrame = {
     // ONE cached descriptor pass feeds training and the PCA mesh
@@ -130,16 +131,17 @@ object StarQueries {
     "q53_star_comparative" -> q53StarComparative,
     "q71_star_probspace" -> q71StarProbspace)
 
-  /** q50's descriptor fan-out, q53's comparative SAX dissimilarity AND the
-    * q51/q52 LDA/QDA train-and-score pipeline are deterministic kernels →
-    * hard oracles ([[KernelOracleSql]]; the discriminants unroll to a 5×5
-    * Cholesky over per-class moment sums). Only q71 (PCA eigenbasis —
-    * sign/ordering convention-dependent) stays rows-only, pinned by
-    * StarsFilterSpec.
+  /** EVERY star query is hard-oracled ([[KernelOracleSql]]): q50 features,
+    * q53 comparative SAX, the q51/q52 LDA/QDA train-and-score pipeline
+    * (5×5 Cholesky over per-class moment sums), and — since the Scala
+    * side canonicalizes PCA component signs — q71's PCA-plane mesh (power
+    * iteration on the gapped covariance spectrum, deflation for the
+    * second component, mesh + inverse transform + model scoring in SQL).
     */
   val oracleSql: Map[String, String] = Map(
     "q50_star_features" -> KernelOracleSql.q50Sql,
     "q51_star_classify" -> KernelOracleSql.q51Sql,
     "q52_star_statistic" -> KernelOracleSql.q52Sql,
-    "q53_star_comparative" -> KernelOracleSql.q53Sql)
+    "q53_star_comparative" -> KernelOracleSql.q53Sql,
+    "q71_star_probspace" -> KernelOracleSql.q71Sql)
 }
