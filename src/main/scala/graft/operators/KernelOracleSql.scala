@@ -450,12 +450,16 @@ object KernelOracleSql {
     s"((m0s$i$j - mm0_$i*mm0_$j*m0n + m1s$i$j - mm1_$i*mm1_$j*m1n)/(m0n+m1n)$ridge)"
   }
 
-  /** Banker's rounding to 3 decimals (math.rint parity): the `= 0.5` tie
-    * arm reproduces ties-to-even, same pattern as computeBins' `vb` CTE.
+  /** Banker's rounding to 1/`scale` (math.rint / bround parity): the
+    * `= 0.5` tie arm reproduces ties-to-even, same pattern as
+    * computeBins' `vb` CTE. One template for every decimal width so a
+    * boundary-case fix cannot diverge between copies.
     */
-  private def rint3(x: String): String =
-    s"(CASE WHEN ($x)*1000 - floor(($x)*1000) = 0.5 " +
-      s"THEN 2.0*round(($x)*1000/2.0) ELSE round(($x)*1000) END)/1000"
+  private def rintAt(x: String, scale: Int): String =
+    s"(CASE WHEN ($x)*$scale - floor(($x)*$scale) = 0.5 " +
+      s"THEN 2.0*round(($x)*$scale/2.0) ELSE round(($x)*$scale) END)/$scale"
+
+  private def rint3(x: String): String = rintAt(x, 1000)
 
   /** The per-row scoring block (Cholesky solves → log-likelihoods →
     * posteriors) — one definition shared by `sc` (q51/q52, rows = stars)
@@ -621,9 +625,7 @@ object KernelOracleSql {
        |      FROM $name, $src WHERE it < 100)))""".stripMargin
 
   /** Banker's rounding to 2 decimals — evaluateCoordinates' bround parity. */
-  private def rint2(x: String): String =
-    s"(CASE WHEN ($x)*100 - floor(($x)*100) = 0.5 " +
-      s"THEN 2.0*round(($x)*100/2.0) ELSE round(($x)*100) END)/100"
+  private def rint2(x: String): String = rintAt(x, 100)
 
   val q71Sql: String = {
     val meanCols = dims.map(i => s"(m0s$i+m1s$i)/(m0n+m1n) AS pm_$i").mkString(",\n    ")

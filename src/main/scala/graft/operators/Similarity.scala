@@ -550,6 +550,19 @@ object Similarity {
     * id-to-id, so the composition adds one co-partitioned exchange on top
     * of the two pipelines.
     */
+  def q76CrossmodalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val text = Dedup.q58DedupClusters(spark, dir) // compile-checked, not map-keyed
+      .select(col("doc_id"), col("cluster_id"))
+    val vec = q67EmbeddingDedupPipeline(spark, dir)
+      .select(col("vec_id"), col("canonical_id"))
+    text.join(vec, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"),
+        col("cluster_id").as("text_cluster"),
+        col("canonical_id").as("vec_cluster"),
+        ((col("cluster_id") === col("doc_id")) ===
+          (col("canonical_id") === col("doc_id"))).as("agree"))
+  }
+
   /** Cluster-balanced sampling — the semantic-diversity mixing operator a
     * training-data pipeline runs after clustering (q72): a fixed quota per
     * embedding cluster, rows chosen in deterministic md5 order (q63's
@@ -580,19 +593,6 @@ object Similarity {
       .withColumn("rk", row_number().over(global))
       .filter(col("rk") <= 25)
       .select(col("vec_id"), col("cluster"), col("rk"))
-  }
-
-  def q76CrossmodalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val text = Dedup.q58DedupClusters(spark, dir) // compile-checked, not map-keyed
-      .select(col("doc_id"), col("cluster_id"))
-    val vec = q67EmbeddingDedupPipeline(spark, dir)
-      .select(col("vec_id"), col("canonical_id"))
-    text.join(vec, col("doc_id") === col("vec_id"))
-      .select(col("doc_id"),
-        col("cluster_id").as("text_cluster"),
-        col("canonical_id").as("vec_cluster"),
-        ((col("cluster_id") === col("doc_id")) ===
-          (col("canonical_id") === col("doc_id"))).as("agree"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -76,7 +76,9 @@ class PlanAuditSpec extends SparkSpec {
     // must never funnel through k=8 reducers in a single global window
     assert(p.toLowerCase.contains("spark_partition_id"),
       "two-phase quota collapsed to a single per-cluster window:\n" + p)
-    assert("\\bWindow\\b".r.findAllIn(p).size >= 2,
+    // count operator occurrences via the formatted detail-section headers
+    // "(n) Window" — the tree section would double-count a single node
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size >= 2,
       "expected both quota phases as Window operators:\n" + p)
   }
 
