@@ -167,6 +167,19 @@ object TextAnalysis {
   private[operators] def scrubPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
+  /** Shared scrub stage over a documents frame: replaces `text` with its
+    * redacted form and appends per-row redaction counters. The single
+    * definition both q84's oracle-gated kernel and
+    * [[graft.streaming.StreamingScrub]] compile into, so the batch and
+    * ingest-time scrubbers cannot drift — same pattern as
+    * `CorpusOps.repetitionScored` backing q69 and the streaming quality
+    * gate. Per-row projection, zero shuffle.
+    */
+  def piiScrubbed(df: DataFrame): DataFrame =
+    df.withColumn("n_emails", size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))))
+      .withColumn("text", scrubPii(col("text")))
+
   /** PII scrubbing — the redaction stage every training-data curation
     * pipeline runs before packing (no reference analog; pipeline-family
     * operator like q68/q69). The fixture's word-soup documents contain no

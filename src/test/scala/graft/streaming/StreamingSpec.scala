@@ -280,4 +280,47 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(2L, 4L))
     assert(spark.read.parquet(s"$tmp/reject").count() == 2, "no reprocessing")
   }
+
+  test("streaming scrub redacts PII with the batch kernel and audits counts") {
+    val tmp = java.nio.file.Files.createTempDirectory("scrubstream").toString
+    val docs1 = Seq(
+      (1L, "contact me at alice@example.com or 12-345-678-9012 thanks", "en", "web", 57L),
+      (2L, "a document with no contact details at all", "en", "web", 41L),
+      (3L, "two mails: bob@a.org carol@b.net", "en", "web", 32L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs1.write.mode("append").parquet(s"$tmp/in")
+    val q1 = StreamingScrub.run(spark, s"$tmp/in", docs1.schema,
+      s"$tmp/scrubbed", s"$tmp/audit", s"$tmp/ckpt")
+    q1.awaitTermination()
+
+    val scrubbed = spark.read.parquet(s"$tmp/scrubbed")
+    assert(scrubbed.count() == 3, "every row lands scrubbed")
+    // no PII survives in the main sink
+    assert(scrubbed.filter(col("text").rlike("@[A-Za-z]")).count() == 0)
+    assert(scrubbed.filter(col("doc_id") === 1L).select("text").as[String].head() ==
+      "contact me at <EMAIL> or <PHONE> thanks")
+    // the stream must agree row-for-row with the batch kernel
+    val batchRows = graft.operators.TextAnalysis.piiScrubbed(docs1)
+      .select("doc_id", "text", "n_emails", "n_phones")
+      .as[(Long, String, Int, Int)].collect().toSet
+    val streamRows = scrubbed.select("doc_id", "text", "n_emails", "n_phones")
+      .as[(Long, String, Int, Int)].collect().toSet
+    assert(streamRows == batchRows, "stream/batch kernel parity")
+    // audit sink: only rows that had PII, counters kept, text dropped
+    val audit = spark.read.parquet(s"$tmp/audit")
+    assert(audit.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(!audit.columns.contains("text"), "audit sink retains no text")
+    assert(audit.filter(col("doc_id") === 3L).select("n_emails").as[Int].head() == 2)
+
+    // checkpoint resume: a second file only processes the new rows
+    Seq((4L, "late arrival 98-765-432-1098", "en", "web", 28L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$tmp/in")
+    val q2 = StreamingScrub.run(spark, s"$tmp/in", docs1.schema,
+      s"$tmp/scrubbed", s"$tmp/audit", s"$tmp/ckpt")
+    q2.awaitTermination()
+    assert(spark.read.parquet(s"$tmp/scrubbed").count() == 4, "no reprocessing")
+    assert(spark.read.parquet(s"$tmp/audit")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+  }
 }
