@@ -595,8 +595,56 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("rk"))
   }
 
+  /** Semantic dedup — the cluster-partitioned near-dup removal of SemDeDup
+    * (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus, then look
+    * for semantic duplicates ONLY within each cluster, so the pairwise
+    * comparison that is O(N²) globally becomes O(N²/k) — and with the
+    * cluster count k scaled ∝ N (k ≈ N / target-occupancy, the paper's
+    * deployment rule), per-cluster work is constant and total work is
+    * linear in the corpus. This is a different modality from the LSH dup
+    * path (q56/q67): no signatures, no recall loss WITHIN a cluster —
+    * the approximation is that cross-cluster dups are invisible, the
+    * trade SemDeDup makes by construction.
+    *
+    * Keep rule (deterministic, recursion-free): a vector is dropped iff
+    * ANY lower-vec_id vector in the same cluster is a semantic duplicate
+    * (cosine ≥ 0.35, the corpus's near-dup threshold — q56's dial);
+    * `dup_of` records the earliest such neighbor. Order-independent, so
+    * the result doesn't depend on partitioning.
+    *
+    * Scale shape: assignment is q72's pure-map kernel (zero shuffle);
+    * the self-join shuffles each cluster's members to one reducer group
+    * — candidate volume is exactly the within-cluster pair count that the
+    * k-dial bounds (measured here: 1080 of 4137 ≥ τ pairs at sf0.1 fall
+    * within-cluster at k = 8; CandidateVolumeSpec tracks growth). The
+    * min-aggregate and left join are id-keyed, no skew.
+    */
+  def q87SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(spark, dir))
+    val cents = lowestIdSeeds(e, 8)
+    val m = e.select(col("vec_id"), nearestSeedU(cents)(col("embedding")).as("a"),
+        col("embedding"), col("nn"))
+      .select(col("vec_id"), col("a._1").as("cluster"), col("embedding"), col("nn"))
+    val left = m.select(col("cluster"), col("vec_id").as("a_id"),
+      col("embedding").as("ae"), col("nn").as("na"))
+    val right = m.select(col("cluster"), col("vec_id").as("b_id"),
+      col("embedding").as("be"), col("nn").as("nb"))
+    val dupOf = left.join(right, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        round6c(dotC(spark, "ae", "be") / (sqrt(col("na")) * sqrt(col("nb")))))
+      .filter(col("cosine") >= 0.35)
+      .groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("dup_of"))
+    m.select(col("vec_id"), col("cluster"))
+      .join(dupOf, col("vec_id") === col("b_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dup_of"),
+        col("dup_of").isNull.as("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_cosine_knn" -> q48CosineKnn,
+    "q87_semantic_dedup" -> q87SemanticDedup,
     "q49_ann_lsh" -> q49AnnLsh,
     "q56_embedding_neardup" -> q56EmbeddingNeardup,
     "q57_ann_ivf" -> q57AnnIvf,
@@ -868,5 +916,39 @@ object Similarity {
         |  SELECT vec_id, cluster,
         |    row_number() OVER (PARTITION BY cluster
         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
-        |  FROM assigned) WHERE rk <= 25""".stripMargin)
+        |  FROM assigned) WHERE rk <= 25""".stripMargin,
+    // q72's assignment + within-cluster pairwise cosine (q56's rounding
+    // and threshold) + earliest-duplicate aggregate — the SemDeDup keep
+    // rule stated declaratively
+    "q87_semantic_dedup" ->
+      s"""WITH $longFormCte,
+        |cents AS (SELECT vec_id AS c_id, pos, v FROM ex WHERE vec_id < 8),
+        |d AS (
+        |  SELECT ex.vec_id, c.c_id,
+        |    round(sum((ex.v - c.v) * (ex.v - c.v)), 6) AS dist2
+        |  FROM ex JOIN cents c ON c.pos = ex.pos
+        |  GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, c_id AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist2, c_id) AS rn
+        |    FROM d) WHERE rn = 1),
+        |nrm AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+        |dots AS (
+        |  SELECT a_id, b_id, sum(x.v * y.v) AS dot FROM pairs
+        |  JOIN ex x ON x.vec_id = a_id
+        |  JOIN ex y ON y.vec_id = b_id AND y.pos = x.pos
+        |  GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT b_id, min(a_id) AS dup_of
+        |  FROM dots JOIN nrm na ON na.vec_id = a_id
+        |  JOIN nrm nb ON nb.vec_id = b_id
+        |  WHERE round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) >= 0.35
+        |  GROUP BY 1)
+        |SELECT s.vec_id, s.cluster, dup.dup_of, dup.dup_of IS NULL AS keep
+        |FROM assigned s LEFT JOIN dup ON dup.b_id = s.vec_id""".stripMargin)
 }
