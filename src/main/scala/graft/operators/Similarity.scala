@@ -535,11 +535,21 @@ object Similarity {
     * BEFORE the argmin so ties break identically by centroid id on both
     * engines.
     */
-  def q72KmeansAssign(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val cents = lowestIdSeeds(e, 8)
-    e.select(col("vec_id"), nearestSeedU(cents)(col("embedding")).as("a"))
-      .select(col("vec_id"), col("a._1").as("cluster"), col("a._2").as("dist2"))
+  def q72KmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    assignClusters(emb(spark, dir), 8)
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+
+  /** Appends `cluster` (and `dist2`) via the shared seeded-argmin kernel —
+    * the ONE assignment definition behind q72, q87 and the
+    * candidate-growth measurement, so the k dial can be exercised without
+    * duplicating the kernel. Pure map after a k-bounded seed collect.
+    */
+  private[operators] def assignClusters(e: DataFrame, k: Int): DataFrame = {
+    val cents = lowestIdSeeds(e, k)
+    e.withColumn("a", nearestSeedU(cents)(col("embedding")))
+      .withColumn("cluster", col("a._1"))
+      .withColumn("dist2", col("a._2"))
+      .drop("a")
   }
 
   /** Cross-modal dedup consensus: every embedded document judged by BOTH
@@ -620,11 +630,8 @@ object Similarity {
     * min-aggregate and left join are id-keyed, no skew.
     */
   def q87SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(emb(spark, dir))
-    val cents = lowestIdSeeds(e, 8)
-    val m = e.select(col("vec_id"), nearestSeedU(cents)(col("embedding")).as("a"),
-        col("embedding"), col("nn"))
-      .select(col("vec_id"), col("a._1").as("cluster"), col("embedding"), col("nn"))
+    val m = assignClusters(withNorm(emb(spark, dir)), 8)
+      .select(col("vec_id"), col("cluster"), col("embedding"), col("nn"))
     val left = m.select(col("cluster"), col("vec_id").as("a_id"),
       col("embedding").as("ae"), col("nn").as("na"))
     val right = m.select(col("cluster"), col("vec_id").as("b_id"),

@@ -130,4 +130,40 @@ class CandidateGrowthSpec extends SparkSpec {
     check("winnow@sf0.01", mLo); check("winnow@sf0.1", mHi)
     assert(mHi.allPairsFrac < 0.10)
   }
+
+  test("semantic dedup (q87): candidates are the within-cluster pair space; k is the dial") {
+    // q87's candidate set is NOT signature-derived — it is n²-ish BY
+    // DESIGN at fixed k (the fixture pins k=8 for oracle determinism), so
+    // the excess gate above does not apply. The honest gates are the ones
+    // the SemDeDup deployment rule (k ∝ N) relies on:
+    //   (a) candidates ≈ Σ per-cluster pairs stay within 2× of the
+    //       balanced-occupancy ideal n²/(2k) — imbalance, not bucketing,
+    //       is the only way this shape degrades;
+    //   (b) allPairsFrac ≈ 1/k — the cluster partition really divides the
+    //       pair space;
+    //   (c) raising k shrinks candidates proportionally (the dial works):
+    //       k 8 → 32 must cut pairs ≥ 2.5×.
+    def pairsAt(dir: String, k: Int): M = {
+      val a = graft.CacheScope.cache(
+        Similarity.assignClusters(Similarity.emb(spark, dir), k)
+          .select(col("vec_id"), col("cluster")))
+      val cand = a.select(col("cluster"), col("vec_id").as("a_id"))
+        .join(a.select(col("cluster"), col("vec_id").as("b_id")), Seq("cluster"))
+        .filter(col("a_id") < col("b_id"))
+      measure(cand, a.count(),
+        Similarity.queries("q87_semantic_dedup")(spark, dir).filter(!col("keep")))
+    }
+    val (mLo, mHi) = (pairsAt(lo, 8), pairsAt(hi, 8))
+    info(f"semdedup@sf0.01: n=${mLo.n} cand=${mLo.cand} dropped=${mLo.verified} frac=${mLo.allPairsFrac}%.3f")
+    info(f"semdedup@sf0.1:  n=${mHi.n} cand=${mHi.cand} dropped=${mHi.verified} frac=${mHi.allPairsFrac}%.3f")
+    Seq(mLo, mHi).foreach { m =>
+      assert(m.cand <= 2L * m.n * m.n / (2 * 8),
+        s"cluster imbalance: ${m.cand} pairs vs balanced ideal ${m.n * m.n / 16}")
+      assert(m.allPairsFrac < 2.0 / 8, s"partition does not divide the pair space: ${m.allPairsFrac}")
+    }
+    val mHi32 = pairsAt(hi, 32)
+    info(s"semdedup@sf0.1 k=32: cand=${mHi32.cand}")
+    assert(mHi32.cand * 5 <= mHi.cand * 2,
+      s"k dial 8→32 cut pairs ${mHi.cand} only to ${mHi32.cand} (<2.5×)")
+  }
 }
