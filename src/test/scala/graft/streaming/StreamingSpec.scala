@@ -323,4 +323,44 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/audit")
       .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
   }
+
+  test("ingest pipeline composes: quality gate -> PII scrub -> exact dedup") {
+    // The composition the stage scaladocs claim: each gate's sink is the
+    // next gate's file-source. Every stage is AvailableNow-triggered, so
+    // the chain runs as three drained streams — the same wiring a
+    // continuous deployment uses, minus the wall-clock.
+    val tmp = java.nio.file.Files.createTempDirectory("ingestchain").toString
+    val docs = Seq(
+      (1L, "a varied sentence mailing alice@example.com today", "en", "web", 49L),
+      (2L, "a varied sentence mailing alice@example.com today", "en", "web", 49L), // dup of 1
+      (3L, "junk junk junk junk junk junk", "en", "web", 29L),                     // rejected
+      (4L, "different words without any contact info", "en", "web", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("append").parquet(s"$tmp/in")
+
+    StreamingQuality.run(spark, s"$tmp/in", docs.schema,
+      s"$tmp/clean", s"$tmp/reject", s"$tmp/ckptQ").awaitTermination()
+    // the quality sink nests batch_id=N partition dirs; downstream stages
+    // must declare that column or the file source drops it silently
+    val gatedSchema = spark.read.parquet(s"$tmp/clean").schema
+    StreamingScrub.run(spark, s"$tmp/clean", gatedSchema,
+      s"$tmp/scrubbed", s"$tmp/audit", s"$tmp/ckptS").awaitTermination()
+    val scrubbedSchema = spark.read.parquet(s"$tmp/scrubbed").schema
+    StreamingDedup.run(spark, s"$tmp/scrubbed", scrubbedSchema,
+      s"$tmp/final", s"$tmp/ckptD").awaitTermination()
+
+    val fin = spark.read.parquet(s"$tmp/final")
+    // doc 3 rejected by the gate; 1/2 are identical so they scrub
+    // identically, the content hash still collides, and exactly ONE
+    // survives (which one is batch-internal order, deliberately
+    // unasserted — the dedup spec's convention); survivors carry
+    // redacted text
+    val ids = fin.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(4L) && !ids.contains(3L), s"gate/chain routing: $ids")
+    assert((ids - 4L).subsetOf(Set(1L, 2L)) && (ids - 4L).size == 1,
+      s"exactly one of the twin docs survives: $ids")
+    assert(fin.filter(col("doc_id").isin(1L, 2L)).select("text").as[String].head()
+      .contains("<EMAIL>"))
+    assert(fin.filter(col("text").rlike("@[A-Za-z]")).count() == 0, "no PII survives the chain")
+  }
 }
