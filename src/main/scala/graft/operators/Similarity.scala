@@ -626,7 +626,7 @@ object Similarity {
     * the self-join shuffles each cluster's members to one reducer group
     * — candidate volume is exactly the within-cluster pair count that the
     * k-dial bounds (measured here: 1080 of 4137 ≥ τ pairs at sf0.1 fall
-    * within-cluster at k = 8; CandidateVolumeSpec tracks growth). The
+    * within-cluster at k = 8; CandidateGrowthSpec tracks growth). The
     * min-aggregate and left join are id-keyed, no skew.
     */
   def q87SemanticDedup(spark: SparkSession, dir: String): DataFrame = {

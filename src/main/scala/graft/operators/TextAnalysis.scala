@@ -174,11 +174,19 @@ object TextAnalysis {
     * ingest-time scrubbers cannot drift — same pattern as
     * `CorpusOps.repetitionScored` backing q69 and the streaming quality
     * gate. Per-row projection, zero shuffle.
+    *
+    * Counters count REDACTIONS, not raw matches: replacement is
+    * sequential (emails first), so `n_phones` is counted on the
+    * email-scrubbed text — a phone-shaped span swallowed by an email
+    * match (`12-345-678-9012@corp.example.com`) is one email redaction,
+    * not a phantom phone the audit could never reconcile.
     */
-  def piiScrubbed(df: DataFrame): DataFrame =
+  def piiScrubbed(df: DataFrame): DataFrame = {
+    val emailScrubbed = regexp_replace(col("text"), EmailRe, "<EMAIL>")
     df.withColumn("n_emails", size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))))
-      .withColumn("n_phones", size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))))
-      .withColumn("text", scrubPii(col("text")))
+      .withColumn("n_phones", size(regexp_extract_all(emailScrubbed, lit(PhoneRe), lit(0))))
+      .withColumn("text", regexp_replace(emailScrubbed, PhoneRe, "<PHONE>"))
+  }
 
   /** PII scrubbing — the redaction stage every training-data curation
     * pipeline runs before packing (no reference analog; pipeline-family
@@ -207,11 +215,10 @@ object TextAnalysis {
     val text = concat(col("c_name"), lit(" "), contact, lit(" phone "), phone1,
       when(k % 2 === 0, concat(lit(" alt "), phone2)).otherwise(lit("")),
       lit(" segment "), col("c_mktsegment"))
-    c.select(col("c_custkey"),
-      size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_emails"),
-      size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phones"),
-      md5(scrubPii(text)).as("scrubbed_md5"),
-      length(scrubPii(text)).as("scrubbed_len"))
+    piiScrubbed(c.select(col("c_custkey"), text.as("text")))
+      .select(col("c_custkey"), col("n_emails"), col("n_phones"),
+        md5(col("text")).as("scrubbed_md5"),
+        length(col("text")).as("scrubbed_len"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -243,16 +250,19 @@ object TextAnalysis {
         |  FROM customer),
         |s AS (
         |  SELECT c_custkey, txt,
-        |    regexp_replace(regexp_replace(txt,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scr
-        |  FROM t)
+        |    regexp_replace(txt,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS escr
+        |  FROM t),
+        |s2 AS (
+        |  SELECT c_custkey, txt, escr,
+        |    regexp_replace(escr, '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scr
+        |  FROM s)
         |SELECT c_custkey,
         |  CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-        |  CAST(len(regexp_extract_all(txt, '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(escr, '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
         |  md5(scr) AS scrubbed_md5,
         |  CAST(length(scr) AS INT) AS scrubbed_len
-        |FROM s""".stripMargin,
+        |FROM s2""".stripMargin,
     "q65_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

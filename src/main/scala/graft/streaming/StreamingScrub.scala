@@ -39,8 +39,11 @@ object StreamingScrub {
         val scrubbed = batch.cache()
         try {
           scrubbed.write.mode("overwrite").parquet(s"$scrubbedPath/batch_id=$batchId")
+          // whitelist projection, not a text blacklist: the audit sink
+          // carries id + counters ONLY, so a text-bearing column added
+          // upstream can never leak into the compliance record
           scrubbed.filter(col("n_emails") + col("n_phones") > 0)
-            .drop("text")
+            .select(col("doc_id"), col("n_emails"), col("n_phones"))
             .write.mode("overwrite").parquet(s"$auditPath/batch_id=$batchId")
         } finally scrubbed.unpersist()
         ()

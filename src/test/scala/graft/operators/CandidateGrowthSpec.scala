@@ -143,17 +143,24 @@ class CandidateGrowthSpec extends SparkSpec {
     //       pair space;
     //   (c) raising k shrinks candidates proportionally (the dial works):
     //       k 8 → 32 must cut pairs ≥ 2.5×.
-    def pairsAt(dir: String, k: Int): M = {
+    def candAt(dir: String, k: Int): (Long, Long) = {
       val a = graft.CacheScope.cache(
         Similarity.assignClusters(Similarity.emb(spark, dir), k)
           .select(col("vec_id"), col("cluster")))
       val cand = a.select(col("cluster"), col("vec_id").as("a_id"))
         .join(a.select(col("cluster"), col("vec_id").as("b_id")), Seq("cluster"))
         .filter(col("a_id") < col("b_id"))
-      measure(cand, a.count(),
-        Similarity.queries("q87_semantic_dedup")(spark, dir).filter(!col("keep")))
+      val r = (a.count(), cand.count())
+      spark.catalog.clearCache()
+      r
     }
-    val (mLo, mHi) = (pairsAt(lo, 8), pairsAt(hi, 8))
+    // dropped (= q87's !keep rows) only exists at the query's own k = 8
+    def pairsAt(dir: String): M = {
+      val (n, cand) = candAt(dir, 8)
+      M(n, cand,
+        Similarity.queries("q87_semantic_dedup")(spark, dir).filter(!col("keep")).count())
+    }
+    val (mLo, mHi) = (pairsAt(lo), pairsAt(hi))
     info(f"semdedup@sf0.01: n=${mLo.n} cand=${mLo.cand} dropped=${mLo.verified} frac=${mLo.allPairsFrac}%.3f")
     info(f"semdedup@sf0.1:  n=${mHi.n} cand=${mHi.cand} dropped=${mHi.verified} frac=${mHi.allPairsFrac}%.3f")
     Seq(mLo, mHi).foreach { m =>
@@ -161,9 +168,9 @@ class CandidateGrowthSpec extends SparkSpec {
         s"cluster imbalance: ${m.cand} pairs vs balanced ideal ${m.n * m.n / 16}")
       assert(m.allPairsFrac < 2.0 / 8, s"partition does not divide the pair space: ${m.allPairsFrac}")
     }
-    val mHi32 = pairsAt(hi, 32)
-    info(s"semdedup@sf0.1 k=32: cand=${mHi32.cand}")
-    assert(mHi32.cand * 5 <= mHi.cand * 2,
-      s"k dial 8→32 cut pairs ${mHi.cand} only to ${mHi32.cand} (<2.5×)")
+    val (_, cand32) = candAt(hi, 32)
+    info(s"semdedup@sf0.1 k=32: cand=$cand32")
+    assert(cand32 * 5 <= mHi.cand * 2,
+      s"k dial 8→32 cut pairs ${mHi.cand} only to $cand32 (<2.5×)")
   }
 }

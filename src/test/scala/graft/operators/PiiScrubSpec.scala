@@ -36,6 +36,20 @@ class PiiScrubSpec extends SparkSpec {
     assert(scrub("bob@a.bc 12-345-678-9012") == "<EMAIL> <PHONE>")
   }
 
+  test("counters count redactions, not raw matches, when spans overlap") {
+    // the local part of an email can swallow a phone-shaped span; the
+    // audit must record ONE email redaction and ZERO phones (a raw-text
+    // phone count would claim a redaction that never happened)
+    val out = TextAnalysis.piiScrubbed(
+      Seq((1L, "reach me 12-345-678-9012@corp.example.com now"),
+          (2L, "mail bob@x.io or call 12-345-678-9012"))
+        .toDF("doc_id", "text"))
+      .select("doc_id", "text", "n_emails", "n_phones")
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "reach me <EMAIL> now", 1, 0)))
+    assert(out(1) == ((2L, "mail <EMAIL> or call <PHONE>", 1, 1)))
+  }
+
   test("q84 counts vary by construction and the scrub is applied") {
     val out = TextAnalysis.q84PiiScrub(spark, "/root/testdata/sf0.001")
     val agg = out.agg(min("n_emails"), max("n_emails"),

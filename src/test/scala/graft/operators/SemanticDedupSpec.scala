@@ -34,7 +34,6 @@ class SemanticDedupSpec extends SparkSpec {
     }.min._2
     val clusters = vecs.map { case (id, v) => id -> assign(v) }.toMap
     val norms = vecs.map { case (id, v) => id -> v.map(x => x.toDouble * x).sum }.toMap
-    val byId = vecs.toMap
     var drops = 0
     for ((id, v) <- vecs) {
       val dupOf = vecs.iterator.takeWhile(_._1 < id)
@@ -54,6 +53,5 @@ class SemanticDedupSpec extends SparkSpec {
     out.foreach { case (id, (cl, dup, keep)) =>
       if (!keep) { assert(dup < id); assert(clusters(dup) == cl) }
     }
-    assert(byId.contains(0L)) // silence unused warning; seeds exist
   }
 }
