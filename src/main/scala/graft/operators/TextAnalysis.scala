@@ -221,9 +221,48 @@ object TextAnalysis {
         length(col("text")).as("scrubbed_len"))
   }
 
+  /** Quality-decile bucketing + top-quality selection — the "keep the top
+    * X% by quality" curation step (FineWeb/DataComp-style) between scoring
+    * (q41) and mixing (q75). Score here is q41's distinct-token ratio (its
+    * most discriminative single metric on this fixture; composite weights
+    * are a deployment choice orthogonal to the operator's shape), kept
+    * UNROUNDED — integer-ratio division is correctly-rounded IEEE on both
+    * engines, so no rounding layer is needed.
+    *
+    * Scale shape: score is a pure per-row map; the nine decile boundaries
+    * are ONE aggregate reduced to a 9-double row that broadcasts back;
+    * bucket assignment is again a pure map (score vs broadcast
+    * thresholds). No global sort, no window over a single partition — the
+    * trap a `ntile(10) OVER (ORDER BY score)` formulation would hit, where
+    * the whole corpus funnels through one reducer. Exact `percentile`
+    * buffers a value→count map (bounded by DISTINCT scores — small-int
+    * ratios here); at 100 TB swap in `approx_percentile` (a mergeable
+    * sketch, map-side combinable) — the plan shape is unchanged.
+    *
+    * Oracle parity: Spark `percentile` and DuckDB `quantile_cont` both
+    * interpolate at p·(n−1) over the sorted values; measured BIT-IDENTICAL
+    * boundaries on this column at sf0.01 and sf0.1. Ties at a boundary are
+    * counted by the same `score >= t` rule on both engines.
+    */
+  def q88QualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        (size(array_distinct(col("tokens"))).cast("double") /
+          size(col("tokens"))).as("score"))
+    val bounds = scored.agg(expr(
+      "percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("decile", (lit(1) + aggregate(col("bs"), lit(0),
+        (acc, t) => acc + when(col("score") >= t, 1).otherwise(0))).cast("int"))
+      .select(col("doc_id"), col("score"), col("decile"),
+        (col("decile") >= 9).as("keep_top20"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_tfidf" -> q65Tfidf,
     "q84_pii_scrub" -> q84PiiScrub,
+    "q88_quality_deciles" -> q88QualityDeciles,
     "q40_token_count" -> q40TokenCount,
     "q41_quality" -> q41Quality,
     "q42_lang_id" -> q42LangId,
@@ -308,6 +347,15 @@ object TextAnalysis {
         |    / len(tokens) AS stop_ratio,
         |  CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) AS distinct_ratio
         |FROM t""".stripMargin,
+    "q88_quality_deciles" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) AS score FROM t),
+        |b AS (SELECT quantile_cont(score, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM sc)
+        |SELECT doc_id, score,
+        |  CAST(1 + len(list_filter(b.bs, x -> score >= x)) AS INT) AS decile,
+        |  (1 + len(list_filter(b.bs, x -> score >= x))) >= 9 AS keep_top20
+        |FROM sc CROSS JOIN b""".stripMargin,
     "q42_lang_id" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
         |s AS (

@@ -70,6 +70,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "per-row scrub gained a shuffle:\n" + p)
   }
 
+  test("q88: decile bucketing broadcasts the boundary row — no global sort, no window") {
+    val p = plan(TextAnalysis.queries("q88_quality_deciles")(spark, dir))
+    assert(p.contains("BroadcastExchange"), "boundaries not broadcast:\n" + p)
+    assert(!p.contains("Window"), "ntile-style single-reducer window crept in:\n" + p)
+    assert(!p.contains("Sort "), "global sort crept in:\n" + p)
+  }
+
   test("q86: cluster sample keeps the two-phase quota (local window keyed by partition id)") {
     val p = plan(Similarity.queries("q86_cluster_sample")(spark, dir))
     // phase 1's window key carries SPARK_PARTITION_ID — the whole corpus
