@@ -244,17 +244,36 @@ object TextAnalysis {
     * boundaries on this column at sf0.01 and sf0.1. Ties at a boundary are
     * counted by the same `score >= t` rule on both engines.
     */
-  def q88QualityDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val scored = docs(spark, dir)
-      .withColumn("tokens", split(col("text"), " "))
-      .select(col("doc_id"),
-        (size(array_distinct(col("tokens"))).cast("double") /
-          size(col("tokens"))).as("score"))
-    val bounds = scored.agg(expr(
+  /** The q88 score: distinct-token ratio, appended as `score`. Shared by
+    * the batch query and [[graft.streaming.StreamingDecileGate]].
+    */
+  def qualityScored(df: DataFrame): DataFrame =
+    df.withColumn("toks__", split(col("text"), " "))
+      .withColumn("score",
+        size(array_distinct(col("toks__"))).cast("double") / size(col("toks__")))
+      .drop("toks__")
+
+  /** The q88 bucket rule over a boundaries array column: 1 + count of
+    * thresholds at or below the score. One definition for batch and
+    * serving, so the tie rule (`score >= t`) cannot drift.
+    */
+  def decileOf(score: org.apache.spark.sql.Column,
+               bs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (lit(1) + aggregate(bs, lit(0),
+      (acc, t) => acc + when(score >= t, 1).otherwise(0))).cast("int")
+
+  /** The nine decile boundaries of `score` as a single-row, single-array
+    * frame — q88's aggregate, also what
+    * [[graft.streaming.StreamingDecileGate.writeBoundaries]] materializes.
+    */
+  def decileBoundaries(scored: DataFrame): DataFrame =
+    scored.agg(expr(
       "percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
-    scored.crossJoin(broadcast(bounds))
-      .withColumn("decile", (lit(1) + aggregate(col("bs"), lit(0),
-        (acc, t) => acc + when(col("score") >= t, 1).otherwise(0))).cast("int"))
+
+  def q88QualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityScored(docs(spark, dir)).select(col("doc_id"), col("score"))
+    scored.crossJoin(broadcast(decileBoundaries(scored)))
+      .withColumn("decile", decileOf(col("score"), col("bs")))
       .select(col("doc_id"), col("score"), col("decile"),
         (col("decile") >= 9).as("keep_top20"))
   }

@@ -324,6 +324,33 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
   }
 
+  test("streaming decile gate buckets against stored boundaries, batch-parity") {
+    val tmp = java.nio.file.Files.createTempDirectory("decilestream").toString
+    val dir = "/root/testdata/sf0.01"
+    // nightly half: materialize the corpus boundaries
+    StreamingDecileGate.writeBoundaries(spark, dir, s"$tmp/bounds")
+
+    // stream the SAME corpus through the gate
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.write.mode("append").parquet(s"$tmp/in")
+    StreamingDecileGate.run(spark, s"$tmp/in", docs.schema,
+      s"$tmp/bounds", s"$tmp/keep", s"$tmp/rest", s"$tmp/ckpt").awaitTermination()
+
+    val keep = spark.read.parquet(s"$tmp/keep")
+    val rest = spark.read.parquet(s"$tmp/rest")
+    assert(keep.count() + rest.count() == docs.count(), "every doc routed exactly once")
+    // the stream's verdicts must equal the batch query's on the same corpus
+    val batch = graft.operators.TextAnalysis
+      .queries("q88_quality_deciles")(spark, dir)
+      .select("doc_id", "decile").as[(Long, Int)].collect().toMap
+    val streamed = keep.select("doc_id", "decile").as[(Long, Int)].collect() ++
+      rest.select("doc_id", "decile").as[(Long, Int)].collect()
+    streamed.foreach { case (id, d) =>
+      assert(batch(id) == d, s"decile drift for doc $id: stream=$d batch=${batch(id)}")
+    }
+    assert(keep.select(min(col("decile"))).head().getInt(0) >= 9)
+  }
+
   test("ingest pipeline composes: quality gate -> PII scrub -> exact dedup") {
     // The composition the stage scaladocs claim: each gate's sink is the
     // next gate's file-source. Every stage is AvailableNow-triggered, so
