@@ -33,6 +33,12 @@ object TextAnalysis {
     * per-row expressions; ratios are single IEEE divisions — identical on
     * both engines without rounding.
     */
+  /** Distinct-token ratio over a whitespace-token array — q41's
+    * `distinct_ratio` AND q88's quality score, one definition.
+    */
+  private def distinctRatio(tokens: org.apache.spark.sql.Column) =
+    size(array_distinct(tokens)).cast("double") / size(tokens)
+
   def q41Quality(spark: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "to")
     docs(spark, dir)
@@ -43,8 +49,7 @@ object TextAnalysis {
       .withColumn("mean_tok_len",
         (length(col("text")) - (col("n_tok") - 1)).cast("double") / col("n_tok"))
       .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_tok"))
-      .withColumn("distinct_ratio",
-        size(array_distinct(col("tokens"))).cast("double") / col("n_tok"))
+      .withColumn("distinct_ratio", distinctRatio(col("tokens")))
       .select(col("doc_id"), col("n_tok"), col("stop_hits"),
         col("mean_tok_len"), col("stop_ratio"), col("distinct_ratio"))
   }
@@ -161,11 +166,20 @@ object TextAnalysis {
   private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[operators] val PhoneRe = "\\b\\d{2}-\\d{3}-\\d{3}-\\d{4}\\b"
 
-  /** The scrub kernel: emails then phones, each span replaced by its tag.
-    * One shared Column definition for the query and the planted-case spec.
+  /** The two redaction steps, each a single shared definition — composed
+    * by [[scrubPii]] (the planted-case spec surface) and by
+    * [[piiScrubbed]] (which needs the intermediate email-scrubbed text
+    * for redaction-true phone counting), so the spec'd chain and the
+    * production chain are the same expressions.
     */
+  private def emailScrubbed(text: org.apache.spark.sql.Column) =
+    regexp_replace(text, EmailRe, "<EMAIL>")
+  private def phoneScrubbed(text: org.apache.spark.sql.Column) =
+    regexp_replace(text, PhoneRe, "<PHONE>")
+
+  /** The scrub kernel: emails then phones, each span replaced by its tag. */
   private[operators] def scrubPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    phoneScrubbed(emailScrubbed(text))
 
   /** Shared scrub stage over a documents frame: replaces `text` with its
     * redacted form and appends per-row redaction counters. The single
@@ -182,10 +196,10 @@ object TextAnalysis {
     * not a phantom phone the audit could never reconcile.
     */
   def piiScrubbed(df: DataFrame): DataFrame = {
-    val emailScrubbed = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val es = emailScrubbed(col("text"))
     df.withColumn("n_emails", size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))))
-      .withColumn("n_phones", size(regexp_extract_all(emailScrubbed, lit(PhoneRe), lit(0))))
-      .withColumn("text", regexp_replace(emailScrubbed, PhoneRe, "<PHONE>"))
+      .withColumn("n_phones", size(regexp_extract_all(es, lit(PhoneRe), lit(0))))
+      .withColumn("text", phoneScrubbed(es))
   }
 
   /** PII scrubbing — the redaction stage every training-data curation
@@ -248,10 +262,7 @@ object TextAnalysis {
     * the batch query and [[graft.streaming.StreamingDecileGate]].
     */
   def qualityScored(df: DataFrame): DataFrame =
-    df.withColumn("toks__", split(col("text"), " "))
-      .withColumn("score",
-        size(array_distinct(col("toks__"))).cast("double") / size(col("toks__")))
-      .drop("toks__")
+    df.withColumn("score", distinctRatio(split(col("text"), " ")))
 
   /** The q88 bucket rule over a boundaries array column: 1 + count of
     * thresholds at or below the score. One definition for batch and

@@ -16,32 +16,48 @@ import org.apache.spark.sql.types.StructType
   *
   * Like the index-serving paths, boundaries are resolved ONCE at query
   * start (9 doubles of driver state riding the closure) — per-batch work
-  * is a pure per-row map plus two appends. A re-materialized boundary
-  * file under a running stream is served only after restart, the same
-  * restart-on-rebuild contract the band/ANN/IVF indexes pin.
+  * is a pure per-row map plus two appends. The restart-on-rebuild
+  * contract is ENFORCED the way the band/ANN/IVF indexes enforce it: the
+  * build carries [[graft.operators.IndexMeta]] with a per-build nonce,
+  * the gate fingerprints it before loading, and every micro-batch
+  * re-checks — a re-materialized boundary build under a running stream
+  * fails the next batch loudly instead of being served stale.
   */
 object StreamingDecileGate {
 
   /** Materialize the decile boundaries of `dir`'s documents corpus —
     * the batch half of the serving pair (one aggregate, one tiny file).
+    * Meta first (the index-completeness convention): the boundaries file's
+    * `_SUCCESS` marks the build complete, and the per-build nonce in the
+    * meta makes ANY re-materialization invalidate a running gate's
+    * fingerprint.
     */
-  def writeBoundaries(spark: SparkSession, dir: String, outPath: String): Unit =
+  def writeBoundaries(spark: SparkSession, dir: String, outPath: String): Unit = {
+    graft.operators.IndexMeta.write(spark, outPath, "graft decile boundaries",
+      "kind" -> "decile_boundaries", "score" -> "distinct_ratio",
+      "probs" -> "0.1..0.9")
     TextAnalysis.decileBoundaries(
       TextAnalysis.qualityScored(graft.Tables.load(spark, dir, "documents")))
-      .write.mode("overwrite").parquet(outPath)
+      .write.mode("overwrite").parquet(s"$outPath/bounds")
+  }
 
   def run(spark: SparkSession, docDir: String, docSchema: StructType,
           boundariesPath: String, keepPath: String, restPath: String,
           checkpoint: String, minDecile: Int = 9): StreamingQuery = {
-    // resolved ONCE: 9 doubles, baked into the per-batch plan as a literal
+    // resolved ONCE: 9 doubles, baked into the per-batch plan as a
+    // literal. Fingerprint BEFORE the read (the StreamingAnn ordering), so
+    // a rebuild racing the load fails the first batch loudly; each batch
+    // re-checks and fails instead of serving retired boundaries.
+    val loadedFp = graft.operators.IndexMeta.fingerprint(spark, boundariesPath)
     val bs: Seq[Double] =
-      spark.read.parquet(boundariesPath).head().getSeq[Double](0)
+      spark.read.parquet(s"$boundariesPath/bounds").head().getSeq[Double](0)
     val bsCol = array(bs.map(lit): _*)
     val docs = spark.readStream.schema(docSchema).parquet(docDir)
     TextAnalysis.qualityScored(docs.toDF())
       .withColumn("decile", TextAnalysis.decileOf(col("score"), bsCol))
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.IndexMeta.requireUnchanged(spark, boundariesPath, loadedFp)
         // idempotent batch_id=N overwrite, the shared sink contract
         val scored = batch.cache()
         try {

@@ -349,6 +349,14 @@ class StreamingSpec extends SparkSpec {
       assert(batch(id) == d, s"decile drift for doc $id: stream=$d batch=${batch(id)}")
     }
     assert(keep.select(min(col("decile"))).head().getInt(0) >= 9)
+
+    // restart-on-rebuild: a re-materialized boundary build invalidates a
+    // fingerprint captured by a running gate (per-build nonce, same dials)
+    val fp = graft.operators.IndexMeta.fingerprint(spark, s"$tmp/bounds")
+    StreamingDecileGate.writeBoundaries(spark, dir, s"$tmp/bounds")
+    intercept[IllegalStateException] {
+      graft.operators.IndexMeta.requireUnchanged(spark, s"$tmp/bounds", fp)
+    }
   }
 
   test("ingest pipeline composes: quality gate -> PII scrub -> exact dedup") {
