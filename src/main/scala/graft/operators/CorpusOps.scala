@@ -264,6 +264,54 @@ object CorpusOps {
           .otherwise("test"))
   }
 
+  /** Deterministic global shuffle + balanced shard export — the stage
+    * that turns a curated corpus into training shards: every document
+    * gets a stable, GAP-FREE global ordinal in a reproducible
+    * pseudo-random order (ordered by md5 of its id — the q14/q63
+    * deterministic-shuffle trick, so the "shuffle" is replayable from the
+    * data alone) and one of 16 contiguous shards whose sizes differ by at
+    * most one row.
+    *
+    * The naive ordinal — `row_number() OVER (ORDER BY h)` — funnels the
+    * whole corpus through ONE reducer; at 100 TB that single partition is
+    * the job. This is the two-pass shape instead: bucket by the first
+    * two hex chars of the hash (a PREFIX of the sort key, so per-bucket
+    * order concatenates to the global order), count per bucket (tiny
+    * 256-row aggregate), turn counts into cumulative start offsets with a
+    * window over that 256-row frame (the only single-partition window —
+    * O(buckets) rows, the IVF-centroid kind of bounded), broadcast the
+    * offsets back, and rank WITHIN each bucket in parallel. The corpus
+    * exchanges once (the per-bucket ranking shuffle); ordinal =
+    * bucket offset + in-bucket rank. At larger scale the bucket width is
+    * the parallelism dial: 3 hex chars = 4096-way, still a tiny offsets
+    * frame. Shard = floor(ordinal · S / N) keeps shards contiguous in the
+    * shuffled order, so a shard is also a valid random sample.
+    */
+  def q89ShardExport(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 16
+    val keyed = docs(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val byBucket = Window.orderBy(col("bucket"))
+    val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n_b"))
+      .withColumn("off", coalesce(
+        sum(col("n_b")).over(byBucket.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n", sum(col("n_b")).over(
+        byBucket.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("bucket"), col("off"), col("n"))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+    keyed
+      .withColumn("rk", row_number().over(inBucket))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("ordinal", col("off") + col("rk") - 1)
+      // ordinal·S ≤ 2^53 for any feasible corpus, so the double division is
+      // correctly rounded and floor is exact on both engines
+      .withColumn("shard", floor(col("ordinal") * nShards / col("n")).cast("int"))
+      .select(col("doc_id"), col("ordinal"), col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate,
     "q85_decontaminate_substr" -> q85DecontaminateSubstr,
@@ -272,7 +320,8 @@ object CorpusOps {
     "q73_lm_perplexity" -> q73LmPerplexity,
     "q74_chunk_docs" -> q74ChunkDocs,
     "q75_temperature_mix" -> q75TemperatureMix,
-    "q80_dataset_split" -> q80DatasetSplit)
+    "q80_dataset_split" -> q80DatasetSplit,
+    "q89_shard_export" -> q89ShardExport)
 
   val oracleSql: Map[String, String] = Map(
     // the fps CTEs mirror q78's oracle (same 20-char grams, 10-window
@@ -396,5 +445,19 @@ object CorpusOps {
         |  CASE WHEN bucket < 90 THEN 'train'
         |       WHEN bucket < 95 THEN 'valid'
         |       ELSE 'test' END AS split
-        |FROM b""".stripMargin)
+        |FROM b""".stripMargin,
+    // the oracle states the LOGICAL spec (one global row_number over the
+    // md5 order); the Spark side must reproduce it with the two-pass
+    // bucket-offset plan — that equivalence is exactly what the hash
+    // compare certifies
+    "q89_shard_export" ->
+      """WITH o AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |      AS ordinal,
+        |    count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, ordinal,
+        |  CAST(floor(ordinal * 16 / n) AS INTEGER) AS shard
+        |FROM o""".stripMargin)
 }

@@ -97,4 +97,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"split must be shuffle-free:\n$plan")
     spark.catalog.clearCache()
   }
+
+  test("shard export: ordinals are a gap-free permutation, shards balanced within 1") {
+    val out = CorpusOps.q89ShardExport(spark, sf).cache()
+    val n = out.count()
+    assert(n == graft.Tables.load(spark, sf, "documents").count())
+    // gap-free 0..N-1: min/max/distinct pin the permutation without
+    // collecting the corpus
+    val agg = out.agg(
+      min(col("ordinal")), max(col("ordinal")), countDistinct(col("ordinal"))).head()
+    assert(agg.getLong(0) == 0L && agg.getLong(1) == n - 1 && agg.getLong(2) == n,
+      s"ordinals not a 0..${n - 1} permutation: $agg")
+    // contiguous shards balanced within one row
+    val sizes = out.groupBy(col("shard")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0 until 16).toSet, s"shards present: ${sizes.keySet}")
+    assert(sizes.values.max - sizes.values.min <= 1, s"unbalanced: $sizes")
+    // the shuffled order is deterministic: a fresh plan reproduces it
+    val again = CorpusOps.q89ShardExport(spark, sf)
+    assert(out.except(again).count() == 0L && again.except(out).count() == 0L)
+    spark.catalog.clearCache()
+  }
 }

@@ -130,6 +130,19 @@ class PlanAuditSpec extends SparkSpec {
       "serving plan re-trains the quantizer:\n" + p)
   }
 
+  test("q89: global ordinal is two-pass — corpus ranking keyed by bucket, offsets broadcast") {
+    val p = plan(CorpusOps.queries("q89_shard_export")(spark, dir))
+    // the corpus-side row_number must be PARTITIONED (by the hash-prefix
+    // bucket) — the naive shape is one row_number over an empty partition
+    // spec, i.e. the whole corpus through a single reducer
+    assert(p.contains("row_number() windowspecdefinition(bucket"),
+      "corpus ranking lost its bucket partitioning:\n" + p)
+    // the cumulative offsets (a buckets-sized frame) join back broadcast —
+    // the corpus never shuffles a second time for them
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast-join back:\n" + p)
+  }
+
   test("q81: the corpus side comes from the stored index — zero corpus recompute") {
     val p = plan(Dedup.queries("q81_incremental_index")(spark, dir))
     // the whole point of the materialized path: corpus band keys and
