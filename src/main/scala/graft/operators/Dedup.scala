@@ -637,18 +637,19 @@ object Dedup {
     // the index RECORDS its dials: a delta reader signs at the stored k
     // and bands at the stored layout, so index and delta can never be
     // compared at mismatched widths (silent zero-candidate failure mode).
-    // Written FIRST (the bands table's _SUCCESS, written last, marks the
-    // index complete — so completeness implies the meta exists) and
+    // Written LAST — meta presence marks the build complete, and a
+    // streaming reader racing a rebuild fingerprints the OLD meta, so the
+    // new meta landing fails its next batch loudly (see IndexMeta) —
     // through the Hadoop filesystem of the path, so hdfs://- or
     // s3a://-hosted indexes work and readers on other machines see it.
     val spark = corpusDocs.sparkSession
-    IndexMeta.write(spark, path, "graft band index dials",
-      "k" -> k.toString, "bands" -> bands.toString)
     graft.CacheScope.run {
       val sig = graft.CacheScope.cache(minhashSigs(shingleArraysOf(corpusDocs), k))
       sig.write.mode("overwrite").parquet(s"$path/sigs")
       bandKeys(sig, k, bands).write.mode("overwrite").parquet(s"$path/bands")
     }
+    IndexMeta.write(spark, path, "graft band index dials",
+      "k" -> k.toString, "bands" -> bands.toString)
   }
 
   /** The (k, bands) dials a stored index was built with. STRICT: a

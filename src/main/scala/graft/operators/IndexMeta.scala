@@ -3,13 +3,18 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 
 /** Index-dial metadata shared by every materialized index (minhash band /
-  * embedding ANN / IVF): a small properties file written through the
-  * path's Hadoop filesystem (so hdfs://- and s3a://-hosted indexes work
-  * and readers on other machines see it), written BEFORE the data tables —
-  * the last table's `_SUCCESS` marks the index complete, so completeness
-  * implies the dials exist. Readers are STRICT: serving at guessed dials
-  * zeroes the candidate join silently, the exact failure the metadata
-  * exists to prevent.
+  * embedding ANN / IVF / decile boundaries): a small properties file
+  * written through the path's Hadoop filesystem (so hdfs://- and
+  * s3a://-hosted indexes work and readers on other machines see it),
+  * written AFTER the data tables — meta presence IS the completeness
+  * marker. Meta-last also makes the rebuild race benign: a reader that
+  * starts mid-rebuild fingerprints the OLD meta, so when the new meta
+  * lands its next [[requireUnchanged]] fails loudly. (Meta-FIRST had the
+  * inverse race with no recovery: a reader starting during the build
+  * captured the NEW nonce over the OLD data and every later check passed,
+  * pinning stale data silently for the life of the query.) Readers are
+  * STRICT: serving at guessed dials zeroes the candidate join silently,
+  * the exact failure the metadata exists to prevent.
   */
 private[graft] object IndexMeta {
 

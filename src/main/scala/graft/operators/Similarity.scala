@@ -199,10 +199,9 @@ object Similarity {
     // the index RECORDS its banding dials (like Dedup.writeBandIndex):
     // serving signs probes at the STORED bands/bits, so index and probe
     // signatures can never be compared at mismatched widths — the silent
-    // zero-candidate failure mode. Meta first; bands/_SUCCESS (written
-    // last) marks the index complete, so completeness implies dials exist.
-    IndexMeta.write(corpusEmb.sparkSession, path, "graft ANN index dials",
-      "bands" -> bands.toString, "bits" -> bits.toString)
+    // zero-candidate failure mode. Meta LAST: its presence marks the
+    // build complete, and a reader racing a rebuild holds the OLD
+    // fingerprint, so the new meta fails its next check loudly.
     graft.CacheScope.run {
       val e = graft.CacheScope.cache(withNorm(corpusEmb))
       e.select(col("vec_id"), col("embedding"), col("nn"))
@@ -210,6 +209,8 @@ object Similarity {
       bandedSigs(e, bands, bits).select(col("vec_id"), col("band"), col("sig"))
         .write.mode("overwrite").parquet(s"$path/bands")
     }
+    IndexMeta.write(corpusEmb.sparkSession, path, "graft ANN index dials",
+      "bands" -> bands.toString, "bits" -> bits.toString)
   }
 
   /** [[q49AnnLsh]]'s semantics against a PREBUILT index
@@ -447,9 +448,8 @@ object Similarity {
     */
   def writeIvfIndex(corpusEmb: DataFrame, path: String): Unit = {
     // list count recorded like every materialized index's dials — a reader
-    // of a foreign/incomplete index fails loudly instead of serving it
-    IndexMeta.write(corpusEmb.sparkSession, path, "graft IVF index dials",
-      "ivf_k" -> IVF_K.toString)
+    // of a foreign/incomplete index fails loudly instead of serving it;
+    // meta written last (completeness marker, rebuild-race-safe)
     graft.CacheScope.run {
       val spark = corpusEmb.sparkSession
       import spark.implicits._
@@ -464,6 +464,8 @@ object Similarity {
       e.select(col("vec_id"), col("embedding"), col("nn"))
         .write.mode("overwrite").parquet(s"$path/vectors")
     }
+    IndexMeta.write(corpusEmb.sparkSession, path, "graft IVF index dials",
+      "ivf_k" -> IVF_K.toString)
   }
 
   /** [[q57AnnIvf]]'s semantics against a PREBUILT index

@@ -29,16 +29,16 @@ object TextAnalysis {
         // single other chars (same RE2-compatible pattern in the oracle)
         regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens"))
 
-  /** Quality scoring (`length / punct / stopword ratios`): single-pass
-    * per-row expressions; ratios are single IEEE divisions — identical on
-    * both engines without rounding.
-    */
   /** Distinct-token ratio over a whitespace-token array — q41's
     * `distinct_ratio` AND q88's quality score, one definition.
     */
   private def distinctRatio(tokens: org.apache.spark.sql.Column) =
     size(array_distinct(tokens)).cast("double") / size(tokens)
 
+  /** Quality scoring (`length / punct / stopword ratios`): single-pass
+    * per-row expressions; ratios are single IEEE divisions — identical on
+    * both engines without rounding.
+    */
   def q41Quality(spark: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "to")
     docs(spark, dir)

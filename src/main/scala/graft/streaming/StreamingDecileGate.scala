@@ -27,23 +27,26 @@ object StreamingDecileGate {
 
   /** Materialize the decile boundaries of `dir`'s documents corpus —
     * the batch half of the serving pair (one aggregate, one tiny file).
-    * Meta first (the index-completeness convention): the boundaries file's
-    * `_SUCCESS` marks the build complete, and the per-build nonce in the
-    * meta makes ANY re-materialization invalidate a running gate's
-    * fingerprint.
+    * Meta LAST (the index-completeness convention): meta presence marks
+    * the build complete, and the per-build nonce makes ANY
+    * re-materialization invalidate a running gate's fingerprint. Written
+    * first, the meta would open the inverse race with no recovery — a
+    * gate starting DURING a rebuild would capture the new nonce over the
+    * old bounds and serve them forever with every check passing.
     */
   def writeBoundaries(spark: SparkSession, dir: String, outPath: String): Unit = {
-    graft.operators.IndexMeta.write(spark, outPath, "graft decile boundaries",
-      "kind" -> "decile_boundaries", "score" -> "distinct_ratio",
-      "probs" -> "0.1..0.9")
     TextAnalysis.decileBoundaries(
       TextAnalysis.qualityScored(graft.Tables.load(spark, dir, "documents")))
       .write.mode("overwrite").parquet(s"$outPath/bounds")
+    graft.operators.IndexMeta.write(spark, outPath, "graft decile boundaries",
+      "kind" -> "decile_boundaries", "score" -> "distinct_ratio",
+      "probs" -> "0.1..0.9")
   }
 
   def run(spark: SparkSession, docDir: String, docSchema: StructType,
           boundariesPath: String, keepPath: String, restPath: String,
-          checkpoint: String, minDecile: Int = 9): StreamingQuery = {
+          checkpoint: String, minDecile: Int = 9,
+          trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // resolved ONCE: 9 doubles, baked into the per-batch plan as a
     // literal. Fingerprint BEFORE the read (the StreamingAnn ordering), so
     // a rebuild racing the load fails the first batch loudly; each batch
@@ -69,7 +72,7 @@ object StreamingDecileGate {
         ()
       }
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
   }
 }

@@ -349,14 +349,39 @@ class StreamingSpec extends SparkSpec {
       assert(batch(id) == d, s"decile drift for doc $id: stream=$d batch=${batch(id)}")
     }
     assert(keep.select(min(col("decile"))).head().getInt(0) >= 9)
+  }
 
-    // restart-on-rebuild: a re-materialized boundary build invalidates a
-    // fingerprint captured by a running gate (per-build nonce, same dials)
-    val fp = graft.operators.IndexMeta.fingerprint(spark, s"$tmp/bounds")
+  test("decile gate fails the running query when boundaries are rebuilt") {
+    // END-TO-END enforcement of the restart-on-rebuild contract — not the
+    // IndexMeta mechanics (IndexContractSpec covers those) but the gate's
+    // own wiring: the per-batch check watches the right path and its
+    // failure propagates out of foreachBatch to kill the StreamingQuery.
+    val tmp = java.nio.file.Files.createTempDirectory("decilerebuild").toString
+    val dir = "/root/testdata/sf0.001"
     StreamingDecileGate.writeBoundaries(spark, dir, s"$tmp/bounds")
-    intercept[IllegalStateException] {
-      graft.operators.IndexMeta.requireUnchanged(spark, s"$tmp/bounds", fp)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.write.mode("append").parquet(s"$tmp/in")
+    // a CONTINUOUS gate (the deployment shape), so it is still alive when
+    // the nightly rebuild lands underneath it
+    val q = StreamingDecileGate.run(spark, s"$tmp/in", docs.schema,
+      s"$tmp/bounds", s"$tmp/keep", s"$tmp/rest", s"$tmp/ckpt",
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    // first batch drains fine under the loaded fingerprint
+    val keepDir = new java.io.File(s"$tmp/keep/batch_id=0")
+    val deadline = System.currentTimeMillis + 60000
+    while (!keepDir.exists() && q.exception.isEmpty &&
+      System.currentTimeMillis < deadline) Thread.sleep(50)
+    assert(keepDir.exists(), s"first batch never drained: ${q.exception}")
+    // rebuild under the running gate, then push input to force a batch
+    StreamingDecileGate.writeBoundaries(spark, dir, s"$tmp/bounds")
+    docs.limit(5).write.mode("append").parquet(s"$tmp/in")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(60000)
     }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(_.contains("rebuilt under a running streaming query")),
+      s"query died for the wrong reason: ${chain(ex)}")
   }
 
   test("ingest pipeline composes: quality gate -> PII scrub -> exact dedup") {
