@@ -29,7 +29,8 @@ object StreamingAnn {
   def runAgainstIndex(spark: SparkSession, probeDir: String,
                       probeSchema: org.apache.spark.sql.types.StructType,
                       indexPath: String, outPath: String,
-                      checkpoint: String): StreamingQuery = {
+                      checkpoint: String,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // the index is immutable for the life of the query: resolve its dials
     // and corpus frames ONCE, not per micro-batch. Restart-on-rebuild is
     // the contract — each batch re-checks the meta fingerprint (one tiny
@@ -45,7 +46,7 @@ object StreamingAnn {
       .parquet(probeDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.IndexMeta.requireUnchanged(spark, indexPath, loadedFp)
         graft.CacheScope.run {

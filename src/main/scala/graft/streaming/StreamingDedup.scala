@@ -67,7 +67,8 @@ object StreamingDedup {
   def runAgainstIndex(spark: SparkSession, docDir: String,
                       docSchema: org.apache.spark.sql.types.StructType,
                       indexPath: String, outPath: String,
-                      checkpoint: String): StreamingQuery = {
+                      checkpoint: String,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     // the index is immutable for the life of the query: resolve its dials
     // and corpus frames ONCE, not per micro-batch (meta + parquet footer
     // reads would otherwise dominate small batches). Restart-on-rebuild
@@ -84,7 +85,7 @@ object StreamingDedup {
       .parquet(docDir)
       .writeStream
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // foreachBatch is AT-LEAST-ONCE on failure retry: each batch
         // OVERWRITES its own deterministic batch_<id> directory, so a

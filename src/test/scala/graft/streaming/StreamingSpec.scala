@@ -351,11 +351,33 @@ class StreamingSpec extends SparkSpec {
     assert(keep.select(min(col("decile"))).head().getInt(0) >= 9)
   }
 
+  /** END-TO-END enforcement of the restart-on-rebuild contract — not the
+    * IndexMeta mechanics (IndexContractSpec covers those) but each gate's
+    * own wiring: the per-batch check watches the right path and its
+    * failure propagates out of foreachBatch to kill the StreamingQuery.
+    * Waits for `firstBatchDir` (proving the gate serves under the loaded
+    * fingerprint), runs `rebuildAndPush` (re-materialize the index, then
+    * push input to force a batch), and asserts the query dies with the
+    * rebuilt-index error — not a timeout, not some other failure.
+    */
+  private def assertDiesOnRebuild(q: org.apache.spark.sql.streaming.StreamingQuery,
+                                  firstBatchDir: String)(rebuildAndPush: => Unit): Unit = {
+    val first = new java.io.File(firstBatchDir)
+    val deadline = System.currentTimeMillis + 60000
+    while (!first.exists() && q.exception.isEmpty &&
+      System.currentTimeMillis < deadline) Thread.sleep(50)
+    assert(first.exists(), s"first batch never drained: ${q.exception}")
+    rebuildAndPush
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(60000)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(_.contains("rebuilt under a running streaming query")),
+      s"query died for the wrong reason: ${chain(ex)}")
+  }
+
   test("decile gate fails the running query when boundaries are rebuilt") {
-    // END-TO-END enforcement of the restart-on-rebuild contract — not the
-    // IndexMeta mechanics (IndexContractSpec covers those) but the gate's
-    // own wiring: the per-batch check watches the right path and its
-    // failure propagates out of foreachBatch to kill the StreamingQuery.
     val tmp = java.nio.file.Files.createTempDirectory("decilerebuild").toString
     val dir = "/root/testdata/sf0.001"
     StreamingDecileGate.writeBoundaries(spark, dir, s"$tmp/bounds")
@@ -366,22 +388,46 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingDecileGate.run(spark, s"$tmp/in", docs.schema,
       s"$tmp/bounds", s"$tmp/keep", s"$tmp/rest", s"$tmp/ckpt",
       trigger = Trigger.ProcessingTime("50 milliseconds"))
-    // first batch drains fine under the loaded fingerprint
-    val keepDir = new java.io.File(s"$tmp/keep/batch_id=0")
-    val deadline = System.currentTimeMillis + 60000
-    while (!keepDir.exists() && q.exception.isEmpty &&
-      System.currentTimeMillis < deadline) Thread.sleep(50)
-    assert(keepDir.exists(), s"first batch never drained: ${q.exception}")
-    // rebuild under the running gate, then push input to force a batch
-    StreamingDecileGate.writeBoundaries(spark, dir, s"$tmp/bounds")
-    docs.limit(5).write.mode("append").parquet(s"$tmp/in")
-    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      q.awaitTermination(60000)
+    assertDiesOnRebuild(q, s"$tmp/keep/batch_id=0") {
+      StreamingDecileGate.writeBoundaries(spark, dir, s"$tmp/bounds")
+      docs.limit(5).write.mode("append").parquet(s"$tmp/in")
     }
-    def chain(t: Throwable): Seq[String] =
-      if (t == null) Nil else t.getMessage +: chain(t.getCause)
-    assert(chain(ex).exists(_.contains("rebuilt under a running streaming query")),
-      s"query died for the wrong reason: ${chain(ex)}")
+  }
+
+  test("dedup serving fails the running query when the band index is rebuilt") {
+    val tmp = java.nio.file.Files.createTempDirectory("dedupr").toString
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta", "en", "web", 46L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.operators.Dedup.writeBandIndex(corpus, s"$tmp/index")
+    val delta = Seq((1L, "fresh new content here", "en", "web", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    delta.write.mode("append").parquet(s"$tmp/in")
+    val q = StreamingDedup.runAgainstIndex(spark, s"$tmp/in", delta.schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt",
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    assertDiesOnRebuild(q, s"$tmp/out/batch_0") {
+      graft.operators.Dedup.writeBandIndex(corpus, s"$tmp/index")
+      delta.write.mode("append").parquet(s"$tmp/in")
+    }
+  }
+
+  test("ANN serving fails the running query when the LSH index is rebuilt") {
+    val tmp = java.nio.file.Files.createTempDirectory("annr").toString
+    def vf(xs: Double*) = xs.map(_.toFloat)
+    val corpus = Seq(
+      (0L, vf(1.0, 0.1, 0.0, 0.0)), (1L, vf(0.0, 1.0, 0.0, 0.1)),
+      (2L, vf(0.9, 0.12, 0.0, 0.0))).toDF("vec_id", "embedding")
+    graft.operators.Similarity.writeAnnIndex(corpus, s"$tmp/index")
+    val probes = Seq((100L, vf(0.95, 0.11, 0.0, 0.0))).toDF("vec_id", "embedding")
+    probes.write.mode("append").parquet(s"$tmp/in")
+    val q = StreamingAnn.runAgainstIndex(spark, s"$tmp/in", probes.schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt",
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    assertDiesOnRebuild(q, s"$tmp/out/batch_0") {
+      graft.operators.Similarity.writeAnnIndex(corpus, s"$tmp/index")
+      probes.write.mode("append").parquet(s"$tmp/in")
+    }
   }
 
   test("ingest pipeline composes: quality gate -> PII scrub -> exact dedup") {
