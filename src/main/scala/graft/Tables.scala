@@ -16,20 +16,39 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects unless
-      // read as raw nanos; `ts` therefore arrives as LongType nanoseconds.
+      // The engine-wide `ts` contract is LONG NANOSECONDS ON THE µs GRID:
+      // every operator does integer ns math and every oracle runs DuckDB
+      // `epoch_ns(ts)` (its TIMESTAMP is µs, so epoch_ns lands on the same
+      // grid). Driver-generated fixtures have shipped ts as BOTH parquet
+      // TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across rounds, so normalize
+      // from whichever representation arrives instead of assuming one.
+      //
+      // Conf first: a NANOS-written file is rejected by Spark 4's reader
+      // unless read as raw longs (`ts` then arrives as LongType ns).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // …then snapped to the MICROSECOND grid: DuckDB's parquet reader
-      // floors ns timestamps to µs (its TIMESTAMP type), so any oracle
-      // time math runs on the µs clock. Differencing/ordering full-ns
-      // values against µs-floored ones flips a bucket or a window order
-      // whenever the sub-µs parts straddle a boundary (caught at sf0.1 on
-      // q61's ms buckets) — one clock for both engines removes the class.
-      // `ts - pmod(ts, 1000)` is FLOOR division in exact integer math
-      // (pmod's remainder is non-negative), matching DuckDB's floor for
-      // pre-1970 negative nanos where `div` would truncate toward zero.
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("ts - pmod(ts, 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.functions.expr
+      import org.apache.spark.sql.types._
+      raw.schema("ts").dataType match {
+        case LongType =>
+          // full-ns values snap to the µs grid: DuckDB's reader floors ns
+          // to its µs TIMESTAMP, so differencing/ordering against full-ns
+          // flips a bucket or window order whenever sub-µs parts straddle
+          // a boundary (caught at sf0.1 on q61's ms buckets).
+          // `ts - pmod(ts, 1000)` is FLOOR in exact integer math (pmod's
+          // remainder is non-negative), matching DuckDB's floor for
+          // pre-1970 negative nanos where `div` would truncate to zero.
+          raw.withColumn("ts", expr("ts - pmod(ts, 1000)"))
+        case TimestampNTZType | TimestampType =>
+          // µs-written fixture: already on the µs clock — widen to the
+          // long-ns contract. Session timezone is UTC in every entrypoint
+          // (Bench/Verify/Main/specs), so the NTZ→LTZ cast is
+          // micros-preserving and unix_micros is exact integer math.
+          raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts arrived as unsupported type $other — fixture format changed?")
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -513,6 +513,179 @@ object Similarity {
     ivfSearchAgainstIndex(e.filter(col("vec_id") < 20), indexPath)
   }
 
+  // ===== SQ8 scalar quantization (q90 inline, q91 index serving) =====
+
+  /** Per-dimension linear quantizer (min, span) trained in ONE pass:
+    * posexplode → groupBy(pos) min/max — partial (map-side) min/max
+    * combine makes the shuffle `dim` groups regardless of corpus size,
+    * and the collect is ≤ dim rows of two floats (bounded driver state,
+    * same budget class as the IVF centroids). min/max over FloatType then
+    * widened to Double equals the oracle's min/max over CAST(v AS DOUBLE)
+    * because the cast is exact and monotone.
+    */
+  private def trainSq8(e: DataFrame): (Array[Double], Array[Double]) = {
+    val rows = e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect() // ≤ dim rows — bounded driver state
+    require(rows.nonEmpty, "cannot train an SQ8 quantizer on an empty corpus")
+    val dim = rows.map(_.getInt(0)).max + 1
+    val mins = new Array[Double](dim)
+    val spans = new Array[Double](dim)
+    rows.foreach { r =>
+      val p = r.getInt(0)
+      mins(p) = r.getFloat(1).toDouble
+      spans(p) = r.getFloat(2).toDouble - mins(p)
+    }
+    (mins, spans)
+  }
+
+  /** code_i = clamp_255(floor((v_i − mn_i) / span_i · 256)) — 8 bits per
+    * dimension, stored as BinaryType (one contiguous byte per dim: 128 B
+    * per vector vs 512 B float32 — the 4× corpus-residency win that makes
+    * a 100 TB corpus's code table fit where its vectors don't). The
+    * reconstruction norm Σ rv² is computed HERE, once per corpus vector at
+    * quantize time, so serving never reconstructs for norms. The
+    * arithmetic (operand order included) mirrors the oracle SQL verbatim —
+    * IEEE doubles make the codes integer-exact cross-engine.
+    */
+  private def sq8QuantUdf(mins: Array[Double], spans: Array[Double]) =
+    udf { (v: Array[Float]) =>
+      val codes = new Array[Byte](v.length)
+      var nq = 0.0
+      var i = 0
+      while (i < v.length) {
+        val mn = mins(i); val sp = spans(i)
+        val c =
+          if (sp == 0.0) 0
+          else math.min(255.0, math.floor((v(i).toDouble - mn) / sp * 256.0)).toInt
+        codes(i) = (c - 128).toByte // bias to the signed byte range, exact
+        val rv = mn + (c + 0.5) * sp / 256.0
+        nq += rv * rv
+        i += 1
+      }
+      (codes, nq)
+    }
+
+  /** Asymmetric distance: full-precision probe × midpoint-reconstructed
+    * corpus code, one sequential kernel pass per pair — no 128× position
+    * explode, and the only per-element state is the closure's (mins,
+    * spans) arrays (dim-sized, ride the task closure like the IVF
+    * quantizer).
+    */
+  private def sq8DotUdf(mins: Array[Double], spans: Array[Double]) =
+    udf { (pe: Array[Float], codes: Array[Byte]) =>
+      var d = 0.0
+      var i = 0
+      while (i < codes.length) {
+        val c = codes(i).toInt + 128 // un-bias, exact
+        val rv = mins(i) + (c + 0.5) * spans(i) / 256.0
+        d += pe(i).toDouble * rv
+        i += 1
+      }
+      d
+    }
+
+  /** Shared probe×codes tail of q90/q91: broadcast the (small) probe side
+    * against the quantized corpus, asymmetric cosine with the STORED
+    * reconstruction norm, top-3 per probe. Output contract matches
+    * q48/q49/q57 so the recall probes compose.
+    */
+  private def sq8Rerank(probeSide: DataFrame, codes: DataFrame,
+                        mins: Array[Double], spans: Array[Double]): DataFrame = {
+    val cos = broadcast(probeSide)
+      .join(codes, col("p_id") =!= col("c_id"))
+      .withColumn("cosine",
+        round6c(sq8DotUdf(mins, spans)(col("pe"), col("codes")) /
+          (sqrt(col("np")) * sqrt(col("nq")))))
+    val w = Window.partitionBy(col("p_id")).orderBy(col("cosine").desc, col("c_id"))
+    cos.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("p_id"), col("c_id"), col("cosine"), col("rn"))
+  }
+
+  /** SQ8 brute scan (the memory-compression counterpart of q48): the
+    * corpus is visited in full but through 8-bit codes — at 100 TB the
+    * code table is a quarter of the vector table and stays cache-resident
+    * where float32 vectors spill. Probes keep full precision (asymmetric
+    * distance, the standard SQ trick: quantization error enters once, not
+    * twice). Exactness vs q48 is pinned by AnnRecallSpec's SQ8 floor.
+    */
+  def q90AnnSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.CacheScope.cache(withNorm(emb(spark, dir)))
+    val (mins, spans) = trainSq8(e)
+    val q = sq8QuantUdf(mins, spans)(col("embedding"))
+    val codes = e.select(col("vec_id").as("c_id"), q.getField("_1").as("codes"),
+      q.getField("_2").as("nq"))
+    sq8Rerank(
+      e.filter(col("vec_id") < 20).select(col("vec_id").as("p_id"),
+        col("embedding").as("pe"), col("nn").as("np")),
+      codes, mins, spans)
+  }
+
+  /** Materialize the SQ8 index: the trained quantizer (per-dimension min
+    * and span — dim rows) and the code table (c_id, 1-byte-per-dim codes,
+    * stored reconstruction norm). Quantizer trains ONCE here; serving
+    * reads codes and never touches float vectors. Meta written LAST
+    * (completeness marker, rebuild-race-safe) with the dials recorded.
+    */
+  def writeSq8Index(corpusEmb: DataFrame, path: String): Unit = {
+    val spark = corpusEmb.sparkSession
+    import spark.implicits._
+    val dim = graft.CacheScope.run {
+      val e = graft.CacheScope.cache(corpusEmb)
+      val (mins, spans) = trainSq8(e)
+      mins.indices.map(i => (i, mins(i), spans(i))).toDF("pos", "mn", "span")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/quantizer")
+      val q = sq8QuantUdf(mins, spans)(col("embedding"))
+      e.select(col("vec_id").as("c_id"), q.getField("_1").as("codes"),
+        q.getField("_2").as("nq"))
+        .write.mode("overwrite").parquet(s"$path/codes")
+      mins.length
+    }
+    IndexMeta.write(spark, path, "graft SQ8 index dials",
+      "dim" -> dim.toString, "levels" -> "256")
+  }
+
+  /** [[q90AnnSq8]]'s semantics against a PREBUILT index
+    * ([[writeSq8Index]]): the stored quantizer rides the closure (≤ dim
+    * rows collected — bounded), the corpus participates ONLY through its
+    * stored 8-bit codes and pre-computed reconstruction norms — per-batch
+    * corpus work is one asymmetric-dot pass over codes, zero float-vector
+    * reads, zero retraining.
+    */
+  def sq8SearchAgainstIndex(probes: DataFrame, indexPath: String): DataFrame = {
+    val spark = probes.sparkSession
+    val meta = IndexMeta.read(spark, indexPath, "writeSq8Index") // strict: no foreign indexes
+    val dim = meta.getProperty("dim").toInt
+    val qz = spark.read.parquet(s"$indexPath/quantizer").collect().sortBy(_.getInt(0))
+    require(qz.length == dim,
+      s"SQ8 quantizer at $indexPath has ${qz.length} dims, meta records $dim")
+    val mins = qz.map(_.getDouble(1))
+    val spans = qz.map(_.getDouble(2))
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val p = graft.CacheScope.cache(withNorm(probes))
+    sq8Rerank(
+      p.select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("nn").as("np")),
+      codes, mins, spans)
+  }
+
+  /** q90 through the materialized SQ8 index (build-once per sf dir, like
+    * q82/q83): identical output contract, so it shares q90's oracle.
+    */
+  def q91Sq8Index(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val indexPath = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_sq8_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + graft.Tables.tableFingerprint(dir, "embeddings")).getPath
+    // codes written LAST of the data tables → its _SUCCESS plus meta mark
+    // the build complete; a pre-meta dir counts as incomplete → rebuild
+    if (!new java.io.File(s"$indexPath/codes/_SUCCESS").exists() ||
+        !new java.io.File(s"$indexPath/meta.properties").exists())
+      writeSq8Index(e, indexPath)
+    sq8SearchAgainstIndex(e.filter(col("vec_id") < 20), indexPath)
+  }
+
   /** Embedding dedup pipeline: the vector-side counterpart of q66 —
     * banded-LSH cosine near-dup pairs (q56's machinery) become the edge
     * list for connected components, and every vector is assigned its
@@ -662,7 +835,9 @@ object Similarity {
     "q72_kmeans_assign" -> q72KmeansAssign,
     "q86_cluster_sample" -> q86ClusterSample,
     "q76_crossmodal_dedup" -> q76CrossmodalDedup,
-    "q82_ann_index" -> q82AnnIndex)
+    "q82_ann_index" -> q82AnnIndex,
+    "q90_ann_sq8" -> q90AnnSq8,
+    "q91_sq8_index" -> q91Sq8Index)
 
   private val longFormCte =
     """e2 AS (
@@ -768,8 +943,41 @@ object Similarity {
         |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
         |  FROM cos) WHERE rn <= 3""".stripMargin
 
+  /** q90's full SQL — shared verbatim by q90 (inline quantize) and q91
+    * (the materialized SQ8 index): identical semantics by construction.
+    * Every arithmetic expression (operand order included) mirrors the
+    * Scala kernels, so the 8-bit codes are integer-exact cross-engine and
+    * only the final cosine needs the shared round-to-6.
+    */
+  private val sq8Sql: String =
+    s"""WITH $longFormCte,
+      |mm AS (SELECT pos, min(v) AS mn, max(v) - min(v) AS span FROM ex GROUP BY 1),
+      |codes AS (
+      |  SELECT vec_id, ex.pos,
+      |    CASE WHEN span = 0 THEN 0
+      |         ELSE least(255, floor((v - mn) / span * 256.0)) END AS code,
+      |    mn, span
+      |  FROM ex JOIN mm ON mm.pos = ex.pos),
+      |recon AS (
+      |  SELECT vec_id, pos, mn + (code + 0.5) * span / 256.0 AS rv FROM codes),
+      |nq AS (SELECT vec_id, sum(rv * rv) AS nq FROM recon GROUP BY 1),
+      |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),
+      |dots AS (
+      |  SELECT a.vec_id AS p_id, r.vec_id AS c_id, sum(a.v * r.rv) AS dot
+      |  FROM ex a JOIN recon r ON r.pos = a.pos
+      |    AND a.vec_id < 20 AND a.vec_id != r.vec_id
+      |  GROUP BY 1, 2),
+      |cos AS (
+      |  SELECT p_id, c_id, round(dot / (sqrt(np.nn) * sqrt(nc.nq)), 6) AS cosine
+      |  FROM dots JOIN norms np ON np.vec_id = p_id JOIN nq nc ON nc.vec_id = c_id)
+      |SELECT p_id, c_id, cosine, CAST(rn AS INT) AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
+      |  FROM cos) WHERE rn <= 3""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q82_ann_index" -> annLshSql,
+    "q90_ann_sq8" -> sq8Sql,
+    "q91_sq8_index" -> sq8Sql,
     "q48_cosine_knn" ->
       s"""WITH $longFormCte,
         |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),

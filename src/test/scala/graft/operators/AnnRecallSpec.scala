@@ -37,6 +37,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.6, f"LSH recall collapsed to $recall%.3f — check bands/multiprobe dials")
   }
 
+  test("SQ8 asymmetric scan keeps recall@3 against brute force") {
+    // SQ8 visits the whole corpus (no candidate pruning — the dial it
+    // buys is 4× memory, not fewer pairs), so any recall loss is pure
+    // quantization error flipping a rank at the top-3 boundary; with 256
+    // levels per dimension that should be nearly lossless, hence the
+    // floor sits far above the LSH/IVF ones
+    val sq8 = Similarity.queries("q90_ann_sq8")(spark, dir)
+      .select("p_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val probes = exactTop3.keySet
+    val recall = probes.toSeq.map { p =>
+      val got = sq8.getOrElse(p, Set.empty)
+      (exactTop3(p) & got).size.toDouble / exactTop3(p).size
+    }.sum / probes.size
+    info(f"SQ8 recall@3 = $recall%.3f over ${probes.size} probes")
+    assert(recall >= 0.9, f"SQ8 recall collapsed to $recall%.3f — quantizer regression")
+  }
+
   test("IVF-Flat keeps recall@3 against brute force") {
     val ivf = Similarity.queries("q57_ann_ivf")(spark, dir)
       .select("p_id", "c_id").as[(Long, Long)].collect()

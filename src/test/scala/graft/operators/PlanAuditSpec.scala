@@ -130,6 +130,23 @@ class PlanAuditSpec extends SparkSpec {
       "serving plan re-trains the quantizer:\n" + p)
   }
 
+  test("q91: SQ8 serves from stored codes — no float-vector reads, no retrain") {
+    val p = plan(Similarity.queries("q91_sq8_index")(spark, dir))
+    assert(p.contains("graft_sq8_index"),
+      "corpus side must scan the materialized SQ8 code table:\n" + p)
+    // the quantizer must NOT retrain at serve time: training is a
+    // posexplode + per-dimension min/max aggregate — neither may appear
+    assert(!p.contains("posexplode") && !p.contains("PosExplode"),
+      "serving plan re-trains the SQ8 quantizer:\n" + p)
+    // the corpus participates only through codes + stored norms — the
+    // serving plan must never touch the float `embedding` column of the
+    // corpus table (the probe side reads its own embeddings, from the
+    // probe filter's scan)
+    assert(!p.contains("embeddings.parquet") ||
+      p.split('\n').count(_.contains("embeddings.parquet")) <= 1,
+      "serving plan reads corpus float vectors:\n" + p)
+  }
+
   test("q89: global ordinal is two-pass — corpus ranking keyed by bucket, offsets broadcast") {
     val p = plan(CorpusOps.queries("q89_shard_export")(spark, dir))
     // the corpus-side row_number must be PARTITIONED (by the hash-prefix
