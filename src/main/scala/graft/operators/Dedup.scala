@@ -54,20 +54,36 @@ object Dedup {
   /** The ranked prefix table (explode → global df → rarest-first rank →
     * probe/index prefix cut) — stage 1 of the candidate join, split out so
     * the q45 stage probe times THE SAME definition the query runs.
+    *
+    * Shingles travel as their 64-bit xxhash from the explode on: the two
+    * shuffles this stage pays (df aggregation keyed by shingle, window
+    * keyed by doc_id) move 8-byte longs instead of ~20-byte 3-word
+    * strings — the dominant shuffle-byte cost of the heaviest standalone
+    * query, and a fixed-width join key downstream. Correctness is
+    * unaffected: the prefix lemma needs only a globally CONSISTENT total
+    * order (rarest-first is a selectivity heuristic, not a requirement),
+    * (df, hash) is exactly as consistent as (df, shingle), a hash
+    * collision can only MERGE two shingles' df counts (slightly
+    * re-ordering prefixes) or admit a false candidate pair — and the
+    * exact-Jaccard verify discards false candidates while the lemma
+    * guarantees no true pair is lost under any consistent order
+    * (property-tested against brute force in DedupPropertiesSpec).
     */
   private[operators] def ngramPrefixes(sh: DataFrame): DataFrame = {
     val ex = sh.select(col("doc_id"), col("lang"), col("source"),
       size(col("shingles")).as("n_sh"), explode(col("shingles")).as("shingle"))
-    val freq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .withColumn("sh_h", xxhash64(col("shingle")))
+      .drop("shingle")
+    val freq = ex.groupBy(col("sh_h")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
-    ex.join(freq, Seq("shingle"))
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("sh_h"))
+    ex.join(freq, Seq("sh_h"))
       .withColumn("rk", row_number().over(w))
       // probe prefix: n − ⌈n/2⌉ + 1; index prefix: n − ⌈2n/3⌉ + 1
       .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * 0.5) + 1)
       .withColumn("in_index",
         col("rk") <= col("n_sh") - expr("(2 * n_sh + 2) div 3") + 1)
-      .select(col("doc_id"), col("lang"), col("source"), col("shingle"),
+      .select(col("doc_id"), col("lang"), col("source"), col("sh_h"),
         col("n_sh"), col("in_index"))
   }
 
@@ -75,7 +91,7 @@ object Dedup {
   private[operators] def ngramPrefixJoin(pref: DataFrame): DataFrame =
     // the smaller set (ties by doc_id) takes the indexed role
     pref.alias("x").join(pref.alias("y"),
-      col("x.shingle") === col("y.shingle") && col("x.lang") === col("y.lang") &&
+      col("x.sh_h") === col("y.sh_h") && col("x.lang") === col("y.lang") &&
         col("x.source") === col("y.source") && col("y.in_index") &&
         (col("y.n_sh") < col("x.n_sh") ||
           (col("y.n_sh") === col("x.n_sh") && col("y.doc_id") < col("x.doc_id"))))

@@ -653,21 +653,33 @@ object Similarity {
     * corpus work is one asymmetric-dot pass over codes, zero float-vector
     * reads, zero retraining.
     */
-  def sq8SearchAgainstIndex(probes: DataFrame, indexPath: String): DataFrame = {
-    val spark = probes.sparkSession
+  /** A resolved SQ8 index — quantizer arrays collected (≤ dim rows,
+    * bounded) and the code frame resolved ONCE. Immutable for the life of
+    * a serving query; streaming callers hoist this outside `foreachBatch`
+    * exactly like [[LoadedAnnIndex]].
+    */
+  final case class LoadedSq8Index private[operators] (
+      mins: Array[Double], spans: Array[Double], codes: DataFrame)
+
+  def loadSq8Index(spark: SparkSession, indexPath: String): LoadedSq8Index = {
     val meta = IndexMeta.read(spark, indexPath, "writeSq8Index") // strict: no foreign indexes
     val dim = meta.getProperty("dim").toInt
     val qz = spark.read.parquet(s"$indexPath/quantizer").collect().sortBy(_.getInt(0))
     require(qz.length == dim,
       s"SQ8 quantizer at $indexPath has ${qz.length} dims, meta records $dim")
-    val mins = qz.map(_.getDouble(1))
-    val spans = qz.map(_.getDouble(2))
-    val codes = spark.read.parquet(s"$indexPath/codes")
+    LoadedSq8Index(qz.map(_.getDouble(1)), qz.map(_.getDouble(2)),
+      spark.read.parquet(s"$indexPath/codes"))
+  }
+
+  def sq8Search(probes: DataFrame, idx: LoadedSq8Index): DataFrame = {
     val p = graft.CacheScope.cache(withNorm(probes))
     sq8Rerank(
       p.select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("nn").as("np")),
-      codes, mins, spans)
+      idx.codes, idx.mins, idx.spans)
   }
+
+  def sq8SearchAgainstIndex(probes: DataFrame, indexPath: String): DataFrame =
+    sq8Search(probes, loadSq8Index(probes.sparkSession, indexPath))
 
   /** q90 through the materialized SQ8 index (build-once per sf dir, like
     * q82/q83): identical output contract, so it shares q90's oracle.

@@ -172,6 +172,56 @@ class StreamingSpec extends SparkSpec {
       "restart must not re-serve processed probes")
   }
 
+  test("streaming SQ8 probes match the batch search against a stored code table") {
+    val tmp = java.nio.file.Files.createTempDirectory("sq8stream").toString
+    def vf(xs: Double*) = xs.map(_.toFloat)
+    val corpus = Seq(
+      (0L, vf(1.0, 0.1, 0.0, 0.0)), (1L, vf(0.0, 1.0, 0.0, 0.1)),
+      (2L, vf(0.9, 0.12, 0.0, 0.0)), (3L, vf(0.0, 0.0, 1.0, 0.0)),
+      (4L, vf(0.1, 0.9, 0.1, 0.0)), (5L, vf(0.0, 0.1, 0.9, 0.1)))
+      .toDF("vec_id", "embedding")
+    graft.operators.Similarity.writeSq8Index(corpus, s"$tmp/index")
+
+    val probes1 = Seq((100L, vf(0.95, 0.11, 0.0, 0.0))).toDF("vec_id", "embedding")
+    probes1.write.mode("append").parquet(s"$tmp/in")
+    StreamingSq8.runAgainstIndex(spark, s"$tmp/in", probes1.schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val out1 = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+    val batch1 = graft.operators.Similarity.sq8SearchAgainstIndex(probes1, s"$tmp/index")
+    assert(out1.collect().map(_.toSeq).toSet == batch1.collect().map(_.toSeq).toSet,
+      "streamed and batch SQ8 neighbors diverged")
+    assert(out1.filter(col("p_id") === 100L && col("rn") === 1).head().getLong(1) == 0L,
+      "nearest neighbor of the probe must be vec 0")
+
+    // second batch resumes from the checkpoint
+    Seq((101L, vf(0.0, 0.05, 0.95, 0.05))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(s"$tmp/in")
+    StreamingSq8.runAgainstIndex(spark, s"$tmp/in", probes1.schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val out2 = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+    assert(out2.filter(col("p_id") === 101L).count() > 0, "new probe served")
+    assert(out2.filter(col("p_id") === 100L).count() == out1.count(),
+      "restart must not re-serve processed probes")
+  }
+
+  test("SQ8 serving fails the running query when the index is rebuilt") {
+    val tmp = java.nio.file.Files.createTempDirectory("sq8r").toString
+    def vf(xs: Double*) = xs.map(_.toFloat)
+    val corpus = Seq(
+      (0L, vf(1.0, 0.1, 0.0, 0.0)), (1L, vf(0.0, 1.0, 0.0, 0.1)),
+      (2L, vf(0.9, 0.12, 0.0, 0.0))).toDF("vec_id", "embedding")
+    graft.operators.Similarity.writeSq8Index(corpus, s"$tmp/index")
+    val probes = Seq((100L, vf(0.95, 0.11, 0.0, 0.0))).toDF("vec_id", "embedding")
+    probes.write.mode("append").parquet(s"$tmp/in")
+    val q = StreamingSq8.runAgainstIndex(spark, s"$tmp/in", probes.schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt",
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    assertDiesOnRebuild(q, s"$tmp/out/batch_0") {
+      graft.operators.Similarity.writeSq8Index(corpus, s"$tmp/index")
+      probes.write.mode("append").parquet(s"$tmp/in")
+    }
+  }
+
   test("near-dup suppression keys sub-3-token docs by exact content") {
     // no 3-gram exists for these, so without the exact-hash fallback they
     // would all share the empty signature and collapse onto the first
