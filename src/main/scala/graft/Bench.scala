@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions.col
   * the at-scale warmup for the rest. The JSON carries per-query
   * min/med/max under "spread" so the driver artifact records the
   * run-to-run noise alongside the headline, and measured ANN recall@3
-  * (q49 LSH, q57 IVF vs the exact q48 baseline) under "recall" so
-  * recall/latency trade-offs are tracked next to the timings that
+  * (q49 LSH, q57 IVF, q90 SQ8 vs the exact q48 baseline) under "recall"
+  * so recall/latency trade-offs are tracked next to the timings that
   * justify them.
   */
 object Bench {
@@ -243,7 +243,7 @@ object Bench {
         case None                      => Nil
         case Some(e) if e.isEmpty      => Nil // no probes at this sf → no recall line
         case Some(exact) =>
-          Seq("q49_ann_lsh", "q57_ann_ivf").flatMap { q =>
+          Seq("q49_ann_lsh", "q57_ann_ivf", "q90_ann_sq8").flatMap { q =>
             top3(q).map { approx =>
               val probes = exact.keySet
               val r = probes.toSeq.map { p =>
