@@ -243,7 +243,8 @@ object Bench {
         case None                      => Nil
         case Some(e) if e.isEmpty      => Nil // no probes at this sf → no recall line
         case Some(exact) =>
-          Seq("q49_ann_lsh", "q57_ann_ivf", "q90_ann_sq8").flatMap { q =>
+          Seq("q49_ann_lsh", "q57_ann_ivf", "q90_ann_sq8", "q92_ann_pq",
+              "q94_pq_refine").flatMap { q =>
             top3(q).map { approx =>
               val probes = exact.keySet
               val r = probes.toSeq.map { p =>

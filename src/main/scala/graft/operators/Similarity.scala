@@ -585,23 +585,28 @@ object Similarity {
       d
     }
 
-  /** Shared probe×codes tail of q90/q91: broadcast the (small) probe side
-    * against the quantized corpus, asymmetric cosine with the STORED
-    * reconstruction norm, top-3 per probe. Output contract matches
+  /** Shared probe×codes tail of the quantized scans (SQ8 q90/q91, PQ
+    * q92/q93): broadcast the (small) probe side against the quantized
+    * corpus, asymmetric cosine from the caller's code-dot kernel with the
+    * STORED reconstruction norm, top-3 per probe. Output contract matches
     * q48/q49/q57 so the recall probes compose.
     */
-  private def sq8Rerank(probeSide: DataFrame, codes: DataFrame,
-                        mins: Array[Double], spans: Array[Double]): DataFrame = {
+  private def codesRerank(probeSide: DataFrame, codes: DataFrame,
+                          dot: (Column, Column) => Column, k: Int = 3): DataFrame = {
     val cos = broadcast(probeSide)
       .join(codes, col("p_id") =!= col("c_id"))
       .withColumn("cosine",
-        round6c(sq8DotUdf(mins, spans)(col("pe"), col("codes")) /
+        round6c(dot(col("pe"), col("codes")) /
           (sqrt(col("np")) * sqrt(col("nq")))))
     val w = Window.partitionBy(col("p_id")).orderBy(col("cosine").desc, col("c_id"))
     cos.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
       .select(col("p_id"), col("c_id"), col("cosine"), col("rn"))
   }
+
+  private def sq8Rerank(probeSide: DataFrame, codes: DataFrame,
+                        mins: Array[Double], spans: Array[Double]): DataFrame =
+    codesRerank(probeSide, codes, (pe, cs) => sq8DotUdf(mins, spans)(pe, cs))
 
   /** SQ8 brute scan (the memory-compression counterpart of q48): the
     * corpus is visited in full but through 8-bit codes — at 100 TB the
@@ -696,6 +701,268 @@ object Similarity {
         !new java.io.File(s"$indexPath/meta.properties").exists())
       writeSq8Index(e, indexPath)
     sq8SearchAgainstIndex(e.filter(col("vec_id") < 20), indexPath)
+  }
+
+  // ===== PQ product quantization (q92 inline, q93 index serving) =====
+
+  /** PQ dials: PQ_M subspaces × PQ_K codes each. 64-dim float32 vectors
+    * (256 B) compress to PQ_M = 8 code BYTES — 32× — which is the tier
+    * below SQ8's 4×: at 100 TB the PQ code table for a trillion vectors
+    * fits in cluster RAM where even SQ8 codes spill. The codebook is
+    * PQ_M × PQ_K × (dim/PQ_M) doubles (1024 here) — driver/closure state
+    * the same size class as the IVF centroids. PQ_K is the accuracy dial
+    * (codebook grows K per subspace, error shrinks); PQ_M trades code
+    * bytes against subspace independence.
+    */
+  val PQ_M = 8
+  val PQ_K = 16
+
+  /** Per-subspace codebooks trained with the SAME one-refined-step
+    * k-means the IVF quantizer uses (seeds = the PQ_K lowest vec_ids'
+    * subvectors, one assignment pass, centroid = per-dimension mean,
+    * one re-assignment at encode) — deterministic, corpus-independent
+    * seeding, and the oracle unrolls the identical two steps in SQL.
+    * Returns [s][code][j] centroid values (round6'd like the IVF cents,
+    * so averaging order can never flip a cross-engine comparison).
+    * A code whose step-0 cluster is empty simply has no centroid and is
+    * never assigned — both engines derive the same surviving-code set.
+    */
+  private def trainPqCents(e: DataFrame,
+                           seeds: Array[(Long, Array[Double])]): Array[Array[Array[Double]]] = {
+    val dim = seeds.head._2.length
+    val dsub = dim / PQ_M
+    val rows = e
+      .withColumn("c0", pqAssign0Udf(seeds.map(_._2), dsub)(col("embedding")))
+      .select(col("c0"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("s", expr(s"cast(pos div $dsub as int)")) // div yields long
+      .withColumn("j", expr(s"pos % $dsub"))
+      .withColumn("code", col("c0").getItem(col("s")))
+      .groupBy("s", "code", "j").agg(avg(col("v")).as("cv"))
+      .collect() // ≤ PQ_M × PQ_K × dsub rows — bounded driver state
+    val cents = Array.fill(PQ_M, PQ_K)(null: Array[Double])
+    rows.foreach { r =>
+      val (s, c, j) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      if (cents(s)(c) == null) cents(s)(c) = new Array[Double](dsub)
+      cents(s)(c)(j) = round6(r.getDouble(3))
+    }
+    cents
+  }
+
+  /** Step-0 assignment: per subspace, squared-L2 argmin over the seed
+    * subvectors — distance round6'd BEFORE the argmin, ties to the lower
+    * seed ordinal (= lower seed vec_id), mirroring the oracle's
+    * `ORDER BY d, code`. One kernel pass per vector.
+    */
+  private def pqAssign0Udf(seeds: Array[Array[Double]], dsub: Int) =
+    udf { (v: Array[Float]) =>
+      Array.tabulate(PQ_M) { s =>
+        var best = -1
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < seeds.length) {
+          var d = 0.0
+          var j = 0
+          while (j < dsub) {
+            val df = v(s * dsub + j).toDouble - seeds(c)(s * dsub + j)
+            d += df * df; j += 1
+          }
+          d = round6(d)
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+
+  /** Encode: re-assign each subspace to its nearest REFINED centroid
+    * (surviving codes only, same round6 + lowest-code tie rule) and store
+    * the PQ_M code bytes plus the reconstruction norm Σ cv² — computed
+    * once at encode time so search never reconstructs for norms.
+    */
+  private def pqEncodeUdf(cents: Array[Array[Array[Double]]], dsub: Int) =
+    udf { (v: Array[Float]) =>
+      val codes = new Array[Byte](PQ_M)
+      var nq = 0.0
+      var s = 0
+      while (s < PQ_M) {
+        var best = -1
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < PQ_K) {
+          val cv = cents(s)(c)
+          if (cv != null) {
+            var d = 0.0
+            var j = 0
+            while (j < dsub) { val df = v(s * dsub + j).toDouble - cv(j); d += df * df; j += 1 }
+            d = round6(d)
+            if (d < bestD) { bestD = d; best = c }
+          }
+          c += 1
+        }
+        codes(s) = best.toByte
+        val bc = cents(s)(best)
+        var j = 0
+        while (j < dsub) { nq += bc(j) * bc(j); j += 1 }
+        s += 1
+      }
+      (codes, nq)
+    }
+
+  /** Asymmetric-distance (ADC) dot: full-precision probe × the centroid
+    * values its codes select — O(dim) per pair with the codebook riding
+    * the closure. (The classic per-probe ADC lookup table saves the
+    * centroid deref, not the O(dim) multiply — this direct form keeps the
+    * kernel stateless per pair.)
+    */
+  private def pqDotUdf(cents: Array[Array[Array[Double]]], dsub: Int) =
+    udf { (pe: Array[Float], codes: Array[Byte]) =>
+      var dot = 0.0
+      var s = 0
+      while (s < PQ_M) {
+        val cv = cents(s)(codes(s).toInt)
+        var j = 0
+        while (j < dsub) { dot += pe(s * dsub + j).toDouble * cv(j); j += 1 }
+        s += 1
+      }
+      dot
+    }
+
+  /** PQ-ADC scan (the 32×-compression counterpart of q90): the corpus is
+    * visited in full but through PQ_M = 8 code bytes per vector; accuracy
+    * is bounded by codebook resolution. On this synthetic corpus —
+    * near-random directions, no per-subspace cluster structure, PQ's
+    * worst regime — recall@3 measures ~0.30 (vs SQ8 0.97 at 8× the
+    * bytes); AnnRecallSpec pins the floor and SCALE.md records the
+    * measured recall-per-byte ladder. Deployment composes this tier with
+    * an exact refine over its top-R candidates (floats touched ∝ R per
+    * probe, not corpus size). Probes keep full precision — quantization
+    * error enters once.
+    */
+  def q92AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.CacheScope.cache(withNorm(emb(spark, dir)))
+    val seeds = lowestIdSeeds(e, PQ_K)
+    val dsub = seeds.head._2.length / PQ_M
+    val cents = trainPqCents(e, seeds)
+    val q = pqEncodeUdf(cents, dsub)(col("embedding"))
+    val codes = e.select(col("vec_id").as("c_id"), q.getField("_1").as("codes"),
+      q.getField("_2").as("nq"))
+    codesRerank(
+      e.filter(col("vec_id") < 20).select(col("vec_id").as("p_id"),
+        col("embedding").as("pe"), col("nn").as("np")),
+      codes, (pe, cs) => pqDotUdf(cents, dsub)(pe, cs))
+  }
+
+  /** How many ADC candidates the refine re-ranks exactly. The dial that
+    * trades float touches (∝ PQ_REFINE·|probes|, corpus-size-independent)
+    * against recall recovered from the coarse 8-byte tier: measured on
+    * this fixture, exact-top-3 coverage of the ADC top-R is 0.65 at
+    * R=20, 0.83 at R=50, 0.92 at R=100.
+    */
+  val PQ_REFINE = 50
+
+  /** PQ + exact refine (the deployment composition of q92): the 8-byte
+    * ADC scan PRUNES to the top-PQ_REFINE candidates per probe, then the
+    * exact cosine re-ranks just those — float vectors are touched for
+    * PQ_REFINE rows per probe instead of the whole corpus, so the scan
+    * cost stays the code table's and the rank quality returns to
+    * near-exact on whatever the coarse tier surfaced (recall@3 0.83 here
+    * vs pure ADC's 0.30 — AnnRecallSpec). Output contract and exact-tail
+    * arithmetic are q57's ([[ivfRerank]] — literally the same kernel).
+    */
+  def q94PqRefine(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.CacheScope.cache(withNorm(emb(spark, dir)))
+    val seeds = lowestIdSeeds(e, PQ_K)
+    val dsub = seeds.head._2.length / PQ_M
+    val cents = trainPqCents(e, seeds)
+    val q = pqEncodeUdf(cents, dsub)(col("embedding"))
+    val codes = e.select(col("vec_id").as("c_id"), q.getField("_1").as("codes"),
+      q.getField("_2").as("nq"))
+    val cand = codesRerank(
+      e.filter(col("vec_id") < 20).select(col("vec_id").as("p_id"),
+        col("embedding").as("pe"), col("nn").as("np")),
+      codes, (pe, cs) => pqDotUdf(cents, dsub)(pe, cs), k = PQ_REFINE)
+      .select(col("p_id"), col("c_id"))
+    ivfRerank(cand,
+      e.select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("nn").as("np")),
+      e.select(col("vec_id").as("c_id"), col("embedding").as("ce2"), col("nn").as("nc2")))
+  }
+
+  /** Materialize the PQ index: the trained codebook (s, code, j, cv —
+    * ≤ PQ_M·PQ_K·dsub rows) and the code table (c_id, PQ_M bytes, stored
+    * reconstruction norm). Codebook trains ONCE; serving reads codes and
+    * never touches float vectors. Meta LAST with the dials recorded.
+    */
+  def writePqIndex(corpusEmb: DataFrame, path: String): Unit = {
+    val spark = corpusEmb.sparkSession
+    import spark.implicits._
+    val dim = graft.CacheScope.run {
+      val e = graft.CacheScope.cache(corpusEmb)
+      val seeds = lowestIdSeeds(e, PQ_K)
+      val dsub = seeds.head._2.length / PQ_M
+      val cents = trainPqCents(e, seeds)
+      val flat = for {
+        s <- 0 until PQ_M; c <- 0 until PQ_K if cents(s)(c) != null
+        j <- 0 until dsub
+      } yield (s, c, j, cents(s)(c)(j))
+      flat.toDF("s", "code", "j", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+      val q = pqEncodeUdf(cents, dsub)(col("embedding"))
+      e.select(col("vec_id").as("c_id"), q.getField("_1").as("codes"),
+        q.getField("_2").as("nq"))
+        .write.mode("overwrite").parquet(s"$path/codes")
+      seeds.head._2.length
+    }
+    IndexMeta.write(spark, path, "graft PQ index dials",
+      "m" -> PQ_M.toString, "k" -> PQ_K.toString, "dim" -> dim.toString)
+  }
+
+  /** A resolved PQ index — codebook collected (≤ PQ_M·PQ_K·dsub rows,
+    * bounded) and the code frame resolved ONCE; streaming callers hoist
+    * this outside `foreachBatch` like [[LoadedSq8Index]].
+    */
+  final case class LoadedPqIndex private[operators] (
+      cents: Array[Array[Array[Double]]], dsub: Int, codes: DataFrame)
+
+  def loadPqIndex(spark: SparkSession, indexPath: String): LoadedPqIndex = {
+    val meta = IndexMeta.read(spark, indexPath, "writePqIndex") // strict: no foreign indexes
+    val m = meta.getProperty("m").toInt
+    val k = meta.getProperty("k").toInt
+    val dim = meta.getProperty("dim").toInt
+    require(m == PQ_M && k == PQ_K,
+      s"PQ index at $indexPath has dials m=$m k=$k; this build serves m=$PQ_M k=$PQ_K")
+    val dsub = dim / m
+    val cents = Array.fill(m, k)(null: Array[Double])
+    spark.read.parquet(s"$indexPath/codebook").collect().foreach { r =>
+      val (s, c, j) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      if (cents(s)(c) == null) cents(s)(c) = new Array[Double](dsub)
+      cents(s)(c)(j) = r.getDouble(3)
+    }
+    LoadedPqIndex(cents, dsub, spark.read.parquet(s"$indexPath/codes"))
+  }
+
+  def pqSearch(probes: DataFrame, idx: LoadedPqIndex): DataFrame = {
+    val p = graft.CacheScope.cache(withNorm(probes))
+    codesRerank(
+      p.select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("nn").as("np")),
+      idx.codes, (pe, cs) => pqDotUdf(idx.cents, idx.dsub)(pe, cs))
+  }
+
+  def pqSearchAgainstIndex(probes: DataFrame, indexPath: String): DataFrame =
+    pqSearch(probes, loadPqIndex(probes.sparkSession, indexPath))
+
+  /** q92 through the materialized PQ index (build-once per sf dir, like
+    * q91): identical output contract, so it shares q92's oracle.
+    */
+  def q93PqIndex(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val indexPath = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_pq_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + graft.Tables.tableFingerprint(dir, "embeddings")).getPath
+    if (!new java.io.File(s"$indexPath/codes/_SUCCESS").exists() ||
+        !new java.io.File(s"$indexPath/meta.properties").exists())
+      writePqIndex(e, indexPath)
+    pqSearchAgainstIndex(e.filter(col("vec_id") < 20), indexPath)
   }
 
   /** Embedding dedup pipeline: the vector-side counterpart of q66 —
@@ -849,7 +1116,10 @@ object Similarity {
     "q76_crossmodal_dedup" -> q76CrossmodalDedup,
     "q82_ann_index" -> q82AnnIndex,
     "q90_ann_sq8" -> q90AnnSq8,
-    "q91_sq8_index" -> q91Sq8Index)
+    "q91_sq8_index" -> q91Sq8Index,
+    "q92_ann_pq" -> q92AnnPq,
+    "q93_pq_index" -> q93PqIndex,
+    "q94_pq_refine" -> q94PqRefine)
 
   private val longFormCte =
     """e2 AS (
@@ -986,10 +1256,90 @@ object Similarity {
       |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
       |  FROM cos) WHERE rn <= 3""".stripMargin
 
+  /** q92's full SQL — shared verbatim by q92 (inline train+encode) and
+    * q93 (the materialized PQ index). The oracle unrolls the SAME two
+    * quantizer steps the Scala runs: step-0 assignment against the PQ_K
+    * lowest vec_ids' subvectors, round6'd per-subspace centroids, one
+    * re-assignment against the refined codebook, then the asymmetric
+    * reconstruction dot. Every distance and the averaged centroids are
+    * round6'd on BOTH engines before any argmin/compare.
+    */
+  private val pqCtes: String = {
+    val dsub = 64 / PQ_M // oracle mirrors the fixture's dim like the plane CTEs
+    s"""$longFormCte,
+      |sub AS (SELECT vec_id, pos, v,
+      |  (pos - 1) // $dsub AS s, (pos - 1) % $dsub AS j FROM ex),
+      |sd0 AS (
+      |  SELECT a.vec_id, a.s, b.vec_id AS seed,
+      |    round(sum((a.v - b.v) * (a.v - b.v)), 6) AS d
+      |  FROM sub a JOIN sub b ON b.pos = a.pos AND b.vec_id < $PQ_K
+      |  GROUP BY 1, 2, 3),
+      |a0 AS (SELECT vec_id, s, seed AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, seed) AS rn
+      |    FROM sd0) WHERE rn = 1),
+      |cents AS (
+      |  SELECT a0.s, a0.code, sb.j, round(avg(sb.v), 6) AS cv
+      |  FROM sub sb JOIN a0 ON a0.vec_id = sb.vec_id AND a0.s = sb.s
+      |  GROUP BY 1, 2, 3),
+      |sd1 AS (
+      |  SELECT sb.vec_id, sb.s, c.code,
+      |    round(sum((sb.v - c.cv) * (sb.v - c.cv)), 6) AS d
+      |  FROM sub sb JOIN cents c ON c.s = sb.s AND c.j = sb.j
+      |  GROUP BY 1, 2, 3),
+      |a1 AS (SELECT vec_id, s, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+      |    FROM sd1) WHERE rn = 1),
+      |recon AS (
+      |  SELECT a1.vec_id, c.s, c.j, c.cv
+      |  FROM a1 JOIN cents c ON c.s = a1.s AND c.code = a1.code),
+      |nq AS (SELECT vec_id, sum(cv * cv) AS nq FROM recon GROUP BY 1),
+      |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),
+      |dots AS (
+      |  SELECT p.vec_id AS p_id, r.vec_id AS c_id, sum(p.v * r.cv) AS dot
+      |  FROM sub p JOIN recon r ON r.s = p.s AND r.j = p.j
+      |    AND p.vec_id < 20 AND p.vec_id != r.vec_id
+      |  GROUP BY 1, 2),
+      |cos AS (
+      |  SELECT p_id, c_id, round(dot / (sqrt(np.nn) * sqrt(nc.nq)), 6) AS cosine
+      |  FROM dots JOIN norms np ON np.vec_id = p_id JOIN nq nc ON nc.vec_id = c_id)""".stripMargin
+  }
+
+  private val pqSql: String =
+    s"""WITH $pqCtes
+      |SELECT p_id, c_id, cosine, CAST(rn AS INT) AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
+      |  FROM cos) WHERE rn <= 3""".stripMargin
+
+  /** q94's SQL — the pqSql CTE chain with the ADC rank cut at PQ_REFINE
+    * and q57's exact-cosine tail re-ranking just those candidates.
+    */
+  private val pqRefineSql: String =
+    s"""WITH $pqCtes,
+      |adc AS (
+      |  SELECT p_id, c_id FROM (
+      |    SELECT p_id, c_id,
+      |      row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
+      |    FROM cos) WHERE rn <= $PQ_REFINE),
+      |xdots AS (
+      |  SELECT p_id, c_id, sum(a.v * b.v) AS dot
+      |  FROM adc JOIN ex a ON a.vec_id = p_id
+      |    JOIN ex b ON b.vec_id = c_id AND b.pos = a.pos
+      |  GROUP BY 1, 2),
+      |xcos AS (
+      |  SELECT p_id, c_id, round(dot / (sqrt(np.nn) * sqrt(nc.nn)), 6) AS cosine
+      |  FROM xdots JOIN norms np ON np.vec_id = p_id
+      |    JOIN norms nc ON nc.vec_id = c_id)
+      |SELECT p_id, c_id, cosine, CAST(rn AS INT) AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
+      |  FROM xcos) WHERE rn <= 3""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q82_ann_index" -> annLshSql,
     "q90_ann_sq8" -> sq8Sql,
     "q91_sq8_index" -> sq8Sql,
+    "q92_ann_pq" -> pqSql,
+    "q93_pq_index" -> pqSql,
+    "q94_pq_refine" -> pqRefineSql,
     "q48_cosine_knn" ->
       s"""WITH $longFormCte,
         |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),

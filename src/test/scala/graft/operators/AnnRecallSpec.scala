@@ -55,6 +55,45 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.9, f"SQ8 recall collapsed to $recall%.3f — quantizer regression")
   }
 
+  test("PQ-ADC scan keeps recall@3 against brute force") {
+    // PQ also scans the whole corpus, but through an 8-byte code whose
+    // accuracy is bounded by codebook resolution. This fixture is PQ's
+    // WORST regime — near-random directions with no per-subspace cluster
+    // structure (measured: recall stays ~0.3 even at 4× the codebook,
+    // M=16 K=64 only reaches 0.5) — so the floor is calibrated to catch a
+    // codebook-training regression (empty codebooks, wrong assignment
+    // step), not to promise rank fidelity the 32× compression tier
+    // cannot deliver on unclusterable data. Deployment composes PQ with
+    // an exact refine of its top-R candidates; the tiers' measured
+    // recall-per-byte ladder is recorded in SCALE.md.
+    val pq = Similarity.queries("q92_ann_pq")(spark, dir)
+      .select("p_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val probes = exactTop3.keySet
+    val recall = probes.toSeq.map { p =>
+      val got = pq.getOrElse(p, Set.empty)
+      (exactTop3(p) & got).size.toDouble / exactTop3(p).size
+    }.sum / probes.size
+    info(f"PQ recall@3 = $recall%.3f over ${probes.size} probes")
+    assert(recall >= 0.2, f"PQ recall collapsed to $recall%.3f — codebook regression")
+  }
+
+  test("PQ + exact refine recovers recall from the coarse tier") {
+    // the deployment composition: ADC prunes to PQ_REFINE candidates
+    // (floats touched per probe ∝ that constant, not corpus size), exact
+    // cosine re-ranks them — recall must sit far above pure ADC's
+    val pqr = Similarity.queries("q94_pq_refine")(spark, dir)
+      .select("p_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val probes = exactTop3.keySet
+    val recall = probes.toSeq.map { p =>
+      val got = pqr.getOrElse(p, Set.empty)
+      (exactTop3(p) & got).size.toDouble / exactTop3(p).size
+    }.sum / probes.size
+    info(f"PQ+refine recall@3 = $recall%.3f over ${probes.size} probes")
+    assert(recall >= 0.6, f"PQ+refine recall collapsed to $recall%.3f — refine regression")
+  }
+
   test("IVF-Flat keeps recall@3 against brute force") {
     val ivf = Similarity.queries("q57_ann_ivf")(spark, dir)
       .select("p_id", "c_id").as[(Long, Long)].collect()

@@ -147,6 +147,17 @@ class PlanAuditSpec extends SparkSpec {
       "serving plan reads corpus float vectors:\n" + p)
   }
 
+  test("q93: PQ serves from stored codes — no retrain, no corpus float reads") {
+    val p = plan(Similarity.queries("q93_pq_index")(spark, dir))
+    assert(p.contains("graft_pq_index"),
+      "corpus side must scan the materialized PQ code table:\n" + p)
+    assert(!p.contains("posexplode") && !p.contains("PosExplode"),
+      "serving plan re-trains the PQ codebook:\n" + p)
+    assert(!p.contains("embeddings.parquet") ||
+      p.split('\n').count(_.contains("embeddings.parquet")) <= 1,
+      "serving plan reads corpus float vectors:\n" + p)
+  }
+
   test("q89: global ordinal is two-pass — corpus ranking keyed by bucket, offsets broadcast") {
     val p = plan(CorpusOps.queries("q89_shard_export")(spark, dir))
     // the corpus-side row_number must be PARTITIONED (by the hash-prefix
