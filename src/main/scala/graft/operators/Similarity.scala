@@ -887,6 +887,54 @@ object Similarity {
       e.select(col("vec_id").as("c_id"), col("embedding").as("ce2"), col("nn").as("nc2")))
   }
 
+  /** IVF-PQ with exact refine (q95) — the composition every
+    * billion-vector serving system runs, assembled from this library's
+    * own tested tiers: the IVF quantizer PRUNES the corpus to the probed
+    * NPROBE/IVF_K lists (corpus fraction, not corpus size), the PQ codes
+    * RANK those candidates at 8 bytes each (ADC), and the exact kernel
+    * REFINES the surviving PQ_REFINE — float touches per probe stay a
+    * constant, code touches a corpus fraction, and the full corpus is
+    * never scanned at float width. All three stages reuse the exact
+    * kernels of q57, q92 and q94, so this query cannot drift from the
+    * tiers it composes; the oracle unrolls the same three stages in SQL.
+    */
+  def q95IvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.CacheScope.cache(withNorm(emb(spark, dir)))
+    // IVF stage: same trained quantizer + pure-map assignment as q57
+    val ivfCents = trainCentroids(e)
+    val assign = e.select(col("vec_id").as("c_id"),
+      listAssignUdf(ivfCents)(col("embedding")).as("list_id"))
+    val probeLists = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("p_id"),
+        explode(topListsUdf(ivfCents)(col("embedding"))).as("list_id"))
+    val cand = probeLists
+      .join(assign, Seq("list_id"))
+      .filter(col("p_id") =!= col("c_id"))
+      .select(col("p_id"), col("c_id"))
+    // PQ stage: ADC rank of the pruned candidates through 8-byte codes
+    val seeds = lowestIdSeeds(e, PQ_K)
+    val dsub = seeds.head._2.length / PQ_M
+    val pqCents = trainPqCents(e, seeds)
+    val q = pqEncodeUdf(pqCents, dsub)(col("embedding"))
+    val codes = e.select(col("vec_id").as("c_id"), q.getField("_1").as("codes"),
+      q.getField("_2").as("nq"))
+    val adc = cand
+      .join(broadcast(e.filter(col("vec_id") < 20).select(col("vec_id").as("p_id"),
+        col("embedding").as("pe"), col("nn").as("np"))), Seq("p_id"))
+      .join(codes, Seq("c_id"))
+      .withColumn("acos",
+        round6c(pqDotUdf(pqCents, dsub)(col("pe"), col("codes")) /
+          (sqrt(col("np")) * sqrt(col("nq")))))
+    val wAdc = Window.partitionBy(col("p_id")).orderBy(col("acos").desc, col("c_id"))
+    val pruned = adc.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= PQ_REFINE)
+      .select(col("p_id"), col("c_id"))
+    // refine stage: q57's exact tail over the survivors
+    ivfRerank(pruned,
+      e.select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("nn").as("np")),
+      e.select(col("vec_id").as("c_id"), col("embedding").as("ce2"), col("nn").as("nc2")))
+  }
+
   /** Materialize the PQ index: the trained codebook (s, code, j, cv —
     * ≤ PQ_M·PQ_K·dsub rows) and the code table (c_id, PQ_M bytes, stored
     * reconstruction norm). Codebook trains ONCE; serving reads codes and
@@ -1119,7 +1167,8 @@ object Similarity {
     "q91_sq8_index" -> q91Sq8Index,
     "q92_ann_pq" -> q92AnnPq,
     "q93_pq_index" -> q93PqIndex,
-    "q94_pq_refine" -> q94PqRefine)
+    "q94_pq_refine" -> q94PqRefine,
+    "q95_ivfpq" -> q95IvfPq)
 
   private val longFormCte =
     """e2 AS (
@@ -1333,6 +1382,74 @@ object Similarity {
       |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
       |  FROM xcos) WHERE rn <= 3""".stripMargin
 
+  /** q95's SQL — q57's IVF assignment CTEs (renamed i*) + q92's PQ CTEs,
+    * composed exactly as the Scala composes the kernels: candidates from
+    * the probed lists, ADC rank through the PQ reconstruction, PQ_REFINE
+    * cut, exact-cosine tail.
+    */
+  private val ivfPqSql: String =
+    s"""WITH $pqCtes,
+      |sd AS (
+      |  SELECT a.vec_id, s.vec_id AS seed_id,
+      |    round(sum((a.v - s.v) * (a.v - s.v)), 6) AS d
+      |  FROM ex a JOIN ex s ON s.pos = a.pos AND s.vec_id < $IVF_K
+      |  GROUP BY 1, 2),
+      |sa AS (
+      |  SELECT vec_id, seed_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d, seed_id) AS rn
+      |    FROM sd) WHERE rn = 1),
+      |icents AS (
+      |  SELECT sa.seed_id AS cent_id, a.pos, round(avg(a.v), 6) AS cv
+      |  FROM ex a JOIN sa ON sa.vec_id = a.vec_id
+      |  GROUP BY 1, 2),
+      |icnorm AS (SELECT cent_id, sum(cv * cv) AS nc FROM icents GROUP BY 1),
+      |iadots AS (
+      |  SELECT a.vec_id, c.cent_id, sum(a.v * c.cv) AS dot
+      |  FROM ex a JOIN icents c ON c.pos = a.pos
+      |  GROUP BY 1, 2),
+      |iacos AS (
+      |  SELECT d.vec_id, d.cent_id,
+      |    round(dot / (sqrt(nv.nn) * sqrt(cn.nc)), 6) AS cos
+      |  FROM iadots d JOIN norms nv ON nv.vec_id = d.vec_id
+      |    JOIN icnorm cn ON cn.cent_id = d.cent_id),
+      |iranked AS (
+      |  SELECT vec_id, cent_id,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+      |  FROM iacos),
+      |iassign AS (SELECT vec_id, cent_id AS list_id FROM iranked WHERE rn = 1),
+      |iprobes AS (
+      |  SELECT vec_id AS p_id, cent_id AS list_id FROM iranked
+      |  WHERE vec_id < 20 AND rn <= $NPROBE),
+      |lcand AS (
+      |  SELECT p_id, a.vec_id AS c_id
+      |  FROM iprobes p JOIN iassign a ON a.list_id = p.list_id
+      |    AND a.vec_id != p.p_id),
+      |qdots AS (
+      |  SELECT l.p_id, l.c_id, sum(p.v * r.cv) AS dot
+      |  FROM lcand l JOIN sub p ON p.vec_id = l.p_id
+      |    JOIN recon r ON r.vec_id = l.c_id AND r.s = p.s AND r.j = p.j
+      |  GROUP BY 1, 2),
+      |qcos AS (
+      |  SELECT p_id, c_id, round(dot / (sqrt(np.nn) * sqrt(nc.nq)), 6) AS acos
+      |  FROM qdots JOIN norms np ON np.vec_id = p_id JOIN nq nc ON nc.vec_id = c_id),
+      |pruned AS (
+      |  SELECT p_id, c_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY acos DESC, c_id) AS rn
+      |    FROM qcos) WHERE rn <= $PQ_REFINE),
+      |xdots AS (
+      |  SELECT p_id, c_id, sum(a.v * b.v) AS dot
+      |  FROM pruned JOIN ex a ON a.vec_id = p_id
+      |    JOIN ex b ON b.vec_id = c_id AND b.pos = a.pos
+      |  GROUP BY 1, 2),
+      |xcos AS (
+      |  SELECT p_id, c_id, round(dot / (sqrt(np.nn) * sqrt(nc.nn)), 6) AS cosine
+      |  FROM xdots JOIN norms np ON np.vec_id = p_id
+      |    JOIN norms nc ON nc.vec_id = c_id)
+      |SELECT p_id, c_id, cosine, CAST(rn AS INT) AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
+      |  FROM xcos) WHERE rn <= 3""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q82_ann_index" -> annLshSql,
     "q90_ann_sq8" -> sq8Sql,
@@ -1340,6 +1457,7 @@ object Similarity {
     "q92_ann_pq" -> pqSql,
     "q93_pq_index" -> pqSql,
     "q94_pq_refine" -> pqRefineSql,
+    "q95_ivfpq" -> ivfPqSql,
     "q48_cosine_knn" ->
       s"""WITH $longFormCte,
         |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),

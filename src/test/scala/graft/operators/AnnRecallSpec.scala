@@ -94,6 +94,22 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.6, f"PQ+refine recall collapsed to $recall%.3f — refine regression")
   }
 
+  test("IVF-PQ + refine keeps recall@3 against brute force") {
+    // the full serving composition (q95): recall is bounded above by the
+    // IVF stage's list coverage and below-bounded by what ADC@PQ_REFINE
+    // surfaces within the probed lists — between IVF's and PQ+refine's
+    val ivfpq = Similarity.queries("q95_ivfpq")(spark, dir)
+      .select("p_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val probes = exactTop3.keySet & ivfpq.keySet
+    assert(probes.nonEmpty, "IVF-PQ returned no probe results")
+    val recall = probes.toSeq.map { p =>
+      (exactTop3(p) & ivfpq(p)).size.toDouble / exactTop3(p).size
+    }.sum / probes.size
+    info(f"IVF-PQ+refine recall@3 = $recall%.3f over ${probes.size} probes")
+    assert(recall >= 0.5, f"IVF-PQ recall collapsed to $recall%.3f — stage regression")
+  }
+
   test("IVF-Flat keeps recall@3 against brute force") {
     val ivf = Similarity.queries("q57_ann_ivf")(spark, dir)
       .select("p_id", "c_id").as[(Long, Long)].collect()
