@@ -659,6 +659,9 @@ object Dedup {
     // through the Hadoop filesystem of the path, so hdfs://- or
     // s3a://-hosted indexes work and readers on other machines see it.
     val spark = corpusDocs.sparkSession
+    // invalidate first: a rebuild that crashes mid-write must leave a
+    // meta-less (refused) dir, never new sigs under the old meta
+    IndexMeta.invalidate(spark, path)
     graft.CacheScope.run {
       val sig = graft.CacheScope.cache(minhashSigs(shingleArraysOf(corpusDocs), k))
       sig.write.mode("overwrite").parquet(s"$path/sigs")

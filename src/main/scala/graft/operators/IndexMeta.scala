@@ -60,6 +60,21 @@ private[graft] object IndexMeta {
           "the new index")
   }
 
+  /** Delete the meta file (if present) BEFORE a rebuild starts writing
+    * data tables. Meta-last alone closes the reader-side race, but an
+    * interrupted rebuild OVER AN EXISTING index would otherwise leave new
+    * data tables paired with the OLD meta — a mixed index every
+    * completeness check and fingerprint would wave through. With
+    * invalidate-first, a crashed rebuild leaves a meta-less dir, which
+    * readers refuse loudly.
+    */
+  def invalidate(spark: SparkSession, path: String): Unit = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+    ()
+  }
+
   def write(spark: SparkSession, path: String, comment: String,
             kv: (String, String)*): Unit = {
     val props = new java.util.Properties

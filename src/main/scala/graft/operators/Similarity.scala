@@ -201,7 +201,10 @@ object Similarity {
     // signatures can never be compared at mismatched widths — the silent
     // zero-candidate failure mode. Meta LAST: its presence marks the
     // build complete, and a reader racing a rebuild holds the OLD
-    // fingerprint, so the new meta fails its next check loudly.
+    // fingerprint, so the new meta fails its next check loudly. Meta
+    // invalidated FIRST: a rebuild that crashes mid-write leaves a
+    // meta-less dir (refused), never new tables under the old meta.
+    IndexMeta.invalidate(corpusEmb.sparkSession, path)
     graft.CacheScope.run {
       val e = graft.CacheScope.cache(withNorm(corpusEmb))
       e.select(col("vec_id"), col("embedding"), col("nn"))
@@ -449,7 +452,9 @@ object Similarity {
   def writeIvfIndex(corpusEmb: DataFrame, path: String): Unit = {
     // list count recorded like every materialized index's dials — a reader
     // of a foreign/incomplete index fails loudly instead of serving it;
-    // meta written last (completeness marker, rebuild-race-safe)
+    // meta written last (completeness marker, rebuild-race-safe) and
+    // invalidated first (a crashed rebuild leaves a refused meta-less dir)
+    IndexMeta.invalidate(corpusEmb.sparkSession, path)
     graft.CacheScope.run {
       val spark = corpusEmb.sparkSession
       import spark.implicits._
@@ -636,6 +641,8 @@ object Similarity {
   def writeSq8Index(corpusEmb: DataFrame, path: String): Unit = {
     val spark = corpusEmb.sparkSession
     import spark.implicits._
+    // invalidate first / meta last — see writePqIndex's rebuild note
+    IndexMeta.invalidate(spark, path)
     val dim = graft.CacheScope.run {
       val e = graft.CacheScope.cache(corpusEmb)
       val (mins, spans) = trainSq8(e)
@@ -827,6 +834,28 @@ object Similarity {
       dot
     }
 
+  /** The one PQ train-and-encode path every PQ surface shares (q92 inline,
+    * q94 refine, q95 IVF-PQ, [[writePqIndex]]): seeds → codebook → encoded
+    * code frame. Centralized so the encode contract (dim validation, seed
+    * ordinals, the codes/nq schema) cannot drift between the inline,
+    * served and composed paths. Requires dim to be a positive multiple of
+    * PQ_M — silently dropping trailing dimensions (dim % PQ_M != 0) or
+    * producing zero-norm reconstructions (dim < PQ_M) would rank wrong
+    * with no error.
+    */
+  private def pqModel(e: DataFrame): (Array[Array[Array[Double]]], Int, DataFrame) = {
+    val seeds = lowestIdSeeds(e, PQ_K)
+    val dim = seeds.head._2.length
+    require(dim % PQ_M == 0 && dim >= PQ_M,
+      s"PQ needs dim to be a positive multiple of PQ_M=$PQ_M; got dim=$dim")
+    val dsub = dim / PQ_M
+    val cents = trainPqCents(e, seeds)
+    val q = pqEncodeUdf(cents, dsub)(col("embedding"))
+    val codes = e.select(col("vec_id").as("c_id"), q.getField("_1").as("codes"),
+      q.getField("_2").as("nq"))
+    (cents, dsub, codes)
+  }
+
   /** PQ-ADC scan (the 32×-compression counterpart of q90): the corpus is
     * visited in full but through PQ_M = 8 code bytes per vector; accuracy
     * is bounded by codebook resolution. On this synthetic corpus —
@@ -840,12 +869,7 @@ object Similarity {
     */
   def q92AnnPq(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.CacheScope.cache(withNorm(emb(spark, dir)))
-    val seeds = lowestIdSeeds(e, PQ_K)
-    val dsub = seeds.head._2.length / PQ_M
-    val cents = trainPqCents(e, seeds)
-    val q = pqEncodeUdf(cents, dsub)(col("embedding"))
-    val codes = e.select(col("vec_id").as("c_id"), q.getField("_1").as("codes"),
-      q.getField("_2").as("nq"))
+    val (cents, dsub, codes) = pqModel(e)
     codesRerank(
       e.filter(col("vec_id") < 20).select(col("vec_id").as("p_id"),
         col("embedding").as("pe"), col("nn").as("np")),
@@ -871,12 +895,7 @@ object Similarity {
     */
   def q94PqRefine(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.CacheScope.cache(withNorm(emb(spark, dir)))
-    val seeds = lowestIdSeeds(e, PQ_K)
-    val dsub = seeds.head._2.length / PQ_M
-    val cents = trainPqCents(e, seeds)
-    val q = pqEncodeUdf(cents, dsub)(col("embedding"))
-    val codes = e.select(col("vec_id").as("c_id"), q.getField("_1").as("codes"),
-      q.getField("_2").as("nq"))
+    val (cents, dsub, codes) = pqModel(e)
     val cand = codesRerank(
       e.filter(col("vec_id") < 20).select(col("vec_id").as("p_id"),
         col("embedding").as("pe"), col("nn").as("np")),
@@ -912,12 +931,7 @@ object Similarity {
       .filter(col("p_id") =!= col("c_id"))
       .select(col("p_id"), col("c_id"))
     // PQ stage: ADC rank of the pruned candidates through 8-byte codes
-    val seeds = lowestIdSeeds(e, PQ_K)
-    val dsub = seeds.head._2.length / PQ_M
-    val pqCents = trainPqCents(e, seeds)
-    val q = pqEncodeUdf(pqCents, dsub)(col("embedding"))
-    val codes = e.select(col("vec_id").as("c_id"), q.getField("_1").as("codes"),
-      q.getField("_2").as("nq"))
+    val (pqCents, dsub, codes) = pqModel(e)
     val adc = cand
       .join(broadcast(e.filter(col("vec_id") < 20).select(col("vec_id").as("p_id"),
         col("embedding").as("pe"), col("nn").as("np"))), Seq("p_id"))
@@ -943,22 +957,22 @@ object Similarity {
   def writePqIndex(corpusEmb: DataFrame, path: String): Unit = {
     val spark = corpusEmb.sparkSession
     import spark.implicits._
+    // invalidate FIRST: a rebuild that crashes mid-write must leave a
+    // meta-less dir (refused loudly) — never a new codebook paired with
+    // old codes under the old meta, which every completeness and
+    // fingerprint check would wave through
+    IndexMeta.invalidate(spark, path)
     val dim = graft.CacheScope.run {
       val e = graft.CacheScope.cache(corpusEmb)
-      val seeds = lowestIdSeeds(e, PQ_K)
-      val dsub = seeds.head._2.length / PQ_M
-      val cents = trainPqCents(e, seeds)
+      val (cents, dsub, codes) = pqModel(e)
       val flat = for {
         s <- 0 until PQ_M; c <- 0 until PQ_K if cents(s)(c) != null
         j <- 0 until dsub
       } yield (s, c, j, cents(s)(c)(j))
       flat.toDF("s", "code", "j", "cv")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-      val q = pqEncodeUdf(cents, dsub)(col("embedding"))
-      e.select(col("vec_id").as("c_id"), q.getField("_1").as("codes"),
-        q.getField("_2").as("nq"))
-        .write.mode("overwrite").parquet(s"$path/codes")
-      seeds.head._2.length
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+      dsub * PQ_M
     }
     IndexMeta.write(spark, path, "graft PQ index dials",
       "m" -> PQ_M.toString, "k" -> PQ_K.toString, "dim" -> dim.toString)

@@ -30,31 +30,12 @@ object StreamingAnn {
                       probeSchema: org.apache.spark.sql.types.StructType,
                       indexPath: String, outPath: String,
                       checkpoint: String,
-                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    // the index is immutable for the life of the query: resolve its dials
-    // and corpus frames ONCE, not per micro-batch. Restart-on-rebuild is
-    // the contract — each batch re-checks the meta fingerprint (one tiny
-    // FS stat + read) and fails loudly if the index was replaced, instead
-    // of silently serving frames resolved from the retired build.
-    // fingerprint BEFORE the load: a rebuild landing between the two calls
-    // then fails the first batch loudly instead of being masked forever
-    // (fingerprint-after would equal the NEW build while idx held the old)
-    val loadedFp = graft.operators.IndexMeta.fingerprint(spark, indexPath)
-    val idx = graft.operators.Similarity.loadAnnIndex(spark, indexPath)
-    spark.readStream
-      .schema(probeSchema)
-      .parquet(probeDir)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.IndexMeta.requireUnchanged(spark, indexPath, loadedFp)
-        graft.CacheScope.run {
-          graft.operators.Similarity.annSearch(batch, idx)
-            .write.mode("overwrite").parquet(s"$outPath/batch_$batchId")
-        }
-        ()
-      }
-      .start()
-  }
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    // fingerprint-before-load, per-batch restart-on-rebuild checks and
+    // idempotent batch_<id> sinks all live in the shared scaffold
+    IndexServingStream.run(spark, probeDir, probeSchema, indexPath,
+      outPath, checkpoint, trigger) {
+      val idx = graft.operators.Similarity.loadAnnIndex(spark, indexPath)
+      batch => graft.operators.Similarity.annSearch(batch, idx)
+    }
 }

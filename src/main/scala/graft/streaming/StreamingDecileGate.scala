@@ -35,6 +35,9 @@ object StreamingDecileGate {
     * old bounds and serve them forever with every check passing.
     */
   def writeBoundaries(spark: SparkSession, dir: String, outPath: String): Unit = {
+    // invalidate first: a rebuild that crashes mid-write must leave a
+    // meta-less (refused) dir, never new bounds under the old meta
+    graft.operators.IndexMeta.invalidate(spark, outPath)
     TextAnalysis.decileBoundaries(
       TextAnalysis.qualityScored(graft.Tables.load(spark, dir, "documents")))
       .write.mode("overwrite").parquet(s"$outPath/bounds")

@@ -30,23 +30,10 @@ object StreamingSq8 {
                       probeSchema: org.apache.spark.sql.types.StructType,
                       indexPath: String, outPath: String,
                       checkpoint: String,
-                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val loadedFp = graft.operators.IndexMeta.fingerprint(spark, indexPath)
-    val idx = graft.operators.Similarity.loadSq8Index(spark, indexPath)
-    spark.readStream
-      .schema(probeSchema)
-      .parquet(probeDir)
-      .writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.IndexMeta.requireUnchanged(spark, indexPath, loadedFp)
-        graft.CacheScope.run {
-          graft.operators.Similarity.sq8Search(batch, idx)
-            .write.mode("overwrite").parquet(s"$outPath/batch_$batchId")
-        }
-        ()
-      }
-      .start()
-  }
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    IndexServingStream.run(spark, probeDir, probeSchema, indexPath,
+      outPath, checkpoint, trigger) {
+      val idx = graft.operators.Similarity.loadSq8Index(spark, indexPath)
+      batch => graft.operators.Similarity.sq8Search(batch, idx)
+    }
 }

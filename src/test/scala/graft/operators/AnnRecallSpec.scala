@@ -101,10 +101,13 @@ class AnnRecallSpec extends SparkSpec {
     val ivfpq = Similarity.queries("q95_ivfpq")(spark, dir)
       .select("p_id", "c_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val probes = exactTop3.keySet & ivfpq.keySet
-    assert(probes.nonEmpty, "IVF-PQ returned no probe results")
+    // ALL exact probes in the denominator — a probe with zero results
+    // scores 0 (intersecting key sets would silently drop it and inflate
+    // recall past a candidate-join regression; Bench's artifact recall
+    // scores missing probes 0 the same way)
+    val probes = exactTop3.keySet
     val recall = probes.toSeq.map { p =>
-      (exactTop3(p) & ivfpq(p)).size.toDouble / exactTop3(p).size
+      (exactTop3(p) & ivfpq.getOrElse(p, Set.empty)).size.toDouble / exactTop3(p).size
     }.sum / probes.size
     info(f"IVF-PQ+refine recall@3 = $recall%.3f over ${probes.size} probes")
     assert(recall >= 0.5, f"IVF-PQ recall collapsed to $recall%.3f — stage regression")
@@ -114,10 +117,10 @@ class AnnRecallSpec extends SparkSpec {
     val ivf = Similarity.queries("q57_ann_ivf")(spark, dir)
       .select("p_id", "c_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val probes = exactTop3.keySet & ivf.keySet
-    assert(probes.nonEmpty, "IVF returned no probe results")
+    // all exact probes count — a zero-result probe scores 0, like Bench
+    val probes = exactTop3.keySet
     val recall = probes.toSeq.map { p =>
-      (exactTop3(p) & ivf(p)).size.toDouble / exactTop3(p).size
+      (exactTop3(p) & ivf.getOrElse(p, Set.empty)).size.toDouble / exactTop3(p).size
     }.sum / probes.size
     info(f"IVF recall@3 = $recall%.3f over ${probes.size} probes")
     assert(recall >= 0.5, f"IVF recall collapsed to $recall%.3f — check nprobe/quantizer")
