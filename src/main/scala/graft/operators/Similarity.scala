@@ -479,27 +479,39 @@ object Similarity {
     * pure map, candidates come from the STORED inverted lists, and the
     * re-rank reads stored vectors — per-batch corpus work is zero.
     */
-  def ivfSearchAgainstIndex(probes: DataFrame, indexPath: String): DataFrame = {
-    val spark = probes.sparkSession
+  /** A resolved IVF index — quantizer collected (≤ IVF_K rows, bounded)
+    * and the list/vector frames resolved ONCE; streaming callers hoist
+    * this outside `foreachBatch` like [[LoadedSq8Index]].
+    */
+  final case class LoadedIvfIndex private[operators] (
+      cents: Array[(Long, Array[Double], Double)], lists: DataFrame, vecs: DataFrame)
+
+  def loadIvfIndex(spark: SparkSession, indexPath: String): LoadedIvfIndex = {
     IndexMeta.read(spark, indexPath, "writeIvfIndex") // strict: no foreign indexes
-    val cents: Array[(Long, Array[Double], Double)] =
+    LoadedIvfIndex(
       spark.read.parquet(s"$indexPath/centroids").collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
-        .sortBy(_._1)
-    val lists = spark.read.parquet(s"$indexPath/lists")
-    val vecs = spark.read.parquet(s"$indexPath/vectors")
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce2"), col("nn").as("nc2"))
+        .sortBy(_._1),
+      spark.read.parquet(s"$indexPath/lists"),
+      spark.read.parquet(s"$indexPath/vectors")
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce2"), col("nn").as("nc2")))
+  }
+
+  def ivfSearch(probes: DataFrame, idx: LoadedIvfIndex): DataFrame = {
     val p = graft.CacheScope.cache(withNorm(probes))
     val probeLists = p.select(col("vec_id").as("p_id"),
-      explode(topListsUdf(cents)(col("embedding"))).as("list_id"))
+      explode(topListsUdf(idx.cents)(col("embedding"))).as("list_id"))
     val cand = probeLists
-      .join(lists, Seq("list_id"))
+      .join(idx.lists, Seq("list_id"))
       .filter(col("p_id") =!= col("c_id"))
       .select(col("p_id"), col("c_id"))
     ivfRerank(cand,
       p.select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("nn").as("np")),
-      vecs)
+      idx.vecs)
   }
+
+  def ivfSearchAgainstIndex(probes: DataFrame, indexPath: String): DataFrame =
+    ivfSearch(probes, loadIvfIndex(probes.sparkSession, indexPath))
 
   /** q57 through the materialized IVF index (build-once per sf dir, like
     * q81/q82): identical output contract, so it shares q57's oracle.

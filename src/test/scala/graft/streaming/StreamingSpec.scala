@@ -204,6 +204,28 @@ class StreamingSpec extends SparkSpec {
       "restart must not re-serve processed probes")
   }
 
+  test("streaming IVF probes match the batch search against a stored index") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    // the IVF trainer seeds from the IVF_K lowest vec_ids, so give it a
+    // corpus of at least IVF_K = 16 vectors with separated clusters
+    def vf(xs: Double*) = xs.map(_.toFloat)
+    val corpus = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) vf(1.0, 0.1, 0.0, 0.0) else vf(0.0, 0.1, 1.0, 0.0)
+      (i, base.updated(1, (0.1 + i * 0.01).toFloat))
+    }.toDF("vec_id", "embedding")
+    graft.operators.Similarity.writeIvfIndex(corpus, s"$tmp/index")
+
+    val probes1 = Seq((100L, vf(0.95, 0.11, 0.0, 0.0))).toDF("vec_id", "embedding")
+    probes1.write.mode("append").parquet(s"$tmp/in")
+    StreamingIvf.runAgainstIndex(spark, s"$tmp/in", probes1.schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val out1 = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+    val batch1 = graft.operators.Similarity.ivfSearchAgainstIndex(probes1, s"$tmp/index")
+    assert(out1.collect().map(_.toSeq).toSet == batch1.collect().map(_.toSeq).toSet,
+      "streamed and batch IVF neighbors diverged")
+    assert(out1.count() > 0, "probe must find neighbors in its probed lists")
+  }
+
   test("SQ8 serving fails the running query when the index is rebuilt") {
     val tmp = java.nio.file.Files.createTempDirectory("sq8r").toString
     def vf(xs: Double*) = xs.map(_.toFloat)
