@@ -72,5 +72,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinhashKExpr].getName, "minhash_k"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinhashKExpr(exprs(0), exprs(1))))
+    // SQL names for Spark's own bloom sketch expressions (shared builders
+    // with the imperative BloomFns.register path — see BloomFns)
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      graft.functions.expressions.BloomFns.bloomAggBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      graft.functions.expressions.BloomFns.mightContainBuilder))
   }
 }

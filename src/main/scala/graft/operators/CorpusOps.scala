@@ -27,14 +27,23 @@ object CorpusOps {
     * inside one stage). Distinct-per-doc grams keep `n_hits` = number of
     * distinct shared grams.
     */
+  /** Per-doc DISTINCT token n-grams of `text` as (doc_id, gram) — the
+    * shared gram kernel behind q68 (n = 8) and the bloom gate family
+    * (q96/q97, n = [[BloomGate.GRAM_N]]). Pure per-row explode: pipelines
+    * out of the scan with no shuffle; `array_distinct` keeps downstream
+    * hit counts = number of DISTINCT shared grams.
+    */
+  private[graft] def tokenGrams(df: DataFrame, n: Int): DataFrame = df
+    .withColumn("tokens", split(col("text"), " "))
+    .filter(size(col("tokens")) >= n)
+    .select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("tokens")) - (n - 1)),
+        i => array_join(slice(col("tokens"), i, lit(n)), " ")))).as("gram"))
+
   def q68Decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).withColumn("tokens", split(col("text"), " "))
-    def grams(df: DataFrame): DataFrame = df
-      .filter(size(col("tokens")) >= 8)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(col("tokens")) - 7),
-          i => array_join(slice(col("tokens"), i, lit(8)), " ")))).as("gram"))
+    val d = docs(spark, dir)
+    def grams(df: DataFrame): DataFrame = tokenGrams(df, 8)
     val evalGrams = grams(d.filter(col("source") === "src0"))
       .select(col("gram")).distinct()
     val hits = grams(d.filter(col("source") =!= "src0"))

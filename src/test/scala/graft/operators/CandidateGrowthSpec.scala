@@ -131,6 +131,41 @@ class CandidateGrowthSpec extends SparkSpec {
     assert(mHi.allPairsFrac < 0.10)
   }
 
+  test("bloom gate (q96): survivors stay within true hits + design fp of corpus grams") {
+    // the gate's scalable quantity is not pairs but SURVIVOR GRAMS — the
+    // rows the exact verify join must carry. The claim that transfers to
+    // a 10^9-gram blocklist: survivors ≤ true hits + fpp × corpus grams,
+    // with fpp bounded by the sketch's design rate (~1% at the recorded
+    // dials, far less below capacity). Measured at both scale points —
+    // the corpus decade grows survivors LINEARLY (with the truth), never
+    // toward the ungated all-grams shuffle.
+    def at(dir: String): (Long, Long, Long) = {
+      val d = graft.Tables.load(spark, dir, "documents")
+      val evalG = graft.CacheScope.cache(
+        CorpusOps.tokenGrams(d.filter(col("source") === "src0"), BloomGate.GRAM_N)
+          .select(col("gram")).distinct())
+      val bloom = BloomGate.buildBloom(evalG)
+      val corpusG = graft.CacheScope.cache(
+        CorpusOps.tokenGrams(d.filter(col("source") =!= "src0"), BloomGate.GRAM_N))
+      val total = corpusG.count()
+      val surv = BloomGate.bloomGate(corpusG, bloom).count()
+      val truth = corpusG.join(evalG, Seq("gram")).count()
+      spark.catalog.clearCache()
+      (total, surv, truth)
+    }
+    Seq("bloom@sf0.01" -> lo, "bloom@sf0.1" -> hi).foreach { case (name, dir) =>
+      val (total, surv, truth) = at(dir)
+      val fp = surv - truth
+      info(f"$name: corpusGrams=$total survivors=$surv trueHits=$truth " +
+        f"fpGrams=$fp fpRate=${fp.toDouble / total}%.5f survFrac=${surv.toDouble / total}%.4f")
+      assert(fp >= 0, "gate dropped a true member — bloom contract broken")
+      assert(fp <= 0.02 * total + 50,
+        s"$name: $fp false-positive grams exceeds the 2% design ceiling of $total")
+      assert(surv * 2 < total,
+        s"$name: gate passed $surv of $total grams — the map-side collapse is gone")
+    }
+  }
+
   test("semantic dedup (q87): candidates are the within-cluster pair space; k is the dial") {
     // q87's candidate set is NOT signature-derived — it is n²-ish BY
     // DESIGN at fixed k (the fixture pins k=8 for oracle determinism), so

@@ -449,6 +449,65 @@ class StreamingSpec extends SparkSpec {
       s"query died for the wrong reason: ${chain(ex)}")
   }
 
+  test("streaming bloom gate matches the batch kernel against a stored index") {
+    val tmp = java.nio.file.Files.createTempDirectory("bloomstream").toString
+    // blocklist: one reference doc, indexed once (the nightly artifact)
+    val blocklist = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog", "en", "src0", 43L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.operators.BloomGate.writeBloomIndex(blocklist, s"$tmp/index")
+
+    // batch 1: one doc sharing a 5-gram with the blocklist + one clean doc
+    val batch1 = Seq(
+      (1L, "he saw the quick brown fox jumps over a fence", "en", "web", 45L),
+      (2L, "completely unrelated content with no shared spans", "en", "web", 49L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    batch1.write.mode("append").parquet(s"$tmp/in")
+    StreamingBloomGate.runAgainstIndex(spark, s"$tmp/in", batch1.schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val out1 = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+    // stream verdicts EQUAL the batch kernel's on the same batch — one
+    // shared definition, zero drift
+    val want1 = graft.CacheScope.run {
+      graft.operators.BloomGate
+        .decontaminateAgainstIndex(batch1, s"$tmp/index")
+        .collect().map(_.toSeq).toSet
+    }
+    assert(out1.collect().map(_.toSeq).toSet == want1,
+      "stream and batch verdicts diverged")
+    assert(out1.filter(col("doc_id") === 1L && col("contaminated")).count() == 1,
+      "doc sharing a blocklist 5-gram must flag")
+    assert(out1.filter(col("doc_id") === 2L && !col("contaminated")).count() == 1)
+
+    // batch 2 resumes from the checkpoint: only the new file processes
+    Seq((3L, "fox jumps over the lazy dog and keeps running on", "en", "web", 48L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(s"$tmp/in")
+    StreamingBloomGate.runAgainstIndex(spark, s"$tmp/in", batch1.schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val out2 = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+    assert(out2.count() == 3, "restart must process only the new arrivals")
+    assert(out2.filter(col("doc_id") === 3L && col("contaminated")).count() == 1)
+  }
+
+  test("bloom gate fails the running query when the index is rebuilt") {
+    val tmp = java.nio.file.Files.createTempDirectory("bloomr").toString
+    val blocklist = Seq(
+      (900L, "the quick brown fox jumps over the lazy dog", "en", "src0", 43L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.operators.BloomGate.writeBloomIndex(blocklist, s"$tmp/index")
+    val batch = Seq((1L, "plain clean content here today", "en", "web", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    batch.write.mode("append").parquet(s"$tmp/in")
+    val q = StreamingBloomGate.runAgainstIndex(spark, s"$tmp/in", batch.schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt",
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    assertDiesOnRebuild(q, s"$tmp/out/batch_0") {
+      graft.operators.BloomGate.writeBloomIndex(blocklist, s"$tmp/index")
+      batch.write.mode("append").parquet(s"$tmp/in")
+    }
+  }
+
   test("decile gate fails the running query when boundaries are rebuilt") {
     val tmp = java.nio.file.Files.createTempDirectory("decilerebuild").toString
     val dir = "/root/testdata/sf0.001"
