@@ -25,7 +25,9 @@ object SparkEntry {
       operators.TimeSeries.queries ++
       operators.StarQueries.queries ++
       operators.Multimodal.queries ++
-      operators.CorpusOps.queries
+      operators.CorpusOps.queries ++
+      operators.BloomGate.queries ++
+      operators.Spatial.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +39,7 @@ object SparkEntry {
       operators.TimeSeries.oracleSql ++
       operators.StarQueries.oracleSql ++
       operators.Multimodal.oracleSql ++
-      operators.CorpusOps.oracleSql
+      operators.CorpusOps.oracleSql ++
+      operators.BloomGate.oracleSql ++
+      operators.Spatial.oracleSql
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) spatial layout for the sky-coordinate workload — the
+  * scan-side story behind the reference's cone searches
+  * (`star_catalogues/vizier_tap_base.py` cone→box; our q15): at 100 TB of
+  * catalog, a box query's cost is set by LAYOUT. Data sorted linearly by
+  * ra prunes ra but reads every dec; the Z-order key interleaves the two
+  * quantized axes bit by bit, so nearby sky positions get nearby keys and
+  * a box maps to a SMALL set of key ranges — partition/file pruning on
+  * both dimensions at once.
+  *
+  * Everything here is pure Column arithmetic (quantize → spread-bits via
+  * the standard mask-shift cascade → interleave): codegen'd per-row maps,
+  * no UDF, no shuffle. The write-side recipe is
+  * `repartitionByRange(zkey).sortWithinPartitions(zkey)` (range layout)
+  * or `partitionBy(zcell)` (hive layout, used by the pruning spec);
+  * the read side turns a box into its coarse-cell set
+  * ([[zcellsForBox]] — bounded 16×16 grid enumeration, the degenerate
+  * but exact form of a BIGMIN range decomposition) and lets the catalog
+  * prune partitions before any I/O.
+  */
+object Spatial {
+
+  /** Bits per axis in the full key (2^16 cells per axis). */
+  val AXIS_BITS = 16
+
+  /** zcell = the key's top [[CELL_BITS]] bits — 4 per axis, a 16×16
+    * coarse grid. Partition-count dial: 8 bits keeps a hive layout at
+    * ≤256 directories; a petabyte deployment widens this (12 bits =
+    * 4096 cells) without touching the key.
+    */
+  val CELL_BITS = 8
+
+  /** Spread a 16-bit value's bits to the even positions of a 32-bit
+    * lane (the classic mask-shift cascade, e.g. Morton-code form in
+    * "Bit Twiddling Hacks"): 0b1111 → 0b01010101. Four masked doublings,
+    * all long arithmetic inside one codegen stage.
+    */
+  private[operators] def spreadBits16(x: Column): Column = {
+    val a = x.bitwiseAND(lit(65535L))
+    val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(16711935L))   // 0x00FF00FF
+    val c = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(252645135L))  // 0x0F0F0F0F
+    val d = c.bitwiseOR(shiftleft(c, 2)).bitwiseAND(lit(858993459L))  // 0x33333333
+    d.bitwiseOR(shiftleft(d, 1)).bitwiseAND(lit(1431655765L))         // 0x55555555
+  }
+
+  /** Quantize ra ∈ [0, 360) / dec ∈ [−90, 90] onto the 2^16 axis grid.
+    * Clamped (a catalog row at exactly ra=360 or dec=90 lands in the top
+    * cell, not out of range). The arithmetic shape (mul before div,
+    * floor on the double) is mirrored verbatim in the oracle SQL —
+    * both engines run the same IEEE sequence.
+    */
+  private[operators] def quantRa(ra: Column): Column =
+    least(lit(65535L), greatest(lit(0L), floor(ra * 65536.0 / 360.0)))
+  private[operators] def quantDec(dec: Column): Column =
+    least(lit(65535L), greatest(lit(0L), floor((dec + 90.0) * 65536.0 / 180.0)))
+
+  /** The 32-bit Morton key: ra bits on even positions, dec on odd. */
+  def zorderKey(ra: Column, dec: Column): Column =
+    spreadBits16(quantRa(ra)).bitwiseOR(shiftleft(spreadBits16(quantDec(dec)), 1))
+
+  /** The key's coarse cell (top [[CELL_BITS]] bits). */
+  def zcellOf(zkey: Column): Column = shiftright(zkey, 2 * AXIS_BITS - CELL_BITS)
+
+  // ------------------------------------------------------- driver-side box
+
+  private def quantRaS(ra: Double): Long =
+    math.min(65535L, math.max(0L, math.floor(ra * 65536.0 / 360.0).toLong))
+  private def quantDecS(dec: Double): Long =
+    math.min(65535L, math.max(0L, math.floor((dec + 90.0) * 65536.0 / 180.0).toLong))
+
+  private def interleave4(cx: Long, cy: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < CELL_BITS / 2) {
+      z |= ((cx >> i) & 1L) << (2 * i)
+      z |= ((cy >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  /** The coarse zcells overlapping a (ra, dec) box — the read-side range
+    * decomposition, exact at cell granularity: enumerate the coarse-grid
+    * rectangle and interleave each cell's coordinates. Bounded by the
+    * 16×16 grid (≤256 values — a driver-side set the planner turns into
+    * partition pruning), never by the data. A finer production grid
+    * swaps this enumeration for a BIGMIN walk; the contract — query box
+    * in, cell superset out — is unchanged.
+    */
+  def zcellsForBox(raLo: Double, raHi: Double,
+                   decLo: Double, decHi: Double): Seq[Long] = {
+    val shift = AXIS_BITS - CELL_BITS / 2
+    val cxLo = quantRaS(raLo) >> shift
+    val cxHi = quantRaS(raHi) >> shift
+    val cyLo = quantDecS(decLo) >> shift
+    val cyHi = quantDecS(decHi) >> shift
+    for (cx <- cxLo to cxHi; cy <- cyLo to cyHi) yield interleave4(cx, cy)
+  }
+
+  /** Z-order keying of the q15 synthetic sky positions: every order's
+    * (ra, dec) → 32-bit Morton key + coarse cell. The write side of the
+    * layout (pure per-row map, zero exchange); ZorderSpec proves the
+    * read side — a box query over a `partitionBy(zcell)` layout plans
+    * strictly fewer partitions than the directory total and returns the
+    * exact unpartitioned answer.
+    */
+  def q98ZorderLayout(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .withColumn("ra", col("o_orderkey") % 360)
+      .withColumn("dec", (col("o_custkey") % 180) - 90)
+      .withColumn("zkey", zorderKey(col("ra"), col("dec")))
+      .select(col("o_orderkey"), col("ra"), col("dec"), col("zkey"),
+        zcellOf(col("zkey")).as("zcell"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_zorder_layout" -> q98ZorderLayout)
+
+  /** The spread-bits cascade unrolled per axis — same masks, same
+    * shifts, decimal literals (hex is engine-dialect); the quantization
+    * mirrors the Column arithmetic operation for operation.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "q98_zorder_layout" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderkey % 360 AS ra, (o_custkey % 180) - 90 AS dec
+        |  FROM orders),
+        |q AS (
+        |  SELECT o_orderkey, ra, dec,
+        |    least(65535, greatest(0, CAST(floor(ra * 65536.0 / 360.0) AS BIGINT))) AS qx,
+        |    least(65535, greatest(0, CAST(floor((dec + 90.0) * 65536.0 / 180.0) AS BIGINT))) AS qy
+        |  FROM b),
+        |s1 AS (SELECT o_orderkey, ra, dec,
+        |  ((qx | (qx << 8)) & 16711935) AS x, ((qy | (qy << 8)) & 16711935) AS y FROM q),
+        |s2 AS (SELECT o_orderkey, ra, dec,
+        |  ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y FROM s1),
+        |s3 AS (SELECT o_orderkey, ra, dec,
+        |  ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM s2),
+        |s4 AS (SELECT o_orderkey, ra, dec,
+        |  ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s3)
+        |SELECT o_orderkey, ra, dec, (x | (y << 1)) AS zkey,
+        |  ((x | (y << 1)) >> 24) AS zcell
+        |FROM s4""".stripMargin)
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** Z-order layout contract: the Column cascade computes the true Morton
+  * interleave (bit-by-bit reference check), keys preserve locality
+  * (coarse-cell prefix property), and the payoff is REAL — a box query
+  * over a zcell-partitioned layout plans strictly fewer partitions than
+  * the directory total while returning the exact unpartitioned answer.
+  */
+class ZorderSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Morton interleave, bit by bit — deliberately the naive
+    * loop, independent of the mask-shift cascade under test.
+    */
+  private def refZkey(ra: Double, dec: Double): Long = {
+    def q(v: Double, lo: Double, span: Double): Long =
+      math.min(65535L, math.max(0L, math.floor((v - lo) * 65536.0 / span).toLong))
+    val (qx, qy) = (q(ra, 0, 360), q(dec, -90, 180))
+    (0 until 16).foldLeft(0L) { (z, i) =>
+      z | (((qx >> i) & 1L) << (2 * i)) | (((qy >> i) & 1L) << (2 * i + 1))
+    }
+  }
+
+  test("zorderKey matches the bit-by-bit reference interleave") {
+    val rng = new scala.util.Random(7)
+    val pts = Seq.tabulate(500) { _ =>
+      (rng.nextDouble() * 360.0, rng.nextDouble() * 180.0 - 90.0)
+    } ++ Seq((0.0, -90.0), (359.999, 90.0), (360.0, 90.0), (180.0, 0.0))
+    val got = pts.toDF("ra", "dec")
+      .withColumn("zkey", Spatial.zorderKey(col("ra"), col("dec")))
+      .select("ra", "dec", "zkey").as[(Double, Double, Long)].collect()
+    got.foreach { case (ra, dec, z) =>
+      assert(z == refZkey(ra, dec), s"cascade diverged from reference at ($ra, $dec)")
+    }
+  }
+
+  test("coarse cell is the interleave of the per-axis cell prefixes (locality)") {
+    // two points in the same 22.5°×11.25° coarse cell share a zcell;
+    // crossing either axis's cell boundary changes it
+    val a = refZkey(100.0, 10.0) >> 24
+    val b = refZkey(110.0, 11.0) >> 24 // same 22.5°×11.25° cell as a
+    val c = refZkey(130.0, 10.0) >> 24 // next ra cell
+    val d = refZkey(100.0, 30.0) >> 24 // next dec cell
+    assert(a == b, "nearby points must share the coarse cell")
+    assert(a != c && a != d, "crossing a cell boundary must change the cell")
+    // and zcellsForBox of a box inside one cell is exactly that cell
+    assert(Spatial.zcellsForBox(100.0, 110.0, 10.0, 11.0) == Seq(a))
+  }
+
+  test("box query over the zcell layout prunes partitions and matches the exact answer") {
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("zorder").toString
+    val keyed = Spatial.q98ZorderLayout(spark, dir)
+    keyed.write.partitionBy("zcell").mode("overwrite").parquet(s"$tmp/orders_z")
+
+    val (raLo, raHi, decLo, decHi) = (40.0, 75.0, -20.0, 5.0)
+    val cells = Spatial.zcellsForBox(raLo, raHi, decLo, decHi)
+    val layout = spark.read.parquet(s"$tmp/orders_z")
+    val totalCells = layout.select("zcell").distinct().count()
+    assert(cells.length < totalCells,
+      s"box resolved ${cells.length} cells of $totalCells — no pruning possible")
+
+    val pruned = layout
+      .filter(col("zcell").isin(cells: _*))
+      .filter(col("ra").between(raLo, raHi) && col("dec").between(decLo, decHi))
+    // the CELL SET is a superset guarantee: the cell filter alone must
+    // already contain every box row (no false negatives at the coarse
+    // grid), the exact filter only trims the cell residue
+    val exact = keyed
+      .filter(col("ra").between(raLo, raHi) && col("dec").between(decLo, decHi))
+      .select("o_orderkey").as[Long].collect().toSet
+    val got = pruned.select("o_orderkey").as[Long].collect().toSet
+    assert(got == exact, "pruned layout answer diverged from the exact box filter")
+
+    // and the catalog really pruned: the scan's selected partitions are
+    // the box's cells (∩ cells present), strictly under the total
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    assert(scans.nonEmpty, "no file scan in the plan")
+    val selected = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(selected <= cells.length && selected < totalCells,
+      s"scan selected $selected partitions (cells=${cells.length}, total=$totalCells)")
+  }
+}
