@@ -230,6 +230,42 @@ object CorpusOps {
         col("chunk_len"), col("chunk_hash"))
   }
 
+  /** Duplicate-span analysis — the corpus-overlap metric (Lee et al.'s
+    * "Deduplicating Training Data…" measurement shape) computed at q74's
+    * chunk granularity: for every document, the fraction of its 64-token
+    * chunks whose content hash also appears in ANOTHER document. This is
+    * the diagnostic between exact dedup (q44: whole-doc) and near-dup
+    * (q46/q47): it localizes PARTIAL overlap — boilerplate, quoted spans,
+    * syndicated paragraphs — that whole-doc hashing misses and
+    * signature dedup only scores in aggregate.
+    *
+    * Scale shape: chunks are q74's shuffle-free per-row explode (ONE
+    * shared kernel — this query cannot drift from q74's chunking); the
+    * hash frequency table is a map-side-combined aggregate keyed by
+    * chunk hash, the join back is hash-keyed (both exchanges scale with
+    * DISTINCT chunk volume, not corpus size), and the per-doc rollup is
+    * one more hash aggregate. Nothing global, nothing all-pairs —
+    * duplicate-span detection without a single pairwise comparison.
+    * Cross-doc by definition: a hash repeated only WITHIN one doc is
+    * intra-doc repetition (q69's territory), not corpus overlap.
+    */
+  def q99DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = q74ChunkDocs(spark, dir)
+      .select(col("doc_id"), col("chunk_hash"))
+    val freq = chunks
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks
+      .join(freq, Seq("chunk_hash"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_chunk_frac",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+      .withColumn("mostly_duplicated", col("dup_chunk_frac") >= 0.5)
+  }
+
   /** Temperature-weighted source mixing (the data-mix stage a multi-source
     * training corpus ends with): per-source quotas ∝ √(source share)
     * — temperature 0.5, the up-sample-the-tail shape — with a target
@@ -330,7 +366,8 @@ object CorpusOps {
     "q74_chunk_docs" -> q74ChunkDocs,
     "q75_temperature_mix" -> q75TemperatureMix,
     "q80_dataset_split" -> q80DatasetSplit,
-    "q89_shard_export" -> q89ShardExport)
+    "q89_shard_export" -> q89ShardExport,
+    "q99_dup_spans" -> q99DupSpans)
 
   val oracleSql: Map[String, String] = Map(
     // the fps CTEs mirror q78's oracle (same 20-char grams, 10-window
@@ -432,6 +469,36 @@ object CorpusOps {
         |  md5(array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '))
         |    AS chunk_hash
         |FROM c""".stripMargin,
+    // shares q74's chunking CTE text (same window/stride/md5), so the
+    // two oracles state the same chunk identity
+    "q99_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks, n_tok,
+        |    CASE WHEN n_tok > 64 THEN CAST(ceil((n_tok - 64) / 48.0) AS INT) + 1
+        |         ELSE 1 END AS n_chunks
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(list_transform(range(0, n_chunks), k -> CAST(k AS INT))) AS chunk_idx
+        |  FROM n),
+        |h AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '))
+        |      AS chunk_hash
+        |  FROM c),
+        |f AS (SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs FROM h GROUP BY 1)
+        |SELECT h.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  round(CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_chunk_frac,
+        |  round(CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) >= 0.5 AS mostly_duplicated
+        |FROM h JOIN f USING (chunk_hash)
+        |GROUP BY 1""".stripMargin,
     "q75_temperature_mix" ->
       """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
         |z AS (SELECT sum(sqrt(n_s)) AS z FROM c),

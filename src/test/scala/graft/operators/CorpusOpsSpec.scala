@@ -98,6 +98,27 @@ class CorpusOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dup spans: counts agree with q74's chunking; fractions well-formed; symmetry") {
+    val chunks = CorpusOps.q74ChunkDocs(spark, sf)
+    val spans = CorpusOps.q99DupSpans(spark, sf)
+      .select("doc_id", "n_chunks", "n_dup_chunks", "dup_chunk_frac")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // one shared chunk kernel: q99's per-doc chunk counts ARE q74's
+    val q74Counts = chunks.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spans.length == q74Counts.size, "every chunked doc gets a span row")
+    spans.foreach { case (id, n, dup, frac) =>
+      assert(n == q74Counts(id), s"doc $id: q99 chunk count drifted from q74")
+      assert(dup >= 0 && dup <= n && frac >= 0.0 && frac <= 1.0)
+      assert(math.abs(frac - math.rint(dup.toDouble / n * 1e6) / 1e6) < 1e-12)
+    }
+    // symmetry: a duplicated span marks BOTH its docs — the total count of
+    // dup chunks can never be 1 for any chunk hash, so if anything is
+    // flagged, at least two docs carry flags
+    val flagged = spans.count(_._3 > 0)
+    assert(flagged != 1, "a cross-doc duplicate span must flag ≥ 2 docs")
+  }
+
   test("shard export: ordinals are a gap-free permutation, shards balanced within 1") {
     val out = CorpusOps.q89ShardExport(spark, sf).cache()
     val n = out.count()
