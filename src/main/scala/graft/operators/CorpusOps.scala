@@ -266,6 +266,57 @@ object CorpusOps {
       .withColumn("mostly_duplicated", col("dup_chunk_frac") >= 0.5)
   }
 
+  /** The composed ingest pipeline — the three curation stages a corpus
+    * batch runs on the way in, as ONE oracled query: repetition-quality
+    * gate (q69's kernel) → bloom-gated decontamination of the survivors
+    * (q96's kernel at [[BloomGate.GRAM_N]]) → exact content dedup of the
+    * clean remainder (q44's min-id rule). Every per-doc verdict is
+    * reported with stage SHORT-CIRCUIT semantics: a stage's flag is
+    * false for docs eliminated upstream (the stage never saw them), and
+    * `kept` marks the docs that exit the pipe.
+    *
+    * The batch twin of the spec'd streaming chain (quality gate → scrub
+    * → dedup, StreamingSpec) — here the composition itself is
+    * correctness-gated: the DuckDB oracle states all three stages in one
+    * SQL and the hash match certifies the composed result, not just each
+    * stage alone. Each stage keeps its own scale shape (per-row quality,
+    * map-side bloom + gram-keyed verify, content-hash-keyed dedup); the
+    * assembly adds only id-keyed left joins of corpus-bounded verdict
+    * tables.
+    */
+  def q100IngestPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // stage 1: repetition quality over the corpus (shared q69 kernel);
+    // cached — feeds the stage-2 gram pass, the dedup hash, and assembly
+    val q1 = graft.CacheScope.cache(
+      repetitionScored(d.filter(col("source") =!= "src0"))
+        .select(col("doc_id"), col("text"), col("flagged").as("quality_flagged")))
+    // stage 2: bloom-gated decontamination of quality survivors
+    // (shared q96 kernels: distributed sketch, map-side gate, exact verify)
+    val evalGrams = graft.CacheScope.cache(
+      tokenGrams(d.filter(col("source") === "src0"), BloomGate.GRAM_N)
+        .select(col("gram")).distinct())
+    val bloom = BloomGate.buildBloom(evalGrams)
+    val surv1 = q1.filter(!col("quality_flagged"))
+    val contaminated = BloomGate.bloomGate(tokenGrams(surv1, BloomGate.GRAM_N), bloom)
+      .join(evalGrams, Seq("gram"))
+      .select(col("doc_id")).distinct()
+      .withColumn("c_hit", lit(true))
+    // stage 3: exact dedup (q44's min-id keeper rule) over clean docs
+    val s2 = surv1.join(contaminated, Seq("doc_id"), "left")
+      .filter(col("c_hit").isNull)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val keepers = s2.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    q1.select(col("doc_id"), col("quality_flagged"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(s2.join(keepers, Seq("h")).select(col("doc_id"), col("keeper")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_flagged"),
+        coalesce(col("c_hit"), lit(false)).as("contaminated"),
+        (col("keeper").isNotNull && col("doc_id") =!= col("keeper")).as("is_dup"),
+        (col("keeper").isNotNull && col("doc_id") === col("keeper")).as("kept"))
+  }
+
   /** Temperature-weighted source mixing (the data-mix stage a multi-source
     * training corpus ends with): per-source quotas ∝ √(source share)
     * — temperature 0.5, the up-sample-the-tail shape — with a target
@@ -367,7 +418,8 @@ object CorpusOps {
     "q75_temperature_mix" -> q75TemperatureMix,
     "q80_dataset_split" -> q80DatasetSplit,
     "q89_shard_export" -> q89ShardExport,
-    "q99_dup_spans" -> q99DupSpans)
+    "q99_dup_spans" -> q99DupSpans,
+    "q100_ingest_pipeline" -> q100IngestPipeline)
 
   val oracleSql: Map[String, String] = Map(
     // the fps CTEs mirror q78's oracle (same 20-char grams, 10-window
@@ -469,6 +521,48 @@ object CorpusOps {
         |  md5(array_to_string(toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '))
         |    AS chunk_hash
         |FROM c""".stripMargin,
+    // all three stages in ONE statement — the hash match certifies the
+    // COMPOSITION (short-circuit flag semantics included), not just each
+    // stage. CTEs mirror q69 (quality), q96 (5-gram decontamination),
+    // q44 (min-id dedup).
+    "q100_ingest_pipeline" ->
+      """WITH tt AS (
+        |  SELECT doc_id, source, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(1, len(toks) - 3),
+        |      i -> array_to_string(toks[i:i+4], ' '))) AS gram
+        |  FROM tt WHERE len(toks) >= 5),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    ((round(CAST(list_max(list_transform(list_distinct(toks),
+        |        x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
+        |        / len(toks), 6) > 0.3)
+        |     OR ((CASE WHEN len(toks) > 1 THEN round(CAST(len(toks) - 1 -
+        |          len(list_distinct(list_transform(range(1, len(toks)),
+        |            i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+        |          / (len(toks) - 1), 6) ELSE 0.0 END) > 0.3)) AS quality_flagged
+        |  FROM tt WHERE source != 'src0'),
+        |cont AS (
+        |  SELECT DISTINCT g.doc_id
+        |  FROM g
+        |  JOIN q ON g.doc_id = q.doc_id AND NOT q.quality_flagged
+        |  JOIN ev USING (gram)),
+        |s2 AS (
+        |  SELECT q.doc_id, md5(q.text) AS h
+        |  FROM q LEFT JOIN cont ON q.doc_id = cont.doc_id
+        |  WHERE NOT q.quality_flagged AND cont.doc_id IS NULL),
+        |k AS (SELECT h, min(doc_id) AS keeper FROM s2 GROUP BY 1),
+        |sk AS (SELECT s2.doc_id, k.keeper FROM s2 JOIN k USING (h))
+        |SELECT q.doc_id, q.quality_flagged,
+        |  (cont.doc_id IS NOT NULL) AS contaminated,
+        |  (sk.keeper IS NOT NULL AND sk.doc_id != sk.keeper) AS is_dup,
+        |  (sk.keeper IS NOT NULL AND sk.doc_id = sk.keeper) AS kept
+        |FROM q
+        |LEFT JOIN cont ON q.doc_id = cont.doc_id
+        |LEFT JOIN sk ON q.doc_id = sk.doc_id""".stripMargin,
     // shares q74's chunking CTE text (same window/stride/md5), so the
     // two oracles state the same chunk identity
     "q99_dup_spans" ->

@@ -119,6 +119,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(flagged != 1, "a cross-doc duplicate span must flag ≥ 2 docs")
   }
 
+  test("ingest pipeline: the four verdicts partition the corpus; stages short-circuit") {
+    val out = graft.CacheScope.run {
+      CorpusOps.q100IngestPipeline(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+          r.getBoolean(3), r.getBoolean(4)))
+    }
+    val corpusN = graft.Tables.load(spark, sf, "documents")
+      .filter(col("source") =!= "src0").count()
+    assert(out.length == corpusN, "one verdict row per corpus doc")
+    // exactly ONE of {quality_flagged, contaminated, is_dup, kept} per doc:
+    // flagged docs never reach stage 2 (contaminated=false), eliminated
+    // docs never reach stage 3, and a clean doc is keeper XOR dup
+    out.foreach { case (id, qf, c, dup, kept) =>
+      assert(Seq(qf, c, dup, kept).count(identity) == 1,
+        s"doc $id verdicts do not partition: qf=$qf c=$c dup=$dup kept=$kept")
+    }
+    // stage-1 verdict agrees with q69 (one shared kernel)
+    val q69Flagged = CorpusOps.q69Repetition(spark, sf)
+      .filter(col("flagged")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val corpusIds = out.map(_._1).toSet
+    assert(out.filter(_._2).map(_._1).toSet == (q69Flagged & corpusIds),
+      "pipeline quality verdict drifted from q69")
+    assert(out.count(_._5) > 0, "pipeline must keep something")
+  }
+
   test("shard export: ordinals are a gap-free permutation, shards balanced within 1") {
     val out = CorpusOps.q89ShardExport(spark, sf).cache()
     val n = out.count()
