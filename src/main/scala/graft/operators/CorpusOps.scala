@@ -408,6 +408,27 @@ object CorpusOps {
       .select(col("doc_id"), col("ordinal"), col("shard"))
   }
 
+  /** Train/test leakage audit: near-duplicate pairs (the q46 MinHash+LSH
+    * kernel at its default dials) whose members landed in DIFFERENT q80
+    * splits. Exact duplicates can never appear here — q80 splits by
+    * content hash, pinning them to the same split — so every row is a
+    * NEAR-dup leaking eval-adjacent text into train, the contamination
+    * class hash-splitting alone cannot stop. Scale shape: the pair set is
+    * LSH-bounded (candidate growth measured sub-quadratic across sf in
+    * CandidateGrowthSpec) and both split joins key on ids only, so the
+    * corpus text never re-shuffles after signing.
+    */
+  def q102SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashNearDupPairs(docs(spark, dir))
+    val split = q80DatasetSplit(spark, dir).select(col("doc_id"), col("split"))
+    pairs
+      .join(split.toDF("a_id", "split_a"), Seq("a_id"))
+      .join(split.toDF("b_id", "split_b"), Seq("b_id"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("a_id"), col("b_id"), col("split_a"), col("split_b"),
+        col("est_sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_decontaminate" -> q68Decontaminate,
     "q85_decontaminate_substr" -> q85DecontaminateSubstr,
@@ -419,7 +440,8 @@ object CorpusOps {
     "q80_dataset_split" -> q80DatasetSplit,
     "q89_shard_export" -> q89ShardExport,
     "q99_dup_spans" -> q99DupSpans,
-    "q100_ingest_pipeline" -> q100IngestPipeline)
+    "q100_ingest_pipeline" -> q100IngestPipeline,
+    "q102_split_leakage" -> q102SplitLeakage)
 
   val oracleSql: Map[String, String] = Map(
     // the fps CTEs mirror q78's oracle (same 20-char grams, 10-window
@@ -606,6 +628,22 @@ object CorpusOps {
         |  FROM documents)
         |SELECT doc_id, source, CAST(rk AS INT) AS rk, w
         |FROM r JOIN q USING (source) WHERE rk <= quota""".stripMargin,
+    // the pair CTEs are Dedup.minhashPairsCte VERBATIM (one definition
+    // with the q46 oracle); the split CASE mirrors the q80 oracle
+    "q102_split_leakage" ->
+      s"""WITH ${Dedup.minhashPairsCte},
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN b < 90 THEN 'train'
+        |         WHEN b < 95 THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |          ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS b
+        |        FROM documents))
+        |SELECT a_id, b_id, sa.split AS split_a, sb.split AS split_b, est_sim
+        |FROM pairs JOIN sp sa ON sa.doc_id = a_id
+        |  JOIN sp sb ON sb.doc_id = b_id
+        |WHERE sa.split != sb.split""".stripMargin,
     "q80_dataset_split" ->
       """WITH b AS (
         |  SELECT doc_id, source,

@@ -868,6 +868,38 @@ object Dedup {
       |    tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS shingle
       |  FROM idx)""".stripMargin
 
+  /** The q46 MinHash+LSH pair kernel as CTEs (shingles → 16-slot
+    * signatures → 4-row bands → banded candidates → estimator-filtered
+    * pairs) — ONE definition shared by the q46 oracle and q102's
+    * cross-split leakage oracle, so the two gates cannot drift.
+    */
+  private[operators] val minhashPairsCte: String =
+    s"""$shingleCte,
+      |sig AS (
+      |  SELECT doc_id, k,
+      |    min(('0x' || substr(md5(k || ':' || shingle), 1, 15))::BIGINT) AS mh
+      |  FROM sh, generate_series(0, 15) g(k)
+      |  GROUP BY doc_id, k),
+      |bands AS (
+      |  SELECT doc_id, k // 4 AS band,
+      |    max(CASE WHEN k % 4 = 0 THEN mh END) AS m0,
+      |    max(CASE WHEN k % 4 = 1 THEN mh END) AS m1,
+      |    max(CASE WHEN k % 4 = 2 THEN mh END) AS m2,
+      |    max(CASE WHEN k % 4 = 3 THEN mh END) AS m3
+      |  FROM sig GROUP BY doc_id, band),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.m0 = y.m0
+      |    AND x.m1 = y.m1 AND x.m2 = y.m2 AND x.m3 = y.m3
+      |    AND x.doc_id < y.doc_id),
+      |pairs AS (
+      |  SELECT a_id, b_id,
+      |    sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS est_sim
+      |  FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb
+      |    ON sb.doc_id = b_id AND sb.k = sa.k
+      |  GROUP BY a_id, b_id
+      |  HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 >= 0.5)""".stripMargin
+
   /** The incremental-dedup oracle (delta = `doc_id % 10 = 0` vs the rest),
     * shared verbatim by q79 (inline corpus recompute) and q81 (the
     * materialized band-index path) — identical semantics by construction.
@@ -968,30 +1000,8 @@ object Dedup {
         |FROM inter JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) >= 0.5""".stripMargin,
     "q46_minhash_lsh" ->
-      s"""WITH $shingleCte,
-        |sig AS (
-        |  SELECT doc_id, k,
-        |    min(('0x' || substr(md5(k || ':' || shingle), 1, 15))::BIGINT) AS mh
-        |  FROM sh, generate_series(0, 15) g(k)
-        |  GROUP BY doc_id, k),
-        |bands AS (
-        |  SELECT doc_id, k // 4 AS band,
-        |    max(CASE WHEN k % 4 = 0 THEN mh END) AS m0,
-        |    max(CASE WHEN k % 4 = 1 THEN mh END) AS m1,
-        |    max(CASE WHEN k % 4 = 2 THEN mh END) AS m2,
-        |    max(CASE WHEN k % 4 = 3 THEN mh END) AS m3
-        |  FROM sig GROUP BY doc_id, band),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-        |  FROM bands x JOIN bands y ON x.band = y.band AND x.m0 = y.m0
-        |    AND x.m1 = y.m1 AND x.m2 = y.m2 AND x.m3 = y.m3
-        |    AND x.doc_id < y.doc_id)
-        |SELECT a_id, b_id,
-        |  sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS est_sim
-        |FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb
-        |  ON sb.doc_id = b_id AND sb.k = sa.k
-        |GROUP BY a_id, b_id
-        |HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 >= 0.5""".stripMargin,
+      s"""WITH $minhashPairsCte
+        |SELECT a_id, b_id, est_sim FROM pairs""".stripMargin,
     "q58_dedup_clusters" ->
       """WITH RECURSIVE th AS (
         |  SELECT doc_id, lang,

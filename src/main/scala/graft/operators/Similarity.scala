@@ -142,7 +142,7 @@ object Similarity {
     * lands only on the (small) probe set — the corpus side stays one
     * signature per band regardless of corpus size.
     */
-  private def probeMasksFor(bits: Int): Seq[Long] = {
+  private[operators] def probeMasksFor(bits: Int): Seq[Long] = {
     // combinatorial, not enumerate-and-filter: 2^bits wraps (Int shift is
     // mod 32) or explodes driver memory for the wide dials LshBandSigsExpr
     // permits (1..62 bits); 1 + bits + C(bits,2) masks is O(bits²) always

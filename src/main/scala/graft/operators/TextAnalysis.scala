@@ -289,6 +289,27 @@ object TextAnalysis {
         (col("decile") >= 9).as("keep_top20"))
   }
 
+  /** Out-of-vocabulary rate against the q64 top-100 vocabulary — the
+    * tokenizer-coverage audit a corpus build runs before committing to a
+    * vocab: per document, how many tokens the vocabulary misses. The
+    * vocab subtree collapses to 100 rows (TakeOrdered) and is BROADCAST
+    * back against the exploded corpus, so the corpus scans once and the
+    * only wide exchange is the per-doc count aggregate (map-side
+    * combined). At 100 TB the vocab build and the scoring pass share the
+    * same explode shape q64/q65 already proved out.
+    */
+  def q101OovRate(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = q64Vocab(spark, dir).select(col("token"), lit(1).as("in_v"))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tok"), 6))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_tfidf" -> q65Tfidf,
     "q84_pii_scrub" -> q84PiiScrub,
@@ -299,7 +320,8 @@ object TextAnalysis {
     "q43_fingerprint" -> q43Fingerprint,
     "q60_doc_rollup" -> q60DocRollup,
     "q63_stratified_sample" -> q63StratifiedSample,
-    "q64_vocab" -> q64Vocab)
+    "q64_vocab" -> q64Vocab,
+    "q101_oov_rate" -> q101OovRate)
 
   val oracleSql: Map[String, String] = Map(
     "q84_pii_scrub" ->
@@ -356,6 +378,20 @@ object TextAnalysis {
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100""".stripMargin,
+    "q101_oov_rate" ->
+      """WITH v AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS doc_freq FROM (
+        |      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |    GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100)),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT t.doc_id, count(*) AS n_tok,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+        |    AS oov_rate
+        |FROM t LEFT JOIN v ON t.token = v.token
+        |GROUP BY t.doc_id""".stripMargin,
     "q60_doc_rollup" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  round(avg(n_chars), 4) AS avg_chars,

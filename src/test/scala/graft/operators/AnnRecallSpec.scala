@@ -125,4 +125,23 @@ class AnnRecallSpec extends SparkSpec {
     info(f"IVF recall@3 = $recall%.3f over ${probes.size} probes")
     assert(recall >= 0.5, f"IVF recall collapsed to $recall%.3f — check nprobe/quantizer")
   }
+
+  test("probe masks are combinatorial at every permitted band width") {
+    // 2^bits enumeration wrapped (Int shift is mod 32) or exploded memory
+    // for wide dials; the combinatorial form must hold across the full
+    // 1..62 range LshBandSigsExpr permits — incl. the widths that broke
+    for (bits <- Seq(1, 2, 12, 24, 31, 32, 48, 62)) {
+      val masks = Similarity.probeMasksFor(bits)
+      val expected = 1 + bits + bits * (bits - 1) / 2
+      assert(masks.size == expected, s"bits=$bits: ${masks.size} != $expected")
+      assert(masks.distinct.size == masks.size, s"bits=$bits: duplicate masks")
+      assert(masks.forall(m => java.lang.Long.bitCount(m) <= 2),
+        s"bits=$bits: mask beyond hamming 2")
+      assert(masks.forall(m => m == 0L || java.lang.Long.numberOfTrailingZeros(m)
+        < bits && 63 - java.lang.Long.numberOfLeadingZeros(m) < bits),
+        s"bits=$bits: mask touches bits outside the band width")
+    }
+    intercept[IllegalArgumentException](Similarity.probeMasksFor(63))
+    intercept[IllegalArgumentException](Similarity.probeMasksFor(0))
+  }
 }

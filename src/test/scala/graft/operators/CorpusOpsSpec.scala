@@ -164,4 +164,53 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.except(again).count() == 0L && again.except(out).count() == 0L)
     spark.catalog.clearCache()
   }
+
+  test("split leakage: exactly the q46 pairs whose q80 splits differ") {
+    // both inputs are independently oracle-gated; the audit must equal
+    // their local composition — and exact dups (same text, same content
+    // hash, same split by construction) can never appear
+    val splits = CorpusOps.q80DatasetSplit(spark, sf)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q46 = Dedup.q46MinhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = q46.filter { case (a, b, _) => splits(a) != splits(b) }
+      .map { case (a, b, s) => (a, b, splits(a), splits(b), s) }.toSet
+    val got = CorpusOps.q102SplitLeakage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getDouble(4))).toSet
+    assert(got == expected, s"leakage audit drifted: got=$got expected=$expected")
+    got.foreach { case (_, _, sa, sb, _) => assert(sa != sb) }
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (a, b, _, _, _) =>
+      assert(texts(a) != texts(b), s"exact dup ($a,$b) leaked across splits")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("oov rate: per-doc coverage against the broadcast q64 vocab") {
+    val vocab = TextAnalysis.q64Vocab(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    val docsDf = graft.Tables.load(spark, sf, "documents").cache()
+    val out = TextAnalysis.q101OovRate(spark, sf).cache()
+    assert(out.count() == docsDf.count(), "one row per document")
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val texts = docsDf.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val (nTok, nOov, rate) = rows(id)
+      assert(nTok == toks.length, s"doc $id token count")
+      assert(nOov == toks.count(!vocab.contains(_)), s"doc $id oov count")
+      assert(rate >= 0.0 && rate <= 1.0 && nOov <= nTok)
+    }
+    // the 100-row vocab side must broadcast, never shuffle the corpus twice
+    val plan = TextAnalysis.q101OovRate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "vocab must broadcast")
+    spark.catalog.clearCache()
+  }
 }
