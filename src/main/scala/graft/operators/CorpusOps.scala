@@ -298,14 +298,21 @@ object CorpusOps {
         .select(col("gram")).distinct())
     val bloom = BloomGate.buildBloom(evalGrams)
     val surv1 = q1.filter(!col("quality_flagged"))
-    val contaminated = BloomGate.bloomGate(tokenGrams(surv1, BloomGate.GRAM_N), bloom)
-      .join(evalGrams, Seq("gram"))
-      .select(col("doc_id")).distinct()
-      .withColumn("c_hit", lit(true))
-    // stage 3: exact dedup (q44's min-id keeper rule) over clean docs
-    val s2 = surv1.join(contaminated, Seq("doc_id"), "left")
+    // cached: the gate feeds BOTH stage 3's input filter and the final
+    // assembly — uncached, the corpus gram explode + verify join (the
+    // pipeline's heaviest stage) runs twice. The cached frame is ids
+    // only, corpus-bounded.
+    val contaminated = graft.CacheScope.cache(
+      BloomGate.bloomGate(tokenGrams(surv1, BloomGate.GRAM_N), bloom)
+        .join(evalGrams, Seq("gram"))
+        .select(col("doc_id")).distinct()
+        .withColumn("c_hit", lit(true)))
+    // stage 3: exact dedup (q44's min-id keeper rule) over clean docs;
+    // cached for the same reason — keeper derivation and the assembly
+    // join both consume it, and it is (doc_id, h) only
+    val s2 = graft.CacheScope.cache(surv1.join(contaminated, Seq("doc_id"), "left")
       .filter(col("c_hit").isNull)
-      .select(col("doc_id"), md5(col("text")).as("h"))
+      .select(col("doc_id"), md5(col("text")).as("h")))
     val keepers = s2.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
     q1.select(col("doc_id"), col("quality_flagged"))
       .join(contaminated, Seq("doc_id"), "left")

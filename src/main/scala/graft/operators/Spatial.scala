@@ -94,12 +94,30 @@ object Spatial {
     */
   def zcellsForBox(raLo: Double, raHi: Double,
                    decLo: Double, decHi: Double): Seq[Long] = {
-    val shift = AXIS_BITS - CELL_BITS / 2
-    val cxLo = quantRaS(raLo) >> shift
-    val cxHi = quantRaS(raHi) >> shift
-    val cyLo = quantDecS(decLo) >> shift
-    val cyHi = quantDecS(decHi) >> shift
-    for (cx <- cxLo to cxHi; cy <- cyLo to cyHi) yield interleave4(cx, cy)
+    // ra is periodic: a cone near the 0/360 seam arrives either with
+    // raLo < 0 / raHi > 360 (coneToBox's ra±d arithmetic, q15) or
+    // pre-wrapped as raLo > raHi. Quantization would silently CLAMP the
+    // out-of-range span onto the seam cell — dropping every cell on the
+    // far side and breaking the "cell superset out" contract — so
+    // decompose into non-wrapping spans first. dec clamps fine (poles
+    // are range ends, not a seam).
+    if (raLo < 0.0)
+      (zcellsForBox(raLo + 360.0, 360.0, decLo, decHi) ++
+        zcellsForBox(0.0, math.min(raHi, 360.0), decLo, decHi)).distinct
+    else if (raHi > 360.0)
+      (zcellsForBox(raLo, 360.0, decLo, decHi) ++
+        zcellsForBox(0.0, raHi - 360.0, decLo, decHi)).distinct
+    else if (raLo > raHi)
+      (zcellsForBox(raLo, 360.0, decLo, decHi) ++
+        zcellsForBox(0.0, raHi, decLo, decHi)).distinct
+    else {
+      val shift = AXIS_BITS - CELL_BITS / 2
+      val cxLo = quantRaS(raLo) >> shift
+      val cxHi = quantRaS(raHi) >> shift
+      val cyLo = quantDecS(decLo) >> shift
+      val cyHi = quantDecS(decHi) >> shift
+      for (cx <- cxLo to cxHi; cy <- cyLo to cyHi) yield interleave4(cx, cy)
+    }
   }
 
   /** Z-order keying of the q15 synthetic sky positions: every order's

@@ -52,6 +52,26 @@ class ZorderSpec extends SparkSpec {
     assert(Spatial.zcellsForBox(100.0, 110.0, 10.0, 11.0) == Seq(a))
   }
 
+  test("zcellsForBox covers the ra seam in every wrap spelling") {
+    // a cone at ra≈0 reaches zcellsForBox either as ra±d (raLo < 0 —
+    // q15's coneToBox arithmetic), as raHi > 360, or pre-wrapped as
+    // raLo > raHi; clamping instead of wrapping would silently drop the
+    // far-side cells — the superset contract must hold in all three
+    val east = refZkey(1.0, 10.5) >> 24   // just past the seam
+    val west = refZkey(359.0, 10.5) >> 24 // just before it
+    assert(east != west, "seam test needs points in distinct cells")
+    for ((lo, hi) <- Seq((-2.0, 2.0), (358.0, 362.0), (358.0, 2.0))) {
+      val cells = Spatial.zcellsForBox(lo, hi, 10.0, 11.0)
+      assert(cells.contains(east) && cells.contains(west),
+        s"box ($lo, $hi) lost a seam side: $cells")
+      assert(cells.distinct == cells, s"box ($lo, $hi) emitted duplicates")
+    }
+    // a full-circle span (radius past 180°) covers every ra cell at that dec
+    assert(Spatial.zcellsForBox(-200.0, 200.0, 10.0, 11.0).size == 16)
+    // and a non-wrapping box is unchanged by the decomposition
+    assert(Spatial.zcellsForBox(100.0, 110.0, 10.0, 11.0).size == 1)
+  }
+
   test("box query over the zcell layout prunes partitions and matches the exact answer") {
     val dir = "/root/testdata/sf0.001"
     val tmp = java.nio.file.Files.createTempDirectory("zorder").toString
