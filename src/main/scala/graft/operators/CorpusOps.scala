@@ -266,6 +266,48 @@ object CorpusOps {
       .withColumn("mostly_duplicated", col("dup_chunk_frac") >= 0.5)
   }
 
+  /** Duplicate-span SCRUBBING — the transform counterpart of q99's
+    * diagnostic (Lee et al.'s "deduplicating training data" REMOVAL
+    * step): partition every document into consecutive 64-token blocks,
+    * keep only the globally FIRST occurrence of each block's content
+    * (first = lowest (doc_id, idx) — one window keyed by block hash),
+    * and reassemble the surviving text in document order. Non-overlapping
+    * blocks, not q74's strided chunks: removal needs a partition of the
+    * text (drop a block, the rest still reads), where the overlap that
+    * helps q99 DETECT shifted duplicates would make removal ambiguous.
+    *
+    * Scale shape: block explode is per-row; the only wide exchanges are
+    * keyed by block hash (the first-occurrence window — partition size =
+    * a block's occurrence count, not corpus size) and by doc_id (the
+    * reassembly aggregate). The reassembly's per-doc sort is
+    * `array_sort` over that doc's own kept blocks — in-row, bounded by
+    * document length. Docs with nothing removed reassemble to their
+    * exact original text (spec-pinned via md5).
+    */
+  def q103DedupScrub(spark: SparkSession, dir: String): DataFrame = {
+    val blk = 64
+    val blocks = docs(spark, dir)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, cast(ceil(size(tokens) / $blk.0) as int) - 1)," +
+            s" k -> array_join(slice(tokens, k * $blk + 1, $blk), ' '))"))
+          .as(Seq("idx", "btxt")))
+    val w = Window.partitionBy(md5(col("btxt"))).orderBy(col("doc_id"), col("idx"))
+    blocks
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("idx"), col("btxt"))))),
+            s => s.getField("btxt")),
+          " ")).as("scrubbed_md5"))
+  }
+
   /** The composed ingest pipeline — the three curation stages a corpus
     * batch runs on the way in, as ONE oracled query: repetition-quality
     * gate (q69's kernel) → bloom-gated decontamination of the survivors
@@ -448,7 +490,8 @@ object CorpusOps {
     "q89_shard_export" -> q89ShardExport,
     "q99_dup_spans" -> q99DupSpans,
     "q100_ingest_pipeline" -> q100IngestPipeline,
-    "q102_split_leakage" -> q102SplitLeakage)
+    "q102_split_leakage" -> q102SplitLeakage,
+    "q103_dedup_scrub" -> q103DedupScrub)
 
   val oracleSql: Map[String, String] = Map(
     // the fps CTEs mirror q78's oracle (same 20-char grams, 10-window
@@ -651,6 +694,31 @@ object CorpusOps {
         |FROM pairs JOIN sp sa ON sa.doc_id = a_id
         |  JOIN sp sb ON sb.doc_id = b_id
         |WHERE sa.split != sb.split""".stripMargin,
+    // blocks are 1-based inclusive slices on both engines (DuckDB
+    // tok[a:b] / Spark slice(tokens, a, 64) — both clip at the tail);
+    // string_agg skips the removed rows' NULLs, coalesced to '' so a
+    // fully-scrubbed doc hashes the empty string like Spark's empty join
+    "q103_dedup_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |b0 AS (
+        |  SELECT doc_id, tok,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(len(tok) / 64.0) AS BIGINT) - 1)) AS idx
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, idx,
+        |    array_to_string(tok[idx*64+1 : idx*64+64], ' ') AS btxt
+        |  FROM b0),
+        |k AS (
+        |  SELECT doc_id, idx, btxt,
+        |    row_number() OVER (PARTITION BY md5(btxt) ORDER BY doc_id, idx) AS rn
+        |  FROM b)
+        |SELECT doc_id, count(*) AS n_blocks,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  md5(coalesce(
+        |    string_agg(CASE WHEN rn = 1 THEN btxt END, ' ' ORDER BY idx), ''))
+        |    AS scrubbed_md5
+        |FROM k GROUP BY doc_id""".stripMargin,
     "q80_dataset_split" ->
       """WITH b AS (
         |  SELECT doc_id, source,

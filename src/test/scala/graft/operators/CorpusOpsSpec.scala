@@ -190,6 +190,41 @@ class CorpusOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dedup scrub: first occurrence survives, clean docs round-trip exactly") {
+    import org.apache.spark.sql.functions.md5
+    val docsDf = graft.Tables.load(spark, sf, "documents").cache()
+    val out = CorpusOps.q103DedupScrub(spark, sf).cache()
+    assert(out.count() == docsDf.count(), "one row per document")
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val texts = docsDf.select(col("doc_id"), col("text"), md5(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    // local reference: global first-occurrence keep over 64-token blocks
+    val blocks = texts.toSeq.sortBy(_._1).flatMap { case (id, (t, _)) =>
+      t.split(" ", -1).grouped(64).zipWithIndex.map { case (b, i) =>
+        (id, i, b.mkString(" "))
+      }
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val kept = blocks.map { case (id, i, b) =>
+      (id, i, b, seen.add(b)) // sorted (doc_id, idx) order = global first
+    }
+    kept.groupBy(_._1).foreach { case (id, bs) =>
+      val (nBlocks, nRemoved, scrubMd5) = rows(id)
+      assert(nBlocks == bs.length, s"doc $id block count")
+      assert(nRemoved == bs.count(!_._4), s"doc $id removed count")
+      val expectText = bs.sortBy(_._2).filter(_._4).map(_._3).mkString(" ")
+      val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(expectText.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(scrubMd5 == expectMd5, s"doc $id scrubbed text drifted")
+      if (nRemoved == 0)
+        assert(scrubMd5 == texts(id)._2, s"clean doc $id must round-trip exactly")
+    }
+    assert(rows.values.exists(_._2 > 0), "fixture dups must trigger removal")
+    assert(rows.values.exists(_._2 == 0), "unique docs must survive untouched")
+    spark.catalog.clearCache()
+  }
+
   test("oov rate: per-doc coverage against the broadcast q64 vocab") {
     val vocab = TextAnalysis.q64Vocab(spark, sf)
       .collect().map(_.getString(0)).toSet
