@@ -284,18 +284,30 @@ object CorpusOps {
     * document length. Docs with nothing removed reassemble to their
     * exact original text (spec-pinned via md5).
     */
-  def q103DedupScrub(spark: SparkSession, dir: String): DataFrame = {
-    val blk = 64
-    val blocks = docs(spark, dir)
+  /** 64-token block size shared by q103 and the streaming scrub. */
+  private[graft] val SCRUB_BLOCK = 64
+
+  /** Partition `docs` (doc_id, text, …) into consecutive
+    * [[SCRUB_BLOCK]]-token blocks: (doc_id, idx, btxt) — the shared
+    * explode of q103 and [[graft.streaming.StreamingBlockScrub]] (one
+    * definition, the two surfaces cannot drift on block boundaries).
+    */
+  private[graft] def scrubBlocks(docsDf: DataFrame): DataFrame =
+    docsDf
       .withColumn("tokens", split(col("text"), " "))
       .select(col("doc_id"),
         posexplode(expr(
-          s"transform(sequence(0, cast(ceil(size(tokens) / $blk.0) as int) - 1)," +
-            s" k -> array_join(slice(tokens, k * $blk + 1, $blk), ' '))"))
+          s"transform(sequence(0, cast(ceil(size(tokens) / $SCRUB_BLOCK.0) as int) - 1)," +
+            s" k -> array_join(slice(tokens, k * $SCRUB_BLOCK + 1, $SCRUB_BLOCK), ' '))"))
           .as(Seq("idx", "btxt")))
-    val w = Window.partitionBy(md5(col("btxt"))).orderBy(col("doc_id"), col("idx"))
-    blocks
-      .withColumn("keep", row_number().over(w) === 1)
+
+  /** Per-doc scrub verdicts over a keep-marked block frame
+    * (doc_id, idx, btxt, keep): block/removed counts + md5 of the
+    * reassembled surviving text (in-row `array_sort` by idx — bounded by
+    * document length). Shared by q103 and the streaming scrub.
+    */
+  private[graft] def scrubVerdicts(marked: DataFrame): DataFrame =
+    marked
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_blocks"),
@@ -306,6 +318,11 @@ object CorpusOps {
               struct(col("idx"), col("btxt"))))),
             s => s.getField("btxt")),
           " ")).as("scrubbed_md5"))
+
+  def q103DedupScrub(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("btxt"))).orderBy(col("doc_id"), col("idx"))
+    scrubVerdicts(scrubBlocks(docs(spark, dir))
+      .withColumn("keep", row_number().over(w) === 1))
   }
 
   /** The composed ingest pipeline — the three curation stages a corpus

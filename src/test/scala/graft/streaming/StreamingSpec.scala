@@ -600,4 +600,59 @@ class StreamingSpec extends SparkSpec {
       .contains("<EMAIL>"))
     assert(fin.filter(col("text").rlike("@[A-Za-z]")).count() == 0, "no PII survives the chain")
   }
+
+  test("streaming block scrub matches q103 on one batch, drops cross-batch spans via the ledger") {
+    def words(from: Int, n: Int) = (from until from + n).map(i => s"w$i").mkString(" ")
+    def mkDoc(id: Long, text: String) = (id, text, "en", "web", text.length.toLong)
+    val tmp = java.nio.file.Files.createTempDirectory("blockscrub").toString
+
+    // batch 1: doc 2 is an exact copy of doc 1 (two full 64-token blocks
+    // + a 2-token tail); doc 3 is unique
+    val d1 = words(0, 130)
+    val docs1 = Seq(mkDoc(1L, d1), mkDoc(2L, d1), mkDoc(3L, words(1000, 70)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs1.coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    StreamingBlockScrub.run(spark, s"$tmp/in", docs1.schema,
+      s"$tmp/out", s"$tmp/ledger", s"$tmp/ckpt").awaitTermination()
+
+    // single-batch parity: the stream's verdicts ARE q103's (shared
+    // kernels + empty ledger + the same within-batch first-occurrence rule)
+    val batchDir = java.nio.file.Files.createTempDirectory("blockscrubref").toString
+    docs1.write.mode("overwrite").parquet(s"$batchDir/documents.parquet")
+    val expect = graft.operators.CorpusOps.q103DedupScrub(spark, batchDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val got1 = spark.read.parquet(s"$tmp/out/batch_0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got1 == expect, s"single-batch stream diverged from q103: $got1 vs $expect")
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    val v1 = got1.map(t => t._1 -> t).toMap
+    assert(v1(1L)._3 == 0L, "doc 1 keeps every block")
+    assert(v1(2L)._3 == 3L && v1(2L)._4 == emptyMd5, "twin doc fully scrubbed")
+
+    // batch 2: doc 4 repeats doc 1's FIRST block with a unique tail;
+    // doc 5 is unique — the ledger must reach across batches
+    Seq(mkDoc(4L, words(0, 64) + " " + words(2000, 40)), mkDoc(5L, words(3000, 50)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    StreamingBlockScrub.run(spark, s"$tmp/in", docs1.schema,
+      s"$tmp/out", s"$tmp/ledger", s"$tmp/ckpt").awaitTermination()
+    val v2 = spark.read.parquet(s"$tmp/out/batch_1")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(v2.keySet == Set(4L, 5L), s"batch 1 verdicts: ${v2.keySet}")
+    val (n4, rm4, md4) = v2(4L)
+    assert(n4 == 2L && rm4 == 1L, s"doc 4 loses exactly its repeated block: $v2")
+    val tail4 = words(2000, 40)
+    val tailMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(tail4.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md4 == tailMd5, "doc 4 reassembles to its unique tail")
+    assert(v2(5L)._2 == 0L, "unique doc untouched")
+
+    // a replayed batch must not scrub itself against its own ledger dir
+    StreamingBlockScrub.scrubBatch(spark,
+      spark.read.parquet(s"$tmp/in").filter(col("doc_id") >= 4L), 1L,
+      s"$tmp/out", s"$tmp/ledger")
+    val replay = spark.read.parquet(s"$tmp/out/batch_1")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(replay == Map(4L -> 1L, 5L -> 0L), s"replay not idempotent: $replay")
+  }
 }
