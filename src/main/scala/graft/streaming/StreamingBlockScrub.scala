@@ -22,10 +22,12 @@ import org.apache.spark.sql.types.StructType
   * blocks at 100 TB) outgrows any per-executor store, but a
   * hash-partitioned table joins at whatever the cluster scans — the
   * q79/q81 incremental-index story with a state table that GROWS.
-  * Per batch the ledger participates through one hash-keyed equi-join
-  * (bucket the ledger by hash to make its side exchange-free, or gate
-  * with a q96-style bloom sketch to prune the probe — both orthogonal
-  * to the semantics here).
+  * Per batch the ledger participates through q96's bloom→exact-verify
+  * shape: each segment carries its own 128 KiB sketch, their OR gates
+  * the batch's blocks map-side, and only the candidate hashes are
+  * exact-verified — broadcast against the ledger scan, so the
+  * corpus-lifetime state never shuffles (bucket it by hash and the
+  * scan prunes too).
   *
   * Replay safety: `foreachBatch` is at-least-once, so BOTH writes are
   * keyed by batch id and overwrite — and the ledger read excludes the
@@ -53,6 +55,13 @@ object StreamingBlockScrub {
       .start()
   }
 
+  /** Sketch dials per ledger segment: 128 KiB, ≲1% fp at 2^17 items —
+    * identical across segments so the serialized sketches OR-merge
+    * (`BloomFilter.mergeInPlace` requires matching bits/hashes).
+    */
+  private val EST_ITEMS = 1L << 17
+  private val NUM_BITS = 1L << 20
+
   /** One micro-batch of the scrub, factored for direct spec access. */
   private[streaming] def scrubBatch(spark: SparkSession, batch: DataFrame,
                                     batchId: Long, outPath: String,
@@ -65,22 +74,87 @@ object StreamingBlockScrub {
             org.apache.spark.sql.types.StructField("h",
               org.apache.spark.sql.types.StringType))))
       else spark.read.parquet(priorLedgers: _*)
+    graft.functions.expressions.BloomFns.register(spark)
     graft.CacheScope.run {
+      val blocks = CorpusOps.scrubBlocks(batch).withColumn("h", md5(col("btxt")))
+      // Seen-set membership, q96's bloom→exact-verify shape applied to the
+      // ledger: each segment stores its own 128 KiB sketch; their OR (tiny
+      // driver bytes — segments × 128 KiB, read once per batch) gates the
+      // batch's blocks MAP-SIDE, and only the surviving candidate hashes
+      // (true hits + ~1% fp) are exact-verified — broadcast against the
+      // ledger scan, so the corpus-lifetime state table NEVER SHUFFLES.
+      // No false negatives, so `seen` is exact; a segment missing its
+      // sketch falls back to the plain hash-keyed join, same answer.
+      val seen = mergedBloom(spark, priorLedgers) match {
+        case Some(bytes) =>
+          val candidates = blocks
+            .filter(call_function("might_contain", lit(bytes), xxhash64(col("h"))))
+            .select(col("h")).distinct()
+          ledger.join(broadcast(candidates), Seq("h"))
+            .select(col("h")).distinct()
+        case None => ledger
+      }
       val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
       // cached: feeds the verdict aggregate AND the ledger addition
       val marked = graft.CacheScope.cache(
-        CorpusOps.scrubBlocks(batch)
-          .withColumn("h", md5(col("btxt")))
-          .join(ledger.withColumn("seen", lit(true)), Seq("h"), "left")
+        blocks
+          .join(broadcast(seen.withColumn("seen", lit(true))), Seq("h"), "left")
           .withColumn("keep",
             col("seen").isNull && row_number().over(w) === 1))
       CorpusOps.scrubVerdicts(marked)
         .write.mode("overwrite").parquet(s"$outPath/batch_$batchId")
       // newly-seen hashes = the kept blocks' (within-batch dups share a
       // kept block's hash; ledger-dropped blocks are already present)
-      marked.filter(col("keep")).select(col("h")).distinct()
-        .write.mode("overwrite").parquet(s"$ledgerPath/ledger_$batchId")
+      val additions = graft.CacheScope.cache(
+        marked.filter(col("keep")).select(col("h")).distinct())
+      additions.write.mode("overwrite").parquet(s"$ledgerPath/ledger_$batchId")
+      writeSegmentBloom(spark, additions, s"$ledgerPath/ledger_$batchId")
     }
+  }
+
+  /** The segment's sketch lives UNDER the segment dir as `_bloom` — the
+    * underscore keeps parquet readers of the segment from listing it, and
+    * an at-least-once replay overwrites segment data and sketch together.
+    */
+  private def writeSegmentBloom(spark: SparkSession, additions: DataFrame,
+                                segmentPath: String): Unit = {
+    val agg = additions
+      .select(call_function("bloom_agg",
+        xxhash64(col("h")), lit(EST_ITEMS), lit(NUM_BITS)).as("bf"))
+      .head()
+    val bytes = agg.getAs[Array[Byte]]("bf") match {
+      case null => // empty additions: an all-zeros sketch keeps the fast path
+        val empty = org.apache.spark.util.sketch.BloomFilter.create(EST_ITEMS, NUM_BITS)
+        val bos = new java.io.ByteArrayOutputStream()
+        empty.writeTo(bos); bos.toByteArray
+      case b => b
+    }
+    import spark.implicits._
+    Seq(bytes).toDF("bf").coalesce(1)
+      .write.mode("overwrite").parquet(s"$segmentPath/_bloom")
+  }
+
+  /** OR-merge every prior segment's sketch (same dials by construction;
+    * Spark's public sketch API round-trips the aggregate's serialization).
+    * None when there are no prior segments or any segment lacks a sketch
+    * (→ caller uses the plain hash-keyed ledger join).
+    */
+  private def mergedBloom(spark: SparkSession,
+                          priorLedgers: Seq[String]): Option[Array[Byte]] = {
+    if (priorLedgers.isEmpty) return None
+    val fs = new org.apache.hadoop.fs.Path(priorLedgers.head)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!priorLedgers.forall(p =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$p/_bloom")))) return None
+    val sketches = priorLedgers.map { p =>
+      val bytes = spark.read.parquet(s"$p/_bloom").head().getAs[Array[Byte]]("bf")
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+    }
+    val merged = sketches.reduce((a, b) => a.mergeInPlace(b))
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    Some(bos.toByteArray)
   }
 
   private def listPriorLedgers(spark: SparkSession, ledgerPath: String,

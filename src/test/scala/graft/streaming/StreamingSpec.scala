@@ -654,5 +654,18 @@ class StreamingSpec extends SparkSpec {
     val replay = spark.read.parquet(s"$tmp/out/batch_1")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(replay == Map(4L -> 1L, 5L -> 0L), s"replay not idempotent: $replay")
+
+    // batch 3 reaches across BOTH ledger segments (doc 6 repeats a
+    // batch-0 block, doc 7 a batch-1 block) — exercises the OR-merged
+    // multi-segment bloom gate in front of the exact verify
+    Seq(mkDoc(6L, words(64, 64)), mkDoc(7L, words(3000, 50)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    StreamingBlockScrub.run(spark, s"$tmp/in", docs1.schema,
+      s"$tmp/out", s"$tmp/ledger", s"$tmp/ckpt").awaitTermination()
+    val v3 = spark.read.parquet(s"$tmp/out/batch_2")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(v3 == Map(6L -> ((1L, 1L)), 7L -> ((1L, 1L))),
+      s"multi-segment ledger reach: $v3")
   }
 }
