@@ -184,4 +184,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
       "candidate generation must stay an equi-join on band keys:\n" + p)
   }
+
+  test("q101: the vocab side broadcasts; q103: first-occurrence window keys on the block hash") {
+    val p101 = plan(TextAnalysis.queries("q101_oov_rate")(spark, dir))
+    assert(p101.contains("BroadcastHashJoin"),
+      "q101's 100-row vocab must broadcast, never shuffle the corpus twice:\n" + p101)
+    assert(p101.contains("TakeOrderedAndProject"),
+      "q101's vocab top-k must stay a TakeOrdered:\n" + p101)
+    val p103 = plan(CorpusOps.queries("q103_dedup_scrub")(spark, dir))
+    // the keep rule must be a window PARTITIONED by the block hash (its
+    // partition = one block's occurrence list) — an empty partition spec
+    // would funnel every block through one reducer
+    assert(p103.contains("row_number() windowspecdefinition(_w"),
+      "q103's first-occurrence window lost its hash partitioning:\n" + p103)
+    assert(!p103.contains("Cartesian") && !p103.contains("BroadcastNestedLoop"),
+      "q103 must never compare blocks pairwise:\n" + p103)
+  }
 }
