@@ -306,18 +306,25 @@ object CorpusOps {
     * reassembled surviving text (in-row `array_sort` by idx — bounded by
     * document length). Shared by q103 and the streaming scrub.
     */
+  /** The kept blocks reassembled in document order — the one assembly
+    * expression behind q103's md5 and [[graft.CorpusBuild]]'s
+    * materialized text.
+    */
+  private[graft] def scrubAssembled: org.apache.spark.sql.Column =
+    array_join(
+      transform(
+        array_sort(collect_list(when(col("keep"),
+          struct(col("idx"), col("btxt"))))),
+        s => s.getField("btxt")),
+      " ")
+
   private[graft] def scrubVerdicts(marked: DataFrame): DataFrame =
     marked
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_blocks"),
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
-        md5(array_join(
-          transform(
-            array_sort(collect_list(when(col("keep"),
-              struct(col("idx"), col("btxt"))))),
-            s => s.getField("btxt")),
-          " ")).as("scrubbed_md5"))
+        md5(scrubAssembled).as("scrubbed_md5"))
 
   def q103DedupScrub(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(md5(col("btxt"))).orderBy(col("doc_id"), col("idx"))
@@ -449,9 +456,14 @@ object CorpusOps {
     * frame. Shard = floor(ordinal · S / N) keeps shards contiguous in the
     * shuffled order, so a shard is also a valid random sample.
     */
-  def q89ShardExport(spark: SparkSession, dir: String): DataFrame = {
-    val nShards = 16
-    val keyed = docs(spark, dir)
+  def q89ShardExport(spark: SparkSession, dir: String): DataFrame =
+    shardOrdinals(docs(spark, dir).select(col("doc_id")))
+
+  /** The two-pass ordinal over ANY (doc_id) frame — shared by q89 and
+    * [[graft.CorpusBuild]] so the export shape has one definition.
+    */
+  private[graft] def shardOrdinals(ids: DataFrame, nShards: Int = 16): DataFrame = {
+    val keyed = ids
       .select(col("doc_id"))
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
