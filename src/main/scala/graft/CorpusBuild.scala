@@ -16,16 +16,26 @@ import org.apache.spark.sql.functions._
   *
   * Every stage is the SAME shared kernel its driver query gates
   * (q100/q103/q80/q89 — nothing here can drift from the hash-matched
-  * definitions), and every exchange keeps its audited shape: verdicts
-  * and scrub key by id/hash, the split is a pure projection, the shard
-  * ordinal shuffles once by bucket.
+  * definitions), and the WHOLE composition is itself a driver query:
+  * [[q104CorpusBuild]] returns the curated frame (text as md5) and its
+  * oracle states ingest → scrub → split → shard in one SQL, so the
+  * builder's end-to-end output is hash-gated, not just its stages.
+  * Every exchange keeps its audited shape: verdicts and scrub key by
+  * id/hash, the split is a pure projection, the shard ordinal shuffles
+  * once by bucket.
   *
   * Usage: `runMain graft.CorpusBuild <sfDir> <outDir>`.
   */
 object CorpusBuild {
 
-  def materialize(spark: SparkSession, sfDir: String,
-                  outDir: String): Map[String, Long] = CacheScope.run {
+  private[graft] final case class BuildFrames(
+      verdicts: DataFrame, scrubbed: DataFrame, curated: DataFrame)
+
+  /** The shared frame chain (caches register in the CALLER's scope — the
+    * q79 convention; `materialize` and the driver harness both wrap the
+    * terminal action in `CacheScope.run`).
+    */
+  private[graft] def buildFrames(spark: SparkSession, sfDir: String): BuildFrames = {
     val d = Tables.load(spark, sfDir, "documents")
     val corpus = d.filter(col("source") =!= "src0")
     val verdicts = CacheScope.cache(
@@ -48,10 +58,10 @@ object CorpusBuild {
           count(lit(1)).as("n_blocks"),
           sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed")))
 
-    // a fully-scrubbed doc contributes no text — drop it, count it
+    // a fully-scrubbed doc contributes no text — drop it (counted in the
+    // manifest); q80's content-hash split over the CURATED text + q89's
+    // shared two-pass shard ordinal over the curated ids
     val nonEmpty = CacheScope.cache(scrubbed.filter(length(col("text")) > 0))
-
-    // q80's content-hash split over the CURATED text + q89's shard ordinal
     val bucket = pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
       .cast("long"), lit(100))
     val curated = nonEmpty
@@ -60,22 +70,39 @@ object CorpusBuild {
         when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test"))
       .join(operators.CorpusOps.shardOrdinals(nonEmpty.select(col("doc_id"))),
         Seq("doc_id"))
-    curated
+    BuildFrames(verdicts, scrubbed, curated)
+  }
+
+  /** The whole build as a driver-gated query: curated rows with the
+    * scrubbed text as md5 (the hash compare certifies the text without
+    * hauling it), plus split/shard/ordinal.
+    */
+  def q104CorpusBuild(spark: SparkSession, dir: String): DataFrame =
+    buildFrames(spark, dir).curated
+      .select(col("doc_id"), col("n_blocks"), col("n_removed"),
+        md5(col("text")).as("scrubbed_md5"),
+        col("split"), col("shard"), col("ordinal"))
+
+  def materialize(spark: SparkSession, sfDir: String,
+                  outDir: String): Map[String, Long] = CacheScope.run {
+    val f = buildFrames(spark, sfDir)
+    f.curated
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         col("n_blocks"), col("n_removed"), col("split"), col("shard"),
         col("ordinal"))
       .write.mode("overwrite").partitionBy("split")
       .parquet(s"$outDir/corpus")
 
-    val v = verdicts.groupBy().agg(
+    val v = f.verdicts.groupBy().agg(
       count(lit(1)).as("n_input"),
       sum(when(col("quality_flagged"), 1L).otherwise(0L)).as("flagged"),
       sum(when(col("contaminated"), 1L).otherwise(0L)).as("contaminated"),
       sum(when(col("is_dup"), 1L).otherwise(0L)).as("dups"),
       sum(when(col("kept"), 1L).otherwise(0L)).as("kept")).head()
-    val scrubAgg = scrubbed.agg(
+    val scrubAgg = f.scrubbed.agg(
       coalesce(sum(col("n_blocks")), lit(0L)),
       coalesce(sum(col("n_removed")), lit(0L))).head()
+    val nCurated = f.curated.count()
     val manifest = Map(
       "n_input" -> v.getLong(0),
       "n_quality_flagged" -> v.getLong(1),
@@ -84,8 +111,8 @@ object CorpusBuild {
       "n_kept" -> v.getLong(4),
       "n_blocks_total" -> scrubAgg.getLong(0),
       "n_blocks_removed" -> scrubAgg.getLong(1),
-      "n_fully_scrubbed_dropped" -> (v.getLong(4) - nonEmpty.count()),
-      "n_curated" -> nonEmpty.count())
+      "n_fully_scrubbed_dropped" -> (v.getLong(4) - nCurated),
+      "n_curated" -> nCurated)
     writeManifest(spark, s"$outDir/manifest.json", manifest)
     manifest
   }
@@ -99,6 +126,57 @@ object CorpusBuild {
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_corpus_build" -> q104CorpusBuild)
+
+  /** The builder's whole composition in one SQL: the shared ingest CTEs
+    * (verbatim the q100 oracle's), the q103 scrub CTEs restricted to the
+    * survivors, the q80 split CASE over the reassembled text, and q89's
+    * naive global-row_number shard spec — the hash match certifies the
+    * two-pass Spark plan AND the staged composition at once.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "q104_corpus_build" ->
+      s"""WITH ${operators.CorpusOps.ingestCtes},
+        |surv AS (
+        |  SELECT sk.doc_id, q.text FROM sk JOIN q ON q.doc_id = sk.doc_id
+        |  WHERE sk.doc_id = sk.keeper),
+        |sb0 AS (SELECT doc_id, string_split(text, ' ') AS tok FROM surv),
+        |sb1 AS (
+        |  SELECT doc_id, tok,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(len(tok) / 64.0) AS BIGINT) - 1)) AS idx
+        |  FROM sb0),
+        |sb AS (
+        |  SELECT doc_id, idx,
+        |    array_to_string(tok[idx*64+1 : idx*64+64], ' ') AS btxt
+        |  FROM sb1),
+        |sr AS (
+        |  SELECT doc_id, idx, btxt,
+        |    row_number() OVER (PARTITION BY md5(btxt) ORDER BY doc_id, idx) AS rn
+        |  FROM sb),
+        |scr AS (
+        |  SELECT doc_id, count(*) AS n_blocks,
+        |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |    coalesce(string_agg(CASE WHEN rn = 1 THEN btxt END, ' ' ORDER BY idx), '')
+        |      AS new_text
+        |  FROM sr GROUP BY doc_id),
+        |cur AS (
+        |  SELECT doc_id, n_blocks, n_removed, new_text,
+        |    ('0x' || substr(md5(new_text), 1, 15))::BIGINT % 100 AS bkt
+        |  FROM scr WHERE length(new_text) > 0),
+        |o AS (
+        |  SELECT doc_id, n_blocks, n_removed, new_text, bkt,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |      AS ordinal,
+        |    count(*) OVER () AS n
+        |  FROM cur)
+        |SELECT doc_id, n_blocks, n_removed, md5(new_text) AS scrubbed_md5,
+        |  CASE WHEN bkt < 90 THEN 'train'
+        |       WHEN bkt < 95 THEN 'valid' ELSE 'test' END AS split,
+        |  CAST(floor(ordinal * 16 / n) AS INTEGER) AS shard, ordinal
+        |FROM o""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

@@ -27,7 +27,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.CorpusOps.queries ++
       operators.BloomGate.queries ++
-      operators.Spatial.queries
+      operators.Spatial.queries ++
+      CorpusBuild.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       operators.Multimodal.oracleSql ++
       operators.CorpusOps.oracleSql ++
       operators.BloomGate.oracleSql ++
-      operators.Spatial.oracleSql
+      operators.Spatial.oracleSql ++
+      CorpusBuild.oracleSql
 }

@@ -522,6 +522,42 @@ object CorpusOps {
     "q102_split_leakage" -> q102SplitLeakage,
     "q103_dedup_scrub" -> q103DedupScrub)
 
+  /** The ingest chain (q69 quality gate → bloom-transparent gram
+    * decontamination → exact dedup) as CTEs — ONE definition shared by
+    * the q100 oracle and q104's corpus-build oracle.
+    */
+  private[graft] val ingestCtes: String =
+    """tt AS (
+      |  SELECT doc_id, source, text, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, source,
+      |    unnest(list_transform(range(1, len(toks) - 3),
+      |      i -> array_to_string(toks[i:i+4], ' '))) AS gram
+      |  FROM tt WHERE len(toks) >= 5),
+      |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+      |q AS (
+      |  SELECT doc_id, text,
+      |    ((round(CAST(list_max(list_transform(list_distinct(toks),
+      |        x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
+      |        / len(toks), 6) > 0.3)
+      |     OR ((CASE WHEN len(toks) > 1 THEN round(CAST(len(toks) - 1 -
+      |          len(list_distinct(list_transform(range(1, len(toks)),
+      |            i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+      |          / (len(toks) - 1), 6) ELSE 0.0 END) > 0.3)) AS quality_flagged
+      |  FROM tt WHERE source != 'src0'),
+      |cont AS (
+      |  SELECT DISTINCT g.doc_id
+      |  FROM g
+      |  JOIN q ON g.doc_id = q.doc_id AND NOT q.quality_flagged
+      |  JOIN ev USING (gram)),
+      |s2 AS (
+      |  SELECT q.doc_id, md5(q.text) AS h
+      |  FROM q LEFT JOIN cont ON q.doc_id = cont.doc_id
+      |  WHERE NOT q.quality_flagged AND cont.doc_id IS NULL),
+      |k AS (SELECT h, min(doc_id) AS keeper FROM s2 GROUP BY 1),
+      |sk AS (SELECT s2.doc_id, k.keeper FROM s2 JOIN k USING (h))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // the fps CTEs mirror q78's oracle (same 20-char grams, 10-window
     // minima, first-occurrence-distinct) with q68's eval/corpus split
@@ -627,36 +663,7 @@ object CorpusOps {
     // stage. CTEs mirror q69 (quality), q96 (5-gram decontamination),
     // q44 (min-id dedup).
     "q100_ingest_pipeline" ->
-      """WITH tt AS (
-        |  SELECT doc_id, source, text, string_split(text, ' ') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT DISTINCT doc_id, source,
-        |    unnest(list_transform(range(1, len(toks) - 3),
-        |      i -> array_to_string(toks[i:i+4], ' '))) AS gram
-        |  FROM tt WHERE len(toks) >= 5),
-        |ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
-        |q AS (
-        |  SELECT doc_id, text,
-        |    ((round(CAST(list_max(list_transform(list_distinct(toks),
-        |        x -> len(list_filter(toks, y -> y = x)))) AS DOUBLE)
-        |        / len(toks), 6) > 0.3)
-        |     OR ((CASE WHEN len(toks) > 1 THEN round(CAST(len(toks) - 1 -
-        |          len(list_distinct(list_transform(range(1, len(toks)),
-        |            i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
-        |          / (len(toks) - 1), 6) ELSE 0.0 END) > 0.3)) AS quality_flagged
-        |  FROM tt WHERE source != 'src0'),
-        |cont AS (
-        |  SELECT DISTINCT g.doc_id
-        |  FROM g
-        |  JOIN q ON g.doc_id = q.doc_id AND NOT q.quality_flagged
-        |  JOIN ev USING (gram)),
-        |s2 AS (
-        |  SELECT q.doc_id, md5(q.text) AS h
-        |  FROM q LEFT JOIN cont ON q.doc_id = cont.doc_id
-        |  WHERE NOT q.quality_flagged AND cont.doc_id IS NULL),
-        |k AS (SELECT h, min(doc_id) AS keeper FROM s2 GROUP BY 1),
-        |sk AS (SELECT s2.doc_id, k.keeper FROM s2 JOIN k USING (h))
+      s"""WITH $ingestCtes
         |SELECT q.doc_id, q.quality_flagged,
         |  (cont.doc_id IS NOT NULL) AS contaminated,
         |  (sk.keeper IS NOT NULL AND sk.doc_id != sk.keeper) AS is_dup,
