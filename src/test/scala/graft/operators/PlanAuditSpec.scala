@@ -200,4 +200,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p103.contains("Cartesian") && !p103.contains("BroadcastNestedLoop"),
       "q103 must never compare blocks pairwise:\n" + p103)
   }
+
+  test("q104: the composed build keeps every stage's audited shape") {
+    val p = plan(graft.CorpusBuild.queries("q104_corpus_build")(spark, dir))
+    // no stage may regress to a pairwise comparison, and the shard
+    // ordinal must stay the two-pass shape (bucket-partitioned ranking)
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      "composed build gained a pairwise comparison:\n" + p)
+    assert(p.contains("row_number() windowspecdefinition(bucket"),
+      "shard ordinal lost its bucket partitioning:\n" + p)
+    spark.catalog.clearCache() // buildFrames caches register upstream
+  }
 }
