@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The end-to-end corpus build as a runnable artifact producer — what a
@@ -47,12 +46,10 @@ object CorpusBuild {
         .join(verdicts.filter(col("kept")).select(col("doc_id")), Seq("doc_id")))
 
     // q103's scrub, materializing the TEXT (same kernels: block explode,
-    // hash-keyed first-occurrence window, in-row reassembly)
-    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
+    // shared first-occurrence keep rule, in-row reassembly)
     val scrubbed = CacheScope.cache(
-      operators.CorpusOps.scrubBlocks(survivors)
-        .withColumn("h", md5(col("btxt")))
-        .withColumn("keep", row_number().over(w) === 1)
+      operators.CorpusOps.firstOccurrenceKeep(
+        operators.CorpusOps.scrubBlocks(survivors))
         .groupBy(col("doc_id"))
         .agg(operators.CorpusOps.scrubAssembled.as("text"),
           count(lit(1)).as("n_blocks"),
@@ -64,12 +61,15 @@ object CorpusBuild {
     val nonEmpty = CacheScope.cache(scrubbed.filter(length(col("text")) > 0))
     val bucket = pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
       .cast("long"), lit(100))
-    val curated = nonEmpty
+    // cached: `materialize` consumes the curated frame twice (the parquet
+    // write and the manifest count) — uncached, the assembly joins and
+    // the ordinal windows would run a second full pass just for a count
+    val curated = CacheScope.cache(nonEmpty
       .join(survivors.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
       .withColumn("split",
         when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test"))
       .join(operators.CorpusOps.shardOrdinals(nonEmpty.select(col("doc_id"))),
-        Seq("doc_id"))
+        Seq("doc_id")))
     BuildFrames(verdicts, scrubbed, curated)
   }
 

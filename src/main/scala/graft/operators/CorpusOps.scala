@@ -266,24 +266,6 @@ object CorpusOps {
       .withColumn("mostly_duplicated", col("dup_chunk_frac") >= 0.5)
   }
 
-  /** Duplicate-span SCRUBBING — the transform counterpart of q99's
-    * diagnostic (Lee et al.'s "deduplicating training data" REMOVAL
-    * step): partition every document into consecutive 64-token blocks,
-    * keep only the globally FIRST occurrence of each block's content
-    * (first = lowest (doc_id, idx) — one window keyed by block hash),
-    * and reassemble the surviving text in document order. Non-overlapping
-    * blocks, not q74's strided chunks: removal needs a partition of the
-    * text (drop a block, the rest still reads), where the overlap that
-    * helps q99 DETECT shifted duplicates would make removal ambiguous.
-    *
-    * Scale shape: block explode is per-row; the only wide exchanges are
-    * keyed by block hash (the first-occurrence window — partition size =
-    * a block's occurrence count, not corpus size) and by doc_id (the
-    * reassembly aggregate). The reassembly's per-doc sort is
-    * `array_sort` over that doc's own kept blocks — in-row, bounded by
-    * document length. Docs with nothing removed reassemble to their
-    * exact original text (spec-pinned via md5).
-    */
   /** 64-token block size shared by q103 and the streaming scrub. */
   private[graft] val SCRUB_BLOCK = 64
 
@@ -301,11 +283,6 @@ object CorpusOps {
             s" k -> array_join(slice(tokens, k * $SCRUB_BLOCK + 1, $SCRUB_BLOCK), ' '))"))
           .as(Seq("idx", "btxt")))
 
-  /** Per-doc scrub verdicts over a keep-marked block frame
-    * (doc_id, idx, btxt, keep): block/removed counts + md5 of the
-    * reassembled surviving text (in-row `array_sort` by idx — bounded by
-    * document length). Shared by q103 and the streaming scrub.
-    */
   /** The kept blocks reassembled in document order — the one assembly
     * expression behind q103's md5 and [[graft.CorpusBuild]]'s
     * materialized text.
@@ -318,6 +295,29 @@ object CorpusOps {
         s => s.getField("btxt")),
       " ")
 
+  /** The q103 keep rule — ONE definition for the batch query, the corpus
+    * builder and the streaming scrub: `keep` iff this row is the globally
+    * first occurrence of its block content (lowest (doc_id, idx), one
+    * window keyed by the block hash — partition size = a block's
+    * occurrence count, never corpus size) AND `alsoKeep` holds (the
+    * streaming scrub passes its not-in-ledger verdict). Adds `h` when the
+    * caller has not already materialized it.
+    */
+  private[graft] def firstOccurrenceKeep(
+      blocks: DataFrame,
+      alsoKeep: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    val withH =
+      if (blocks.columns.contains("h")) blocks
+      else blocks.withColumn("h", md5(col("btxt")))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
+    withH.withColumn("keep", alsoKeep && row_number().over(w) === 1)
+  }
+
+  /** Per-doc scrub verdicts over a keep-marked block frame
+    * (doc_id, idx, btxt, keep): block/removed counts + md5 of the
+    * reassembled surviving text (in-row `array_sort` by idx — bounded by
+    * document length). Shared by q103 and the streaming scrub.
+    */
   private[graft] def scrubVerdicts(marked: DataFrame): DataFrame =
     marked
       .groupBy(col("doc_id"))
@@ -326,11 +326,24 @@ object CorpusOps {
         sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
         md5(scrubAssembled).as("scrubbed_md5"))
 
-  def q103DedupScrub(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(md5(col("btxt"))).orderBy(col("doc_id"), col("idx"))
-    scrubVerdicts(scrubBlocks(docs(spark, dir))
-      .withColumn("keep", row_number().over(w) === 1))
-  }
+  /** Duplicate-span SCRUBBING — the transform counterpart of q99's
+    * diagnostic (Lee et al.'s "deduplicating training data" REMOVAL
+    * step): partition every document into consecutive 64-token blocks
+    * ([[scrubBlocks]]), keep only the globally first occurrence of each
+    * block's content ([[firstOccurrenceKeep]]), and reassemble the
+    * surviving text in document order ([[scrubVerdicts]]).
+    * Non-overlapping blocks, not q74's strided chunks: removal needs a
+    * partition of the text (drop a block, the rest still reads), where
+    * the overlap that helps q99 DETECT shifted duplicates would make
+    * removal ambiguous.
+    *
+    * Scale shape: block explode is per-row; the only wide exchanges are
+    * keyed by block hash and by doc_id (the reassembly aggregate). Docs
+    * with nothing removed reassemble to their exact original text
+    * (spec-pinned via md5).
+    */
+  def q103DedupScrub(spark: SparkSession, dir: String): DataFrame =
+    scrubVerdicts(firstOccurrenceKeep(scrubBlocks(docs(spark, dir))))
 
   /** The composed ingest pipeline — the three curation stages a corpus
     * batch runs on the way in, as ONE oracled query: repetition-quality

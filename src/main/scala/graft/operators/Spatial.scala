@@ -101,7 +101,18 @@ object Spatial {
     // far side and breaking the "cell superset out" contract — so
     // decompose into non-wrapping spans first. dec clamps fine (poles
     // are range ends, not a seam).
-    if (raLo < 0.0)
+    //
+    // Normalize fully-out-of-range endpoints FIRST: without these two
+    // reductions an input like (370, 365) or (0, −5) reaches the
+    // wrap branches with the same arguments every time and recurses
+    // forever — shifting the whole box by 360° is identity on the circle
+    // and strictly shrinks |ra|, so the recursion terminates for any
+    // finite input.
+    if (raLo >= 360.0 && raHi >= 360.0)
+      zcellsForBox(raLo - 360.0, raHi - 360.0, decLo, decHi)
+    else if (raLo <= 0.0 && raHi < 0.0)
+      zcellsForBox(raLo + 360.0, raHi + 360.0, decLo, decHi)
+    else if (raLo < 0.0)
       (zcellsForBox(raLo + 360.0, 360.0, decLo, decHi) ++
         zcellsForBox(0.0, math.min(raHi, 360.0), decLo, decHi)).distinct
     else if (raHi > 360.0)

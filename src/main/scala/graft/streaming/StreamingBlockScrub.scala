@@ -2,7 +2,6 @@ package graft.streaming
 
 import graft.operators.CorpusOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -43,6 +42,11 @@ object StreamingBlockScrub {
   def run(spark: SparkSession, docDir: String, docSchema: StructType,
           outPath: String, ledgerPath: String, checkpoint: String,
           trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // register BEFORE start: the stream runs on a CLONED session whose
+    // function registry is snapshotted at query start — registering from
+    // inside the first batch would leave `might_contain` unresolvable for
+    // every later batch of the same query (the StreamingDedup convention)
+    graft.functions.expressions.BloomFns.register(spark)
     spark.readStream
       .schema(docSchema)
       .parquet(docDir)
@@ -66,15 +70,19 @@ object StreamingBlockScrub {
   private[streaming] def scrubBatch(spark: SparkSession, batch: DataFrame,
                                     batchId: Long, outPath: String,
                                     ledgerPath: String): Unit = {
-    val priorLedgers = listPriorLedgers(spark, ledgerPath, batchId)
+    // the batch's own session (the stream's CLONE inside foreachBatch):
+    // every frame joined against the batch must be analyzed — and every
+    // function resolved — on it, not on the outer session
+    val bs = batch.sparkSession
+    graft.functions.expressions.BloomFns.register(bs)
+    val priorLedgers = listPriorLedgers(bs, ledgerPath, batchId)
     val ledger =
       if (priorLedgers.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        bs.createDataFrame(bs.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("h",
               org.apache.spark.sql.types.StringType))))
-      else spark.read.parquet(priorLedgers: _*)
-    graft.functions.expressions.BloomFns.register(spark)
+      else bs.read.parquet(priorLedgers: _*)
     graft.CacheScope.run {
       val blocks = CorpusOps.scrubBlocks(batch).withColumn("h", md5(col("btxt")))
       // Seen-set membership, q96's bloom→exact-verify shape applied to the
@@ -83,34 +91,40 @@ object StreamingBlockScrub {
       // batch's blocks MAP-SIDE, and only the surviving candidate hashes
       // (true hits + ~1% fp) are exact-verified — broadcast against the
       // ledger scan, so the corpus-lifetime state table NEVER SHUFFLES.
-      // No false negatives, so `seen` is exact; a segment missing its
-      // sketch falls back to the plain hash-keyed join, same answer.
-      val seen = mergedBloom(spark, priorLedgers) match {
+      // No false negatives, so `seen` is exact. Only the sketch-gated
+      // path may broadcast (candidates are batch-bounded); a segment
+      // missing its sketch degrades to the PLAIN hash-keyed join — the
+      // ledger side must never be broadcast, it is corpus-lifetime state.
+      val marked = mergedBloom(bs, priorLedgers) match {
         case Some(bytes) =>
           val candidates = blocks
             .filter(call_function("might_contain", lit(bytes), xxhash64(col("h"))))
             .select(col("h")).distinct()
-          ledger.join(broadcast(candidates), Seq("h"))
+          val seen = ledger.join(broadcast(candidates), Seq("h"))
             .select(col("h")).distinct()
-        case None => ledger
+          markKept(blocks, broadcast(seen.withColumn("seen", lit(true))))
+        case None =>
+          markKept(blocks, ledger.withColumn("seen", lit(true)))
       }
-      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
-      // cached: feeds the verdict aggregate AND the ledger addition
-      val marked = graft.CacheScope.cache(
-        blocks
-          .join(broadcast(seen.withColumn("seen", lit(true))), Seq("h"), "left")
-          .withColumn("keep",
-            col("seen").isNull && row_number().over(w) === 1))
-      CorpusOps.scrubVerdicts(marked)
+      val cachedMarked = graft.CacheScope.cache(marked)
+      CorpusOps.scrubVerdicts(cachedMarked)
         .write.mode("overwrite").parquet(s"$outPath/batch_$batchId")
       // newly-seen hashes = the kept blocks' (within-batch dups share a
       // kept block's hash; ledger-dropped blocks are already present)
       val additions = graft.CacheScope.cache(
-        marked.filter(col("keep")).select(col("h")).distinct())
+        cachedMarked.filter(col("keep")).select(col("h")).distinct())
       additions.write.mode("overwrite").parquet(s"$ledgerPath/ledger_$batchId")
-      writeSegmentBloom(spark, additions, s"$ledgerPath/ledger_$batchId")
+      writeSegmentBloom(bs, additions, s"$ledgerPath/ledger_$batchId")
     }
   }
+
+  /** The shared q103 keep rule with the ledger verdict folded in: left
+    * join the seen set, then keep = not-seen AND first occurrence
+    * (the one `CorpusOps.firstOccurrenceKeep` definition).
+    */
+  private def markKept(blocks: DataFrame, seen: DataFrame): DataFrame =
+    CorpusOps.firstOccurrenceKeep(
+      blocks.join(seen, Seq("h"), "left"), col("seen").isNull)
 
   /** The segment's sketch lives UNDER the segment dir as `_bloom` — the
     * underscore keeps parquet readers of the segment from listing it, and

@@ -195,7 +195,7 @@ class PlanAuditSpec extends SparkSpec {
     // the keep rule must be a window PARTITIONED by the block hash (its
     // partition = one block's occurrence list) — an empty partition spec
     // would funnel every block through one reducer
-    assert(p103.contains("row_number() windowspecdefinition(_w"),
+    assert(p103.contains("row_number() windowspecdefinition(h#"),
       "q103's first-occurrence window lost its hash partitioning:\n" + p103)
     assert(!p103.contains("Cartesian") && !p103.contains("BroadcastNestedLoop"),
       "q103 must never compare blocks pairwise:\n" + p103)

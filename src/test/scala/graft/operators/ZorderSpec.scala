@@ -70,6 +70,14 @@ class ZorderSpec extends SparkSpec {
     assert(Spatial.zcellsForBox(-200.0, 200.0, 10.0, 11.0).size == 16)
     // and a non-wrapping box is unchanged by the decomposition
     assert(Spatial.zcellsForBox(100.0, 110.0, 10.0, 11.0).size == 1)
+    // fully-out-of-range endpoints normalize by whole turns instead of
+    // recursing forever: (370, 365) is the (10, 5) wrap, (0, -5) the
+    // [0, 355] span, (-365, -361) the (-5, -1) → (355, 359) span
+    val wrapped = Spatial.zcellsForBox(370.0, 365.0, 10.0, 11.0)
+    assert(wrapped.toSet == Spatial.zcellsForBox(10.0, 5.0, 10.0, 11.0).toSet)
+    assert(Spatial.zcellsForBox(0.0, -5.0, 10.0, 11.0).contains(east))
+    assert(Spatial.zcellsForBox(-365.0, -361.0, 10.0, 11.0).toSet ==
+      Spatial.zcellsForBox(355.0, 359.0, 10.0, 11.0).toSet)
   }
 
   test("box query over the zcell layout prunes partitions and matches the exact answer") {
