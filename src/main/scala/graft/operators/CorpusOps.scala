@@ -126,20 +126,53 @@ object CorpusOps {
   def q69Repetition(spark: SparkSession, dir: String): DataFrame =
     repetitionScores(docs(spark, dir))
 
+  /** Parallelism dial for the q70 two-pass cumsum: quantile cuts over the
+    * order key → at most PACK_CUTS+1 range buckets. Offsets stay a
+    * ≤(langs × buckets) frame; per-(lang, bucket) groups carry ~1/buckets
+    * of the corpus — raise the dial with the cluster, q89-style.
+    */
+  private[graft] val PACK_CUTS = 255
+
   /** Sequence packing: concat-and-chunk documents into 2048-token training
-    * windows WITHIN each language (the monolingual-stream shape). The only
-    * exchange is the per-lang window — languages pack in parallel and no
-    * global order exists, so the operator scales with executor count
-    * rather than forcing a single-partition global cumsum. Emits each
-    * document's stream offset, window id, and whether it straddles a
+    * windows WITHIN each language (the monolingual-stream shape). Emits
+    * each document's stream offset, window id, and whether it straddles a
     * window boundary (the span that would be attention-masked).
+    *
+    * Shape: a per-lang running cumsum is ONE sequential reducer per
+    * language at corpus scale (a handful of langs ⇒ a handful of
+    * reducers, each sorting its whole language). This is q89's two-pass
+    * instead: range-bucket the order key (doc_id) by [[PACK_CUTS]]
+    * approximate quantile cuts — order-preserving by construction, and
+    * the cumsum is EXACT for any monotone bucketing, so the approximation
+    * never reaches the output — then (1) local cumsum per (lang, bucket)
+    * in parallel, (2) per-bucket token totals rolled into start offsets
+    * by a window over the ≤(langs × buckets) offsets frame (the only
+    * single-partition window — O(buckets) rows, bounded by the dial, the
+    * IVF-centroid kind of small), (3) broadcast the offsets back:
+    * cum_end = bucket offset + local cumsum.
     */
   def q70PackSequences(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(spark, dir)
+    val toks = docs(spark, dir)
       .withColumn("n_tok", size(split(col("text"), " ")))
-      .withColumn("cum_end", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tok"))
+    val fracs = array((1 to PACK_CUTS).map(k => lit(k.toDouble / (PACK_CUTS + 1))): _*)
+    val cuts = toks.agg(
+      percentile_approx(col("doc_id"), fracs, lit(10000)).as("cuts"))
+    val bucketed = toks.crossJoin(broadcast(cuts))
+      .withColumn("bucket", size(filter(col("cuts"), c => c <= col("doc_id"))))
+      .drop("cuts")
+    val local = Window.partitionBy(col("lang"), col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byBucket = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_tok")).as("b_tok"))
+      .withColumn("off", coalesce(sum(col("b_tok")).over(byBucket), lit(0L)))
+      .select(col("lang"), col("bucket"), col("off"))
+    bucketed
+      .withColumn("local_cum", sum(col("n_tok")).over(local))
+      .join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("cum_end", col("off") + col("local_cum"))
       .withColumn("start_off", col("cum_end") - col("n_tok"))
       .select(col("doc_id"), col("lang"), col("n_tok"),
         col("start_off"),
@@ -297,11 +330,20 @@ object CorpusOps {
 
   /** The q103 keep rule — ONE definition for the batch query, the corpus
     * builder and the streaming scrub: `keep` iff this row is the globally
-    * first occurrence of its block content (lowest (doc_id, idx), one
-    * window keyed by the block hash — partition size = a block's
-    * occurrence count, never corpus size) AND `alsoKeep` holds (the
-    * streaming scrub passes its not-in-ledger verdict). Adds `h` when the
-    * caller has not already materialized it.
+    * first occurrence of its block content (lowest (doc_id, idx)) AND
+    * `alsoKeep` holds (the streaming scrub passes its not-in-ledger
+    * verdict). Adds `h` when the caller has not already materialized it.
+    *
+    * Shape: the winner per block hash is a `min(struct(doc_id, idx))`
+    * AGGREGATE joined back on the hash — NOT a `row_number` window
+    * partitioned by `h`. The hottest block in a real corpus (license
+    * boilerplate, repeated 10^6-10^7x — the very thing this operator
+    * exists to scrub) is the canonical skew key: a window would sort all
+    * its occurrences on ONE reducer with no partial aggregation, while
+    * the aggregate combines map-side (each task forwards one candidate
+    * winner per hash) and the join back is AQE-skew-splittable. The
+    * winner is over ALL occurrences, not just `alsoKeep` rows — same as
+    * the original window semantics (rank first, then AND the verdict).
     */
   private[graft] def firstOccurrenceKeep(
       blocks: DataFrame,
@@ -309,8 +351,13 @@ object CorpusOps {
     val withH =
       if (blocks.columns.contains("h")) blocks
       else blocks.withColumn("h", md5(col("btxt")))
-    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("idx"))
-    withH.withColumn("keep", alsoKeep && row_number().over(w) === 1)
+    val winners = withH
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("_first"))
+    withH.join(winners, Seq("h"))
+      .withColumn("keep", alsoKeep &&
+        col("doc_id") === col("_first.doc_id") && col("idx") === col("_first.idx"))
+      .drop("_first")
   }
 
   /** Per-doc scrub verdicts over a keep-marked block frame
@@ -408,8 +455,16 @@ object CorpusOps {
     * — temperature 0.5, the up-sample-the-tail shape — with a target
     * budget of 200 docs, each source contributing its quota's
     * lowest-content-hash documents (reproducible "random" sampling, the
-    * q63 trick). The quota table is sources-sized (broadcast); the only
-    * corpus exchange is the per-source ranking window.
+    * q63 trick). The quota table is sources-sized (broadcast).
+    *
+    * Shape: `source` has a handful of values, so a single ranked-take
+    * window over it funnels the whole corpus through #sources reducers.
+    * This is q86's TWO-PHASE instead: each input partition forwards its
+    * local best `quota` rows per source — the local window's shuffle key
+    * carries the partition id, spreading over every reducer, and the
+    * local bound is the source's own quota (a global winner is a local
+    * winner, so phase 2 sees all of them) — then the global ranked take
+    * runs over the ≤ quota·partitions survivors per source.
     */
   def q75TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
@@ -419,10 +474,15 @@ object CorpusOps {
       .withColumn("w", round(sqrt(col("n_s")) / col("z"), 6))
       .withColumn("quota", floor(col("w") * 200).cast("int"))
       .select(col("source"), col("w"), col("quota"))
-    val wnd = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val local = Window.partitionBy(col("source"), col("pid"))
+      .orderBy(col("h"), col("doc_id"))
+    val global = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
     d.withColumn("h", md5(col("text")))
-      .withColumn("rk", row_number().over(wnd))
+      .withColumn("pid", spark_partition_id())
       .join(broadcast(quota), Seq("source"))
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= col("quota"))
+      .withColumn("rk", row_number().over(global))
       .filter(col("rk") <= col("quota"))
       .select(col("doc_id"), col("source"), col("rk"), col("w"))
   }

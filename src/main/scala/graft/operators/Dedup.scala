@@ -551,10 +551,17 @@ object Dedup {
   /** Quality-aware canonical selection: within each duplicate cluster
     * (q58's simhash components), keep the HIGHEST-QUALITY copy — here the
     * distinct-token ratio, ties by min doc_id — instead of the min-id
-    * representative. The real-corpus dedup ending: the cluster table
-    * joins the per-row quality projection id-to-id and the winner is one
-    * per-cluster window — no new wide exchange beyond the clustering
-    * itself.
+    * representative. The real-corpus dedup ending.
+    *
+    * Shape: the per-cluster winner is a `max(struct(quality, -doc_id))`
+    * AGGREGATE joined back on the cluster id — NOT a `row_number` window
+    * partitioned by `cluster_id`. Mega-clusters are exactly what dedup
+    * produces on boilerplate/empty docs, and a window would sort each one
+    * on a single reducer with no partial aggregation; the aggregate
+    * combines map-side (one candidate winner per cluster per task) and
+    * the join back is AQE-skew-splittable. Negating the id inside the
+    * struct makes the lexicographic max = (max quality, min doc_id) —
+    * the window's exact (quality DESC, doc_id ASC) rule.
     */
   def q77CanonicalBest(spark: SparkSession, dir: String): DataFrame = {
     val clusters = q58DedupClusters(spark, dir)
@@ -563,13 +570,13 @@ object Dedup {
       .select(col("doc_id"),
         round(size(array_distinct(col("tokens"))).cast("double") /
           size(col("tokens")), 6).as("quality"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id"))
-      .orderBy(col("quality").desc, col("doc_id"))
-    clusters.join(quality, Seq("doc_id"))
-      .withColumn("rk", row_number().over(w))
+    val joined = clusters.join(quality, Seq("doc_id"))
+    val winners = joined.groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("_best"))
+      .select(col("cluster_id"), (-col("_best.nid")).as("_best_doc"))
+    joined.join(winners, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("quality"),
-        (col("rk") === 1).as("keep"))
+        (col("doc_id") === col("_best_doc")).as("keep"))
   }
 
   /** Winnowing fingerprints (the MOSS/substring-dedup modality): every

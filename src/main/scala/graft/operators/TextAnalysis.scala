@@ -100,16 +100,28 @@ object TextAnalysis {
 
   /** Stratified corpus balancing: a deterministic per-language quota (50
     * docs per lang, ranked by content hash) — the data-mixing operation a
-    * training corpus build ends with. One shuffle (the per-lang window);
-    * the hash ranking makes the "random" sample reproducible on any
-    * engine and any run.
+    * training corpus build ends with. The hash ranking makes the "random"
+    * sample reproducible on any engine and any run.
+    *
+    * Shape: `lang` has a handful of values, so a single ranked-take
+    * window over it ranks the WHOLE corpus through #langs reducers. This
+    * is q86's TWO-PHASE instead: each input partition forwards its local
+    * best 50 per lang (the local window's shuffle key carries the
+    * partition id — spreads over every reducer; a global winner is
+    * necessarily a local winner), then the global take runs over the
+    * ≤ 50·partitions survivors per lang.
     */
   def q63StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("pid")).orderBy(col("h"), col("doc_id"))
+    val global = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
     docs(spark, dir)
       .withColumn("h", md5(col("text")))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= 50)
+      .withColumn("rk", row_number().over(global))
       .filter(col("rk") <= 50)
       .select(col("doc_id"), col("lang"), col("rk"))
   }

@@ -192,13 +192,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(p101.contains("TakeOrderedAndProject"),
       "q101's vocab top-k must stay a TakeOrdered:\n" + p101)
     val p103 = plan(CorpusOps.queries("q103_dedup_scrub")(spark, dir))
-    // the keep rule must be a window PARTITIONED by the block hash (its
-    // partition = one block's occurrence list) — an empty partition spec
-    // would funnel every block through one reducer
-    assert(p103.contains("row_number() windowspecdefinition(h#"),
-      "q103's first-occurrence window lost its hash partitioning:\n" + p103)
+    // the keep rule must be the min(struct) AGGREGATE (map-side partial
+    // combine — the hottest block in a real corpus is boilerplate repeated
+    // 10^6+ times), never a row_number window partitioned by the block
+    // hash: a window sorts every occurrence of the hot block on ONE
+    // reducer with no partial phase
+    assert(p103.contains("partial_min"),
+      "q103's first-occurrence winner lost its map-side partial phase:\n" + p103)
+    assert(!p103.contains("row_number()"),
+      "q103's keep rule regressed to a single-reducer ranking window:\n" + p103)
     assert(!p103.contains("Cartesian") && !p103.contains("BroadcastNestedLoop"),
       "q103 must never compare blocks pairwise:\n" + p103)
+  }
+
+  test("q63/q75: ranked takes over low-cardinality keys stay two-phase") {
+    // `lang`/`source` have a handful of values — a single ranked window
+    // over them funnels the whole corpus through that many reducers. The
+    // q86 two-phase shape: phase 1's window key carries the partition id.
+    for ((q, m) <- Seq(
+      "q63_stratified_sample" -> TextAnalysis.queries,
+      "q75_temperature_mix" -> CorpusOps.queries)) {
+      val p = plan(m(q)(spark, dir))
+      assert(p.toLowerCase.contains("spark_partition_id"),
+        s"$q collapsed to a single per-key window:\n$p")
+      assert("\\(\\d+\\) Window".r.findAllIn(p).size >= 2,
+        s"$q expected both quota phases as Window operators:\n$p")
+    }
+  }
+
+  test("q70: packing cumsum is two-pass — corpus window keyed by (lang, bucket), offsets broadcast") {
+    val p = plan(CorpusOps.queries("q70_pack_sequences")(spark, dir))
+    // the corpus-side running sum must be partitioned by (lang, bucket) —
+    // a per-lang-only frame is one sequential reducer per language
+    assert("windowspecdefinition\\(lang#\\d+, bucket#\\d+, doc_id#".r
+      .findFirstIn(p).isDefined,
+      "q70's corpus cumsum lost its bucket partitioning:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "q70's bucket offsets must broadcast-join back:\n" + p)
+  }
+
+  test("q77: canonical winner is an aggregate with a partial phase, not a cluster window") {
+    val p = plan(Dedup.queries("q77_canonical_best")(spark, dir))
+    // mega-clusters (boilerplate) are exactly what dedup produces — the
+    // winner must map-side combine, never rank a cluster on one reducer
+    assert(p.contains("partial_max"),
+      "q77's winner aggregate lost its map-side partial phase:\n" + p)
+    assert(!p.contains("row_number()"),
+      "q77 regressed to a per-cluster ranking window:\n" + p)
   }
 
   test("q104: the composed build keeps every stage's audited shape") {
