@@ -179,6 +179,10 @@ object CorpusBuild {
         |FROM o""".stripMargin)
 
   def main(args: Array[String]): Unit = {
+    if (args.length != 2) {
+      System.err.println("usage: graft.CorpusBuild <sfDir> <outDir>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args
     val spark = SparkSession.builder()
       .appName("graft-corpus-build")

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.CorpusOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -21,23 +21,53 @@ import org.apache.spark.sql.types.StructType
   * blocks at 100 TB) outgrows any per-executor store, but a
   * hash-partitioned table joins at whatever the cluster scans — the
   * q79/q81 incremental-index story with a state table that GROWS.
+  *
   * Per batch the ledger participates through q96's bloom→exact-verify
-  * shape: each segment carries its own 128 KiB sketch, their OR gates
-  * the batch's blocks map-side, and only the candidate hashes are
-  * exact-verified — broadcast against the ledger scan, so the
-  * corpus-lifetime state never shuffles (bucket it by hash and the
-  * scan prunes too).
+  * shape, gated PER SEGMENT: each segment carries its own sketch, the
+  * batch's blocks are gated map-side by the OR of the segments'
+  * `might_contain` terms (an OR of codegen'd scalar calls — no sketch
+  * merging, so differently-sized sketches compose), and only the
+  * surviving candidate hashes are exact-verified against the sketched
+  * segments' scan. A segment MISSING its sketch degrades only itself:
+  * its hashes are verified through a join probed by the batch's
+  * distinct hashes — in both paths the corpus-lifetime ledger NEVER
+  * shuffles and is NEVER broadcast; only batch-bounded hash sets move,
+  * and even those fall back to a plain join past [[BROADCAST_CAP]]
+  * (a backfill batch must not blow the driver).
+  *
+  * COMPACTION bounds per-batch overhead: segments grow one per
+  * micro-batch, and without compaction every batch pays O(total
+  * batches) in FS stats, driver sketch reads, and `might_contain`
+  * terms — while a fixed-dial OR'd sketch saturates once lifetime
+  * distinct blocks pass its capacity (the gate then passes
+  * everything: still exact, but the bloom win is gone). Once more
+  * than [[COMPACT_AFTER]] prior segments exist, the batch merges ALL
+  * of them into one `compact_<hi>` segment (hi = the highest batch id
+  * covered) with ONE covering sketch SIZED TO ITS CONTENT (1% fp at
+  * the merged distinct count — capacity grows with the corpus instead
+  * of saturating), then deletes the originals. Per-batch segment
+  * listing and sketch reads are thereby O(1 compacted + COMPACT_AFTER
+  * recent).
   *
   * Replay safety: `foreachBatch` is at-least-once, so BOTH writes are
-  * keyed by batch id and overwrite — and the ledger read excludes the
-  * current batch's own ledger dir, so a replayed batch that already
-  * appended its hashes does not scrub itself against them (the verdict
-  * is a pure function of the batch plus STRICTLY EARLIER batches).
+  * keyed by batch id and overwrite — and the ledger read takes only
+  * segments covering batches STRICTLY EARLIER than the current id, so
+  * a replayed batch that already appended its hashes does not scrub
+  * itself against them (the verdict is a pure function of the batch
+  * plus strictly earlier batches). Compaction during batch N merges
+  * only segments < N and names the result by its highest covered id;
+  * Structured Streaming can only replay the latest uncommitted batch
+  * (≥ N), for which `hi < batchId` still admits the compacted segment
+  * — so a compaction racing a replay changes nothing the replay reads.
+  * A crash between the compact write and the original deletes leaves
+  * both visible; seen-set semantics make the duplicate hashes
+  * harmless and the next compaction sweeps them.
   */
 object StreamingBlockScrub {
 
-  /** Ledger additions live under `ledger_<id>`; verdicts under
-    * `batch_<id>`. Readers load verdicts with recursiveFileLookup.
+  /** Ledger additions live under `ledger_<id>`; compacted history under
+    * `compact_<hi>`; verdicts under `batch_<id>`. Readers load verdicts
+    * with recursiveFileLookup.
     */
   def run(spark: SparkSession, docDir: String, docSchema: StructType,
           outPath: String, ledgerPath: String, checkpoint: String,
@@ -59,12 +89,29 @@ object StreamingBlockScrub {
       .start()
   }
 
-  /** Sketch dials per ledger segment: 128 KiB, ≲1% fp at 2^17 items —
-    * identical across segments so the serialized sketches OR-merge
-    * (`BloomFilter.mergeInPlace` requires matching bits/hashes).
+  /** Per-batch sketch dials: 128 KiB, ≲1% fp at 2^17 items. Compacted
+    * segments size their covering sketch to their own content instead.
     */
   private val EST_ITEMS = 1L << 17
   private val NUM_BITS = 1L << 20
+
+  /** Prior segments tolerated before the batch compacts them into one. */
+  private[streaming] val COMPACT_AFTER = 8
+
+  /** Above this many candidate/batch hashes, verify joins drop their
+    * broadcast and fall back to a shuffle join — a backfill batch (or a
+    * saturated sketch) must degrade, not fail the batch.
+    */
+  private[streaming] val BROADCAST_CAP = 500000L
+
+  private val LedgerName = "^ledger_(\\d+)$".r
+  private val CompactName = "^compact_(\\d+)$".r
+
+  /** One ledger segment: its path, the highest batch id it covers, and
+    * its sketch bytes when the `_bloom` file exists.
+    */
+  private[streaming] final case class Segment(
+      path: String, hi: Long, sketch: Option[Array[Byte]])
 
   /** One micro-batch of the scrub, factored for direct spec access. */
   private[streaming] def scrubBatch(spark: SparkSession, batch: DataFrame,
@@ -75,37 +122,13 @@ object StreamingBlockScrub {
     // function resolved — on it, not on the outer session
     val bs = batch.sparkSession
     graft.functions.expressions.BloomFns.register(bs)
-    val priorLedgers = listPriorLedgers(bs, ledgerPath, batchId)
-    val ledger =
-      if (priorLedgers.isEmpty)
-        bs.createDataFrame(bs.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("h",
-              org.apache.spark.sql.types.StringType))))
-      else bs.read.parquet(priorLedgers: _*)
+    val segments = listSegments(bs, ledgerPath).filter(_.hi < batchId)
     graft.CacheScope.run {
-      val blocks = CorpusOps.scrubBlocks(batch).withColumn("h", md5(col("btxt")))
-      // Seen-set membership, q96's bloom→exact-verify shape applied to the
-      // ledger: each segment stores its own 128 KiB sketch; their OR (tiny
-      // driver bytes — segments × 128 KiB, read once per batch) gates the
-      // batch's blocks MAP-SIDE, and only the surviving candidate hashes
-      // (true hits + ~1% fp) are exact-verified — broadcast against the
-      // ledger scan, so the corpus-lifetime state table NEVER SHUFFLES.
-      // No false negatives, so `seen` is exact. Only the sketch-gated
-      // path may broadcast (candidates are batch-bounded); a segment
-      // missing its sketch degrades to the PLAIN hash-keyed join — the
-      // ledger side must never be broadcast, it is corpus-lifetime state.
-      val marked = mergedBloom(bs, priorLedgers) match {
-        case Some(bytes) =>
-          val candidates = blocks
-            .filter(call_function("might_contain", lit(bytes), xxhash64(col("h"))))
-            .select(col("h")).distinct()
-          val seen = ledger.join(broadcast(candidates), Seq("h"))
-            .select(col("h")).distinct()
-          markKept(blocks, broadcast(seen.withColumn("seen", lit(true))))
-        case None =>
-          markKept(blocks, ledger.withColumn("seen", lit(true)))
-      }
+      val blocks = graft.CacheScope.cache(
+        CorpusOps.scrubBlocks(batch).withColumn("h", md5(col("btxt"))))
+      val seen = seenHashes(bs, blocks, segments)
+      val marked = CorpusOps.firstOccurrenceKeep(
+        blocks.join(seen, Seq("h"), "left"), col("seen").isNull)
       val cachedMarked = graft.CacheScope.cache(marked)
       CorpusOps.scrubVerdicts(cachedMarked)
         .write.mode("overwrite").parquet(s"$outPath/batch_$batchId")
@@ -114,31 +137,71 @@ object StreamingBlockScrub {
       val additions = graft.CacheScope.cache(
         cachedMarked.filter(col("keep")).select(col("h")).distinct())
       additions.write.mode("overwrite").parquet(s"$ledgerPath/ledger_$batchId")
-      writeSegmentBloom(bs, additions, s"$ledgerPath/ledger_$batchId")
+      writeSegmentBloom(bs, additions, s"$ledgerPath/ledger_$batchId",
+        EST_ITEMS, NUM_BITS)
     }
+    maybeCompact(bs, ledgerPath, batchId)
   }
 
-  /** The shared q103 keep rule with the ledger verdict folded in: left
-    * join the seen set, then keep = not-seen AND first occurrence
-    * (the one `CorpusOps.firstOccurrenceKeep` definition).
+  /** The batch's seen set — a (h, seen=true) frame BOUNDED BY THE BATCH
+    * (every row is one of the batch's distinct hashes), assembled without
+    * ever shuffling or broadcasting the ledger:
+    *   - sketched segments: gate the batch's hashes map-side by the OR of
+    *     the segments' `might_contain` terms, then exact-verify only the
+    *     candidates (true hits + ~fp%) against those segments' scan;
+    *   - sketchless segments (a degraded write): verify ALL the batch's
+    *     distinct hashes against their scan — that segment loses its
+    *     gate, the others keep theirs.
+    * Both verify joins probe with the small side; past [[BROADCAST_CAP]]
+    * the hint drops and the join degrades to a shuffle.
     */
-  private def markKept(blocks: DataFrame, seen: DataFrame): DataFrame =
-    CorpusOps.firstOccurrenceKeep(
-      blocks.join(seen, Seq("h"), "left"), col("seen").isNull)
+  private def seenHashes(bs: SparkSession, blocks: DataFrame,
+                         segments: Seq[Segment]): DataFrame = {
+    def capped(small: DataFrame): DataFrame =
+      if (small.count() <= BROADCAST_CAP) broadcast(small) else small
+    val (sketched, plain) = segments.partition(_.sketch.isDefined)
+    val parts = Seq.newBuilder[DataFrame]
+    if (sketched.nonEmpty) {
+      val gate: Column = sketched
+        .map(s => call_function("might_contain", lit(s.sketch.get),
+          xxhash64(col("h"))))
+        .reduce(_ || _)
+      val candidates = graft.CacheScope.cache(
+        blocks.filter(gate).select(col("h")).distinct())
+      parts += bs.read.parquet(sketched.map(_.path): _*)
+        .join(capped(candidates), Seq("h")).select(col("h"))
+    }
+    if (plain.nonEmpty) {
+      val batchHashes = graft.CacheScope.cache(
+        blocks.select(col("h")).distinct())
+      parts += bs.read.parquet(plain.map(_.path): _*)
+        .join(capped(batchHashes), Seq("h")).select(col("h"))
+    }
+    parts.result() match {
+      case Nil => bs.createDataFrame(
+        bs.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h",
+            org.apache.spark.sql.types.StringType))))
+        .withColumn("seen", lit(true))
+      case ps => ps.reduce(_ union _).distinct().withColumn("seen", lit(true))
+    }
+  }
 
   /** The segment's sketch lives UNDER the segment dir as `_bloom` — the
     * underscore keeps parquet readers of the segment from listing it, and
     * an at-least-once replay overwrites segment data and sketch together.
     */
   private def writeSegmentBloom(spark: SparkSession, additions: DataFrame,
-                                segmentPath: String): Unit = {
+                                segmentPath: String, estItems: Long,
+                                numBits: Long): Unit = {
     val agg = additions
       .select(call_function("bloom_agg",
-        xxhash64(col("h")), lit(EST_ITEMS), lit(NUM_BITS)).as("bf"))
+        xxhash64(col("h")), lit(estItems), lit(numBits)).as("bf"))
       .head()
     val bytes = agg.getAs[Array[Byte]]("bf") match {
       case null => // empty additions: an all-zeros sketch keeps the fast path
-        val empty = org.apache.spark.util.sketch.BloomFilter.create(EST_ITEMS, NUM_BITS)
+        val empty = org.apache.spark.util.sketch.BloomFilter.create(estItems, numBits)
         val bos = new java.io.ByteArrayOutputStream()
         empty.writeTo(bos); bos.toByteArray
       case b => b
@@ -148,37 +211,64 @@ object StreamingBlockScrub {
       .write.mode("overwrite").parquet(s"$segmentPath/_bloom")
   }
 
-  /** OR-merge every prior segment's sketch (same dials by construction;
-    * Spark's public sketch API round-trips the aggregate's serialization).
-    * None when there are no prior segments or any segment lacks a sketch
-    * (→ caller uses the plain hash-keyed ledger join).
+  /** Merge every segment covering batches < batchId into one
+    * `compact_<batchId-1>` segment with a covering sketch sized to the
+    * merged distinct count (1% fp, floored at the per-batch dials), then
+    * delete the originals. Only fires past [[COMPACT_AFTER]] prior
+    * segments, so steady-state per-batch cost is O(1 + COMPACT_AFTER).
     */
-  private def mergedBloom(spark: SparkSession,
-                          priorLedgers: Seq[String]): Option[Array[Byte]] = {
-    if (priorLedgers.isEmpty) return None
-    val fs = new org.apache.hadoop.fs.Path(priorLedgers.head)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!priorLedgers.forall(p =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$p/_bloom")))) return None
-    val sketches = priorLedgers.map { p =>
-      val bytes = spark.read.parquet(s"$p/_bloom").head().getAs[Array[Byte]]("bf")
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bytes))
+  private[streaming] def maybeCompact(bs: SparkSession, ledgerPath: String,
+                                      batchId: Long): Unit = {
+    val segs = listSegments(bs, ledgerPath).filter(_.hi < batchId)
+    if (segs.length <= COMPACT_AFTER) return
+    val target = s"$ledgerPath/compact_${batchId - 1}"
+    graft.CacheScope.run {
+      val merged = graft.CacheScope.cache(
+        bs.read.parquet(segs.map(_.path): _*).select(col("h")).distinct())
+      val n = math.max(merged.count(), 1L)
+      val bits = math.max(NUM_BITS,
+        org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, 0.01))
+      merged.write.mode("overwrite").parquet(target)
+      writeSegmentBloom(bs, bs.read.parquet(target), target,
+        math.max(EST_ITEMS, n), bits)
     }
-    val merged = sketches.reduce((a, b) => a.mergeInPlace(b))
-    val bos = new java.io.ByteArrayOutputStream()
-    merged.writeTo(bos)
-    Some(bos.toByteArray)
+    // originals go only after the compact segment + sketch are durable; a
+    // crash in this loop leaves survivors whose hashes the compact already
+    // holds — harmless duplicates the next compaction sweeps
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+      .getFileSystem(bs.sparkContext.hadoopConfiguration)
+    segs.filter(_.path != target).foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(s.path), true)
+    }
+    graft.Telemetry.record(
+      s"blockscrub compact: ${segs.length} segments -> compact_${batchId - 1}")
   }
 
-  private def listPriorLedgers(spark: SparkSession, ledgerPath: String,
-                               batchId: Long): Seq[String] = {
+  /** List ledger segments under strict name patterns (a foreign
+    * `ledger_tmp` dir must be skipped, not crash every batch), reading
+    * each segment's sketch bytes when present — O(segments) driver work,
+    * bounded by compaction.
+    */
+  private[streaming] def listSegments(spark: SparkSession,
+                                      ledgerPath: String): Seq[Segment] = {
     val p = new org.apache.hadoop.fs.Path(ledgerPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ledger_"))
-      .filter(_.getPath.getName.stripPrefix("ledger_").toLong < batchId)
-      .map(_.getPath.toString)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { s =>
+      val hi = s.getPath.getName match {
+        case LedgerName(id)  => Some(id.toLong)
+        case CompactName(id) => Some(id.toLong)
+        case _               => None
+      }
+      hi.map { h =>
+        val bloomPath = new org.apache.hadoop.fs.Path(s.getPath, "_bloom")
+        val sketch =
+          if (!fs.exists(bloomPath)) None
+          else scala.util.Try(
+            spark.read.parquet(bloomPath.toString)
+              .head().getAs[Array[Byte]]("bf")).toOption
+        Segment(s.getPath.toString, h, sketch)
+      }
+    }
   }
 }
