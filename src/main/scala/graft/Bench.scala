@@ -257,6 +257,20 @@ object Bench {
       }
     }
 
+    // the published recall is a GATED number: every measured value must
+    // clear its per-sf floor (operators.Similarity.RecallFloors — the same
+    // table AnnRecallSpec enforces at fixture sf). A violation is recorded
+    // in the artifact AND fails the bench process after the artifact is
+    // written, so a quantizer/codebook regression at bench scale cannot
+    // ship as a quietly lower number.
+    val recallViolations = recall.flatMap { case (q, r) =>
+      val floor = operators.Similarity.recallFloor(q, sfDir)
+      if (r < floor) {
+        System.err.println(f"[bench] RECALL FLOOR VIOLATION: $q = $r%.3f < floor $floor%.2f at $sfDir")
+        Some(f"$q=$r%.3f<$floor%.2f")
+      } else None
+    }
+
     val meds = timings.map { case (name, ts) =>
       val good = ts.filter(_ >= 0)
       name -> (if (good.isEmpty) -1.0 else median(good))
@@ -308,8 +322,10 @@ object Bench {
     val tele = telemetry.toSeq.sortBy(_._1).map { case (k, evs) =>
       "\"" + esc(k) + "\":" + evs.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val violationsJson =
+      recallViolations.map(v => "\"" + esc(v) + "\"").mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","repeat":$repeat,"spread":$spread,"telemetry":$tele,"recall":$recallJson,"calib":{"spin1":${d3(calib1)},"spin32":${d3(calib32)}},"notes":"${esc(notes)}"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","repeat":$repeat,"spread":$spread,"telemetry":$tele,"recall":$recallJson,"recall_violations":$violationsJson,"calib":{"spin1":${d3(calib1)},"spin32":${d3(calib32)}},"notes":"${esc(notes)}"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")

@@ -1674,4 +1674,31 @@ object Similarity {
         |  GROUP BY 1)
         |SELECT s.vec_id, s.cluster, dup.dup_of, dup.dup_of IS NULL AS keep
         |FROM assigned s LEFT JOIN dup ON dup.b_id = s.vec_id""".stripMargin)
+
+  /** Recall@3 floors for the approximate paths, PER SCALE FACTOR — the
+    * one table both AnnRecallSpec (fixture sf) and Bench (the sf whose
+    * recall the artifact PUBLISHES) enforce, so the number a round
+    * records is always a gated number: a codebook/quantizer regression
+    * that only shows at bench scale fails the bench, not just a fixture
+    * spec it never ran under. Floors sit below the measured values with
+    * retune headroom (sf0.1 measured r9: q49 0.82, q57 0.95, q90 0.98,
+    * q92 0.17 — the documented coarse tier, q94 0.73, q95 0.77); an
+    * unlisted sf takes the query's most permissive recorded floor (the
+    * dials are corpus-dependent; a new sf should gate loosely, then get
+    * its own row once measured).
+    */
+  val RecallFloors: Map[String, Map[String, Double]] = Map(
+    "q49_ann_lsh"   -> Map("sf0.001" -> 0.6, "sf0.1" -> 0.55),
+    "q57_ann_ivf"   -> Map("sf0.001" -> 0.5, "sf0.1" -> 0.6),
+    "q90_ann_sq8"   -> Map("sf0.001" -> 0.9, "sf0.1" -> 0.9),
+    "q92_ann_pq"    -> Map("sf0.001" -> 0.2, "sf0.1" -> 0.1),
+    "q94_pq_refine" -> Map("sf0.001" -> 0.6, "sf0.1" -> 0.5),
+    "q95_ivfpq"     -> Map("sf0.001" -> 0.5, "sf0.1" -> 0.5))
+
+  /** The floor for `query` at the sf named by `sfDir`'s basename. */
+  def recallFloor(query: String, sfDir: String): Double = {
+    val bySf = RecallFloors.getOrElse(query, Map.empty)
+    if (bySf.isEmpty) 0.0
+    else bySf.getOrElse(new java.io.File(sfDir).getName, bySf.values.min)
+  }
 }

@@ -15,6 +15,8 @@ import graft.SparkSpec
   * corpus-subset quantizer it replaced measured 0.27).
   */
 class AnnRecallSpec extends SparkSpec {
+  // floors come from the ONE shared per-sf table (Similarity.RecallFloors)
+  // that Bench also gates the published sf0.1 numbers against
   import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
@@ -34,7 +36,7 @@ class AnnRecallSpec extends SparkSpec {
       (exactTop3(p) & got).size.toDouble / exactTop3(p).size
     }.sum / probes.size
     info(f"LSH recall@3 = $recall%.3f over ${probes.size} probes")
-    assert(recall >= 0.6, f"LSH recall collapsed to $recall%.3f — check bands/multiprobe dials")
+    assert(recall >= Similarity.recallFloor("q49_ann_lsh", dir), f"LSH recall collapsed to $recall%.3f — check bands/multiprobe dials")
   }
 
   test("SQ8 asymmetric scan keeps recall@3 against brute force") {
@@ -52,7 +54,7 @@ class AnnRecallSpec extends SparkSpec {
       (exactTop3(p) & got).size.toDouble / exactTop3(p).size
     }.sum / probes.size
     info(f"SQ8 recall@3 = $recall%.3f over ${probes.size} probes")
-    assert(recall >= 0.9, f"SQ8 recall collapsed to $recall%.3f — quantizer regression")
+    assert(recall >= Similarity.recallFloor("q90_ann_sq8", dir), f"SQ8 recall collapsed to $recall%.3f — quantizer regression")
   }
 
   test("PQ-ADC scan keeps recall@3 against brute force") {
@@ -75,7 +77,7 @@ class AnnRecallSpec extends SparkSpec {
       (exactTop3(p) & got).size.toDouble / exactTop3(p).size
     }.sum / probes.size
     info(f"PQ recall@3 = $recall%.3f over ${probes.size} probes")
-    assert(recall >= 0.2, f"PQ recall collapsed to $recall%.3f — codebook regression")
+    assert(recall >= Similarity.recallFloor("q92_ann_pq", dir), f"PQ recall collapsed to $recall%.3f — codebook regression")
   }
 
   test("PQ + exact refine recovers recall from the coarse tier") {
@@ -91,7 +93,7 @@ class AnnRecallSpec extends SparkSpec {
       (exactTop3(p) & got).size.toDouble / exactTop3(p).size
     }.sum / probes.size
     info(f"PQ+refine recall@3 = $recall%.3f over ${probes.size} probes")
-    assert(recall >= 0.6, f"PQ+refine recall collapsed to $recall%.3f — refine regression")
+    assert(recall >= Similarity.recallFloor("q94_pq_refine", dir), f"PQ+refine recall collapsed to $recall%.3f — refine regression")
   }
 
   test("IVF-PQ + refine keeps recall@3 against brute force") {
@@ -110,7 +112,7 @@ class AnnRecallSpec extends SparkSpec {
       (exactTop3(p) & ivfpq.getOrElse(p, Set.empty)).size.toDouble / exactTop3(p).size
     }.sum / probes.size
     info(f"IVF-PQ+refine recall@3 = $recall%.3f over ${probes.size} probes")
-    assert(recall >= 0.5, f"IVF-PQ recall collapsed to $recall%.3f — stage regression")
+    assert(recall >= Similarity.recallFloor("q95_ivfpq", dir), f"IVF-PQ recall collapsed to $recall%.3f — stage regression")
   }
 
   test("IVF-Flat keeps recall@3 against brute force") {
@@ -123,7 +125,7 @@ class AnnRecallSpec extends SparkSpec {
       (exactTop3(p) & ivf.getOrElse(p, Set.empty)).size.toDouble / exactTop3(p).size
     }.sum / probes.size
     info(f"IVF recall@3 = $recall%.3f over ${probes.size} probes")
-    assert(recall >= 0.5, f"IVF recall collapsed to $recall%.3f — check nprobe/quantizer")
+    assert(recall >= Similarity.recallFloor("q57_ann_ivf", dir), f"IVF recall collapsed to $recall%.3f — check nprobe/quantizer")
   }
 
   test("probe masks are combinatorial at every permitted band width") {
