@@ -203,7 +203,8 @@ object Bench {
     if (!sys.env.contains("SPARK_GRAFT_NOSTAGES")) {
       val probes: Seq[(String, (SparkSession, String) => Unit)] = Seq(
         "q66" -> (operators.Dedup.q66StageProbe _),
-        "q45" -> (operators.Dedup.q45StageProbe _))
+        "q45" -> (operators.Dedup.q45StageProbe _),
+        "q104" -> (CorpusBuild.q104StageProbe _))
       probes.foreach { case (q, probe) =>
         if (selected.exists(_._1.startsWith(q))) {
           try {

@@ -35,19 +35,35 @@ object CorpusBuild {
     * terminal action in `CacheScope.run`).
     */
   private[graft] def buildFrames(spark: SparkSession, sfDir: String): BuildFrames = {
-    val d = Tables.load(spark, sfDir, "documents")
-    val corpus = d.filter(col("source") =!= "src0")
-    val verdicts = CacheScope.cache(
-      operators.CorpusOps.q100IngestPipeline(spark, sfDir))
+    val verdicts = ingestStage(spark, sfDir)
+    val survivors = survivorsStage(spark, sfDir, verdicts)
+    val scrubbed = scrubStage(survivors)
+    val nonEmpty = CacheScope.cache(scrubbed.filter(length(col("text")) > 0))
+    val curated = curatedStage(survivors, nonEmpty)
+    BuildFrames(verdicts, scrubbed, curated)
+  }
 
-    // survivors of the ingest pipeline, with their metadata
-    val survivors = CacheScope.cache(
+  // ---- the four build stages, factored so [[q104StageProbe]] times the
+  // EXACT frames the builder runs (one definition, no probe drift) ----
+
+  private def ingestStage(spark: SparkSession, sfDir: String): DataFrame =
+    CacheScope.cache(operators.CorpusOps.q100IngestPipeline(spark, sfDir))
+
+  /** Survivors of the ingest pipeline, with their metadata. */
+  private def survivorsStage(spark: SparkSession, sfDir: String,
+                             verdicts: DataFrame): DataFrame = {
+    val corpus = Tables.load(spark, sfDir, "documents")
+      .filter(col("source") =!= "src0")
+    CacheScope.cache(
       corpus.select(col("doc_id"), col("text"), col("lang"), col("source"))
         .join(verdicts.filter(col("kept")).select(col("doc_id")), Seq("doc_id")))
+  }
 
-    // q103's scrub, materializing the TEXT (same kernels: block explode,
-    // shared first-occurrence keep rule, in-row reassembly)
-    val scrubbed = CacheScope.cache(
+  /** q103's scrub, materializing the TEXT (same kernels: block explode,
+    * shared first-occurrence keep rule, in-row reassembly).
+    */
+  private def scrubStage(survivors: DataFrame): DataFrame =
+    CacheScope.cache(
       operators.CorpusOps.firstOccurrenceKeep(
         operators.CorpusOps.scrubBlocks(survivors))
         .groupBy(col("doc_id"))
@@ -55,22 +71,52 @@ object CorpusBuild {
           count(lit(1)).as("n_blocks"),
           sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed")))
 
-    // a fully-scrubbed doc contributes no text — drop it (counted in the
-    // manifest); q80's content-hash split over the CURATED text + q89's
-    // shared two-pass shard ordinal over the curated ids
-    val nonEmpty = CacheScope.cache(scrubbed.filter(length(col("text")) > 0))
+  /** q80's content-hash split over the CURATED text + q89's shared
+    * two-pass shard ordinal over the curated ids (fully-scrubbed docs are
+    * already dropped from `nonEmpty`; counted in the manifest). Cached:
+    * `materialize` consumes the curated frame twice (the parquet write
+    * and the manifest count) — uncached, the assembly joins and the
+    * ordinal windows would run a second full pass just for a count.
+    */
+  private def curatedStage(survivors: DataFrame, nonEmpty: DataFrame): DataFrame = {
     val bucket = pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
       .cast("long"), lit(100))
-    // cached: `materialize` consumes the curated frame twice (the parquet
-    // write and the manifest count) — uncached, the assembly joins and
-    // the ordinal windows would run a second full pass just for a count
-    val curated = CacheScope.cache(nonEmpty
+    CacheScope.cache(nonEmpty
       .join(survivors.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
       .withColumn("split",
         when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test"))
       .join(operators.CorpusOps.shardOrdinals(nonEmpty.select(col("doc_id"))),
         Seq("doc_id")))
-    BuildFrames(verdicts, scrubbed, curated)
+  }
+
+  /** Per-stage probe for q104 — the heaviest query in the artifact needs
+    * its wall attributable to a stage (the q66/q45 probe contract):
+    * stages run the EXACT builder frames, each materialized inside its
+    * timer, and emit one Telemetry event each. `split_shard` covers the
+    * pure-projection split plus the two-pass ordinal and assembly joins.
+    */
+  def q104StageProbe(spark: SparkSession, dir: String): Unit = CacheScope.run {
+    def stage[A](name: String)(work: => (A, Long)): A = {
+      val t0 = System.nanoTime()
+      val (out, n) = work
+      val secs = (System.nanoTime() - t0) / 1e9
+      Telemetry.record(f"q104probe stage=$name secs=$secs%.3f rows=$n")
+      out
+    }
+    val verdicts = stage("ingest") {
+      val d = ingestStage(spark, dir); (d, d.count())
+    }
+    val survivors = stage("survivors") {
+      val d = survivorsStage(spark, dir, verdicts); (d, d.count())
+    }
+    val nonEmpty = stage("scrub") {
+      val d = CacheScope.cache(scrubStage(survivors).filter(length(col("text")) > 0))
+      (d, d.count())
+    }
+    stage("split_shard") {
+      val d = curatedStage(survivors, nonEmpty); (d, d.count())
+    }
+    ()
   }
 
   /** The whole build as a driver-gated query: curated rows with the
