@@ -89,8 +89,8 @@ object Spatial {
     * rectangle and interleave each cell's coordinates. Bounded by the
     * 16×16 grid (≤256 values — a driver-side set the planner turns into
     * partition pruning), never by the data. A finer production grid
-    * swaps this enumeration for a BIGMIN walk; the contract — query box
-    * in, cell superset out — is unchanged.
+    * swaps this enumeration for [[zrangesForBox]]'s range decomposition;
+    * the contract — query box in, cell superset out — is unchanged.
     */
   def zcellsForBox(raLo: Double, raHi: Double,
                    decLo: Double, decHi: Double): Seq[Long] = {
@@ -130,6 +130,80 @@ object Spatial {
       for (cx <- cxLo to cxHi; cy <- cyLo to cyHi) yield interleave4(cx, cy)
     }
   }
+
+  /** The box as inclusive Z-VALUE RANGES over a `cellBits`-wide cell grid
+    * — the production form for finer grids ([[zcellsForBox]]'s per-cell
+    * enumeration is exact but O(area): at 12+ cell bits a big box
+    * enumerates 10^3..10^6 cells, where the same region is O(perimeter)
+    * contiguous key ranges a planner turns into range predicates).
+    *
+    * Implementation: a quadtree prefix walk — a node square fully inside
+    * the box emits its whole z span in O(1) (the Morton property: an
+    * aligned 2^k square is one contiguous key range), a disjoint node
+    * prunes, a straddling node splits into its four quadrants in z
+    * order; adjacent output spans merge. This emits exactly the maximal
+    * ranges a Tropf–Herzog BIGMIN/LITMAX walk would visit, without the
+    * per-miss jump computation. Same contract as [[zcellsForBox]]
+    * (query box in, cell superset out — cells intersecting the box,
+    * nothing dropped) including the ra-seam wrap spellings.
+    */
+  def zrangesForBox(raLo: Double, raHi: Double, decLo: Double, decHi: Double,
+                    cellBits: Int = 12): Seq[(Long, Long)] = {
+    require(cellBits >= 2 && cellBits % 2 == 0 && cellBits <= 2 * AXIS_BITS,
+      s"cellBits must be even in [2, ${2 * AXIS_BITS}], got $cellBits")
+    if (raLo >= 360.0 && raHi >= 360.0)
+      zrangesForBox(raLo - 360.0, raHi - 360.0, decLo, decHi, cellBits)
+    else if (raLo <= 0.0 && raHi < 0.0)
+      zrangesForBox(raLo + 360.0, raHi + 360.0, decLo, decHi, cellBits)
+    else if (raLo < 0.0)
+      mergeRanges(zrangesForBox(raLo + 360.0, 360.0, decLo, decHi, cellBits) ++
+        zrangesForBox(0.0, math.min(raHi, 360.0), decLo, decHi, cellBits))
+    else if (raHi > 360.0)
+      mergeRanges(zrangesForBox(raLo, 360.0, decLo, decHi, cellBits) ++
+        zrangesForBox(0.0, raHi - 360.0, decLo, decHi, cellBits))
+    else if (raLo > raHi)
+      mergeRanges(zrangesForBox(raLo, 360.0, decLo, decHi, cellBits) ++
+        zrangesForBox(0.0, raHi, decLo, decHi, cellBits))
+    else {
+      val b = cellBits / 2
+      val shift = AXIS_BITS - b
+      quadRanges(quantRaS(raLo) >> shift, quantRaS(raHi) >> shift,
+        quantDecS(decLo) >> shift, quantDecS(decHi) >> shift, b)
+    }
+  }
+
+  /** Quadtree walk over the quantized box at `b` bits per axis. */
+  private def quadRanges(qxLo: Long, qxHi: Long, qyLo: Long, qyHi: Long,
+                         b: Int): Seq[(Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def rec(x0: Long, y0: Long, size: Long, z0: Long): Unit = {
+      val x1 = x0 + size - 1
+      val y1 = y0 + size - 1
+      if (x1 < qxLo || x0 > qxHi || y1 < qyLo || y0 > qyHi) ()
+      else if (x0 >= qxLo && x1 <= qxHi && y0 >= qyLo && y1 <= qyHi)
+        out += ((z0, z0 + size * size - 1))
+      else {
+        val h = size / 2
+        val q = h * h
+        // quadrant z offsets: x rides the even (lower) bit of the split
+        // level, y the odd — so (x+, y-) precedes (x-, y+)
+        rec(x0, y0, h, z0)
+        rec(x0 + h, y0, h, z0 + q)
+        rec(x0, y0 + h, h, z0 + 2 * q)
+        rec(x0 + h, y0 + h, h, z0 + 3 * q)
+      }
+    }
+    rec(0L, 0L, 1L << b, 0L)
+    mergeRanges(out.toSeq)
+  }
+
+  /** Sort and coalesce overlapping-or-adjacent inclusive ranges. */
+  private def mergeRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    rs.sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: tail, (l, h)) if l <= hi + 1 =>
+        (lo, math.max(hi, h)) :: tail
+      case (acc, r) => r :: acc
+    }.reverse
 
   /** Z-order keying of the q15 synthetic sky positions: every order's
     * (ra, dec) → 32-bit Morton key + coarse cell. The write side of the

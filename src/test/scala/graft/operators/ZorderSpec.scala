@@ -80,6 +80,102 @@ class ZorderSpec extends SparkSpec {
       Spatial.zcellsForBox(355.0, 359.0, 10.0, 11.0).toSet)
   }
 
+  /** Reference cell enumeration at `b` bits per axis — the naive
+    * rectangle walk, independent of the quadtree under test.
+    */
+  private def refCells(raLo: Double, raHi: Double, decLo: Double,
+                       decHi: Double, b: Int): Set[Long] = {
+    def q(v: Double, lo: Double, span: Double): Long =
+      math.min(65535L, math.max(0L, math.floor((v - lo) * 65536.0 / span).toLong))
+    def inter(cx: Long, cy: Long): Long =
+      (0 until b).foldLeft(0L) { (z, i) =>
+        z | (((cx >> i) & 1L) << (2 * i)) | (((cy >> i) & 1L) << (2 * i + 1))
+      }
+    val s = 16 - b
+    (for (cx <- (q(raLo, 0, 360) >> s) to (q(raHi, 0, 360) >> s);
+          cy <- (q(decLo, -90, 180) >> s) to (q(decHi, -90, 180) >> s))
+      yield inter(cx, cy)).toSet
+  }
+
+  test("zrangesForBox covers exactly the intersecting cells at the finer grid") {
+    val rng = new scala.util.Random(11)
+    val boxes = Seq.tabulate(40) { _ =>
+      val raLo = rng.nextDouble() * 360.0
+      val decLo = rng.nextDouble() * 170.0 - 90.0
+      (raLo, raLo + rng.nextDouble() * 120.0,
+        decLo, decLo + rng.nextDouble() * 60.0)
+    } ++ Seq((-2.0, 2.0, 10.0, 11.0), (358.0, 362.0, -5.0, 5.0),
+      (358.0, 2.0, 80.0, 90.0), (0.0, 360.0, -90.0, 90.0))
+    for ((raLo, raHi, decLo, decHi) <- boxes; bits <- Seq(12, 16)) {
+      val ranges = Spatial.zrangesForBox(raLo, raHi, decLo, decHi, bits)
+      val covered = ranges.flatMap { case (lo, hi) => lo to hi }.toSet
+      // the wrap branches split at the seam; the reference enumerates the
+      // same non-wrapping spans
+      val spans: Seq[(Double, Double)] =
+        if (raHi > 360.0) Seq((raLo, 360.0), (0.0, raHi - 360.0))
+        else if (raLo < 0.0) Seq((raLo + 360.0, 360.0), (0.0, raHi))
+        else if (raLo > raHi) Seq((raLo, 360.0), (0.0, raHi))
+        else Seq((raLo, raHi))
+      val expect = spans.flatMap { case (l, h) =>
+        refCells(l, h, decLo, decHi, bits / 2) }.toSet
+      assert(covered == expect,
+        s"($raLo,$raHi,$decLo,$decHi)@$bits: ranges cover ${covered.size} " +
+          s"cells, expected ${expect.size}")
+      // maximal ranges: sorted, disjoint, non-adjacent
+      ranges.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(l2 > h1 + 1, s"unmerged ranges: $ranges")
+        case _ =>
+      }
+    }
+  }
+
+  test("range decomposition is O(perimeter): far fewer ranges than cells on a big box") {
+    // a wide thin diagonal-spanning box at the 256×256 grid: the
+    // rectangle enumeration pays one entry per CELL; the quadtree pays
+    // one per maximal z range
+    val (raLo, raHi, decLo, decHi) = (30.0, 330.0, -80.0, 80.0)
+    val ranges = Spatial.zrangesForBox(raLo, raHi, decLo, decHi, 16)
+    val cells = refCells(raLo, raHi, decLo, decHi, 8)
+    assert(ranges.map { case (l, h) => h - l + 1 }.sum == cells.size,
+      "range decomposition must cover exactly the rectangle's cells")
+    assert(ranges.length < cells.size / 10,
+      s"expected O(perimeter) ranges, got ${ranges.length} for ${cells.size} cells")
+  }
+
+  test("box query over a FINE-grid range layout prunes partitions, exact answer") {
+    // the 12-bit variant of the pruning test: partition by the 12-bit
+    // cell, push the zrangesForBox ranges as between-predicates
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("zorder12").toString
+    val keyed = Spatial.q98ZorderLayout(spark, dir)
+      .withColumn("zcell12", org.apache.spark.sql.functions.shiftright(col("zkey"), 20))
+    keyed.write.partitionBy("zcell12").mode("overwrite").parquet(s"$tmp/orders_z12")
+
+    val (raLo, raHi, decLo, decHi) = (40.0, 75.0, -20.0, 5.0)
+    val ranges = Spatial.zrangesForBox(raLo, raHi, decLo, decHi, 12)
+    val layout = spark.read.parquet(s"$tmp/orders_z12")
+    val totalCells = layout.select("zcell12").distinct().count()
+    val rangeCond = ranges.map { case (lo, hi) => col("zcell12").between(lo, hi) }
+      .reduce(_ || _)
+    val pruned = layout.filter(rangeCond)
+      .filter(col("ra").between(raLo, raHi) && col("dec").between(decLo, decHi))
+    val exact = keyed
+      .filter(col("ra").between(raLo, raHi) && col("dec").between(decLo, decHi))
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(pruned.select("o_orderkey").as[Long].collect().toSet == exact,
+      "fine-grid pruned answer diverged from the exact box filter")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    assert(scans.nonEmpty, "no file scan in the plan")
+    val selected = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(selected < totalCells,
+      s"scan selected $selected of $totalCells partitions — ranges did not prune")
+  }
+
   test("box query over the zcell layout prunes partitions and matches the exact answer") {
     val dir = "/root/testdata/sf0.001"
     val tmp = java.nio.file.Files.createTempDirectory("zorder").toString
