@@ -223,6 +223,38 @@ object Bench {
       }
     }
 
+    // One end-to-end corpus-build MATERIALIZATION per round (the q104
+    // artifact producer: split-partitioned parquet + manifest) so the
+    // wall number a user actually pays is tracked per round, not
+    // anecdotal. Timed separately from the query medians (it writes
+    // real output); manifest counts ride the telemetry so a moved wall
+    // is readable against WHAT was built. Skippable via NOMATERIALIZE.
+    if (!sys.env.contains("SPARK_GRAFT_NOMATERIALIZE")
+        && selected.exists(_._1.startsWith("q104"))) {
+      val outDir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bench_corpus").getPath
+      try {
+        val t0 = System.nanoTime()
+        val manifest = CorpusBuild.materialize(spark, sfDir, outDir)
+        val secs = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        Telemetry.drain() // stage events already covered by the probe
+        val m = manifest.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString(" ")
+        telemetry("q104 materialize") = Seq(f"secs=$secs%.2f $m")
+        System.err.println(f"[bench] q104 materialize: $secs%.2fs ($m)")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] q104 materialize failed: ${e.getMessage}")
+      } finally {
+        // transient artifact — delete so bench rounds don't accumulate
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(outDir))
+      }
+    }
+
     // ANN recall@3 vs the exact baseline, measured at THIS sf and the
     // current dials (untimed; small collects — probes × 3 rows)
     val recall: Seq[(String, Double)] = {
