@@ -247,8 +247,11 @@ object Bench {
         System.err.println(s"[bench] q104 materialize failed: ${e.getMessage}")
       } finally {
         // transient artifact — delete so bench rounds don't accumulate
+        // (null-safe: listFiles returns null on a vanished dir, and an NPE
+        // here would mask the real materialize failure from the try block)
         def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
           f.delete(); ()
         }
         rm(new java.io.File(outDir))
@@ -293,9 +296,11 @@ object Bench {
     // the published recall is a GATED number: every measured value must
     // clear its per-sf floor (operators.Similarity.RecallFloors — the same
     // table AnnRecallSpec enforces at fixture sf). A violation is recorded
-    // in the artifact AND fails the bench process after the artifact is
-    // written, so a quantizer/codebook regression at bench scale cannot
-    // ship as a quietly lower number.
+    // LOUDLY in the artifact (recall_violations) and on stderr; the exit
+    // code stays 0 on purpose — the driver parses this process's stdout
+    // for the round artifact, and the HARD failure lives in
+    // BenchRecallFloorSpec, which recomputes the same numbers at the
+    // bench sf inside `sbt test`.
     val recallViolations = recall.flatMap { case (q, r) =>
       val floor = operators.Similarity.recallFloor(q, sfDir)
       if (r < floor) {

@@ -80,4 +80,18 @@ object Tables {
     }
     java.lang.Long.toHexString(h)
   }
+
+  /** The canonical location of a build-once derived artifact (ANN/IVF/
+    * SQ8/PQ/band/bloom indexes): tmpdir-scoped, keyed by kind + source
+    * dir + the source table's [[tableFingerprint]] — so regenerating the
+    * fixture flips the path and forces a rebuild instead of silently
+    * serving an index computed from the replaced corpus
+    * (FixtureRegenSpec drives exactly this). ONE recipe for the six
+    * index writers and any spec that needs to predict the path.
+    */
+  def derivedIndexPath(kind: String, dir: String, table: String): String =
+    new java.io.File(
+      sys.props("java.io.tmpdir"),
+      kind + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "_" + tableFingerprint(dir, table)).getPath
 }

@@ -180,10 +180,7 @@ object BloomGate {
     */
   def q97BloomIndex(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val indexPath = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_bloom_gate_v1_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_" + Tables.tableFingerprint(dir, "documents")).getPath
+    val indexPath = Tables.derivedIndexPath("graft_bloom_gate_v1", dir, "documents")
     if (!IndexMeta.exists(spark, indexPath))
       writeBloomIndex(d.filter(col("source") === "src0"), indexPath)
     decontaminateAgainstIndex(d.filter(col("source") =!= "src0"), indexPath)

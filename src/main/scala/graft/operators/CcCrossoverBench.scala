@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   * Generator: `C` path components of 5 nodes each (the dedup shape — many
   * small clusters, each cut by partition boundaries), edges shuffled
   * round-robin over the partitions so partition-local contraction leaves
-  * ~4C fragment links = the boundary graph. A `--chain L` variant builds
-  * path components of length L to expose the propagation tier's
-  * round-count sensitivity to component diameter (the driver tier is
+  * ~4C fragment links = the boundary graph. A fixed chain-of-length-100
+  * case runs at the end to expose the propagation tier's round-count
+  * sensitivity to component diameter (the driver tier is
   * diameter-blind).
   *
   * Usage: runMain graft.operators.CcCrossoverBench [targetEdges ...]
+  * (each argument a numeric boundary-edge target).
   */
 object CcCrossoverBench {
 

@@ -458,13 +458,9 @@ object CorpusOps {
     * q63 trick). The quota table is sources-sized (broadcast).
     *
     * Shape: `source` has a handful of values, so a single ranked-take
-    * window over it funnels the whole corpus through #sources reducers.
-    * This is q86's TWO-PHASE instead: each input partition forwards its
-    * local best `quota` rows per source — the local window's shuffle key
-    * carries the partition id, spreading over every reducer, and the
-    * local bound is the source's own quota (a global winner is a local
-    * winner, so phase 2 sees all of them) — then the global ranked take
-    * runs over the ≤ quota·partitions survivors per source.
+    * window over it funnels the whole corpus through #sources reducers —
+    * this rides [[Ranked.twoPhaseTopK]] (q86's local-then-global quota)
+    * with the source's own quota column as the per-row bound.
     */
   def q75TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
@@ -474,16 +470,9 @@ object CorpusOps {
       .withColumn("w", round(sqrt(col("n_s")) / col("z"), 6))
       .withColumn("quota", floor(col("w") * 200).cast("int"))
       .select(col("source"), col("w"), col("quota"))
-    val local = Window.partitionBy(col("source"), col("pid"))
-      .orderBy(col("h"), col("doc_id"))
-    val global = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-    d.withColumn("h", md5(col("text")))
-      .withColumn("pid", spark_partition_id())
-      .join(broadcast(quota), Seq("source"))
-      .withColumn("lrk", row_number().over(local))
-      .filter(col("lrk") <= col("quota"))
-      .withColumn("rk", row_number().over(global))
-      .filter(col("rk") <= col("quota"))
+    Ranked.twoPhaseTopK(
+      d.withColumn("h", md5(col("text"))).join(broadcast(quota), Seq("source")),
+      Seq(col("source")), Seq(col("h"), col("doc_id")), col("quota"))
       .select(col("doc_id"), col("source"), col("rk"), col("w"))
   }
 

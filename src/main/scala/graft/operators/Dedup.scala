@@ -843,10 +843,7 @@ object Dedup {
     // round-1 max in the bench spread).
     // v2: the stored band layout (array bk keys + meta) — versioning the
     // path retires indexes from the pre-dial m0..m3 layout
-    val indexPath = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_band_index_v2_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_" + graft.Tables.tableFingerprint(dir, "documents")).getPath
+    val indexPath = graft.Tables.derivedIndexPath("graft_band_index_v2", dir, "documents")
     if (!new java.io.File(s"$indexPath/bands/_SUCCESS").exists())
       writeBandIndex(d.filter(col("doc_id") % 10 =!= 0), indexPath)
     incrementalDedupAgainstIndex(d.filter(col("doc_id") % 10 === 0), indexPath)

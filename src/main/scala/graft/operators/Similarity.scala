@@ -278,10 +278,7 @@ object Similarity {
     val e = emb(spark, dir)
     // keyed by dir + source fingerprint like q81: a regenerated fixture
     // invalidates the stored index instead of silently serving stale sigs
-    val indexPath = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_ann_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_" + graft.Tables.tableFingerprint(dir, "embeddings")).getPath
+    val indexPath = graft.Tables.derivedIndexPath("graft_ann_index", dir, "embeddings")
     // a pre-meta index dir (older layout) counts as incomplete → rebuild
     if (!new java.io.File(s"$indexPath/bands/_SUCCESS").exists() ||
         !new java.io.File(s"$indexPath/meta.properties").exists())
@@ -518,10 +515,7 @@ object Similarity {
     */
   def q83IvfIndex(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val indexPath = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_" + graft.Tables.tableFingerprint(dir, "embeddings")).getPath
+    val indexPath = graft.Tables.derivedIndexPath("graft_ivf_index", dir, "embeddings")
     // vectors written LAST → its _SUCCESS marks the whole index complete;
     // a pre-meta index dir (older layout) counts as incomplete → rebuild
     if (!new java.io.File(s"$indexPath/vectors/_SUCCESS").exists() ||
@@ -710,10 +704,7 @@ object Similarity {
     */
   def q91Sq8Index(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val indexPath = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_sq8_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_" + graft.Tables.tableFingerprint(dir, "embeddings")).getPath
+    val indexPath = graft.Tables.derivedIndexPath("graft_sq8_index", dir, "embeddings")
     // codes written LAST of the data tables → its _SUCCESS plus meta mark
     // the build complete; a pre-meta dir counts as incomplete → rebuild
     if (!new java.io.File(s"$indexPath/codes/_SUCCESS").exists() ||
@@ -1029,10 +1020,7 @@ object Similarity {
     */
   def q93PqIndex(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-    val indexPath = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_pq_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_" + graft.Tables.tableFingerprint(dir, "embeddings")).getPath
+    val indexPath = graft.Tables.derivedIndexPath("graft_pq_index", dir, "embeddings")
     if (!new java.io.File(s"$indexPath/codes/_SUCCESS").exists() ||
         !new java.io.File(s"$indexPath/meta.properties").exists())
       writePqIndex(e, indexPath)
@@ -1109,29 +1097,18 @@ object Similarity {
     * Scale shape: a naive `row_number over (partition by cluster)` would
     * funnel the WHOLE corpus through k reducers (k = 8 here — the
     * canonical few-huge-groups skew). Top-k-per-group with tiny k·quota
-    * is therefore TWO-PHASE: a local quota per (cluster, input partition)
-    * — the shuffle key carries the partition id, so it spreads over every
-    * reducer — then the global quota over the ≤ k·quota·partitions
-    * survivors. Each partition forwards its local best 25, which bounds
-    * phase 2's input regardless of corpus size; the result is
-    * partitioning-independent because a global winner is necessarily a
-    * local winner. Assignment itself rides q72's pure-map kernel.
+    * is therefore [[Ranked.twoPhaseTopK]] — the shared local-then-global
+    * quota (phase 1 keyed by (cluster, input partition), so it spreads
+    * over every reducer and forwards ≤ 25 rows per partition; the result
+    * is partitioning-independent because a global winner is necessarily
+    * a local winner). Assignment itself rides q72's pure-map kernel.
     */
-  def q86ClusterSample(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = q72KmeansAssign(spark, dir)
-      .withColumn("ord", md5(col("vec_id").cast("string")))
-      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
-    val local = Window.partitionBy(col("cluster"), col("pid"))
-      .orderBy(col("ord"), col("vec_id"))
-    val global = Window.partitionBy(col("cluster"))
-      .orderBy(col("ord"), col("vec_id"))
-    assigned
-      .withColumn("lrk", row_number().over(local))
-      .filter(col("lrk") <= 25)
-      .withColumn("rk", row_number().over(global))
-      .filter(col("rk") <= 25)
+  def q86ClusterSample(spark: SparkSession, dir: String): DataFrame =
+    Ranked.twoPhaseTopK(
+      q72KmeansAssign(spark, dir)
+        .withColumn("ord", md5(col("vec_id").cast("string"))),
+      Seq(col("cluster")), Seq(col("ord"), col("vec_id")), lit(25))
       .select(col("vec_id"), col("cluster"), col("rk"))
-  }
 
   /** Semantic dedup — the cluster-partitioned near-dup removal of SemDeDup
     * (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus, then look

@@ -104,27 +104,15 @@ object TextAnalysis {
     * sample reproducible on any engine and any run.
     *
     * Shape: `lang` has a handful of values, so a single ranked-take
-    * window over it ranks the WHOLE corpus through #langs reducers. This
-    * is q86's TWO-PHASE instead: each input partition forwards its local
-    * best 50 per lang (the local window's shuffle key carries the
-    * partition id — spreads over every reducer; a global winner is
-    * necessarily a local winner), then the global take runs over the
-    * ≤ 50·partitions survivors per lang.
+    * window over it ranks the WHOLE corpus through #langs reducers —
+    * this rides [[Ranked.twoPhaseTopK]] (q86's local-then-global quota)
+    * instead.
     */
-  def q63StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val local = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"), col("pid")).orderBy(col("h"), col("doc_id"))
-    val global = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-    docs(spark, dir)
-      .withColumn("h", md5(col("text")))
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrk", row_number().over(local))
-      .filter(col("lrk") <= 50)
-      .withColumn("rk", row_number().over(global))
-      .filter(col("rk") <= 50)
+  def q63StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Ranked.twoPhaseTopK(
+      docs(spark, dir).withColumn("h", md5(col("text"))),
+      Seq(col("lang")), Seq(col("h"), col("doc_id")), lit(50))
       .select(col("doc_id"), col("lang"), col("rk"))
-  }
 
   /** Vocabulary building: global top-100 tokens by DOCUMENT frequency.
     * The explode is the one heavy exchange (docs × tokens); the per-token

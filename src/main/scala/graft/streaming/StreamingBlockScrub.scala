@@ -123,6 +123,8 @@ object StreamingBlockScrub {
     val bs = batch.sparkSession
     graft.functions.expressions.BloomFns.register(bs)
     val segments = listSegments(bs, ledgerPath).filter(_.hi < batchId)
+    // one listing per batch: compaction below reuses it (sketch bytes
+    // unused there, but the FS stats are the cost worth sharing)
     graft.CacheScope.run {
       val blocks = graft.CacheScope.cache(
         CorpusOps.scrubBlocks(batch).withColumn("h", md5(col("btxt"))))
@@ -140,7 +142,7 @@ object StreamingBlockScrub {
       writeSegmentBloom(bs, additions, s"$ledgerPath/ledger_$batchId",
         EST_ITEMS, NUM_BITS)
     }
-    maybeCompact(bs, ledgerPath, batchId)
+    maybeCompact(bs, ledgerPath, batchId, Some(segments))
   }
 
   /** The batch's seen set — a (h, seen=true) frame BOUNDED BY THE BATCH
@@ -218,25 +220,36 @@ object StreamingBlockScrub {
     * segments, so steady-state per-batch cost is O(1 + COMPACT_AFTER).
     */
   private[streaming] def maybeCompact(bs: SparkSession, ledgerPath: String,
-                                      batchId: Long): Unit = {
-    val segs = listSegments(bs, ledgerPath).filter(_.hi < batchId)
+                                      batchId: Long,
+                                      listed: Option[Seq[Segment]] = None): Unit = {
+    val segs = listed.getOrElse(listSegments(bs, ledgerPath, readSketches = false))
+      .filter(_.hi < batchId)
     if (segs.length <= COMPACT_AFTER) return
     val target = s"$ledgerPath/compact_${batchId - 1}"
+    // write-to-temp + rename: a replay after a crash-between-write-and-
+    // delete lists the half-finished layout WITH the previous compact as
+    // an input — an in-place overwrite of `target` would delete files the
+    // merge is still reading (self-overwrite); the temp name misses the
+    // strict compact_\d+ pattern, so readers never see a partial segment
+    val tmp = s"$target.tmp"
     graft.CacheScope.run {
       val merged = graft.CacheScope.cache(
         bs.read.parquet(segs.map(_.path): _*).select(col("h")).distinct())
       val n = math.max(merged.count(), 1L)
       val bits = math.max(NUM_BITS,
         org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, 0.01))
-      merged.write.mode("overwrite").parquet(target)
-      writeSegmentBloom(bs, bs.read.parquet(target), target,
+      merged.write.mode("overwrite").parquet(tmp)
+      writeSegmentBloom(bs, bs.read.parquet(tmp), tmp,
         math.max(EST_ITEMS, n), bits)
     }
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+      .getFileSystem(bs.sparkContext.hadoopConfiguration)
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    if (fs.exists(targetPath)) fs.delete(targetPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), targetPath)
     // originals go only after the compact segment + sketch are durable; a
     // crash in this loop leaves survivors whose hashes the compact already
     // holds — harmless duplicates the next compaction sweeps
-    val fs = new org.apache.hadoop.fs.Path(ledgerPath)
-      .getFileSystem(bs.sparkContext.hadoopConfiguration)
     segs.filter(_.path != target).foreach { s =>
       fs.delete(new org.apache.hadoop.fs.Path(s.path), true)
     }
@@ -247,10 +260,11 @@ object StreamingBlockScrub {
   /** List ledger segments under strict name patterns (a foreign
     * `ledger_tmp` dir must be skipped, not crash every batch), reading
     * each segment's sketch bytes when present — O(segments) driver work,
-    * bounded by compaction.
+    * bounded by compaction. `readSketches = false` skips the per-segment
+    * sketch reads for callers that only need paths (compaction).
     */
-  private[streaming] def listSegments(spark: SparkSession,
-                                      ledgerPath: String): Seq[Segment] = {
+  private[streaming] def listSegments(spark: SparkSession, ledgerPath: String,
+                                      readSketches: Boolean = true): Seq[Segment] = {
     val p = new org.apache.hadoop.fs.Path(ledgerPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Seq.empty
@@ -263,7 +277,7 @@ object StreamingBlockScrub {
       hi.map { h =>
         val bloomPath = new org.apache.hadoop.fs.Path(s.getPath, "_bloom")
         val sketch =
-          if (!fs.exists(bloomPath)) None
+          if (!readSketches || !fs.exists(bloomPath)) None
           else scala.util.Try(
             spark.read.parquet(bloomPath.toString)
               .head().getAs[Array[Byte]]("bf")).toOption

@@ -19,10 +19,8 @@ class FixtureRegenSpec extends SparkSpec {
     val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     src.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
-    def indexPath: String = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_ann_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") +
-        "_" + graft.Tables.tableFingerprint(dir, "embeddings")).getPath
+    def indexPath: String =
+      graft.Tables.derivedIndexPath("graft_ann_index", dir, "embeddings")
 
     val p1 = indexPath
     val r1 = graft.CacheScope.run {
