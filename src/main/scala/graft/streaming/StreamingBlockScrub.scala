@@ -98,6 +98,30 @@ object StreamingBlockScrub {
   /** Prior segments tolerated before the batch compacts them into one. */
   private[streaming] val COMPACT_AFTER = 8
 
+  /** Hard ceiling on a compacted segment's covering sketch (128 MiB of
+    * bits). The sketch rides the gate expression as a literal shipped to
+    * every task, so it must stay bounded no matter how large the
+    * corpus-lifetime ledger grows: at 10^10 distinct blocks the
+    * uncapped 1%-fp size would be ~12 GB — a driver-killing plan
+    * constant. Past the cap the fp rate rises (more candidates reach
+    * the exact verify — extra traffic, never a wrong verdict, the same
+    * degradation contract as Spark's own runtime bloom-filter cap); at
+    * the cap, ~10^8 items still gate at ~1% fp.
+    */
+  private[streaming] val MAX_COMPACT_BITS = 1L << 30
+
+  /** Sketch dials for a compacted segment holding `n` distinct hashes:
+    * 1% fp sized to content, floored at the per-batch dials, capped at
+    * [[MAX_COMPACT_BITS]].
+    */
+  private[streaming] def compactSketchDials(n: Long): (Long, Long) = {
+    val items = math.max(EST_ITEMS, math.max(n, 1L))
+    val bits = math.min(MAX_COMPACT_BITS, math.max(NUM_BITS,
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(
+        math.max(n, 1L), 0.01)))
+    (items, bits)
+  }
+
   /** Above this many candidate/batch hashes, verify joins drop their
     * broadcast and fall back to a shuffle join — a backfill batch (or a
     * saturated sketch) must degrade, not fail the batch.
@@ -235,12 +259,9 @@ object StreamingBlockScrub {
     graft.CacheScope.run {
       val merged = graft.CacheScope.cache(
         bs.read.parquet(segs.map(_.path): _*).select(col("h")).distinct())
-      val n = math.max(merged.count(), 1L)
-      val bits = math.max(NUM_BITS,
-        org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, 0.01))
+      val (items, bits) = compactSketchDials(merged.count())
       merged.write.mode("overwrite").parquet(tmp)
-      writeSegmentBloom(bs, bs.read.parquet(tmp), tmp,
-        math.max(EST_ITEMS, n), bits)
+      writeSegmentBloom(bs, bs.read.parquet(tmp), tmp, items, bits)
     }
     val fs = new org.apache.hadoop.fs.Path(ledgerPath)
       .getFileSystem(bs.sparkContext.hadoopConfiguration)

@@ -72,6 +72,18 @@ class BlockScrubCompactionSpec extends SparkSpec {
       "replay after compaction not idempotent")
   }
 
+  test("compacted sketch dials: content-sized with floor and hard cap") {
+    // floor: tiny ledgers keep the per-batch dials
+    assert(StreamingBlockScrub.compactSketchDials(100L) == ((1L << 17, 1L << 20)))
+    // content-sized: 10^7 items need ~9.6 bits/item at 1% fp
+    val (_, bits7) = StreamingBlockScrub.compactSketchDials(10000000L)
+    assert(bits7 > (1L << 26) && bits7 < (1L << 28), s"10^7-item sketch: $bits7 bits")
+    // cap: 10^10 items must NOT produce a ~12 GB plan literal
+    val (_, bits10) = StreamingBlockScrub.compactSketchDials(10000000000L)
+    assert(bits10 == StreamingBlockScrub.MAX_COMPACT_BITS,
+      s"corpus-lifetime sketch must cap at MAX_COMPACT_BITS, got $bits10")
+  }
+
   test("foreign ledger dirs are skipped; a sketchless segment degrades only itself") {
     val tmp = java.nio.file.Files.createTempDirectory("scrubdegrade").toString
     val (out, ledger) = (s"$tmp/out", s"$tmp/ledger")
