@@ -220,32 +220,73 @@ object Spatial {
       .select(col("o_orderkey"), col("ra"), col("dec"), col("zkey"),
         zcellOf(col("zkey")).as("zcell"))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q98_zorder_layout" -> q98ZorderLayout)
+  /** The q105 box (same box the pruning spec drives). */
+  private val BoxQ105 = (40.0, 75.0, -20.0, 5.0)
 
-  /** The spread-bits cascade unrolled per axis — same masks, same
-    * shifts, decimal literals (hex is engine-dialect); the quantization
-    * mirrors the Column arithmetic operation for operation.
+  /** q105: the box query SERVED THROUGH the fine-grid range
+    * decomposition — [[zrangesForBox]]'s 12-bit cell ranges prune
+    * first (between-predicates on the key's top bits, the form a
+    * partition catalog turns into pruning — ZorderSpec proves the
+    * partition-count drop on a partitioned layout), the exact predicate
+    * trims the cell residue. The superset contract makes the result
+    * equal the plain box filter, which is exactly what the oracle
+    * states — so the hash match certifies the decomposition drops no
+    * row and admits no extra row, at every sf, as a driver-gated query
+    * rather than only a spec.
+    */
+  def q105ZrangeBox(spark: SparkSession, dir: String): DataFrame = {
+    val (raLo, raHi, decLo, decHi) = BoxQ105
+    val ranges = zrangesForBox(raLo, raHi, decLo, decHi, 12)
+    val keyed = q98ZorderLayout(spark, dir)
+      .withColumn("zcell12", shiftright(col("zkey"), 2 * AXIS_BITS - 12))
+    val rangeCond = ranges
+      .map { case (lo, hi) => col("zcell12").between(lo, hi) }
+      .reduce(_ || _)
+    keyed.filter(rangeCond)
+      .filter(col("ra").between(raLo, raHi) && col("dec").between(decLo, decHi))
+      .select(col("o_orderkey"), col("ra"), col("dec"), col("zkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_zorder_layout" -> q98ZorderLayout,
+    "q105_zrange_box" -> q105ZrangeBox)
+
+  /** The Morton cascade as shared CTEs — spread-bits unrolled per axis
+    * (same masks, same shifts, decimal literals — hex is
+    * engine-dialect); the quantization mirrors the Column arithmetic
+    * operation for operation.
+    */
+  private val zorderCtes =
+    """b AS (
+      |  SELECT o_orderkey, o_orderkey % 360 AS ra, (o_custkey % 180) - 90 AS dec
+      |  FROM orders),
+      |q AS (
+      |  SELECT o_orderkey, ra, dec,
+      |    least(65535, greatest(0, CAST(floor(ra * 65536.0 / 360.0) AS BIGINT))) AS qx,
+      |    least(65535, greatest(0, CAST(floor((dec + 90.0) * 65536.0 / 180.0) AS BIGINT))) AS qy
+      |  FROM b),
+      |s1 AS (SELECT o_orderkey, ra, dec,
+      |  ((qx | (qx << 8)) & 16711935) AS x, ((qy | (qy << 8)) & 16711935) AS y FROM q),
+      |s2 AS (SELECT o_orderkey, ra, dec,
+      |  ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y FROM s1),
+      |s3 AS (SELECT o_orderkey, ra, dec,
+      |  ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM s2),
+      |s4 AS (SELECT o_orderkey, ra, dec,
+      |  ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s3)""".stripMargin
+
+  /** The q105 oracle is the PLAIN box filter over the keyed table — the
+    * range-pruned Spark plan must compute exactly it.
     */
   val oracleSql: Map[String, String] = Map(
     "q98_zorder_layout" ->
-      """WITH b AS (
-        |  SELECT o_orderkey, o_orderkey % 360 AS ra, (o_custkey % 180) - 90 AS dec
-        |  FROM orders),
-        |q AS (
-        |  SELECT o_orderkey, ra, dec,
-        |    least(65535, greatest(0, CAST(floor(ra * 65536.0 / 360.0) AS BIGINT))) AS qx,
-        |    least(65535, greatest(0, CAST(floor((dec + 90.0) * 65536.0 / 180.0) AS BIGINT))) AS qy
-        |  FROM b),
-        |s1 AS (SELECT o_orderkey, ra, dec,
-        |  ((qx | (qx << 8)) & 16711935) AS x, ((qy | (qy << 8)) & 16711935) AS y FROM q),
-        |s2 AS (SELECT o_orderkey, ra, dec,
-        |  ((x | (x << 4)) & 252645135) AS x, ((y | (y << 4)) & 252645135) AS y FROM s1),
-        |s3 AS (SELECT o_orderkey, ra, dec,
-        |  ((x | (x << 2)) & 858993459) AS x, ((y | (y << 2)) & 858993459) AS y FROM s2),
-        |s4 AS (SELECT o_orderkey, ra, dec,
-        |  ((x | (x << 1)) & 1431655765) AS x, ((y | (y << 1)) & 1431655765) AS y FROM s3)
+      s"""WITH $zorderCtes
         |SELECT o_orderkey, ra, dec, (x | (y << 1)) AS zkey,
         |  ((x | (y << 1)) >> 24) AS zcell
-        |FROM s4""".stripMargin)
+        |FROM s4""".stripMargin,
+    "q105_zrange_box" ->
+      s"""WITH $zorderCtes
+        |SELECT o_orderkey, ra, dec, (x | (y << 1)) AS zkey
+        |FROM s4
+        |WHERE ra BETWEEN ${BoxQ105._1} AND ${BoxQ105._2}
+        |  AND dec BETWEEN ${BoxQ105._3} AND ${BoxQ105._4}""".stripMargin)
 }
