@@ -241,6 +241,22 @@ class PlanAuditSpec extends SparkSpec {
       "q77 regressed to a per-cluster ranking window:\n" + p)
   }
 
+  test("q105: box query scans the stored layout with zkey ranges pushed to parquet") {
+    val p = plan(Spatial.queries("q105_zrange_box")(spark, dir))
+    assert(p.contains("graft_zorder_layout"),
+      "q105 must serve from the materialized z-order layout:\n" + p)
+    // the range predicates must reach the scan as pushed zkey bounds —
+    // stats-based file/row-group skipping is the whole point of the
+    // range-sorted layout; a post-scan-only filter would read everything
+    assert(p.split('\n').exists(l =>
+      l.contains("PushedFilters") && l.contains("zkey")),
+      "q105's zkey ranges did not reach the parquet scan:\n" + p)
+    // and the key is STORED: the Morton cascade must not recompute at
+    // read time (its spread-bits masks would appear in the plan)
+    assert(!p.contains("1431655765"),
+      "q105 recomputes the Morton cascade at read time:\n" + p)
+  }
+
   test("q104: the composed build keeps every stage's audited shape") {
     val p = plan(graft.CorpusBuild.queries("q104_corpus_build")(spark, dir))
     // no stage may regress to a pairwise comparison, and the shard
