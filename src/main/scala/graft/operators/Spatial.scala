@@ -220,8 +220,15 @@ object Spatial {
       .select(col("o_orderkey"), col("ra"), col("dec"), col("zkey"),
         zcellOf(col("zkey")).as("zcell"))
 
-  /** The q105 box (same box the pruning spec drives). */
-  private val BoxQ105 = (40.0, 75.0, -20.0, 5.0)
+  /** The q105 box — shared with ZorderSpec's pruning drives so the
+    * spec-proven box and the driver-gated query cannot diverge.
+    */
+  private[operators] val BoxQ105 = (40.0, 75.0, -20.0, 5.0)
+
+  /** q105's decomposition grid width (12 bits = 64×64 cells); the
+    * cell→stored-zkey conversion derives its shift from this one value.
+    */
+  private[operators] val Q105_CELL_BITS = 12
 
   /** q105: the box query SERVED FROM the materialized Z-order layout
     * through the fine-grid range decomposition. The layout is the
@@ -247,8 +254,8 @@ object Spatial {
   def q105ZrangeBox(spark: SparkSession, dir: String): DataFrame = {
     val (raLo, raHi, decLo, decHi) = BoxQ105
     val layout = zorderLayoutPath(spark, dir)
-    val ranges = zrangesForBox(raLo, raHi, decLo, decHi, 12)
-    val shift = 2 * AXIS_BITS - 12
+    val ranges = zrangesForBox(raLo, raHi, decLo, decHi, Q105_CELL_BITS)
+    val shift = 2 * AXIS_BITS - Q105_CELL_BITS
     val rangeCond = ranges
       .map { case (lo, hi) =>
         col("zkey").between(lo << shift, ((hi + 1) << shift) - 1) }
@@ -263,11 +270,18 @@ object Spatial {
     * zkey-sorted within each so parquet stats prune per range); meta
     * written last = completeness marker, path keyed by the source
     * fingerprint so a regenerated fixture rebuilds (the index-store
-    * contract).
+    * contract). The READER IS STRICT on the recorded key dial: the path
+    * key only tracks SOURCE changes, so if a code change ever moves
+    * AXIS_BITS the stored keys no longer match the computed range
+    * bounds — a mismatch rebuilds instead of silently under-selecting.
     */
   private def zorderLayoutPath(spark: SparkSession, dir: String): String = {
-    val path = graft.Tables.derivedIndexPath("graft_zorder_layout", dir, "orders")
-    if (!IndexMeta.exists(spark, path)) {
+    val path = graft.Tables.derivedIndexPath("graft_zorder_layout_v1", dir, "orders")
+    val current =
+      IndexMeta.exists(spark, path) &&
+        IndexMeta.read(spark, path, "the z-order layout writer")
+          .getProperty("axis_bits") == AXIS_BITS.toString
+    if (!current) {
       IndexMeta.invalidate(spark, path)
       q98ZorderLayout(spark, dir)
         .repartitionByRange(64, col("zkey"))

@@ -217,10 +217,39 @@ object StreamingBlockScrub {
   /** The segment's sketch lives UNDER the segment dir as `_bloom` — the
     * underscore keeps parquet readers of the segment from listing it, and
     * an at-least-once replay overwrites segment data and sketch together.
+    *
+    * `bloom_agg` rides Spark's BloomFilterAggregate, which SILENTLY
+    * CLAMPS its dials to `spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems/maxNumBits` (defaults 4M items / 2^26 bits = 8 MiB) —
+    * without raising those, every content-sized compacted sketch above
+    * ~4M blocks would quietly saturate while compactSketchDials claims
+    * otherwise. Raised HERE, scoped to the aggregate, restored after
+    * (session conf — the batch session is ours inside foreachBatch);
+    * [[MAX_COMPACT_BITS]] bounds what we ever request.
     */
-  private def writeSegmentBloom(spark: SparkSession, additions: DataFrame,
-                                segmentPath: String, estItems: Long,
-                                numBits: Long): Unit = {
+  private[streaming] def writeSegmentBloom(spark: SparkSession, additions: DataFrame,
+                                           segmentPath: String, estItems: Long,
+                                           numBits: Long): Unit = {
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevItems = spark.conf.getOption(itemsKey)
+    val prevBits = spark.conf.getOption(bitsKey)
+    spark.conf.set(itemsKey, math.max(estItems, 4000000L))
+    spark.conf.set(bitsKey, math.max(numBits, 1L << 26))
+    try writeSegmentBloomInner(spark, additions, segmentPath, estItems, numBits)
+    finally {
+      def restore(key: String, prev: Option[String]): Unit = prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      restore(itemsKey, prevItems)
+      restore(bitsKey, prevBits)
+    }
+  }
+
+  private def writeSegmentBloomInner(spark: SparkSession, additions: DataFrame,
+                                     segmentPath: String, estItems: Long,
+                                     numBits: Long): Unit = {
     val agg = additions
       .select(call_function("bloom_agg",
         xxhash64(col("h")), lit(estItems), lit(numBits)).as("bf"))

@@ -142,6 +142,23 @@ class ZorderSpec extends SparkSpec {
       s"expected O(perimeter) ranges, got ${ranges.length} for ${cells.size} cells")
   }
 
+  test("q105 equals the plain box filter (cell-to-stored-zkey conversion exact)") {
+    // the driver oracle proves this offline at sf0.01/0.1; this is the
+    // in-CI guard for the (lo << shift, ((hi+1) << shift) - 1) bound
+    // arithmetic — an off-by-one there passes every plan-shape assert
+    // but drops box rows
+    val dir = "/root/testdata/sf0.001"
+    val (raLo, raHi, decLo, decHi) = Spatial.BoxQ105
+    val got = Spatial.queries("q105_zrange_box")(spark, dir)
+      .select("o_orderkey").as[Long].collect().toSet
+    val expect = Spatial.q98ZorderLayout(spark, dir)
+      .filter(col("ra").between(raLo, raHi) && col("dec").between(decLo, decHi))
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(got == expect,
+      s"q105 diverged from the plain box filter: missing ${expect -- got}, extra ${got -- expect}")
+    assert(got.nonEmpty, "fixture sanity: the box must select rows")
+  }
+
   test("box query over a FINE-grid range layout prunes partitions, exact answer") {
     // the 12-bit variant of the pruning test: partition by the 12-bit
     // cell, push the zrangesForBox ranges as between-predicates
@@ -151,7 +168,7 @@ class ZorderSpec extends SparkSpec {
       .withColumn("zcell12", org.apache.spark.sql.functions.shiftright(col("zkey"), 20))
     keyed.write.partitionBy("zcell12").mode("overwrite").parquet(s"$tmp/orders_z12")
 
-    val (raLo, raHi, decLo, decHi) = (40.0, 75.0, -20.0, 5.0)
+    val (raLo, raHi, decLo, decHi) = Spatial.BoxQ105
     val ranges = Spatial.zrangesForBox(raLo, raHi, decLo, decHi, 12)
     val layout = spark.read.parquet(s"$tmp/orders_z12")
     val totalCells = layout.select("zcell12").distinct().count()
@@ -182,7 +199,7 @@ class ZorderSpec extends SparkSpec {
     val keyed = Spatial.q98ZorderLayout(spark, dir)
     keyed.write.partitionBy("zcell").mode("overwrite").parquet(s"$tmp/orders_z")
 
-    val (raLo, raHi, decLo, decHi) = (40.0, 75.0, -20.0, 5.0)
+    val (raLo, raHi, decLo, decHi) = Spatial.BoxQ105
     val cells = Spatial.zcellsForBox(raLo, raHi, decLo, decHi)
     val layout = spark.read.parquet(s"$tmp/orders_z")
     val totalCells = layout.select("zcell").distinct().count()

@@ -84,6 +84,24 @@ class BlockScrubCompactionSpec extends SparkSpec {
       s"corpus-lifetime sketch must cap at MAX_COMPACT_BITS, got $bits10")
   }
 
+  test("written sketches honor above-clamp dials (BloomFilterAggregate silently caps)") {
+    // Spark's bloom aggregate clamps to runtime.bloomFilter.maxNumBits
+    // (2^26 default) — writeSegmentBloom must raise the conf or every
+    // content-sized compact sketch above ~4M items silently saturates.
+    // Ask for 2^27 bits and measure the BYTES actually written.
+    val tmp = java.nio.file.Files.createTempDirectory("sketchdials").toString
+    graft.functions.expressions.BloomFns.register(spark)
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val before = spark.conf.getOption(bitsKey) // default Some("67108864")
+    val additions = Seq("a", "b", "c").toDF("h")
+    StreamingBlockScrub.writeSegmentBloom(spark, additions, tmp, 8000000L, 1L << 27)
+    val bytes = spark.read.parquet(s"$tmp/_bloom").head().getAs[Array[Byte]]("bf")
+    assert(bytes.length >= (1 << 27) / 8,
+      s"sketch written at ${bytes.length} bytes — the requested 2^27-bit dial was clamped")
+    // and the conf raise is scoped: the session value reads as before
+    assert(spark.conf.getOption(bitsKey) == before, "conf raise leaked")
+  }
+
   test("foreign ledger dirs are skipped; a sketchless segment degrades only itself") {
     val tmp = java.nio.file.Files.createTempDirectory("scrubdegrade").toString
     val (out, ledger) = (s"$tmp/out", s"$tmp/ledger")
