@@ -55,14 +55,49 @@ object BloomGate {
   /** Distributed sketch build over a (…, gram) frame. The single
     * collected row is the `numBits/8`-byte sketch — bounded by the DIAL,
     * not the data (the IVF-centroid kind of bounded collect).
+    *
+    * `bloom_agg` rides Spark's BloomFilterAggregate, which SILENTLY
+    * CLAMPS to `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/
+    * maxNumBits` (4M items / 2^26 bits by default) — at the 10^8-gram
+    * blocklist scale this gate exists for, an unraised conf would
+    * saturate the sketch while the caller's dial claimed otherwise. The
+    * limits are raised to the requested dial for the build, scoped and
+    * restored.
     */
   def buildBloom(grams: DataFrame,
                  estItems: Long = EST_ITEMS, numBits: Long = NUM_BITS): Array[Byte] = {
-    BloomFns.register(grams.sparkSession)
-    grams
-      .select(call_function("bloom_agg",
-        xxhash64(col("gram")), lit(estItems), lit(numBits)).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+    val spark = grams.sparkSession
+    BloomFns.register(spark)
+    withBloomLimits(spark, estItems, numBits) {
+      grams
+        .select(call_function("bloom_agg",
+          xxhash64(col("gram")), lit(estItems), lit(numBits)).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+    }
+  }
+
+  /** Run `body` with the runtime-bloom-filter limits raised to at least
+    * the requested dials, restoring the session values after — the ONE
+    * guard every `bloom_agg` build site goes through (BloomGate builds,
+    * the streaming-scrub ledger sketches).
+    */
+  private[graft] def withBloomLimits[A](spark: org.apache.spark.sql.SparkSession,
+                                        estItems: Long, numBits: Long)(body: => A): A = {
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevItems = spark.conf.getOption(itemsKey)
+    val prevBits = spark.conf.getOption(bitsKey)
+    spark.conf.set(itemsKey, math.max(estItems, 4000000L))
+    spark.conf.set(bitsKey, math.max(numBits, 1L << 26))
+    try body
+    finally {
+      def restore(key: String, prev: Option[String]): Unit = prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      restore(itemsKey, prevItems)
+      restore(bitsKey, prevBits)
+    }
   }
 
   /** Map-side gate: keep rows whose gram MIGHT be in the sketch. The
@@ -131,9 +166,11 @@ object BloomGate {
       val g = graft.CacheScope.cache(
         CorpusOps.tokenGrams(refDocs, gramN).select(col("gram")).distinct())
       g.write.mode("overwrite").parquet(s"$path/grams")
-      g.select(call_function("bloom_agg",
-        xxhash64(col("gram")), lit(estItems), lit(numBits)).as("bf"))
-        .write.mode("overwrite").parquet(s"$path/bloom")
+      withBloomLimits(spark, estItems, numBits) {
+        g.select(call_function("bloom_agg",
+          xxhash64(col("gram")), lit(estItems), lit(numBits)).as("bf"))
+          .write.mode("overwrite").parquet(s"$path/bloom")
+      }
     }
     IndexMeta.write(spark, path, "graft bloom gate",
       "kind" -> "bloom_gate", "gram_n" -> gramN.toString,

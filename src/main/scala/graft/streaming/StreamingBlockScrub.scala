@@ -229,23 +229,10 @@ object StreamingBlockScrub {
     */
   private[streaming] def writeSegmentBloom(spark: SparkSession, additions: DataFrame,
                                            segmentPath: String, estItems: Long,
-                                           numBits: Long): Unit = {
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val prevItems = spark.conf.getOption(itemsKey)
-    val prevBits = spark.conf.getOption(bitsKey)
-    spark.conf.set(itemsKey, math.max(estItems, 4000000L))
-    spark.conf.set(bitsKey, math.max(numBits, 1L << 26))
-    try writeSegmentBloomInner(spark, additions, segmentPath, estItems, numBits)
-    finally {
-      def restore(key: String, prev: Option[String]): Unit = prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
-      restore(itemsKey, prevItems)
-      restore(bitsKey, prevBits)
+                                           numBits: Long): Unit =
+    graft.operators.BloomGate.withBloomLimits(spark, estItems, numBits) {
+      writeSegmentBloomInner(spark, additions, segmentPath, estItems, numBits)
     }
-  }
 
   private def writeSegmentBloomInner(spark: SparkSession, additions: DataFrame,
                                      segmentPath: String, estItems: Long,
