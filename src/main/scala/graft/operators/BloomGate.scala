@@ -80,25 +80,39 @@ object BloomGate {
     * the requested dials, restoring the session values after — the ONE
     * guard every `bloom_agg` build site goes through (BloomGate builds,
     * the streaming-scrub ledger sketches).
+    *
+    * The raise is `max(current, requested, default)` — a user-raised
+    * session value is never LOWERED for the build. The conf mutation is
+    * session-wide, so concurrent sketch builds on one session serialize
+    * through [[bloomLimitsLock]]; a concurrent UNRELATED query planning a
+    * runtime bloom-filter join can still observe the temporarily-raised
+    * values, which is benign (raising only widens what the planner may
+    * build) precisely because the raise is never a lowering.
     */
+  private[this] val bloomLimitsLock = new Object
   private[graft] def withBloomLimits[A](spark: org.apache.spark.sql.SparkSession,
-                                        estItems: Long, numBits: Long)(body: => A): A = {
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val prevItems = spark.conf.getOption(itemsKey)
-    val prevBits = spark.conf.getOption(bitsKey)
-    spark.conf.set(itemsKey, math.max(estItems, 4000000L))
-    spark.conf.set(bitsKey, math.max(numBits, 1L << 26))
-    try body
-    finally {
-      def restore(key: String, prev: Option[String]): Unit = prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
+                                        estItems: Long, numBits: Long)(body: => A): A =
+    bloomLimitsLock.synchronized {
+      val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val prevItems = spark.conf.getOption(itemsKey)
+      val prevBits = spark.conf.getOption(bitsKey)
+      def current(prev: Option[String]): Long =
+        prev.flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L)
+      spark.conf.set(itemsKey,
+        Seq(current(prevItems), estItems, 4000000L).max)
+      spark.conf.set(bitsKey,
+        Seq(current(prevBits), numBits, 1L << 26).max)
+      try body
+      finally {
+        def restore(key: String, prev: Option[String]): Unit = prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
+        restore(itemsKey, prevItems)
+        restore(bitsKey, prevBits)
       }
-      restore(itemsKey, prevItems)
-      restore(bitsKey, prevBits)
     }
-  }
 
   /** Map-side gate: keep rows whose gram MIGHT be in the sketch. The
     * sketch rides the plan as a binary literal (the form

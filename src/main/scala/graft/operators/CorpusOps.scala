@@ -348,9 +348,14 @@ object CorpusOps {
   private[graft] def firstOccurrenceKeep(
       blocks: DataFrame,
       alsoKeep: org.apache.spark.sql.Column = lit(true)): DataFrame = {
-    val withH =
+    // cached: the winners aggregate and the join back BOTH read this
+    // frame — without it the upstream block explode + md5 (and, in the
+    // streaming scrub, the seen-hash join) execute twice in one plan.
+    // A caller that already cached its blocks re-registers the same
+    // plan: cacheQuery is a no-op on an already-cached query
+    val withH = graft.CacheScope.cache(
       if (blocks.columns.contains("h")) blocks
-      else blocks.withColumn("h", md5(col("btxt")))
+      else blocks.withColumn("h", md5(col("btxt"))))
     val winners = withH
       .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("_first"))

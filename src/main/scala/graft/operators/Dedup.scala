@@ -570,7 +570,10 @@ object Dedup {
       .select(col("doc_id"),
         round(size(array_distinct(col("tokens"))).cast("double") /
           size(col("tokens")), 6).as("quality"))
-    val joined = clusters.join(quality, Seq("doc_id"))
+    // cached: the winners aggregate and the final join BOTH read this
+    // frame — uncached, the q58 connected-components run (the query's
+    // dominant cost) would execute twice in one plan
+    val joined = graft.CacheScope.cache(clusters.join(quality, Seq("doc_id")))
     val winners = joined.groupBy(col("cluster_id"))
       .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("_best"))
       .select(col("cluster_id"), (-col("_best.nid")).as("_best_doc"))

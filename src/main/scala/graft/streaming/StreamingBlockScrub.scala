@@ -283,11 +283,19 @@ object StreamingBlockScrub {
       .getFileSystem(bs.sparkContext.hadoopConfiguration)
     val targetPath = new org.apache.hadoop.fs.Path(target)
     if (fs.exists(targetPath)) fs.delete(targetPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), targetPath)
+    // abort if the rename did not land: deleting the originals with no
+    // compact segment in place would lose the entire ledger history
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), targetPath),
+      s"blockscrub compact: rename $tmp -> $target failed; originals kept")
     // originals go only after the compact segment + sketch are durable; a
     // crash in this loop leaves survivors whose hashes the compact already
-    // holds — harmless duplicates the next compaction sweeps
-    segs.filter(_.path != target).foreach { s =>
+    // holds — harmless duplicates the next compaction sweeps. Compare by
+    // directory NAME: listStatus paths are scheme-qualified (file:/...),
+    // so a raw-string compare against `target` never matches and a
+    // crash-replay (previous compact_<batchId-1> among the inputs) would
+    // delete the segment just renamed into place
+    segs.filter(s => new org.apache.hadoop.fs.Path(s.path).getName !=
+        targetPath.getName).foreach { s =>
       fs.delete(new org.apache.hadoop.fs.Path(s.path), true)
     }
     graft.Telemetry.record(

@@ -90,4 +90,34 @@ class BloomGateSpec extends SparkSpec {
       BloomGate.loadBloomIndex(spark, s"$tmp/nothere")
     }
   }
+
+  test("withBloomLimits never lowers a user-raised session limit") {
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (prevItems, prevBits) =
+      (spark.conf.getOption(itemsKey), spark.conf.getOption(bitsKey))
+    try {
+      // a user raised the session limits ABOVE the guard's request: the
+      // scoped raise must be max(current, requested, default), not a
+      // temporary clamp back down to the request
+      spark.conf.set(itemsKey, 50000000L)
+      spark.conf.set(bitsKey, 1L << 30)
+      BloomGate.withBloomLimits(spark, estItems = 4000000L, numBits = 1L << 26) {
+        assert(spark.conf.get(itemsKey).toLong >= 50000000L,
+          "guard LOWERED a user-raised maxNumItems mid-build")
+        assert(spark.conf.get(bitsKey).toLong >= (1L << 30),
+          "guard LOWERED a user-raised maxNumBits mid-build")
+      }
+      // and the user values are restored untouched
+      assert(spark.conf.get(itemsKey).toLong == 50000000L)
+      assert(spark.conf.get(bitsKey).toLong == (1L << 30))
+    } finally {
+      def restore(key: String, prev: Option[String]): Unit = prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      restore(itemsKey, prevItems)
+      restore(bitsKey, prevBits)
+    }
+  }
 }

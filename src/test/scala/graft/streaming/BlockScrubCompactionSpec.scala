@@ -72,6 +72,60 @@ class BlockScrubCompactionSpec extends SparkSpec {
       "replay after compaction not idempotent")
   }
 
+  test("replay after a crash between rename and deletes keeps the ledger history") {
+    // the documented crash window: compaction renamed compact_<B-1> into
+    // place, then died before deleting the originals. The replay of batch
+    // B re-fires compaction with the SAME target name and the previous
+    // compact among its inputs — the survivor filter must recognize the
+    // just-renamed target by directory name (listStatus paths are
+    // scheme-qualified), or it deletes the new compact and later batches
+    // re-admit every previously scrubbed block.
+    val tmp = java.nio.file.Files.createTempDirectory("scrubcrash").toString
+    val (out, ledger) = (s"$tmp/out", s"$tmp/ledger")
+    // batches 0..8 = COMPACT_AFTER+1 segments, one short of firing
+    (0L to 8L).foreach { i =>
+      StreamingBlockScrub.scrubBatch(spark,
+        mkBatch(Seq(doc(2 * i, s"unique content number $i"))), i, out, ledger)
+    }
+    assert(segmentNames(ledger) == (0L to 8L).map(i => s"ledger_$i").toSet)
+
+    // fabricate the crash state: snapshot the originals, run the
+    // compaction that batch 9 would fire, then restore the originals —
+    // leaving compact_8 AND ledger_0..ledger_8 on disk together
+    val fs = new org.apache.hadoop.fs.Path(ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val saved = s"$tmp/saved"
+    (0L to 8L).foreach { i =>
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$ledger/ledger_$i"), fs,
+        new org.apache.hadoop.fs.Path(s"$saved/ledger_$i"), false, conf)
+    }
+    StreamingBlockScrub.maybeCompact(spark, ledger, 9L)
+    assert(segmentNames(ledger) == Set("compact_8"), "fixture: compaction")
+    (0L to 8L).foreach { i =>
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$saved/ledger_$i"), fs,
+        new org.apache.hadoop.fs.Path(s"$ledger/ledger_$i"), false, conf)
+    }
+
+    // the replay of batch 9: lists 10 prior segments -> re-fires
+    // compaction at the same compact_8 target with the old compact_8 as
+    // one of its inputs
+    StreamingBlockScrub.scrubBatch(spark,
+      mkBatch(Seq(doc(18L, "unique content number 9"))), 9L, out, ledger)
+    assert(segmentNames(ledger) == Set("compact_8", "ledger_9"),
+      s"replayed compaction left ${segmentNames(ledger)}")
+
+    // the decisive check: a block first seen in batch 0 (whose history
+    // now lives ONLY in the re-written compact) is still recognized
+    StreamingBlockScrub.scrubBatch(spark,
+      mkBatch(Seq(doc(20L, "unique content number 0"),
+        doc(21L, "never seen before"))), 10L, out, ledger)
+    assert(verdicts(out, 10L) == Map(20L -> ((1L, 1L)), 21L -> ((1L, 0L))),
+      "crash-replay compaction lost pre-compaction ledger history")
+  }
+
   test("compacted sketch dials: content-sized with floor and hard cap") {
     // floor: tiny ledgers keep the per-batch dials
     assert(StreamingBlockScrub.compactSketchDials(100L) == ((1L << 17, 1L << 20)))
