@@ -481,6 +481,117 @@ object CorpusOps {
       .select(col("doc_id"), col("source"), col("rk"), col("w"))
   }
 
+  /** Data Selection via Importance Resampling (the DSIR shape, Xie et
+    * al. 2023): score every raw document by how much more likely its
+    * hashed-bigram features are under a TARGET distribution (here the
+    * `src0` slice — the same held-out split the decontamination queries
+    * treat as eval) than under the raw-corpus distribution, then select
+    * the top-k. Features are word bigrams hashed into [[DSIR_BUCKETS]]
+    * buckets; both bucket models are add-1-smoothed unigram-over-buckets
+    * distributions, and a document's log importance weight is the sum of
+    * its features' log-likelihood ratios.
+    *
+    * Scale shape: the feature stream is a per-row explode (cached — the
+    * two bucket models and the scoring pass all read it); both models
+    * aggregate map-side down to ≤ [[DSIR_BUCKETS]] rows and BROADCAST
+    * back, so scoring is a map-side join inside the explode's codegen
+    * span; the per-doc weight is one hash aggregate keyed by doc_id. The
+    * only corpus-wide exchanges are the bucket-count combines (bounded by
+    * bucket cardinality) and the doc_id aggregate. Selection of the
+    * global top-k rides [[Ranked.twoPhaseTopK]] (no single-reducer global
+    * sort), and the k winners broadcast back as the `selected` flag.
+    */
+  val DSIR_BUCKETS = 4096
+  val DSIR_TOP_K = 100
+
+  def q106DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val b = DSIR_BUCKETS
+    val feats = graft.CacheScope.cache(docs(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) > 1)
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(toks[i - 1], ' ', toks[i]))""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("source"),
+        pmod(conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long"), lit(b))
+          .as("b")))
+    val tgt = feats.filter(col("source") === "src0")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val raw = feats.filter(col("source") =!= "src0")
+      .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val totals = tgt.agg(sum(col("ct")).as("tt"))
+      .crossJoin(raw.agg(sum(col("cr")).as("tr")))
+    // model: every bucket the raw side can score is present in `raw` by
+    // construction; target counts fill to 0 (smoothing handles absence)
+    val model = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("tt") + b)) -
+          log((col("cr") + 1).cast("double") / (col("tr") + b))).as("lr"))
+    val weights = feats.filter(col("source") =!= "src0")
+      .join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), round(sum(col("lr")), 6).as("log_w"))
+    val winners = Ranked.twoPhaseTopK(weights, Seq.empty,
+      Seq(col("log_w").desc, col("doc_id")), lit(DSIR_TOP_K))
+      .select(col("doc_id"), lit(true).as("_sel"))
+    weights.join(broadcast(winners), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_feats"), col("log_w"),
+        coalesce(col("_sel"), lit(false)).as("selected"))
+  }
+
+  /** UniMax source mixing (Chung et al. 2023): allocate a fixed token
+    * budget across sources as UNIFORMLY as possible subject to a per-source
+    * epoch cap — no source is repeated more than [[UNIMAX_EPOCHS]] times,
+    * and the budget the capped tail can't absorb spreads evenly over the
+    * rest. Budget = half the corpus's total tokens. The greedy
+    * (ascending-size water-filling) has a closed form over the sorted
+    * per-source counts: source i (1-based, ascending) is CAPPED iff
+    * `E·n_i·(m−i+1) ≤ T − E·Σ_{j<i} n_j` — once the inequality fails it
+    * fails for every larger source, so the capped set is a prefix — and
+    * every uncapped source gets the equal share of what the capped prefix
+    * left behind. All comparisons are exact 64-bit integer arithmetic.
+    *
+    * Scale shape: the ONLY corpus-wide work is the per-source token count
+    * (map-side combined); everything after — the sort-order windows, the
+    * prefix test, the leftover division — runs on the #sources-row
+    * aggregate, a frame of config cardinality, not corpus cardinality.
+    */
+  val UNIMAX_EPOCHS = 2L
+
+  def q107UnimaxMix(spark: SparkSession, dir: String): DataFrame = {
+    val e = UNIMAX_EPOCHS
+    val counts = docs(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("n_s"))
+    val order = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_s"), col("source"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val ranked = counts
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("t_budget", (sum(col("n_s")).over(all) / 2).cast("long"))
+      .withColumn("i", row_number().over(order))
+      .withColumn("cum_prev",
+        coalesce(sum(col("n_s")).over(order.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("capped",
+        lit(e) * col("n_s") * (col("m") - col("i") + 1) <=
+          col("t_budget") - lit(e) * col("cum_prev"))
+    val leftover = ranked
+      .withColumn("cap_n", when(col("capped"), col("n_s")).otherwise(lit(0L)))
+      .withColumn("n_capped", sum(when(col("capped"), 1L).otherwise(0L)).over(all))
+      .withColumn("cap_sum", sum(col("cap_n")).over(all))
+      .withColumn("share",
+        (col("t_budget") - lit(e) * col("cap_sum")).cast("double") /
+          (col("m") - col("n_capped")))
+    leftover
+      .withColumn("alloc_tokens",
+        round(when(col("capped"), (lit(e) * col("n_s")).cast("double"))
+          .otherwise(col("share")), 6))
+      .withColumn("epochs", round(col("alloc_tokens") / col("n_s"), 6))
+      .select(col("source"), col("n_s"), col("capped"),
+        col("alloc_tokens"), col("epochs"))
+  }
+
   /** Deterministic train/valid/test split by CONTENT hash (90/5/5): the
     * dataset-split stage every training pipeline ends with. Hashing the
     * text — not the id — pins exact duplicates to the SAME split, so a
@@ -587,7 +698,9 @@ object CorpusOps {
     "q99_dup_spans" -> q99DupSpans,
     "q100_ingest_pipeline" -> q100IngestPipeline,
     "q102_split_leakage" -> q102SplitLeakage,
-    "q103_dedup_scrub" -> q103DedupScrub)
+    "q103_dedup_scrub" -> q103DedupScrub,
+    "q106_dsir_select" -> q106DsirSelect,
+    "q107_unimax_mix" -> q107UnimaxMix)
 
   /** The ingest chain (q69 quality gate → bloom-transparent gram
     * decontamination → exact dedup) as CTEs — ONE definition shared by
@@ -845,5 +958,63 @@ object CorpusOps {
         |  FROM documents)
         |SELECT doc_id, ordinal,
         |  CAST(floor(ordinal * 16 / n) AS INTEGER) AS shard
-        |FROM o""".stripMargin)
+        |FROM o""".stripMargin,
+    "q106_dsir_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(bg), 1, 15))::BIGINT % 4096 AS b
+        |  FROM (SELECT doc_id, source,
+        |          unnest(list_transform(range(1, len(toks)),
+        |            i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |        FROM t WHERE len(toks) > 1)),
+        |tgt AS (SELECT b, count(*) AS ct FROM f WHERE source = 'src0' GROUP BY 1),
+        |raw AS (SELECT b, count(*) AS cr FROM f WHERE source != 'src0' GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS tt,
+        |               (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr),
+        |model AS (
+        |  SELECT raw.b,
+        |    ln(CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE) / (tot.tt + 4096)) -
+        |    ln(CAST(raw.cr + 1 AS DOUBLE) / (tot.tr + 4096)) AS lr
+        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+        |w AS (
+        |  SELECT doc_id, count(*) AS n_feats, round(sum(lr), 6) AS log_w
+        |  FROM f JOIN model ON f.b = model.b
+        |  WHERE f.source != 'src0' GROUP BY 1),
+        |r AS (SELECT doc_id,
+        |        row_number() OVER (ORDER BY log_w DESC, doc_id) AS rk FROM w)
+        |SELECT w.doc_id, n_feats, log_w, (r.rk <= 100) AS selected
+        |FROM w JOIN r USING (doc_id)""".stripMargin,
+    "q107_unimax_mix" ->
+      """WITH c AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_s
+        |  FROM documents GROUP BY 1),
+        |p AS (
+        |  SELECT source, n_s,
+        |    count(*) OVER () AS m,
+        |    CAST((sum(n_s) OVER ()) // 2 AS BIGINT) AS t_budget,
+        |    row_number() OVER (ORDER BY n_s, source) AS i,
+        |    CAST(coalesce(sum(n_s) OVER (ORDER BY n_s, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_prev
+        |  FROM c),
+        |cp AS (
+        |  SELECT *, (2 * n_s * (m - i + 1) <= t_budget - 2 * cum_prev) AS capped
+        |  FROM p),
+        |agg AS (
+        |  SELECT *,
+        |    sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS n_capped,
+        |    CAST(sum(CASE WHEN capped THEN n_s ELSE 0 END) OVER () AS BIGINT)
+        |      AS cap_sum
+        |  FROM cp),
+        |alloc AS (
+        |  SELECT source, n_s, capped,
+        |    round(CASE WHEN capped THEN CAST(2 * n_s AS DOUBLE)
+        |          ELSE CAST(t_budget - 2 * cap_sum AS DOUBLE) / (m - n_capped)
+        |          END, 6) AS alloc_tokens
+        |  FROM agg)
+        |SELECT source, n_s, capped, alloc_tokens,
+        |  round(alloc_tokens / n_s, 6) AS epochs
+        |FROM alloc""".stripMargin)
 }
