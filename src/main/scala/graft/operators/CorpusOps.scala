@@ -592,6 +592,161 @@ object CorpusOps {
         col("alloc_tokens"), col("epochs"))
   }
 
+  /** CCNet-style perplexity bucketing: train a bigram LM on the TARGET
+    * slice only (`src0` — the Wikipedia stand-in), score every raw
+    * document by mean negative log-likelihood under it, and split the
+    * corpus into head/middle/tail by exact terciles — the CCNet
+    * head=keep / middle=maybe / tail=drop law. Differs from q73 (the LM
+    * there is the corpus itself) exactly where the scale shape differs:
+    *
+    * Scale shape: the target LM's unigram/bigram count tables are
+    * TARGET-sized (a curated reference corpus, small by construction), so
+    * both BROADCAST and scoring is a map-side join chain inside the raw
+    * side's bigram-explode codegen span — the 100 TB corpus never
+    * shuffles its text, unlike q73's corpus-self model whose count tables
+    * must stay distributed (and salted). The per-doc mean is one hash
+    * aggregate keyed by doc_id; the tercile boundaries are ONE exact
+    * percentile aggregate broadcast back (q88's trick — no ntile global
+    * sort), and the bucket label is a pure map.
+    */
+  /** (doc_id, w1, w2) token-bigram stream of a `toks`-array frame — the
+    * shared CCNet kernel (q108 build, q109 index build + serve, the
+    * streaming gate).
+    */
+  private[graft] def ccnetBigrams(df: DataFrame): DataFrame = df
+    .filter(size(col("toks")) > 1)
+    .select(col("doc_id"), explode(expr(
+      """transform(sequence(1, size(toks) - 1),
+        |  i -> struct(toks[i - 1] AS w1, toks[i] AS w2))""".stripMargin)).as("b"))
+    .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  private[graft] def ccnetToks(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+
+  /** Per-doc mean negative log-likelihood of `rawBig` under the target
+    * bigram model `(tgtUni, tgtBig, vocab)` — both model tables broadcast
+    * (target-sized), the raw side never shuffles before its doc_id
+    * aggregate. ONE definition for the inline query, the index build's
+    * boundary pass, and index serving.
+    */
+  private[graft] def ccnetScores(rawBig: DataFrame, tgtUni: DataFrame,
+                                 tgtBig: DataFrame, vocab: DataFrame): DataFrame =
+    rawBig
+      .join(broadcast(tgtBig), Seq("w1", "w2"), "left")
+      .join(broadcast(tgtUni), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", -log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+        (coalesce(col("c1"), lit(0L)) + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 6).as("avg_nll"))
+
+  /** Head/middle/tail labeling against two boundary columns — the tie
+    * rule (`<=`) shared by the inline and stored-boundary paths.
+    */
+  private[graft] def ccnetBucketed(scored: DataFrame,
+      b0: org.apache.spark.sql.Column, b1: org.apache.spark.sql.Column): DataFrame =
+    scored.select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+      when(col("avg_nll") <= b0, "head")
+        .when(col("avg_nll") <= b1, "middle")
+        .otherwise("tail").as("bucket"))
+
+  def q108CcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.CacheScope.cache(docs(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks")))
+    val tgt = toks.filter(col("source") === "src0")
+    val tgtUni = tgt.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = tgtUni.agg(count(lit(1)).as("v"))
+    val tgtBig = ccnetBigrams(tgt).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    // cached: the tercile aggregate and the bucket projection both read
+    // the per-doc scores — uncached, the full scoring pass runs twice
+    val perDoc = graft.CacheScope.cache(ccnetScores(
+      ccnetBigrams(toks.filter(col("source") =!= "src0")), tgtUni, tgtBig, vocab))
+    val bounds = perDoc.agg(expr(
+      "percentile(avg_nll, array(double(1)/3, double(2)/3))").as("bs"))
+    ccnetBucketed(perDoc.crossJoin(broadcast(bounds)),
+      expr("bs[0]"), expr("bs[1]"))
+  }
+
+  /** Materialized CCNet LM index — the batch half of the serving pair
+    * (q82/q91/q97 shape applied to the q108 model): the target slice's
+    * unigram/bigram count tables land as parquet, the vocabulary size and
+    * the tercile boundaries (computed over the BUILD corpus through the
+    * exact parquet round-trip the serve path will read) land in the meta,
+    * meta LAST with the per-build nonce so any rebuild invalidates a
+    * running gate's fingerprint.
+    */
+  def writeCcnetIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    IndexMeta.invalidate(spark, path)
+    val toks = graft.CacheScope.cache(docs(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks")))
+    val tgt = toks.filter(col("source") === "src0")
+    tgt.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .write.mode("overwrite").parquet(s"$path/uni")
+    ccnetBigrams(tgt).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .write.mode("overwrite").parquet(s"$path/big")
+    // boundaries via the STORED tables (what serving will read), so the
+    // frozen thresholds are exactly the serve-path arithmetic's
+    val uniR = spark.read.parquet(s"$path/uni")
+    val bigR = spark.read.parquet(s"$path/big")
+    val v = uniR.count()
+    val bs = ccnetScores(
+      ccnetBigrams(toks.filter(col("source") =!= "src0")), uniR, bigR,
+      spark.range(1).select(lit(v).as("v")))
+      .agg(expr("percentile(avg_nll, array(double(1)/3, double(2)/3))").as("bs"))
+      .head().getSeq[Double](0)
+    IndexMeta.write(spark, path, "graft ccnet LM index",
+      "kind" -> "ccnet_lm", "vocab" -> v.toString,
+      "b0" -> java.lang.Double.toString(bs(0)),
+      "b1" -> java.lang.Double.toString(bs(1)))
+  }
+
+  /** The resolved serving state: model frames + the three scalars. */
+  private[graft] final case class LoadedCcnetIndex(
+      uni: DataFrame, big: DataFrame, vocab: Long, b0: Double, b1: Double)
+
+  private[graft] def loadCcnetIndex(spark: SparkSession,
+                                    path: String): LoadedCcnetIndex = {
+    val props = IndexMeta.read(spark, path, rebuildHint = "writeCcnetIndex")
+    LoadedCcnetIndex(
+      spark.read.parquet(s"$path/uni"),
+      spark.read.parquet(s"$path/big"),
+      props.getProperty("vocab").toLong,
+      java.lang.Double.parseDouble(props.getProperty("b0")),
+      java.lang.Double.parseDouble(props.getProperty("b1")))
+  }
+
+  /** Score + bucket a (doc_id, text) frame against a loaded index — the
+    * per-batch kernel of the streaming gate and the q109 serve path.
+    * Boundaries come from the meta (frozen at build time): the serve plan
+    * holds NO percentile aggregate and never touches the target slice.
+    */
+  private[graft] def ccnetAgainstLoaded(docsDf: DataFrame,
+                                        idx: LoadedCcnetIndex): DataFrame = {
+    val spark = docsDf.sparkSession
+    ccnetBucketed(
+      ccnetScores(ccnetBigrams(ccnetToks(docsDf)), idx.uni, idx.big,
+        spark.range(1).select(lit(idx.vocab).as("v"))),
+      lit(idx.b0), lit(idx.b1))
+  }
+
+  /** q108 served from the materialized LM: same answer, zero retrain —
+    * the scoring plan reads the stored count tables (broadcast) and the
+    * frozen boundaries, never re-aggregating the target slice or the
+    * score distribution.
+    */
+  def q109CcnetIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = Tables.derivedIndexPath("graft_ccnet_lm_v1", dir, "documents")
+    if (!IndexMeta.exists(spark, path)) writeCcnetIndex(spark, dir, path)
+    ccnetAgainstLoaded(
+      docs(spark, dir).filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text")),
+      loadCcnetIndex(spark, path))
+  }
+
   /** Deterministic train/valid/test split by CONTENT hash (90/5/5): the
     * dataset-split stage every training pipeline ends with. Hashing the
     * text — not the id — pins exact duplicates to the SAME split, so a
@@ -700,7 +855,9 @@ object CorpusOps {
     "q102_split_leakage" -> q102SplitLeakage,
     "q103_dedup_scrub" -> q103DedupScrub,
     "q106_dsir_select" -> q106DsirSelect,
-    "q107_unimax_mix" -> q107UnimaxMix)
+    "q107_unimax_mix" -> q107UnimaxMix,
+    "q108_ccnet_buckets" -> q108CcnetBuckets,
+    "q109_ccnet_index" -> q109CcnetIndex)
 
   /** The ingest chain (q69 quality gate → bloom-transparent gram
     * decontamination → exact dedup) as CTEs — ONE definition shared by
@@ -1016,5 +1173,42 @@ object CorpusOps {
         |  FROM agg)
         |SELECT source, n_s, capped, alloc_tokens,
         |  round(alloc_tokens / n_s, 6) AS epochs
-        |FROM alloc""".stripMargin)
+        |FROM alloc""".stripMargin,
+    // q109 serves the q108 answer from the stored LM — ONE oracle for
+    // both (the hash match certifies build/serve equality cross-engine)
+    "q109_ccnet_index" -> ccnetOracleSql,
+    "q108_ccnet_buckets" -> ccnetOracleSql)
+
+  private[graft] lazy val ccnetOracleSql: String =
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |uni AS (
+        |  SELECT w1, count(*) AS c1 FROM (
+        |    SELECT unnest(toks) AS w1 FROM t WHERE source = 'src0') GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |big AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM (
+        |    SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+        |      SELECT unnest(list_transform(range(1, len(toks)),
+        |        i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |      FROM t WHERE source = 'src0' AND len(toks) > 1))
+        |  GROUP BY 1, 2),
+        |rb AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |    FROM t WHERE source != 'src0' AND len(toks) > 1)),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    round(avg(-ln(CAST(coalesce(big.c12, 0) + 1 AS DOUBLE)
+        |      / (coalesce(uni.c1, 0) + v.v))), 6) AS avg_nll
+        |  FROM rb LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1)
+        |  CROSS JOIN v GROUP BY 1),
+        |b AS (SELECT quantile_cont(avg_nll,
+        |        [CAST(1 AS DOUBLE)/3, CAST(2 AS DOUBLE)/3]) AS bs FROM sc)
+        |SELECT doc_id, n_bigrams, avg_nll,
+        |  CASE WHEN avg_nll <= bs[1] THEN 'head'
+        |       WHEN avg_nll <= bs[2] THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc CROSS JOIN b""".stripMargin
 }

@@ -525,6 +525,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ccnet gate buckets against the stored LM, batch-parity") {
+    val tmp = java.nio.file.Files.createTempDirectory("ccnetstream").toString
+    val dir = "/root/testdata/sf0.001"
+    // nightly half: freeze the target LM + tercile boundaries
+    graft.operators.CorpusOps.writeCcnetIndex(spark, dir, s"$tmp/idx")
+
+    // stream the raw slice through the gate
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source") =!= "src0")
+    raw.write.mode("append").parquet(s"$tmp/in")
+    StreamingCcnetGate.runAgainstIndex(spark, s"$tmp/in", raw.schema,
+      s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+
+    val streamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$tmp/out")
+      .select("doc_id", "avg_nll", "bucket")
+      .as[(Long, Double, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // the stream's verdicts must equal the batch q109 serving on the
+    // same corpus (one kernel definition — structural parity)
+    val batch = graft.CacheScope.run {
+      graft.operators.CorpusOps.queries("q109_ccnet_index")(spark, dir)
+        .select("doc_id", "avg_nll", "bucket")
+        .as[(Long, Double, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    }
+    assert(streamed == batch, "streamed ccnet verdicts drifted from the batch serving")
+  }
+
+  test("ccnet gate fails the running query when the LM is rebuilt") {
+    val tmp = java.nio.file.Files.createTempDirectory("ccnetrebuild").toString
+    val dir = "/root/testdata/sf0.001"
+    graft.operators.CorpusOps.writeCcnetIndex(spark, dir, s"$tmp/idx")
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source") =!= "src0")
+    raw.write.mode("append").parquet(s"$tmp/in")
+    val q = StreamingCcnetGate.runAgainstIndex(spark, s"$tmp/in", raw.schema,
+      s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt",
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    assertDiesOnRebuild(q, s"$tmp/out/batch_0") {
+      graft.operators.CorpusOps.writeCcnetIndex(spark, dir, s"$tmp/idx")
+      raw.limit(5).write.mode("append").parquet(s"$tmp/in")
+    }
+  }
+
   test("dedup serving fails the running query when the band index is rebuilt") {
     val tmp = java.nio.file.Files.createTempDirectory("dedupr").toString
     val corpus = Seq(
