@@ -747,6 +747,39 @@ object CorpusOps {
       loadCcnetIndex(spark, path))
   }
 
+  /** Split-leakage REPAIR — the transform counterpart of q102's audit:
+    * co-split every near-duplicate cluster so no LSH-verified pair
+    * straddles train/test. Pairs come from q46's minhash kernel,
+    * components from the shared tiered CC, and every member of a
+    * component adopts the CONTENT-HASH split of its canonical (min-id)
+    * member — the q80 rule applied at cluster granularity, so the repair
+    * is reproducible from the data alone and exact dups (already
+    * co-split by content hashing) are never moved.
+    *
+    * Scale shape: the pair set is LSH-bounded (band-key equi-join, never
+    * all-pairs); CC runs on the PAIR SUBGRAPH only (nodes = docs in ≥ 1
+    * pair — the corpus-complement never enters the loop); the adopt rule
+    * is two id-keyed joins; unpaired docs flow through a left join as a
+    * pure map. The corpus text is read once for signatures and once for
+    * the split projection — it never re-shuffles.
+    */
+  def q110SplitRepair(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.CacheScope.cache(
+      Dedup.minhashNearDupPairs(docs(spark, dir)).select(col("a_id"), col("b_id")))
+    val splits = graft.CacheScope.cache(
+      q80DatasetSplit(spark, dir).select(col("doc_id"), col("split")))
+    val nodes = pairs.select(col("a_id").as("id"))
+      .union(pairs.select(col("b_id").as("id"))).distinct()
+    val comps = Dedup.connectedComponents(pairs, nodes)
+    val canon = comps
+      .join(splits.toDF("label", "repaired"), Seq("label"))
+      .select(col("id").as("doc_id"), col("repaired"))
+    splits.join(canon, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("repaired"), col("split")).as("repaired_split"),
+        (coalesce(col("repaired"), col("split")) =!= col("split")).as("moved"))
+  }
+
   /** Deterministic train/valid/test split by CONTENT hash (90/5/5): the
     * dataset-split stage every training pipeline ends with. Hashing the
     * text — not the id — pins exact duplicates to the SAME split, so a
@@ -857,7 +890,8 @@ object CorpusOps {
     "q106_dsir_select" -> q106DsirSelect,
     "q107_unimax_mix" -> q107UnimaxMix,
     "q108_ccnet_buckets" -> q108CcnetBuckets,
-    "q109_ccnet_index" -> q109CcnetIndex)
+    "q109_ccnet_index" -> q109CcnetIndex,
+    "q110_split_repair" -> q110SplitRepair)
 
   /** The ingest chain (q69 quality gate → bloom-transparent gram
     * decontamination → exact dedup) as CTEs — ONE definition shared by
@@ -1174,6 +1208,32 @@ object CorpusOps {
         |SELECT source, n_s, capped, alloc_tokens,
         |  round(alloc_tokens / n_s, 6) AS epochs
         |FROM alloc""".stripMargin,
+    "q110_split_repair" ->
+      (s"""WITH RECURSIVE ${Dedup.minhashPairsCte},
+        |nodes AS (SELECT DISTINCT id FROM (
+        |  SELECT a_id AS id FROM pairs UNION ALL SELECT b_id FROM pairs)),
+        |bi AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |       UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(id, label) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT bi.src, reach.label FROM reach JOIN bi ON bi.dst = reach.id),
+        |comp AS (SELECT id, min(label) AS label FROM reach GROUP BY 1),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 90
+        |           THEN 'train'
+        |         WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 95
+        |           THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |canon AS (
+        |  SELECT comp.id AS doc_id, sp.split AS repaired
+        |  FROM comp JOIN sp ON sp.doc_id = comp.label)
+        |SELECT sp.doc_id, sp.split,
+        |  coalesce(canon.repaired, sp.split) AS repaired_split,
+        |  coalesce(canon.repaired, sp.split) != sp.split AS moved
+        |FROM sp LEFT JOIN canon USING (doc_id)""").stripMargin,
     // q109 serves the q108 answer from the stored LM — ONE oracle for
     // both (the hash match certifies build/serve equality cross-engine)
     "q109_ccnet_index" -> ccnetOracleSql,
