@@ -134,6 +134,38 @@ object Similarity {
       .select(col("p_id"), col("c_id"), col("cosine"), col("rn"))
   }
 
+  /** Hard-negative mining (contrastive-training prep, the ANCE/DPR
+    * shape): for each probe, the top-5 most-similar vectors OUTSIDE the
+    * probe's semantic cluster — high cosine but different cluster is
+    * exactly the "hard" negative a contrastive objective needs; same-
+    * cluster neighbors are excluded as likely false negatives. Clusters
+    * are q72's shared seeded-argmin assignment, similarity is q48's
+    * exact kernel — one definition each, so the miner cannot drift from
+    * either gated query.
+    *
+    * Scale shape: cluster assignment is a pure map (k-bounded seed
+    * closure); the probe set broadcasts against the corpus exactly like
+    * q48 (at deployment scale the brute pass swaps for the q95 serving
+    * stack with the same different-cluster filter); the per-probe top-5
+    * window partitions by the bounded probe set.
+    */
+  def q112HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.CacheScope.cache(
+      assignClusters(withNorm(emb(spark, dir)), 8)
+        .select(col("vec_id"), col("embedding"), col("nn"), col("cluster")))
+    val probes = e.select(col("vec_id").as("p_id"), col("embedding").as("pe"),
+      col("nn").as("np"), col("cluster").as("pc")).filter(col("p_id") < 20)
+    val cands = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+      col("nn").as("nc"), col("cluster").as("cc"))
+    val cos = broadcast(probes).join(cands, col("pc") =!= col("cc"))
+      .withColumn("cosine",
+        round6c(dotC(spark, "pe", "ce") / (sqrt(col("np")) * sqrt(col("nc")))))
+    val w = Window.partitionBy(col("p_id")).orderBy(col("cosine").desc, col("c_id"))
+    cos.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("p_id"), col("c_id"), col("cosine"), col("rn"))
+  }
+
   /** All band signatures within hamming distance 2 of the exact signature
     * (1 + 12 + 66 = 79 masks for 12-bit bands) — the PROBE-side multiprobe
     * expansion: per-band match probability rises from p^12 to
@@ -1156,6 +1188,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_cosine_knn" -> q48CosineKnn,
+    "q112_hard_negatives" -> q112HardNegatives,
     "q87_semantic_dedup" -> q87SemanticDedup,
     "q49_ann_lsh" -> q49AnnLsh,
     "q56_embedding_neardup" -> q56EmbeddingNeardup,
@@ -1461,6 +1494,32 @@ object Similarity {
     "q93_pq_index" -> pqSql,
     "q94_pq_refine" -> pqRefineSql,
     "q95_ivfpq" -> ivfPqSql,
+    "q112_hard_negatives" ->
+      s"""WITH $longFormCte,
+        |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),
+        |cents AS (SELECT vec_id AS c_id, pos, v FROM ex WHERE vec_id < 8),
+        |dst AS (
+        |  SELECT ex.vec_id, c.c_id,
+        |    round(sum((ex.v - c.v) * (ex.v - c.v)), 6) AS dist2
+        |  FROM ex JOIN cents c ON c.pos = ex.pos
+        |  GROUP BY 1, 2),
+        |asg AS (
+        |  SELECT vec_id, c_id AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist2, c_id) AS rn
+        |    FROM dst) WHERE rn = 1),
+        |dots AS (
+        |  SELECT a.vec_id AS p_id, b.vec_id AS c_id, sum(a.v * b.v) AS dot
+        |  FROM ex a JOIN ex b ON a.pos = b.pos AND a.vec_id < 20
+        |  JOIN asg pa ON pa.vec_id = a.vec_id
+        |  JOIN asg ca ON ca.vec_id = b.vec_id AND pa.cluster != ca.cluster
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT p_id, c_id, round(dot / (sqrt(np.nn) * sqrt(nc.nn)), 6) AS cosine
+        |  FROM dots JOIN norms np ON np.vec_id = p_id JOIN norms nc ON nc.vec_id = c_id)
+        |SELECT p_id, c_id, cosine, CAST(rn AS INT) AS rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
+        |  FROM cos) WHERE rn <= 5""".stripMargin,
     "q48_cosine_knn" ->
       s"""WITH $longFormCte,
         |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),

@@ -127,6 +127,30 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("token"))
       .limit(100)
 
+  /** BPE merge-candidate counting — the per-iteration kernel of BPE
+    * tokenizer training (Sennrich et al. 2016): adjacent symbol-pair
+    * frequencies weighted by word frequency, over the DISTINCT-WORD
+    * table; the top pair is the next merge. Here symbols are characters
+    * (iteration 0); each later round runs the same query over the
+    * re-segmented symbol table, rounds bounded by the merge budget.
+    *
+    * Scale shape: the ONLY corpus-wide work is one map-side-combined word
+    * count; the pair explode and its aggregate run on the distinct-word
+    * table — VOCABULARY-sized, corpus-size-independent — and the top-k
+    * plans as TakeOrderedAndProject (per-partition heads, no global
+    * sort materialization).
+    */
+  def q111BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .filter(length(col("w")) >= 2)
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("merge_count"))
+      .orderBy(col("merge_count").desc, col("pair"))
+      .limit(20)
+
   /** TF-IDF keyword extraction: each document's top-scoring token
     * (tf · ln(N/df)). Two shuffles — the (token → df) aggregate (map-side
     * combined over per-doc distinct tokens) and the per-doc argmax — with
@@ -321,7 +345,8 @@ object TextAnalysis {
     "q60_doc_rollup" -> q60DocRollup,
     "q63_stratified_sample" -> q63StratifiedSample,
     "q64_vocab" -> q64Vocab,
-    "q101_oov_rate" -> q101OovRate)
+    "q101_oov_rate" -> q101OovRate,
+    "q111_bpe_merges" -> q111BpeMerges)
 
   val oracleSql: Map[String, String] = Map(
     "q84_pii_scrub" ->
@@ -378,6 +403,17 @@ object TextAnalysis {
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 100""".stripMargin,
+    "q111_bpe_merges" ->
+      """WITH w AS (
+        |  SELECT w, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair, n FROM (
+        |    SELECT w, n, unnest(generate_series(1, len(w) - 1)) AS i
+        |    FROM w WHERE len(w) >= 2))
+        |SELECT pair, CAST(sum(n) AS BIGINT) AS merge_count
+        |FROM p GROUP BY 1 ORDER BY merge_count DESC, pair LIMIT 20""".stripMargin,
     "q101_oov_rate" ->
       """WITH v AS (
         |  SELECT token FROM (
