@@ -504,39 +504,135 @@ object CorpusOps {
   val DSIR_BUCKETS = 4096
   val DSIR_TOP_K = 100
 
-  def q106DsirSelect(spark: SparkSession, dir: String): DataFrame = {
-    val b = DSIR_BUCKETS
-    val feats = graft.CacheScope.cache(docs(spark, dir)
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+  /** (doc_id [, keep...], b) hashed-bigram feature stream of a
+    * (doc_id, text) frame — the shared DSIR kernel (q106 build, q113
+    * index build + serve, the streaming gate).
+    */
+  private[graft] def dsirFeats(df: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val passthru = col("doc_id") +: keep.map(col)
+    df.select(passthru :+ split(col("text"), " ").as("toks"): _*)
       .filter(size(col("toks")) > 1)
-      .select(col("doc_id"), col("source"), explode(expr(
+      .select(passthru :+ explode(expr(
         """transform(sequence(1, size(toks) - 1),
-          |  i -> concat(toks[i - 1], ' ', toks[i]))""".stripMargin)).as("bg"))
-      .select(col("doc_id"), col("source"),
-        pmod(conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long"), lit(b))
-          .as("b")))
-    val tgt = feats.filter(col("source") === "src0")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val raw = feats.filter(col("source") =!= "src0")
-      .groupBy(col("b")).agg(count(lit(1)).as("cr"))
+          |  i -> concat(toks[i - 1], ' ', toks[i]))""".stripMargin)).as("bg"): _*)
+      .select(passthru :+
+        pmod(conv(substring(md5(col("bg")), 1, 15), 16, 10).cast("long"),
+          lit(DSIR_BUCKETS)).as("b"): _*)
+  }
+
+  /** The (b, lr) log-likelihood-ratio table over the raw side's buckets
+    * (every bucket the BUILD corpus can score is present in `raw` by
+    * construction; target counts fill to 0 — smoothing handles absence).
+    */
+  private[graft] def dsirModelOf(tgtFeats: DataFrame, rawFeats: DataFrame): DataFrame = {
+    val b = DSIR_BUCKETS
+    val tgt = tgtFeats.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val raw = rawFeats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
     val totals = tgt.agg(sum(col("ct")).as("tt"))
       .crossJoin(raw.agg(sum(col("cr")).as("tr")))
-    // model: every bucket the raw side can score is present in `raw` by
-    // construction; target counts fill to 0 (smoothing handles absence)
-    val model = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(totals))
+    raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(totals))
       .select(col("b"),
         (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("tt") + b)) -
           log((col("cr") + 1).cast("double") / (col("tr") + b))).as("lr"))
-    val weights = feats.filter(col("source") =!= "src0")
-      .join(broadcast(model), Seq("b"))
+  }
+
+  /** Per-doc (doc_id, n_feats, log_w) under a (b, lr) model — broadcast
+    * join inside the feature explode's codegen span. Features in buckets
+    * the model never saw (possible only for post-build documents) score
+    * the both-unseen smoothed ratio `defaultLr`.
+    */
+  private[graft] def dsirWeightsOf(rawFeats: DataFrame, model: DataFrame,
+                                   defaultLr: org.apache.spark.sql.Column = lit(null)
+                                  ): DataFrame =
+    rawFeats
+      .join(broadcast(model), Seq("b"), "left")
+      .withColumn("_lr", coalesce(col("lr"), defaultLr))
+      .filter(col("_lr").isNotNull)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"), round(sum(col("lr")), 6).as("log_w"))
+      .agg(count(lit(1)).as("n_feats"), round(sum(col("_lr")), 6).as("log_w"))
+
+  def q106DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val feats = graft.CacheScope.cache(dsirFeats(docs(spark, dir), Seq("source")))
+    val rawF = feats.filter(col("source") =!= "src0")
+    val model = dsirModelOf(feats.filter(col("source") === "src0"), rawF)
+    val weights = dsirWeightsOf(rawF, model)
     val winners = Ranked.twoPhaseTopK(weights, Seq.empty,
       Seq(col("log_w").desc, col("doc_id")), lit(DSIR_TOP_K))
       .select(col("doc_id"), lit(true).as("_sel"))
     weights.join(broadcast(winners), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_feats"), col("log_w"),
         coalesce(col("_sel"), lit(false)).as("selected"))
+  }
+
+  /** Materialized DSIR index — the serving half of q106 (the q109/q97
+    * shape applied to the importance model): the bucket LLR table lands
+    * as parquet; the meta freezes the totals (for the both-unseen
+    * default ratio) and the SELECTION THRESHOLD — the k-th winner's
+    * (log_w, doc_id) under the build corpus's deterministic order, so
+    * serving the build corpus reproduces top-k membership EXACTLY
+    * (doc_id uniqueness makes the order total; `>` on the pair is
+    * membership). Meta last with the per-build nonce.
+    */
+  def writeDsirIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    IndexMeta.invalidate(spark, path)
+    val feats = graft.CacheScope.cache(dsirFeats(docs(spark, dir), Seq("source")))
+    val rawF = feats.filter(col("source") =!= "src0")
+    val tgtF = feats.filter(col("source") === "src0")
+    dsirModelOf(tgtF, rawF).write.mode("overwrite").parquet(s"$path/model")
+    val modelR = spark.read.parquet(s"$path/model")
+    val weights = dsirWeightsOf(rawF.select(col("doc_id"), col("b")), modelR)
+    val kth = Ranked.twoPhaseTopK(weights, Seq.empty,
+      Seq(col("log_w").desc, col("doc_id")), lit(DSIR_TOP_K))
+      .filter(col("rk") === DSIR_TOP_K)
+      .select(col("log_w"), col("doc_id")).collect()
+    val (thrW, thrId) =
+      if (kth.isEmpty) (Double.NegativeInfinity, Long.MaxValue)
+      else (kth(0).getDouble(0), kth(0).getLong(1))
+    val (tt, tr) = (tgtF.count(), rawF.count())
+    IndexMeta.write(spark, path, "graft DSIR importance index",
+      "kind" -> "dsir_llr", "buckets" -> DSIR_BUCKETS.toString,
+      "top_k" -> DSIR_TOP_K.toString,
+      "thr_w" -> java.lang.Double.toString(thrW), "thr_id" -> thrId.toString,
+      "tt" -> tt.toString, "tr" -> tr.toString)
+  }
+
+  private[graft] final case class LoadedDsirIndex(
+      model: DataFrame, thrW: Double, thrId: Long, defaultLr: Double)
+
+  private[graft] def loadDsirIndex(spark: SparkSession, path: String): LoadedDsirIndex = {
+    val props = IndexMeta.read(spark, path, rebuildHint = "writeDsirIndex")
+    val b = props.getProperty("buckets").toLong
+    val (tt, tr) = (props.getProperty("tt").toLong, props.getProperty("tr").toLong)
+    LoadedDsirIndex(
+      spark.read.parquet(s"$path/model"),
+      java.lang.Double.parseDouble(props.getProperty("thr_w")),
+      props.getProperty("thr_id").toLong,
+      math.log(1.0 / (tt + b)) - math.log(1.0 / (tr + b)))
+  }
+
+  /** Score + select a (doc_id, text) frame against a loaded index — the
+    * per-batch kernel of the streaming gate and the q113 serve path.
+    * `selected` is the FROZEN threshold rule: (log_w, doc_id) beats the
+    * stored k-th winner — on the build corpus this IS top-k membership.
+    */
+  private[graft] def dsirAgainstLoaded(docsDf: DataFrame,
+                                       idx: LoadedDsirIndex): DataFrame =
+    dsirWeightsOf(dsirFeats(docsDf), idx.model, lit(idx.defaultLr))
+      .select(col("doc_id"), col("n_feats"), col("log_w"),
+        (col("log_w") > idx.thrW ||
+          (col("log_w") === idx.thrW && col("doc_id") <= idx.thrId)).as("selected"))
+
+  /** q106 served from the materialized importance model: same answer,
+    * zero retrain — the serve plan reads the stored LLR table (broadcast)
+    * and the frozen threshold, never re-aggregating either corpus side.
+    */
+  def q113DsirIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = Tables.derivedIndexPath("graft_dsir_llr_v1", dir, "documents")
+    if (!IndexMeta.exists(spark, path)) writeDsirIndex(spark, dir, path)
+    dsirAgainstLoaded(
+      docs(spark, dir).filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text")),
+      loadDsirIndex(spark, path))
   }
 
   /** UniMax source mixing (Chung et al. 2023): allocate a fixed token
@@ -891,7 +987,8 @@ object CorpusOps {
     "q107_unimax_mix" -> q107UnimaxMix,
     "q108_ccnet_buckets" -> q108CcnetBuckets,
     "q109_ccnet_index" -> q109CcnetIndex,
-    "q110_split_repair" -> q110SplitRepair)
+    "q110_split_repair" -> q110SplitRepair,
+    "q113_dsir_index" -> q113DsirIndex)
 
   /** The ingest chain (q69 quality gate → bloom-transparent gram
     * decontamination → exact dedup) as CTEs — ONE definition shared by
@@ -1150,33 +1247,10 @@ object CorpusOps {
         |SELECT doc_id, ordinal,
         |  CAST(floor(ordinal * 16 / n) AS INTEGER) AS shard
         |FROM o""".stripMargin,
-    "q106_dsir_select" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
-        |f AS (
-        |  SELECT doc_id, source,
-        |    ('0x' || substr(md5(bg), 1, 15))::BIGINT % 4096 AS b
-        |  FROM (SELECT doc_id, source,
-        |          unnest(list_transform(range(1, len(toks)),
-        |            i -> toks[i] || ' ' || toks[i+1])) AS bg
-        |        FROM t WHERE len(toks) > 1)),
-        |tgt AS (SELECT b, count(*) AS ct FROM f WHERE source = 'src0' GROUP BY 1),
-        |raw AS (SELECT b, count(*) AS cr FROM f WHERE source != 'src0' GROUP BY 1),
-        |tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS tt,
-        |               (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr),
-        |model AS (
-        |  SELECT raw.b,
-        |    ln(CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE) / (tot.tt + 4096)) -
-        |    ln(CAST(raw.cr + 1 AS DOUBLE) / (tot.tr + 4096)) AS lr
-        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
-        |w AS (
-        |  SELECT doc_id, count(*) AS n_feats, round(sum(lr), 6) AS log_w
-        |  FROM f JOIN model ON f.b = model.b
-        |  WHERE f.source != 'src0' GROUP BY 1),
-        |r AS (SELECT doc_id,
-        |        row_number() OVER (ORDER BY log_w DESC, doc_id) AS rk FROM w)
-        |SELECT w.doc_id, n_feats, log_w, (r.rk <= 100) AS selected
-        |FROM w JOIN r USING (doc_id)""".stripMargin,
+    // q113 serves the q106 answer from the stored LLR table + frozen
+    // threshold — ONE oracle for both
+    "q113_dsir_index" -> dsirOracleSql,
+    "q106_dsir_select" -> dsirOracleSql,
     "q107_unimax_mix" ->
       """WITH c AS (
         |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_s
@@ -1238,6 +1312,35 @@ object CorpusOps {
     // both (the hash match certifies build/serve equality cross-engine)
     "q109_ccnet_index" -> ccnetOracleSql,
     "q108_ccnet_buckets" -> ccnetOracleSql)
+
+
+  private[graft] lazy val dsirOracleSql: String =
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |f AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(bg), 1, 15))::BIGINT % 4096 AS b
+        |  FROM (SELECT doc_id, source,
+        |          unnest(list_transform(range(1, len(toks)),
+        |            i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |        FROM t WHERE len(toks) > 1)),
+        |tgt AS (SELECT b, count(*) AS ct FROM f WHERE source = 'src0' GROUP BY 1),
+        |raw AS (SELECT b, count(*) AS cr FROM f WHERE source != 'src0' GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS tt,
+        |               (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS tr),
+        |model AS (
+        |  SELECT raw.b,
+        |    ln(CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE) / (tot.tt + 4096)) -
+        |    ln(CAST(raw.cr + 1 AS DOUBLE) / (tot.tr + 4096)) AS lr
+        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+        |w AS (
+        |  SELECT doc_id, count(*) AS n_feats, round(sum(lr), 6) AS log_w
+        |  FROM f JOIN model ON f.b = model.b
+        |  WHERE f.source != 'src0' GROUP BY 1),
+        |r AS (SELECT doc_id,
+        |        row_number() OVER (ORDER BY log_w DESC, doc_id) AS rk FROM w)
+        |SELECT w.doc_id, n_feats, log_w, (r.rk <= 100) AS selected
+        |FROM w JOIN r USING (doc_id)""".stripMargin
 
   private[graft] lazy val ccnetOracleSql: String =
       """WITH t AS (

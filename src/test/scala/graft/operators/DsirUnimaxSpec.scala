@@ -76,6 +76,35 @@ class DsirUnimaxSpec extends SparkSpec {
       "expected both quota phases as Window operators:\n" + p)
   }
 
+  test("q113 serves the q106 answer from the stored model; serve plan never re-aggregates") {
+    val tmp = java.nio.file.Files.createTempDirectory("dsiridx").toString
+    CorpusOps.writeDsirIndex(spark, sf, s"$tmp/idx")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val raw = graft.Tables.load(spark, sf, "documents")
+      .filter(col("source") =!= "src0").select(col("doc_id"), col("text"))
+    val served = graft.CacheScope.run {
+      collect(CorpusOps.dsirAgainstLoaded(raw, CorpusOps.loadDsirIndex(spark, s"$tmp/idx")))
+    }
+    val inline = graft.CacheScope.run { collect(CorpusOps.q106DsirSelect(spark, sf)) }
+    assert(served == inline, "stored-model serving drifted from the inline query")
+    // zero retrain: the serve plan holds no window (the top-k became a
+    // frozen threshold literal) and no aggregate beyond the per-doc sum
+    val p = CorpusOps.dsirAgainstLoaded(raw,
+      CorpusOps.loadDsirIndex(spark, s"$tmp/idx"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "serve plan recomputes the top-k ranking:\n" + p)
+    // a post-build doc hitting only unseen buckets still scores (the
+    // both-unseen default ratio), never drops
+    import spark.implicits._
+    val novel = Seq((999999L, "zzqx1 zzqx2 zzqx3")).toDF("doc_id", "text")
+    val scoredNovel = CorpusOps.dsirAgainstLoaded(novel,
+      CorpusOps.loadDsirIndex(spark, s"$tmp/idx")).collect()
+    assert(scoredNovel.length == 1 && scoredNovel(0).getLong(1) == 2L,
+      "unseen-bucket features must score via the default ratio, not vanish")
+  }
+
   test("q107: capped prefix, budget conservation, epoch cap, uniform remainder") {
     val rows = CorpusOps.q107UnimaxMix(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
