@@ -536,10 +536,19 @@ object CorpusOps {
           log((col("cr") + 1).cast("double") / (col("tr") + b))).as("lr"))
   }
 
-  /** Per-doc (doc_id, n_feats, log_w) under a (b, lr) model — broadcast
-    * join inside the feature explode's codegen span. Features in buckets
-    * the model never saw (possible only for post-build documents) score
-    * the both-unseen smoothed ratio `defaultLr`.
+  /** Per-doc (doc_id, n_feats, log_w_micro) under a (b, lr) model —
+    * broadcast join inside the feature explode's codegen span. Features in
+    * buckets the model never saw (possible only for post-build documents)
+    * score the both-unseen smoothed ratio `defaultLr`.
+    *
+    * The weight is summed in MICRO-UNITS: each feature's lr is rounded
+    * once to a 64-bit integer of 1e-6 units and the per-doc sum is exact
+    * integer arithmetic — ORDER-INDEPENDENT, so the score is bitwise
+    * reproducible across partitionings, build vs serve, and engines
+    * (a double `sum` is order-dependent; a doc whose unrounded sum sits
+    * within an ulp of a rounding boundary could otherwise flip `selected`
+    * at the frozen threshold). `log_w = log_w_micro / 1e6` is derived for
+    * display; all comparisons run on the integer.
     */
   private[graft] def dsirWeightsOf(rawFeats: DataFrame, model: DataFrame,
                                    defaultLr: org.apache.spark.sql.Column = lit(null)
@@ -548,8 +557,15 @@ object CorpusOps {
       .join(broadcast(model), Seq("b"), "left")
       .withColumn("_lr", coalesce(col("lr"), defaultLr))
       .filter(col("_lr").isNotNull)
+      .withColumn("_lrm", round(col("_lr") * 1e6, 0).cast("long"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"), round(sum(col("_lr")), 6).as("log_w"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("_lrm")).as("log_w_micro"))
+
+  /** The display weight of a micro-unit sum — ONE definition (and one
+    * oracle-mirrored expression) for every DSIR surface.
+    */
+  private[graft] def dsirLogW(micro: org.apache.spark.sql.Column) =
+    round(micro / 1e6, 6)
 
   def q106DsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val feats = graft.CacheScope.cache(dsirFeats(docs(spark, dir), Seq("source")))
@@ -557,10 +573,10 @@ object CorpusOps {
     val model = dsirModelOf(feats.filter(col("source") === "src0"), rawF)
     val weights = dsirWeightsOf(rawF, model)
     val winners = Ranked.twoPhaseTopK(weights, Seq.empty,
-      Seq(col("log_w").desc, col("doc_id")), lit(DSIR_TOP_K))
+      Seq(col("log_w_micro").desc, col("doc_id")), lit(DSIR_TOP_K))
       .select(col("doc_id"), lit(true).as("_sel"))
     weights.join(broadcast(winners), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_feats"), col("log_w"),
+      .select(col("doc_id"), col("n_feats"), dsirLogW(col("log_w_micro")).as("log_w"),
         coalesce(col("_sel"), lit(false)).as("selected"))
   }
 
@@ -568,10 +584,13 @@ object CorpusOps {
     * shape applied to the importance model): the bucket LLR table lands
     * as parquet; the meta freezes the totals (for the both-unseen
     * default ratio) and the SELECTION THRESHOLD — the k-th winner's
-    * (log_w, doc_id) under the build corpus's deterministic order, so
-    * serving the build corpus reproduces top-k membership EXACTLY
+    * (log_w_micro, doc_id) under the build corpus's deterministic order,
+    * so serving the build corpus reproduces top-k membership EXACTLY
     * (doc_id uniqueness makes the order total; `>` on the pair is
-    * membership). Meta last with the per-build nonce.
+    * membership — and because the weight is an order-independent 64-bit
+    * micro-unit sum, the serve-pass recomputation is bitwise identical to
+    * the build pass by construction, not by summation-order luck). Meta
+    * last with the per-build nonce.
     */
   def writeDsirIndex(spark: SparkSession, dir: String, path: String): Unit = {
     IndexMeta.invalidate(spark, path)
@@ -582,22 +601,22 @@ object CorpusOps {
     val modelR = spark.read.parquet(s"$path/model")
     val weights = dsirWeightsOf(rawF.select(col("doc_id"), col("b")), modelR)
     val kth = Ranked.twoPhaseTopK(weights, Seq.empty,
-      Seq(col("log_w").desc, col("doc_id")), lit(DSIR_TOP_K))
+      Seq(col("log_w_micro").desc, col("doc_id")), lit(DSIR_TOP_K))
       .filter(col("rk") === DSIR_TOP_K)
-      .select(col("log_w"), col("doc_id")).collect()
-    val (thrW, thrId) =
-      if (kth.isEmpty) (Double.NegativeInfinity, Long.MaxValue)
-      else (kth(0).getDouble(0), kth(0).getLong(1))
+      .select(col("log_w_micro"), col("doc_id")).collect()
+    val (thrM, thrId) =
+      if (kth.isEmpty) (Long.MinValue, Long.MaxValue)
+      else (kth(0).getLong(0), kth(0).getLong(1))
     val (tt, tr) = (tgtF.count(), rawF.count())
     IndexMeta.write(spark, path, "graft DSIR importance index",
       "kind" -> "dsir_llr", "buckets" -> DSIR_BUCKETS.toString,
       "top_k" -> DSIR_TOP_K.toString,
-      "thr_w" -> java.lang.Double.toString(thrW), "thr_id" -> thrId.toString,
+      "thr_m" -> thrM.toString, "thr_id" -> thrId.toString,
       "tt" -> tt.toString, "tr" -> tr.toString)
   }
 
   private[graft] final case class LoadedDsirIndex(
-      model: DataFrame, thrW: Double, thrId: Long, defaultLr: Double)
+      model: DataFrame, thrM: Long, thrId: Long, defaultLr: Double)
 
   private[graft] def loadDsirIndex(spark: SparkSession, path: String): LoadedDsirIndex = {
     val props = IndexMeta.read(spark, path, rebuildHint = "writeDsirIndex")
@@ -605,29 +624,32 @@ object CorpusOps {
     val (tt, tr) = (props.getProperty("tt").toLong, props.getProperty("tr").toLong)
     LoadedDsirIndex(
       spark.read.parquet(s"$path/model"),
-      java.lang.Double.parseDouble(props.getProperty("thr_w")),
+      props.getProperty("thr_m").toLong,
       props.getProperty("thr_id").toLong,
       math.log(1.0 / (tt + b)) - math.log(1.0 / (tr + b)))
   }
 
   /** Score + select a (doc_id, text) frame against a loaded index — the
     * per-batch kernel of the streaming gate and the q113 serve path.
-    * `selected` is the FROZEN threshold rule: (log_w, doc_id) beats the
-    * stored k-th winner — on the build corpus this IS top-k membership.
+    * `selected` is the FROZEN threshold rule: (log_w_micro, doc_id) beats
+    * the stored k-th winner — on the build corpus this IS top-k
+    * membership, exactly: both sides of the comparison are 64-bit
+    * integers whose value cannot depend on partitioning or summation
+    * order.
     */
   private[graft] def dsirAgainstLoaded(docsDf: DataFrame,
                                        idx: LoadedDsirIndex): DataFrame =
     dsirWeightsOf(dsirFeats(docsDf), idx.model, lit(idx.defaultLr))
-      .select(col("doc_id"), col("n_feats"), col("log_w"),
-        (col("log_w") > idx.thrW ||
-          (col("log_w") === idx.thrW && col("doc_id") <= idx.thrId)).as("selected"))
+      .select(col("doc_id"), col("n_feats"), dsirLogW(col("log_w_micro")).as("log_w"),
+        (col("log_w_micro") > idx.thrM ||
+          (col("log_w_micro") === idx.thrM && col("doc_id") <= idx.thrId)).as("selected"))
 
   /** q106 served from the materialized importance model: same answer,
     * zero retrain — the serve plan reads the stored LLR table (broadcast)
     * and the frozen threshold, never re-aggregating either corpus side.
     */
   def q113DsirIndex(spark: SparkSession, dir: String): DataFrame = {
-    val path = Tables.derivedIndexPath("graft_dsir_llr_v1", dir, "documents")
+    val path = Tables.derivedIndexPath("graft_dsir_llr_v2", dir, "documents")
     if (!IndexMeta.exists(spark, path)) writeDsirIndex(spark, dir, path)
     dsirAgainstLoaded(
       docs(spark, dir).filter(col("source") =!= "src0")
@@ -665,7 +687,11 @@ object CorpusOps {
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val ranked = counts
       .withColumn("m", count(lit(1)).over(all))
-      .withColumn("t_budget", (sum(col("n_s")).over(all) / 2).cast("long"))
+      // `div`, not `/`: Spark's `/` on longs routes through double, which
+      // loses exactness past 2^53 total tokens; `div` keeps the budget in
+      // 64-bit integer arithmetic (the oracle's `//`) at any corpus size
+      .withColumn("_t_total", sum(col("n_s")).over(all))
+      .withColumn("t_budget", expr("_t_total div 2"))
       .withColumn("i", row_number().over(order))
       .withColumn("cum_prev",
         coalesce(sum(col("n_s")).over(order.rowsBetween(Long.MinValue, -1)), lit(0L)))
@@ -724,6 +750,14 @@ object CorpusOps {
     * (target-sized), the raw side never shuffles before its doc_id
     * aggregate. ONE definition for the inline query, the index build's
     * boundary pass, and index serving.
+    *
+    * Like [[dsirWeightsOf]], the per-bigram nll is rounded ONCE to a
+    * 64-bit integer of 1e-6 units and summed with exact integer
+    * arithmetic — order-independent, so a doc's `avg_nll` (and therefore
+    * its side of the frozen tercile boundaries) is bitwise reproducible
+    * across partitionings and build/serve passes; a double `avg` could
+    * drift an ulp with summation order and flip the bucket of a doc
+    * sitting exactly on a stored boundary.
     */
   private[graft] def ccnetScores(rawBig: DataFrame, tgtUni: DataFrame,
                                  tgtBig: DataFrame, vocab: DataFrame): DataFrame =
@@ -733,8 +767,11 @@ object CorpusOps {
       .crossJoin(broadcast(vocab))
       .withColumn("nll", -log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
         (coalesce(col("c1"), lit(0L)) + col("v"))))
+      .withColumn("_nm", round(col("nll") * 1e6, 0).cast("long"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 6).as("avg_nll"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_nm")).as("_nms"))
+      .withColumn("avg_nll", round(col("_nms") / col("n_bigrams") / 1e6, 6))
+      .drop("_nms")
 
   /** Head/middle/tail labeling against two boundary columns — the tie
     * rule (`<=`) shared by the inline and stored-boundary paths.
@@ -835,7 +872,7 @@ object CorpusOps {
     * score distribution.
     */
   def q109CcnetIndex(spark: SparkSession, dir: String): DataFrame = {
-    val path = Tables.derivedIndexPath("graft_ccnet_lm_v1", dir, "documents")
+    val path = Tables.derivedIndexPath("graft_ccnet_lm_v2", dir, "documents")
     if (!IndexMeta.exists(spark, path)) writeCcnetIndex(spark, dir, path)
     ccnetAgainstLoaded(
       docs(spark, dir).filter(col("source") =!= "src0")
@@ -1334,12 +1371,14 @@ object CorpusOps {
         |    ln(CAST(raw.cr + 1 AS DOUBLE) / (tot.tr + 4096)) AS lr
         |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
         |w AS (
-        |  SELECT doc_id, count(*) AS n_feats, round(sum(lr), 6) AS log_w
+        |  SELECT doc_id, count(*) AS n_feats,
+        |    sum(CAST(round(lr * 1e6, 0) AS BIGINT)) AS m
         |  FROM f JOIN model ON f.b = model.b
         |  WHERE f.source != 'src0' GROUP BY 1),
         |r AS (SELECT doc_id,
-        |        row_number() OVER (ORDER BY log_w DESC, doc_id) AS rk FROM w)
-        |SELECT w.doc_id, n_feats, log_w, (r.rk <= 100) AS selected
+        |        row_number() OVER (ORDER BY m DESC, doc_id) AS rk FROM w)
+        |SELECT w.doc_id, n_feats, round(m / 1e6, 6) AS log_w,
+        |  (r.rk <= 100) AS selected
         |FROM w JOIN r USING (doc_id)""".stripMargin
 
   private[graft] lazy val ccnetOracleSql: String =
@@ -1363,8 +1402,9 @@ object CorpusOps {
         |    FROM t WHERE source != 'src0' AND len(toks) > 1)),
         |sc AS (
         |  SELECT doc_id, count(*) AS n_bigrams,
-        |    round(avg(-ln(CAST(coalesce(big.c12, 0) + 1 AS DOUBLE)
-        |      / (coalesce(uni.c1, 0) + v.v))), 6) AS avg_nll
+        |    round(sum(CAST(round(-ln(CAST(coalesce(big.c12, 0) + 1 AS DOUBLE)
+        |      / (coalesce(uni.c1, 0) + v.v)) * 1e6, 0) AS BIGINT))
+        |      / count(*) / 1e6, 6) AS avg_nll
         |  FROM rb LEFT JOIN big USING (w1, w2) LEFT JOIN uni USING (w1)
         |  CROSS JOIN v GROUP BY 1),
         |b AS (SELECT quantile_cont(avg_nll,

@@ -65,6 +65,25 @@ class CcnetBucketsSpec extends SparkSpec {
     }
   }
 
+  test("avg_nll is summation-order independent (micro-unit integer sum)") {
+    // partitioning changes the order doubles would be summed in; the
+    // micro-unit integer sum makes the score — and therefore which side
+    // of a frozen tercile boundary a doc lands on — partition-invariant.
+    val toks = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+    val tgt = toks.filter(col("source") === "src0")
+    val tgtUni = tgt.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = tgtUni.agg(count(lit(1)).as("v"))
+    val tgtBig = CorpusOps.ccnetBigrams(tgt).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val raw = CorpusOps.ccnetBigrams(toks.filter(col("source") =!= "src0"))
+    def scores(parts: Int) =
+      CorpusOps.ccnetScores(raw.repartition(parts), tgtUni, tgtBig, vocab)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(1) == scores(13), "avg_nll depends on partitioning")
+  }
+
   test("q109 serves the q108 answer from the stored LM; serve plan never re-aggregates") {
     val tmp = java.nio.file.Files.createTempDirectory("ccnetidx").toString
     CorpusOps.writeCcnetIndex(spark, sf, s"$tmp/idx")

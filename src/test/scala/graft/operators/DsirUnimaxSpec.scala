@@ -63,6 +63,35 @@ class DsirUnimaxSpec extends SparkSpec {
     }
   }
 
+  test("log_w_micro is summation-order independent and rounding-safe") {
+    // the weight is an integer micro-unit sum, so ANY partitioning (and
+    // therefore any summation order) must produce bitwise-equal weights —
+    // the property that makes the frozen q113 threshold exact. A double
+    // sum would fail this only near ulp boundaries; the integer sum
+    // cannot fail it at all, and this pins the contract.
+    val d = graft.Tables.load(spark, sf, "documents")
+    val feats = CorpusOps.dsirFeats(d, Seq("source"))
+    val rawF = feats.filter(col("source") =!= "src0")
+    val model = CorpusOps.dsirModelOf(
+      CorpusOps.dsirFeats(d.filter(col("source") === "src0")), rawF)
+    def weights(parts: Int) =
+      CorpusOps.dsirWeightsOf(rawF.repartition(parts), model)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(weights(1) == weights(13),
+      "per-doc micro weights depend on partitioning")
+    // per-feature rounding margin: the one remaining cross-engine
+    // exposure is a bucket lr whose micro value sits at an exact .5
+    // boundary while the two engines' ln() differ by an ulp. Measure the
+    // margin: min distance of lr*1e6 from the nearest half-integer must
+    // dwarf the ~1e-9 an ulp of ln can move it.
+    val margins = model.collect().map { r =>
+      val x = r.getDouble(1) * 1e6
+      math.abs(x - math.floor(x) - 0.5)
+    }
+    assert(margins.min > 1e-4,
+      s"a model bucket's lr*1e6 sits ${margins.min} from a rounding boundary")
+  }
+
   test("q106 plan: bucket model broadcasts; top-k is the two-phase take") {
     val p = CorpusOps.q106DsirSelect(spark, sf)
       .queryExecution.executedPlan.toString
