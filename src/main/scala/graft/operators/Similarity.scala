@@ -1186,6 +1186,55 @@ object Similarity {
         col("dup_of").isNull.as("keep"))
   }
 
+  /** How many clusters q114 drops — the Minipile "exclude list" size. */
+  val PRUNE_CLUSTERS = 2
+
+  /** Cluster-level corpus pruning — the Minipile recipe (Kaddour 2023,
+    * arXiv:2304.08442): cluster the corpus by embedding (q72's kernel),
+    * score each CLUSTER by the mean text quality of its members (q88's
+    * distinct-token-ratio score — one shared definition), and drop whole
+    * low-quality clusters. This is the curation step per-doc thresholds
+    * cannot replace: boilerplate / SEO-spam / gibberish pockets whose
+    * individual documents each look acceptable give themselves away as a
+    * cluster, and the paper's recipe is precisely "look at cluster
+    * centroids, exclude entire clusters".
+    *
+    * Prune rule (deterministic): the [[PRUNE_CLUSTERS]] lowest clusters
+    * under (mean quality asc, cluster id asc) are dropped. The mean is a
+    * micro-unit integer sum (the DSIR/CCNet discipline): per-doc scores
+    * round once to 1e-6 units and the cluster mean derives from an exact
+    * 64-bit sum, so the cluster ranking cannot depend on summation order.
+    *
+    * Scale shape: assignment is q72's pure-map kernel (zero shuffle);
+    * the doc↔embedding join is id-keyed; the per-cluster mean is a
+    * map-side-combined aggregate down to k rows; and the verdict table is
+    * k-bounded — the ONLY window ranks that k-row frame (the
+    * IVF-centroid kind of bounded) before it BROADCASTs back as a
+    * pure-map verdict. The corpus never funnels through a ranking window.
+    */
+  def q114ClusterPrune(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = assignClusters(emb(spark, dir), 8)
+      .select(col("vec_id"), col("cluster"))
+    val quality = TextAnalysis.qualityScored(
+      Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("score"))
+    val m = assigned.join(quality, assigned("vec_id") === quality("doc_id"))
+      .select(col("doc_id"), col("cluster"), col("score"))
+    val byCluster = m
+      .withColumn("_sm", round(col("score") * 1e6, 0).cast("long"))
+      .groupBy(col("cluster"))
+      .agg(sum(col("_sm")).as("_sms"), count(lit(1)).as("n_docs"))
+      .withColumn("mean_q", round(col("_sms") / col("n_docs") / 1e6, 6))
+    val verdicts = byCluster
+      .withColumn("q_rank",
+        row_number().over(Window.orderBy(col("mean_q"), col("cluster"))))
+      .select(col("cluster"), col("mean_q"), col("n_docs"),
+        (col("q_rank") <= PRUNE_CLUSTERS).as("pruned"))
+    m.join(broadcast(verdicts), Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("score"), col("mean_q"),
+        col("n_docs"), col("pruned"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_cosine_knn" -> q48CosineKnn,
     "q112_hard_negatives" -> q112HardNegatives,
@@ -1196,6 +1245,7 @@ object Similarity {
     "q83_ivf_index" -> q83IvfIndex,
     "q67_embedding_dedup" -> q67EmbeddingDedupPipeline,
     "q72_kmeans_assign" -> q72KmeansAssign,
+    "q114_cluster_prune" -> q114ClusterPrune,
     "q86_cluster_sample" -> q86ClusterSample,
     "q76_crossmodal_dedup" -> q76CrossmodalDedup,
     "q82_ann_index" -> q82AnnIndex,
@@ -1655,6 +1705,42 @@ object Similarity {
         |  SELECT *, row_number() OVER (PARTITION BY vec_id
         |    ORDER BY dist2, c_id) AS rn
         |  FROM d) WHERE rn = 1""".stripMargin,
+    // q72's assignment + the q88 quality score joined doc-to-vec, cluster
+    // means in exact micro-units, the 2 lowest-mean clusters pruned
+    "q114_cluster_prune" ->
+      s"""WITH $longFormCte,
+        |cents AS (SELECT vec_id AS c_id, pos, v FROM ex WHERE vec_id < 8),
+        |d AS (
+        |  SELECT ex.vec_id, c.c_id,
+        |    round(sum((ex.v - c.v) * (ex.v - c.v)), 6) AS dist2
+        |  FROM ex JOIN cents c ON c.pos = ex.pos
+        |  GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, c_id AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist2, c_id) AS rn
+        |    FROM d) WHERE rn = 1),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |m AS (
+        |  SELECT sc.doc_id, a.cluster, sc.score
+        |  FROM assigned a JOIN sc ON sc.doc_id = a.vec_id),
+        |bc AS (
+        |  SELECT cluster,
+        |    round(sum(CAST(round(score * 1e6, 0) AS BIGINT))
+        |      / count(*) / 1e6, 6) AS mean_q,
+        |    count(*) AS n_docs
+        |  FROM m GROUP BY 1),
+        |rk AS (
+        |  SELECT cluster, mean_q, n_docs,
+        |    row_number() OVER (ORDER BY mean_q, cluster) AS q_rank
+        |  FROM bc)
+        |SELECT m.doc_id, m.cluster, m.score, rk.mean_q, rk.n_docs,
+        |  (rk.q_rank <= 2) AS pruned
+        |FROM m JOIN rk USING (cluster)""".stripMargin,
     // q72's assignment + a 25-per-cluster quota in md5(vec_id) order; the
     // oracle states the two-phase Spark plan's semantic equivalent (a
     // global winner is necessarily a local winner, so one window suffices)
