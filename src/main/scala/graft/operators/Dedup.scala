@@ -27,6 +27,44 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** The C4 normalization (Raffel et al. 2020 §2.2's cleanup, as a dedup
+    * key): lowercase, every non-alphanumeric to a space, space runs
+    * collapsed, ends trimmed. Catches the case/punctuation variants exact
+    * hashing (q44) is blind to. Pure per-row Column expressions — both
+    * regexes are RE2-safe so the oracle replays them verbatim (with
+    * DuckDB's explicit 'g' flag; Spark replaces globally by default).
+    */
+  private[graft] def normalizedText(text: org.apache.spark.sql.Column) =
+    trim(regexp_replace(regexp_replace(lower(text),
+      lit("[^a-z0-9 ]"), lit(" ")), lit(" +"), lit(" ")))
+
+  /** Normalized (fuzzy-exact) dedup — q44's rule applied to the C4
+    * normal form: canonical = min doc_id per NORMALIZED content hash,
+    * `n_variants` counting how many distinct RAW contents the normal form
+    * collapsed (the added-recall-over-exact measure; n_variants > 1 rows
+    * are exactly the dups q44 misses).
+    *
+    * Scale shape: normalization is a pure per-row projection; the group
+    * table is ONE map-side-combinable aggregate keyed by the normal hash
+    * (min/count/count-distinct all carry partials); the verdict join is
+    * co-partitioned on that same hash — no window, no broadcast of
+    * anything corpus-sized, the q103 min-struct-and-join discipline.
+    */
+  def q115NormalizeDedup(spark: SparkSession, dir: String): DataFrame = {
+    val n = docs(spark, dir).select(col("doc_id"),
+      md5(normalizedText(col("text"))).as("norm_hash"),
+      md5(col("text")).as("content_hash"))
+    val groups = n.groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("content_hash")).as("n_variants"))
+    n.select(col("doc_id"), col("norm_hash"))
+      .join(groups, Seq("norm_hash"))
+      .select(col("doc_id"), col("norm_hash"), col("canonical_id"),
+        col("n_copies"), col("n_variants"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+  }
+
   /** N-gram Jaccard near-dup within (lang, source) buckets:
     * jaccard = |∩| / |∪| over distinct word-3-gram sets, threshold 0.5.
     */
@@ -854,6 +892,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_dedup_exact" -> q44DedupExact,
+    "q115_normalize_dedup" -> q115NormalizeDedup,
     "q45_ngram_jaccard" -> q45NgramJaccard,
     "q46_minhash_lsh" -> q46MinhashLsh,
     "q47_simhash" -> q47Simhash,
@@ -990,6 +1029,20 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    "q115_normalize_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |    md5(text) AS content_hash
+        |  FROM documents),
+        |g AS (
+        |  SELECT norm_hash, min(doc_id) AS canonical_id,
+        |    count(*) AS n_copies, count(DISTINCT content_hash) AS n_variants
+        |  FROM n GROUP BY 1)
+        |SELECT n.doc_id, n.norm_hash, g.canonical_id, g.n_copies,
+        |  g.n_variants, (n.doc_id = g.canonical_id) AS keep
+        |FROM n JOIN g USING (norm_hash)""".stripMargin,
     "q79_incremental_dedup" -> incrementalSql,
     // the index path computes the SAME answer, just against stored
     // signatures — one oracle serves both
