@@ -880,6 +880,65 @@ object CorpusOps {
       loadCcnetIndex(spark, path))
   }
 
+  /** DoReMi-flavored domain reweighting (Xie et al. 2023,
+    * arXiv:2305.10429, operationalized without proxy training): per
+    * SOURCE, the excess of its mean NLL under the TARGET LM (q108's
+    * src0-trained bigram model — the reference distribution) over its
+    * mean NLL under the CORPUS-self LM (q73's model — the domain's
+    * intrinsic predictability). A source that the target model finds
+    * unusually surprising *relative to how predictable its text
+    * inherently is* sits far from the target distribution; mixture
+    * weight = softmax(−excess), up-weighting target-aligned domains
+    * (the DSIR selection signal lifted to domain granularity, which is
+    * exactly the granularity DoReMi's reweighting acts at).
+    *
+    * Determinism: per-source means aggregate the per-doc scores in
+    * micro-units (exact 64-bit sums — the DSIR/CCNet discipline), and
+    * the softmax normalizer sums per-source exp terms as nano-unit
+    * integers, so the weights are independent of partitioning and
+    * summation order end-to-end. exp(−excess)·1e9 stays far inside the
+    * long range for any |excess| ≤ 20 nats — a bound the add-1-smoothed
+    * bigram NLL difference cannot exceed in practice (scores are means,
+    * not sums).
+    *
+    * Scale shape: the target-LM pass is q108's (model broadcasts, corpus
+    * never shuffles text); the self-LM pass is q73's (distributed count
+    * tables, Zipfian head salted); everything after the two doc_id-keyed
+    * joins reduces to a #sources-row frame — config cardinality, where
+    * the softmax aggregate and broadcast are free.
+    */
+  def q116DomainWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.CacheScope.cache(docs(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks")))
+    val tgt = toks.filter(col("source") === "src0")
+    val tgtUni = tgt.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = tgtUni.agg(count(lit(1)).as("v"))
+    val tgtBig = ccnetBigrams(tgt).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val tgtScores = ccnetScores(
+      ccnetBigrams(toks.filter(col("source") =!= "src0")), tgtUni, tgtBig, vocab)
+      .select(col("doc_id"), col("avg_nll").as("tgt_nll"))
+    val selfScores = q73LmPerplexity(spark, dir)
+      .select(col("doc_id"), col("avg_nll").as("self_nll"))
+    val perSource = tgtScores
+      .join(selfScores, Seq("doc_id"))
+      .join(toks.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("_tm", round(col("tgt_nll") * 1e6, 0).cast("long"))
+      .withColumn("_sm", round(col("self_nll") * 1e6, 0).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_tm")).as("_tms"), sum(col("_sm")).as("_sms"))
+      .withColumn("tgt_nll", round(col("_tms") / col("n_docs") / 1e6, 6))
+      .withColumn("self_nll", round(col("_sms") / col("n_docs") / 1e6, 6))
+      .withColumn("excess", round(col("tgt_nll") - col("self_nll"), 6))
+      .withColumn("_em", round(exp(-col("excess")) * 1e9, 0).cast("long"))
+    val z = perSource.agg(sum(col("_em")).as("z"))
+    perSource.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("tgt_nll"), col("self_nll"),
+        col("excess"), round(col("_em") / col("z"), 6).as("weight"))
+  }
+
   /** Split-leakage REPAIR — the transform counterpart of q102's audit:
     * co-split every near-duplicate cluster so no LSH-verified pair
     * straddles train/test. Pairs come from q46's minhash kernel,
@@ -1025,7 +1084,8 @@ object CorpusOps {
     "q108_ccnet_buckets" -> q108CcnetBuckets,
     "q109_ccnet_index" -> q109CcnetIndex,
     "q110_split_repair" -> q110SplitRepair,
-    "q113_dsir_index" -> q113DsirIndex)
+    "q113_dsir_index" -> q113DsirIndex,
+    "q116_domain_weights" -> q116DomainWeights)
 
   /** The ingest chain (q69 quality gate → bloom-transparent gram
     * decontamination → exact dedup) as CTEs — ONE definition shared by
@@ -1348,7 +1408,66 @@ object CorpusOps {
     // q109 serves the q108 answer from the stored LM — ONE oracle for
     // both (the hash match certifies build/serve equality cross-engine)
     "q109_ccnet_index" -> ccnetOracleSql,
-    "q108_ccnet_buckets" -> ccnetOracleSql)
+    "q108_ccnet_buckets" -> ccnetOracleSql,
+    // the q108 target-LM scoring CTEs + the q73 self-LM scoring CTEs,
+    // per-source micro-unit means, nano-unit softmax — stated end-to-end
+    "q116_domain_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |uni_t AS (
+        |  SELECT w1, count(*) AS c1 FROM (
+        |    SELECT unnest(toks) AS w1 FROM t WHERE source = 'src0') GROUP BY 1),
+        |v_t AS (SELECT count(*) AS v FROM uni_t),
+        |big_t AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM (
+        |    SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+        |      SELECT unnest(list_transform(range(1, len(toks)),
+        |        i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |      FROM t WHERE source = 'src0' AND len(toks) > 1))
+        |  GROUP BY 1, 2),
+        |rb AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |    FROM t WHERE source != 'src0' AND len(toks) > 1)),
+        |sc_t AS (
+        |  SELECT doc_id,
+        |    round(sum(CAST(round(-ln(CAST(coalesce(big_t.c12, 0) + 1 AS DOUBLE)
+        |      / (coalesce(uni_t.c1, 0) + v_t.v)) * 1e6, 0) AS BIGINT))
+        |      / count(*) / 1e6, 6) AS tgt_nll
+        |  FROM rb LEFT JOIN big_t USING (w1, w2) LEFT JOIN uni_t USING (w1)
+        |  CROSS JOIN v_t GROUP BY 1),
+        |uni_s AS (
+        |  SELECT w1, count(*) AS c1 FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+        |v_s AS (SELECT count(*) AS v FROM uni_s),
+        |db AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |    FROM t WHERE len(toks) > 1)),
+        |big_s AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY 1, 2),
+        |sc_s AS (
+        |  SELECT doc_id,
+        |    round(avg(-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v_s.v))), 6) AS self_nll
+        |  FROM db JOIN big_s USING (w1, w2) JOIN uni_s USING (w1) CROSS JOIN v_s
+        |  GROUP BY doc_id),
+        |ps AS (
+        |  SELECT ts.source, count(*) AS n_docs,
+        |    round(sum(CAST(round(tgt_nll * 1e6, 0) AS BIGINT))
+        |      / count(*) / 1e6, 6) AS tgt_nll,
+        |    round(sum(CAST(round(self_nll * 1e6, 0) AS BIGINT))
+        |      / count(*) / 1e6, 6) AS self_nll
+        |  FROM sc_t JOIN sc_s USING (doc_id)
+        |  JOIN (SELECT doc_id, source FROM t) ts USING (doc_id)
+        |  GROUP BY 1),
+        |e AS (
+        |  SELECT *, round(tgt_nll - self_nll, 6) AS excess,
+        |    CAST(round(exp(-round(tgt_nll - self_nll, 6)) * 1e9, 0) AS BIGINT) AS em
+        |  FROM ps),
+        |z AS (SELECT sum(em) AS z FROM e)
+        |SELECT source, n_docs, tgt_nll, self_nll, excess,
+        |  round(em / z.z, 6) AS weight
+        |FROM e CROSS JOIN z""".stripMargin)
 
 
   private[graft] lazy val dsirOracleSql: String =
