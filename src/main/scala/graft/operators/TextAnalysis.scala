@@ -334,8 +334,53 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tok"), 6))
   }
 
+  /** Per-source n-gram diversity audit — the corpus-health metrics a
+    * curation pipeline tracks per domain (Gopher/RedPajama-style quality
+    * signals at SOURCE granularity): type-token ratio and distinct-over-
+    * total trigram ratio. A source whose trigram diversity collapses is
+    * template/boilerplate-heavy (mirror sites, SEO farms) even when each
+    * individual document passes per-doc repetition gates (q69) — the
+    * cross-document repetition only the corpus-level ratio can see.
+    *
+    * Scale shape: both distinct counts run as TWO-LEVEL aggregates — the
+    * first keyed by (source, gram), so a giant source's grams spread over
+    * every reducer with map-side partials (a `countDistinct` planned the
+    * same way; stated explicitly here), the second a #sources-row rollup
+    * of the per-gram counts. No window, nothing driver-side; at 100 TB
+    * swap the exact distinct for `approx_count_distinct`'s mergeable HLL
+    * sketch without changing the plan shape.
+    */
+  def q117NgramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+    val tokStats = t.select(col("source"), explode(col("toks")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+    val triStats = t.filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat(toks[i - 1], ' ', toks[i], ' ', toks[i + 1]))"""
+          .stripMargin)).as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_trigrams"),
+        count(lit(1)).as("n_distinct_trigrams"))
+    t.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(tokStats, Seq("source"))
+      .join(triStats, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+        round(col("n_types") / col("n_tokens"), 6).as("ttr"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_distinct_trigrams"), lit(0L)).as("n_distinct_trigrams"),
+        when(coalesce(col("n_trigrams"), lit(0L)) > 0,
+          round(col("n_distinct_trigrams") / col("n_trigrams"), 6))
+          .as("trigram_diversity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_tfidf" -> q65Tfidf,
+    "q117_ngram_diversity" -> q117NgramDiversity,
     "q84_pii_scrub" -> q84PiiScrub,
     "q88_quality_deciles" -> q88QualityDeciles,
     "q40_token_count" -> q40TokenCount,
@@ -349,6 +394,32 @@ object TextAnalysis {
     "q111_bpe_merges" -> q111BpeMerges)
 
   val oracleSql: Map[String, String] = Map(
+    "q117_ngram_diversity" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |ts AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types FROM (
+        |    SELECT source, tok, count(*) AS c FROM (
+        |      SELECT source, unnest(toks) AS tok FROM t) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |tr AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_trigrams,
+        |    count(*) AS n_distinct_trigrams FROM (
+        |    SELECT source, g, count(*) AS c FROM (
+        |      SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+        |      FROM t WHERE len(toks) >= 3) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |nd AS (SELECT source, count(*) AS n_docs FROM t GROUP BY 1)
+        |SELECT nd.source, n_docs, n_tokens, n_types,
+        |  round(n_types / n_tokens, 6) AS ttr,
+        |  coalesce(n_trigrams, 0) AS n_trigrams,
+        |  coalesce(n_distinct_trigrams, 0) AS n_distinct_trigrams,
+        |  CASE WHEN coalesce(n_trigrams, 0) > 0
+        |       THEN round(n_distinct_trigrams / n_trigrams, 6) END
+        |    AS trigram_diversity
+        |FROM nd JOIN ts USING (source) LEFT JOIN tr USING (source)""".stripMargin,
     "q84_pii_scrub" ->
       """WITH t AS (
         |  SELECT c_custkey,
