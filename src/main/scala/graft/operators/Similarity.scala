@@ -1213,26 +1213,115 @@ object Similarity {
     * pure-map verdict. The corpus never funnels through a ranking window.
     */
   def q114ClusterPrune(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = assignClusters(emb(spark, dir), 8)
+    val m = scoredAssignments(spark, dir, lowestIdSeeds(emb(spark, dir), 8))
+    clusterPruneJoined(m, clusterVerdicts(m))
+  }
+
+  /** (doc_id, cluster, score) under a given seed table — q88's quality
+    * score per doc + q72's assignment, id-keyed join. ONE definition for
+    * the inline query, the index build's verdict pass, and serving.
+    */
+  private def scoredAssignments(spark: SparkSession, dir: String,
+                                seeds: Array[(Long, Array[Double])]): DataFrame = {
+    val assigned = emb(spark, dir)
+      .withColumn("cluster", nearestSeedU(seeds)(col("embedding")).getField("_1"))
       .select(col("vec_id"), col("cluster"))
     val quality = TextAnalysis.qualityScored(
       Tables.load(spark, dir, "documents").select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("score"))
-    val m = assigned.join(quality, assigned("vec_id") === quality("doc_id"))
+    assigned.join(quality, assigned("vec_id") === quality("doc_id"))
       .select(col("doc_id"), col("cluster"), col("score"))
-    val byCluster = m
-      .withColumn("_sm", round(col("score") * 1e6, 0).cast("long"))
+  }
+
+  /** The k-row verdict frame of a (doc_id, cluster, score) frame:
+    * micro-unit mean quality per cluster, the [[PRUNE_CLUSTERS]] lowest
+    * pruned. The ranking window runs on the k-row aggregate only.
+    */
+  private def clusterVerdicts(m: DataFrame): DataFrame =
+    m.withColumn("_sm", round(col("score") * 1e6, 0).cast("long"))
       .groupBy(col("cluster"))
       .agg(sum(col("_sm")).as("_sms"), count(lit(1)).as("n_docs"))
       .withColumn("mean_q", round(col("_sms") / col("n_docs") / 1e6, 6))
-    val verdicts = byCluster
       .withColumn("q_rank",
         row_number().over(Window.orderBy(col("mean_q"), col("cluster"))))
       .select(col("cluster"), col("mean_q"), col("n_docs"),
         (col("q_rank") <= PRUNE_CLUSTERS).as("pruned"))
+
+  /** The per-doc verdict projection shared by q114 and the serve path. */
+  private def clusterPruneJoined(m: DataFrame, verdicts: DataFrame): DataFrame =
     m.join(broadcast(verdicts), Seq("cluster"))
       .select(col("doc_id"), col("cluster"), col("score"), col("mean_q"),
         col("n_docs"), col("pruned"))
+
+  /** Materialized cluster-prune index — the serving half of q114 (the
+    * q109/q113 shape applied to the Minipile verdicts): the k seed
+    * centroids and the k-row verdict table land as parquet, meta LAST
+    * with the per-build nonce. Verdicts are computed through the SAME
+    * parquet round-trip serving will read (exact for doubles), so the
+    * stored state reproduces the inline answer bitwise; scores are
+    * micro-unit means, so the cluster ranking cannot drift with
+    * partitioning either.
+    */
+  def writeClusterPruneIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    IndexMeta.invalidate(spark, path)
+    emb(spark, dir).select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("cent_id"),
+        expr("transform(embedding, x -> cast(x AS double))").as("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val seeds = readPruneSeeds(spark, path)
+    val verdicts = clusterVerdicts(scoredAssignments(spark, dir, seeds))
+    verdicts.coalesce(1).write.mode("overwrite").parquet(s"$path/verdicts")
+    IndexMeta.write(spark, path, "graft cluster-prune index",
+      "kind" -> "cluster_prune", "k" -> seeds.length.toString,
+      "pruned" -> PRUNE_CLUSTERS.toString)
+  }
+
+  private def readPruneSeeds(spark: SparkSession,
+                             path: String): Array[(Long, Array[Double])] =
+    spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  private[graft] final case class LoadedClusterPruneIndex(
+      seeds: Array[(Long, Array[Double])], verdicts: DataFrame)
+
+  private[graft] def loadClusterPruneIndex(spark: SparkSession,
+                                           path: String): LoadedClusterPruneIndex = {
+    IndexMeta.read(spark, path, rebuildHint = "writeClusterPruneIndex")
+    LoadedClusterPruneIndex(readPruneSeeds(spark, path),
+      spark.read.parquet(s"$path/verdicts"))
+  }
+
+  /** Verdict a (doc_id, text, embedding) frame against a loaded index —
+    * the per-batch kernel of the streaming gate and the q118 serve path:
+    * assignment is the shared seed-argmin over the STORED centroids (a
+    * pure map), the quality score is q88's per-row kernel, and the
+    * verdict is a broadcast join against the stored k-row table. No
+    * aggregation over anything corpus-sized at serve time.
+    */
+  private[graft] def clusterPruneAgainstLoaded(df: DataFrame,
+      idx: LoadedClusterPruneIndex): DataFrame =
+    clusterPruneJoined(
+      TextAnalysis.qualityScored(df)
+        .withColumn("cluster",
+          nearestSeedU(idx.seeds)(col("embedding")).getField("_1"))
+        .select(col("doc_id"), col("cluster"), col("score")),
+      idx.verdicts)
+
+  /** q114 served from the materialized index: same answer, zero
+    * re-clustering — the serve plan reads the stored centroids and the
+    * frozen verdict table, never re-aggregating cluster quality.
+    */
+  def q118ClusterPruneIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = Tables.derivedIndexPath("graft_cluster_prune_v1", dir, "embeddings")
+    if (!IndexMeta.exists(spark, path)) writeClusterPruneIndex(spark, dir, path)
+    val docsWithEmb = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .join(emb(spark, dir).select(col("vec_id"), col("embedding")),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    clusterPruneAgainstLoaded(docsWithEmb, loadClusterPruneIndex(spark, path))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1246,6 +1335,7 @@ object Similarity {
     "q67_embedding_dedup" -> q67EmbeddingDedupPipeline,
     "q72_kmeans_assign" -> q72KmeansAssign,
     "q114_cluster_prune" -> q114ClusterPrune,
+    "q118_cluster_prune_index" -> q118ClusterPruneIndex,
     "q86_cluster_sample" -> q86ClusterSample,
     "q76_crossmodal_dedup" -> q76CrossmodalDedup,
     "q82_ann_index" -> q82AnnIndex,
@@ -1536,6 +1626,44 @@ object Similarity {
       |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
       |  FROM xcos) WHERE rn <= 3""".stripMargin
 
+  /** q114's oracle — q72 assignment + q88 score + micro-unit cluster
+    * means + the bottom-2 prune; q118 (index serving) shares it.
+    */
+  private[graft] lazy val clusterPruneOracleSql: String =
+    s"""WITH $longFormCte,
+        |cents AS (SELECT vec_id AS c_id, pos, v FROM ex WHERE vec_id < 8),
+        |d AS (
+        |  SELECT ex.vec_id, c.c_id,
+        |    round(sum((ex.v - c.v) * (ex.v - c.v)), 6) AS dist2
+        |  FROM ex JOIN cents c ON c.pos = ex.pos
+        |  GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, c_id AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist2, c_id) AS rn
+        |    FROM d) WHERE rn = 1),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |m AS (
+        |  SELECT sc.doc_id, a.cluster, sc.score
+        |  FROM assigned a JOIN sc ON sc.doc_id = a.vec_id),
+        |bc AS (
+        |  SELECT cluster,
+        |    round(sum(CAST(round(score * 1e6, 0) AS BIGINT))
+        |      / count(*) / 1e6, 6) AS mean_q,
+        |    count(*) AS n_docs
+        |  FROM m GROUP BY 1),
+        |rk AS (
+        |  SELECT cluster, mean_q, n_docs,
+        |    row_number() OVER (ORDER BY mean_q, cluster) AS q_rank
+        |  FROM bc)
+        |SELECT m.doc_id, m.cluster, m.score, rk.mean_q, rk.n_docs,
+        |  (rk.q_rank <= 2) AS pruned
+        |FROM m JOIN rk USING (cluster)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q82_ann_index" -> annLshSql,
     "q90_ann_sq8" -> sq8Sql,
@@ -1707,40 +1835,10 @@ object Similarity {
         |  FROM d) WHERE rn = 1""".stripMargin,
     // q72's assignment + the q88 quality score joined doc-to-vec, cluster
     // means in exact micro-units, the 2 lowest-mean clusters pruned
-    "q114_cluster_prune" ->
-      s"""WITH $longFormCte,
-        |cents AS (SELECT vec_id AS c_id, pos, v FROM ex WHERE vec_id < 8),
-        |d AS (
-        |  SELECT ex.vec_id, c.c_id,
-        |    round(sum((ex.v - c.v) * (ex.v - c.v)), 6) AS dist2
-        |  FROM ex JOIN cents c ON c.pos = ex.pos
-        |  GROUP BY 1, 2),
-        |assigned AS (
-        |  SELECT vec_id, c_id AS cluster FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist2, c_id) AS rn
-        |    FROM d) WHERE rn = 1),
-        |sc AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |      / len(string_split(text, ' ')) AS score
-        |  FROM documents),
-        |m AS (
-        |  SELECT sc.doc_id, a.cluster, sc.score
-        |  FROM assigned a JOIN sc ON sc.doc_id = a.vec_id),
-        |bc AS (
-        |  SELECT cluster,
-        |    round(sum(CAST(round(score * 1e6, 0) AS BIGINT))
-        |      / count(*) / 1e6, 6) AS mean_q,
-        |    count(*) AS n_docs
-        |  FROM m GROUP BY 1),
-        |rk AS (
-        |  SELECT cluster, mean_q, n_docs,
-        |    row_number() OVER (ORDER BY mean_q, cluster) AS q_rank
-        |  FROM bc)
-        |SELECT m.doc_id, m.cluster, m.score, rk.mean_q, rk.n_docs,
-        |  (rk.q_rank <= 2) AS pruned
-        |FROM m JOIN rk USING (cluster)""".stripMargin,
+    "q114_cluster_prune" -> clusterPruneOracleSql,
+    // the index path serves the SAME answer from stored centroids +
+    // verdicts — one oracle serves both, certifying the round trip
+    "q118_cluster_prune_index" -> clusterPruneOracleSql,
     // q72's assignment + a 25-per-cluster quota in md5(vec_id) order; the
     // oracle states the two-phase Spark plan's semantic equivalent (a
     // global winner is necessarily a local winner, so one window suffices)

@@ -85,6 +85,36 @@ class ClusterPruneSpec extends SparkSpec {
     }
   }
 
+  test("q118 serves the q114 answer from the stored index; serve plan never re-ranks") {
+    val tmp = java.nio.file.Files.createTempDirectory("pruneidx").toString
+    Similarity.writeClusterPruneIndex(spark, dir, s"$tmp/idx")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getBoolean(5)))).toMap
+    val docsWithEmb = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .join(spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val served = graft.CacheScope.run {
+      key(Similarity.clusterPruneAgainstLoaded(docsWithEmb,
+        Similarity.loadClusterPruneIndex(spark, s"$tmp/idx")))
+    }
+    val inline = graft.CacheScope.run { key(Similarity.q114ClusterPrune(spark, dir)) }
+    assert(served == inline, "stored-index serving drifted from the inline query")
+    // zero re-clustering at serve time: no window (the ranking became a
+    // frozen verdict table) and no aggregate anywhere in the plan
+    val p = Similarity.clusterPruneAgainstLoaded(docsWithEmb,
+      Similarity.loadClusterPruneIndex(spark, s"$tmp/idx"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "serve plan re-ranks clusters:\n" + p)
+    assert(!p.contains("HashAggregate"), "serve plan re-aggregates quality:\n" + p)
+    // refusal contract: no meta — no serving
+    intercept[IllegalStateException] {
+      Similarity.loadClusterPruneIndex(spark, s"$tmp/nothere")
+    }
+  }
+
   test("plan: verdicts broadcast back; no corpus-wide ranking window") {
     val df = Similarity.q114ClusterPrune(spark, dir)
     val p = df.queryExecution.executedPlan.toString

@@ -525,6 +525,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming cluster-prune gate verdicts docs against the stored index, batch-parity") {
+    val tmp = java.nio.file.Files.createTempDirectory("prunestream").toString
+    val dir = "/root/testdata/sf0.001"
+    // nightly half: freeze the centroids + cluster verdicts
+    graft.operators.Similarity.writeClusterPruneIndex(spark, dir, s"$tmp/idx")
+
+    // stream (doc_id, text, embedding) rows through the gate
+    val in = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .join(spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    in.write.mode("append").parquet(s"$tmp/in")
+    StreamingClusterPrune.runAgainstIndex(spark, s"$tmp/in", in.schema,
+      s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+
+    val streamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$tmp/out")
+      .select("doc_id", "cluster", "pruned")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // the stream's verdicts must equal the INLINE q114 on the same corpus
+    // — certifies the whole stored-state round trip, not just the kernel
+    val batch = graft.CacheScope.run {
+      graft.operators.Similarity.queries("q114_cluster_prune")(spark, dir)
+        .select("doc_id", "cluster", "pruned")
+        .as[(Long, Long, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    }
+    assert(streamed == batch, "streamed prune verdicts drifted from inline q114")
+  }
+
   test("streaming ccnet gate buckets against the stored LM, batch-parity") {
     val tmp = java.nio.file.Files.createTempDirectory("ccnetstream").toString
     val dir = "/root/testdata/sf0.001"
