@@ -1044,6 +1044,49 @@ object CorpusOps {
       .select(col("doc_id"), col("ordinal"), col("shard"))
   }
 
+  /** How many training epochs q119 orders. */
+  val SHUFFLE_EPOCHS = 2
+
+  /** Epoch-wise deterministic reshuffle — multi-epoch training order:
+    * epoch e's permutation orders by md5(e ":" doc_id), so every epoch
+    * sees the corpus in a DIFFERENT but fully reproducible order (no RNG
+    * state — any engine, any partitioning, any restart replays it), and
+    * epoch-contiguous shards stay valid random samples. This is the
+    * multi-epoch generalization of q89's export: same two-pass ordinal,
+    * every frame now keyed by (epoch, bucket) — the offsets window runs
+    * over an epochs×256-row frame (bounded by the dials), the in-bucket
+    * ranking spreads over epochs×256 reducer groups, and the corpus
+    * exchanges once per epoch replica. A naive
+    * `row_number() OVER (PARTITION BY epoch ORDER BY h)` would funnel
+    * each epoch through ONE reducer — the q89 anti-pattern, stated by
+    * the oracle, reproduced hash-exactly by the two-pass plan.
+    */
+  def q119EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(spark, dir).select(col("doc_id"))
+      .withColumn("epoch",
+        explode(expr(s"sequence(0, ${SHUFFLE_EPOCHS - 1})")))
+      .withColumn("h", md5(concat_ws(":", col("epoch"), col("doc_id"))))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val byBucket = Window.partitionBy(col("epoch")).orderBy(col("bucket"))
+    val offsets = keyed.groupBy(col("epoch"), col("bucket"))
+      .agg(count(lit(1)).as("n_b"))
+      .withColumn("off", coalesce(
+        sum(col("n_b")).over(byBucket.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n", sum(col("n_b")).over(
+        byBucket.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("epoch"), col("bucket"), col("off"), col("n"))
+    val inBucket = Window.partitionBy(col("epoch"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    keyed
+      .withColumn("rk", row_number().over(inBucket))
+      .join(broadcast(offsets), Seq("epoch", "bucket"))
+      .withColumn("ordinal", col("off") + col("rk") - 1)
+      // 64-bit integer shard math — exact at any corpus size
+      .withColumn("shard", expr("(ordinal * 16) div n").cast("int"))
+      .select(col("doc_id"), col("epoch"), col("ordinal"), col("shard"))
+  }
+
   /** Train/test leakage audit: near-duplicate pairs (the q46 MinHash+LSH
     * kernel at its default dials) whose members landed in DIFFERENT q80
     * splits. Exact duplicates can never appear here — q80 splits by
@@ -1085,7 +1128,8 @@ object CorpusOps {
     "q109_ccnet_index" -> q109CcnetIndex,
     "q110_split_repair" -> q110SplitRepair,
     "q113_dsir_index" -> q113DsirIndex,
-    "q116_domain_weights" -> q116DomainWeights)
+    "q116_domain_weights" -> q116DomainWeights,
+    "q119_epoch_shuffle" -> q119EpochShuffle)
 
   /** The ingest chain (q69 quality gate → bloom-transparent gram
     * decontamination → exact dedup) as CTEs — ONE definition shared by
@@ -1409,6 +1453,20 @@ object CorpusOps {
     // both (the hash match certifies build/serve equality cross-engine)
     "q109_ccnet_index" -> ccnetOracleSql,
     "q108_ccnet_buckets" -> ccnetOracleSql,
+    // the naive per-epoch single-reducer ordinal the two-pass plan
+    // replaces — the hash match certifies the identical permutations
+    "q119_epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id, epoch,
+        |    md5(epoch || ':' || doc_id) AS h
+        |  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch)),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, epoch,
+        |  row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1
+        |    AS ordinal,
+        |  CAST(((row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+        |    - 1) * 16) // n.n AS INT) AS shard
+        |FROM k CROSS JOIN n""".stripMargin,
     // the q108 target-LM scoring CTEs + the q73 self-LM scoring CTEs,
     // per-source micro-unit means, nano-unit softmax — stated end-to-end
     "q116_domain_weights" ->
