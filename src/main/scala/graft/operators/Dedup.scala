@@ -51,9 +51,12 @@ object Dedup {
     * anything corpus-sized, the q103 min-struct-and-join discipline.
     */
   def q115NormalizeDedup(spark: SparkSession, dir: String): DataFrame = {
-    val n = docs(spark, dir).select(col("doc_id"),
+    // cached: both the group aggregate and the verdict side read the
+    // normalized frame — uncached, the corpus pays the regex
+    // normalization scan twice
+    val n = graft.CacheScope.cache(docs(spark, dir).select(col("doc_id"),
       md5(normalizedText(col("text"))).as("norm_hash"),
-      md5(col("text")).as("content_hash"))
+      md5(col("text")).as("content_hash")))
     val groups = n.groupBy(col("norm_hash"))
       .agg(min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_copies"),
