@@ -233,8 +233,16 @@ object CorpusOps {
     scored
       .crossJoin(broadcast(vocab))
       .withColumn("nll", -log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
+      // the DSIR/CCNet micro-unit discipline (r12): per-bigram nll rounds
+      // once to 1e-6-unit longs, the per-doc sum is exact 64-bit integer
+      // arithmetic — avg_nll is independent of partitioning and summation
+      // order, which q116 relies on when it folds these scores into its
+      // per-source means
+      .withColumn("_nm", round(col("nll") * 1e6, 0).cast("long"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 6).as("avg_nll"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_nm")).as("_nms"))
+      .withColumn("avg_nll", round(col("_nms") / col("n_bigrams") / 1e6, 6))
+      .drop("_nms")
   }
 
   /** Overlapping document chunking (the RAG / context-window prep stage):
@@ -620,12 +628,21 @@ object CorpusOps {
 
   private[graft] def loadDsirIndex(spark: SparkSession, path: String): LoadedDsirIndex = {
     val props = IndexMeta.read(spark, path, rebuildHint = "writeDsirIndex")
-    val b = props.getProperty("buckets").toLong
-    val (tt, tr) = (props.getProperty("tt").toLong, props.getProperty("tr").toLong)
+    // thr_m replaced thr_w when the weight went micro-unit: an index from
+    // the double-sum era must be rebuilt, not NPE'd on a missing key
+    def req(k: String): String = {
+      val v = props.getProperty(k)
+      if (v == null) throw new IllegalStateException(
+        s"DSIR index at $path lacks meta key '$k' (pre-micro-unit build?) — " +
+          "re-run writeDsirIndex")
+      v
+    }
+    val b = req("buckets").toLong
+    val (tt, tr) = (req("tt").toLong, req("tr").toLong)
     LoadedDsirIndex(
       spark.read.parquet(s"$path/model"),
-      props.getProperty("thr_m").toLong,
-      props.getProperty("thr_id").toLong,
+      req("thr_m").toLong,
+      req("thr_id").toLong,
       math.log(1.0 / (tt + b)) - math.log(1.0 / (tr + b)))
   }
 
@@ -745,6 +762,20 @@ object CorpusOps {
   private[graft] def ccnetToks(df: DataFrame): DataFrame =
     df.select(col("doc_id"), split(col("text"), " ").as("toks"))
 
+  /** (uni, vocab, big) count tables of a target `toks` slice — the ONE
+    * target-LM definition behind q108, the q109 index build, and q116's
+    * reference distribution; a smoothing or tokenization change lands in
+    * all three or none.
+    */
+  private def ccnetTargetModel(tgt: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val uni = tgt.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = ccnetBigrams(tgt).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    (uni, vocab, big)
+  }
+
   /** Per-doc mean negative log-likelihood of `rawBig` under the target
     * bigram model `(tgtUni, tgtBig, vocab)` — both model tables broadcast
     * (target-sized), the raw side never shuffles before its doc_id
@@ -787,11 +818,7 @@ object CorpusOps {
     val toks = graft.CacheScope.cache(docs(spark, dir)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks")))
     val tgt = toks.filter(col("source") === "src0")
-    val tgtUni = tgt.select(explode(col("toks")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = tgtUni.agg(count(lit(1)).as("v"))
-    val tgtBig = ccnetBigrams(tgt).groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
+    val (tgtUni, vocab, tgtBig) = ccnetTargetModel(tgt)
     // cached: the tercile aggregate and the bucket projection both read
     // the per-doc scores — uncached, the full scoring pass runs twice
     val perDoc = graft.CacheScope.cache(ccnetScores(
@@ -814,13 +841,9 @@ object CorpusOps {
     IndexMeta.invalidate(spark, path)
     val toks = graft.CacheScope.cache(docs(spark, dir)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks")))
-    val tgt = toks.filter(col("source") === "src0")
-    tgt.select(explode(col("toks")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      .write.mode("overwrite").parquet(s"$path/uni")
-    ccnetBigrams(tgt).groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
-      .write.mode("overwrite").parquet(s"$path/big")
+    val (tgtUni, _, tgtBig) = ccnetTargetModel(toks.filter(col("source") === "src0"))
+    tgtUni.write.mode("overwrite").parquet(s"$path/uni")
+    tgtBig.write.mode("overwrite").parquet(s"$path/big")
     // boundaries via the STORED tables (what serving will read), so the
     // frozen thresholds are exactly the serve-path arithmetic's
     val uniR = spark.read.parquet(s"$path/uni")
@@ -910,12 +933,8 @@ object CorpusOps {
   def q116DomainWeights(spark: SparkSession, dir: String): DataFrame = {
     val toks = graft.CacheScope.cache(docs(spark, dir)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks")))
-    val tgt = toks.filter(col("source") === "src0")
-    val tgtUni = tgt.select(explode(col("toks")).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = tgtUni.agg(count(lit(1)).as("v"))
-    val tgtBig = ccnetBigrams(tgt).groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
+    val (tgtUni, vocab, tgtBig) =
+      ccnetTargetModel(toks.filter(col("source") === "src0"))
     val tgtScores = ccnetScores(
       ccnetBigrams(toks.filter(col("source") =!= "src0")), tgtUni, tgtBig, vocab)
       .select(col("doc_id"), col("avg_nll").as("tgt_nll"))
@@ -1017,35 +1036,50 @@ object CorpusOps {
   def q89ShardExport(spark: SparkSession, dir: String): DataFrame =
     shardOrdinals(docs(spark, dir).select(col("doc_id")))
 
-  /** The two-pass ordinal over ANY (doc_id) frame — shared by q89 and
-    * [[graft.CorpusBuild]] so the export shape has one definition.
+  /** The two-pass ordinal over ANY (doc_id) frame — ONE definition shared
+    * by q89, [[graft.CorpusBuild]] and q119 (which passes `parts =
+    * Seq("epoch")` and an epoch-salted hash): per `parts` group, every
+    * row gets a gap-free ordinal in `hash` order and a contiguous
+    * balanced shard. The offsets window runs over a |parts-groups|×256
+    * frame (bounded by the dials); shard math is 64-bit integer `div`
+    * (r12: exact at ANY corpus size — `floor` over a double division can
+    * misround once ordinal·nShards nears 2^53).
     */
-  private[graft] def shardOrdinals(ids: DataFrame, nShards: Int = 16): DataFrame = {
+  private[graft] def shardOrdinals(ids: DataFrame, nShards: Int = 16,
+      parts: Seq[String] = Nil,
+      hash: org.apache.spark.sql.Column = md5(col("doc_id").cast("string"))
+  ): DataFrame = {
+    val pcols = parts.map(col)
     val keyed = ids
-      .select(col("doc_id"))
-      .withColumn("h", md5(col("doc_id").cast("string")))
+      .select(col("doc_id") +: pcols: _*)
+      .withColumn("h", hash)
       .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
-    val byBucket = Window.orderBy(col("bucket"))
-    val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n_b"))
+    val byBucket =
+      if (parts.isEmpty) Window.orderBy(col("bucket"))
+      else Window.partitionBy(pcols: _*).orderBy(col("bucket"))
+    val offsets = keyed.groupBy(pcols :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n_b"))
       .withColumn("off", coalesce(
         sum(col("n_b")).over(byBucket.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .withColumn("n", sum(col("n_b")).over(
         byBucket.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("bucket"), col("off"), col("n"))
-    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+      .select(pcols ++ Seq(col("bucket"), col("off"), col("n")): _*)
+    val inBucket = Window.partitionBy(pcols :+ col("bucket"): _*)
+      .orderBy(col("h"), col("doc_id"))
     keyed
       .withColumn("rk", row_number().over(inBucket))
-      .join(broadcast(offsets), Seq("bucket"))
+      .join(broadcast(offsets), parts :+ "bucket")
       .withColumn("ordinal", col("off") + col("rk") - 1)
-      // ordinal·S ≤ 2^53 for any feasible corpus, so the double division is
-      // correctly rounded and floor is exact on both engines
-      .withColumn("shard", floor(col("ordinal") * nShards / col("n")).cast("int"))
-      .select(col("doc_id"), col("ordinal"), col("shard"))
+      .withColumn("shard", expr(s"(ordinal * $nShards) div n").cast("int"))
+      .select(col("doc_id") +: pcols ++: Seq(col("ordinal"), col("shard")): _*)
   }
 
-  /** How many training epochs q119 orders. */
+  /** How many training epochs q119 orders, and its shard count — both
+    * interpolated into the oracle so a dial change cannot desync it.
+    */
   val SHUFFLE_EPOCHS = 2
+  val SHUFFLE_SHARDS = 16
 
   /** Epoch-wise deterministic reshuffle — multi-epoch training order:
     * epoch e's permutation orders by md5(e ":" doc_id), so every epoch
@@ -1061,31 +1095,12 @@ object CorpusOps {
     * each epoch through ONE reducer — the q89 anti-pattern, stated by
     * the oracle, reproduced hash-exactly by the two-pass plan.
     */
-  def q119EpochShuffle(spark: SparkSession, dir: String): DataFrame = {
-    val keyed = docs(spark, dir).select(col("doc_id"))
-      .withColumn("epoch",
-        explode(expr(s"sequence(0, ${SHUFFLE_EPOCHS - 1})")))
-      .withColumn("h", md5(concat_ws(":", col("epoch"), col("doc_id"))))
-      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
-    val byBucket = Window.partitionBy(col("epoch")).orderBy(col("bucket"))
-    val offsets = keyed.groupBy(col("epoch"), col("bucket"))
-      .agg(count(lit(1)).as("n_b"))
-      .withColumn("off", coalesce(
-        sum(col("n_b")).over(byBucket.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .withColumn("n", sum(col("n_b")).over(
-        byBucket.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .select(col("epoch"), col("bucket"), col("off"), col("n"))
-    val inBucket = Window.partitionBy(col("epoch"), col("bucket"))
-      .orderBy(col("h"), col("doc_id"))
-    keyed
-      .withColumn("rk", row_number().over(inBucket))
-      .join(broadcast(offsets), Seq("epoch", "bucket"))
-      .withColumn("ordinal", col("off") + col("rk") - 1)
-      // 64-bit integer shard math — exact at any corpus size
-      .withColumn("shard", expr("(ordinal * 16) div n").cast("int"))
-      .select(col("doc_id"), col("epoch"), col("ordinal"), col("shard"))
-  }
+  def q119EpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    shardOrdinals(
+      docs(spark, dir).select(col("doc_id"))
+        .withColumn("epoch", explode(expr(s"sequence(0, ${SHUFFLE_EPOCHS - 1})"))),
+      SHUFFLE_SHARDS, parts = Seq("epoch"),
+      hash = md5(concat_ws(":", col("epoch"), col("doc_id"))))
 
   /** Train/test leakage audit: near-duplicate pairs (the q46 MinHash+LSH
     * kernel at its default dials) whose members landed in DIFFERENT q80
@@ -1245,7 +1260,8 @@ object CorpusOps {
         |    FROM t WHERE len(toks) > 1)),
         |big AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY 1, 2)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(avg(-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v.v))), 6) AS avg_nll
+        |  round(sum(CAST(round(-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v.v))
+        |    * 1e6, 0) AS BIGINT)) / count(*) / 1e6, 6) AS avg_nll
         |FROM db JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
         |GROUP BY doc_id""".stripMargin,
     "q74_chunk_docs" ->
@@ -1456,16 +1472,17 @@ object CorpusOps {
     // the naive per-epoch single-reducer ordinal the two-pass plan
     // replaces — the hash match certifies the identical permutations
     "q119_epoch_shuffle" ->
-      """WITH k AS (
+      s"""WITH k AS (
         |  SELECT doc_id, epoch,
         |    md5(epoch || ':' || doc_id) AS h
-        |  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch)),
+        |  FROM documents CROSS JOIN (SELECT unnest(
+        |    [${(0 until SHUFFLE_EPOCHS).mkString(", ")}]) AS epoch)),
         |n AS (SELECT count(*) AS n FROM documents)
         |SELECT doc_id, epoch,
         |  row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1
         |    AS ordinal,
         |  CAST(((row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
-        |    - 1) * 16) // n.n AS INT) AS shard
+        |    - 1) * $SHUFFLE_SHARDS) // n.n AS INT) AS shard
         |FROM k CROSS JOIN n""".stripMargin,
     // the q108 target-LM scoring CTEs + the q73 self-LM scoring CTEs,
     // per-source micro-unit means, nano-unit softmax — stated end-to-end
@@ -1506,7 +1523,8 @@ object CorpusOps {
         |big_s AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY 1, 2),
         |sc_s AS (
         |  SELECT doc_id,
-        |    round(avg(-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v_s.v))), 6) AS self_nll
+        |    round(sum(CAST(round(-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v_s.v))
+        |      * 1e6, 0) AS BIGINT)) / count(*) / 1e6, 6) AS self_nll
         |  FROM db JOIN big_s USING (w1, w2) JOIN uni_s USING (w1) CROSS JOIN v_s
         |  GROUP BY doc_id),
         |ps AS (

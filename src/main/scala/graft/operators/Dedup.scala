@@ -28,14 +28,24 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
   /** The C4 normalization (Raffel et al. 2020 §2.2's cleanup, as a dedup
-    * key): lowercase, every non-alphanumeric to a space, space runs
+    * key): ASCII-lowercase, every non-alphanumeric to a space, space runs
     * collapsed, ends trimmed. Catches the case/punctuation variants exact
     * hashing (q44) is blind to. Pure per-row Column expressions — both
     * regexes are RE2-safe so the oracle replays them verbatim (with
     * DuckDB's explicit 'g' flag; Spark replaces globally by default).
+    *
+    * Case folding is an explicit A–Z `translate`, NOT `lower()`: the JDK
+    * applies full Unicode case mapping (U+0130 'İ' → "i" + combining
+    * dot) while DuckDB's utf8proc applies the simple 1:1 mapping — the
+    * two can produce different normal forms for non-ASCII letters. The
+    * ASCII translate is byte-identical on every engine; non-ASCII
+    * letters fall through to the non-alnum rule and become spaces on
+    * both (a surrogate pair spaces per-unit in Java vs per-codepoint in
+    * RE2, but the run-collapse makes the results equal).
     */
   private[graft] def normalizedText(text: org.apache.spark.sql.Column) =
-    trim(regexp_replace(regexp_replace(lower(text),
+    trim(regexp_replace(regexp_replace(
+      translate(text, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"),
       lit("[^a-z0-9 ]"), lit(" ")), lit(" +"), lit(" ")))
 
   /** Normalized (fuzzy-exact) dedup — q44's rule applied to the C4
@@ -1035,7 +1045,9 @@ object Dedup {
     "q115_normalize_dedup" ->
       """WITH n AS (
         |  SELECT doc_id,
-        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    md5(trim(regexp_replace(regexp_replace(
+        |      translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |                      'abcdefghijklmnopqrstuvwxyz'),
         |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
         |    md5(text) AS content_hash
         |  FROM documents),

@@ -1186,8 +1186,11 @@ object Similarity {
         col("dup_of").isNull.as("keep"))
   }
 
-  /** How many clusters q114 drops — the Minipile "exclude list" size. */
+  /** How many clusters q114 drops — the Minipile "exclude list" size —
+    * and how many clusters it builds (q72's k, stated once).
+    */
   val PRUNE_CLUSTERS = 2
+  val PRUNE_K = 8
 
   /** Cluster-level corpus pruning — the Minipile recipe (Kaddour 2023,
     * arXiv:2304.08442): cluster the corpus by embedding (q72's kernel),
@@ -1213,7 +1216,11 @@ object Similarity {
     * pure-map verdict. The corpus never funnels through a ranking window.
     */
   def q114ClusterPrune(spark: SparkSession, dir: String): DataFrame = {
-    val m = scoredAssignments(spark, dir, lowestIdSeeds(emb(spark, dir), 8))
+    // cached: the verdict aggregate and the per-doc join both read the
+    // scored-assignment frame — uncached, the embedding scan + argmin UDF
+    // + quality scan would run twice
+    val m = graft.CacheScope.cache(
+      scoredAssignments(spark, dir, lowestIdSeeds(emb(spark, dir), PRUNE_K)))
     clusterPruneJoined(m, clusterVerdicts(m))
   }
 
@@ -1264,10 +1271,11 @@ object Similarity {
     */
   def writeClusterPruneIndex(spark: SparkSession, dir: String, path: String): Unit = {
     IndexMeta.invalidate(spark, path)
-    emb(spark, dir).select(col("vec_id"), col("embedding"))
-      .orderBy(col("vec_id")).limit(8)
-      .select(col("vec_id").as("cent_id"),
-        expr("transform(embedding, x -> cast(x AS double))").as("centroid"))
+    // the ONE seed definition (lowestIdSeeds) materialized — the build
+    // cannot drift from the inline q114 path
+    import spark.implicits._
+    lowestIdSeeds(emb(spark, dir), PRUNE_K).toSeq
+      .toDF("cent_id", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val seeds = readPruneSeeds(spark, path)
     val verdicts = clusterVerdicts(scoredAssignments(spark, dir, seeds))
