@@ -1102,6 +1102,27 @@ object CorpusOps {
       SHUFFLE_SHARDS, parts = Seq("epoch"),
       hash = md5(concat_ws(":", col("epoch"), col("doc_id"))))
 
+  /** Padding-efficiency audit — the cost model that motivates q70's
+    * packing (Krell et al. 2021, arXiv:2107.02027: padding can waste
+    * ~50 % of compute on real corpora): under naive fixed-length
+    * batching, every document pads up to the next 64-token bucket;
+    * per bucket, how many real vs padded tokens, and the waste ratio.
+    * All bucket math is 64-bit integer arithmetic (`div`), exact at any
+    * corpus size.
+    *
+    * Scale shape: ONE map-side-combined aggregate over a per-row
+    * projection; the output is #buckets rows (≤ max-doc-len / 64).
+    */
+  def q120PaddingAudit(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("bucket_len", expr("((n_tok + 63) div 64) * 64"))
+      .groupBy(col("bucket_len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("real_tokens"))
+      .withColumn("padded_tokens", col("bucket_len") * col("n_docs"))
+      .withColumn("waste_ratio", round(
+        (col("padded_tokens") - col("real_tokens")) / col("padded_tokens"), 6))
+
   /** Train/test leakage audit: near-duplicate pairs (the q46 MinHash+LSH
     * kernel at its default dials) whose members landed in DIFFERENT q80
     * splits. Exact duplicates can never appear here — q80 splits by
@@ -1144,7 +1165,8 @@ object CorpusOps {
     "q110_split_repair" -> q110SplitRepair,
     "q113_dsir_index" -> q113DsirIndex,
     "q116_domain_weights" -> q116DomainWeights,
-    "q119_epoch_shuffle" -> q119EpochShuffle)
+    "q119_epoch_shuffle" -> q119EpochShuffle,
+    "q120_padding_audit" -> q120PaddingAudit)
 
   /** The ingest chain (q69 quality gate → bloom-transparent gram
     * decontamination → exact dedup) as CTEs — ONE definition shared by
@@ -1469,6 +1491,17 @@ object CorpusOps {
     // both (the hash match certifies build/serve equality cross-engine)
     "q109_ccnet_index" -> ccnetOracleSql,
     "q108_ccnet_buckets" -> ccnetOracleSql,
+    "q120_padding_audit" ->
+      """WITH t AS (
+        |  SELECT len(string_split(text, ' ')) AS n_tok,
+        |    ((len(string_split(text, ' ')) + 63) // 64) * 64 AS bucket_len
+        |  FROM documents)
+        |SELECT bucket_len, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+        |  bucket_len * count(*) AS padded_tokens,
+        |  round((bucket_len * count(*) - CAST(sum(n_tok) AS BIGINT))
+        |    / (bucket_len * count(*)), 6) AS waste_ratio
+        |FROM t GROUP BY 1""".stripMargin,
     // the naive per-epoch single-reducer ordinal the two-pass plan
     // replaces — the hash match certifies the identical permutations
     "q119_epoch_shuffle" ->

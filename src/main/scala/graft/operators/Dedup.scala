@@ -293,6 +293,37 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("est_sim"))
   }
 
+  /** Cross-source near-dup matrix — mirror/syndication detection at
+    * DOMAIN granularity: for every unordered source pair, how many
+    * LSH-verified near-dup pairs straddle it and their mean estimated
+    * similarity. A hot off-diagonal cell is a mirror site / content farm
+    * syndicating another domain — the corpus-level signal that tells a
+    * curation pipeline to drop a whole source rather than fight its
+    * duplicates one doc at a time (and the source-granularity complement
+    * of q102's split-leakage audit).
+    *
+    * Scale shape: rides q46's LSH-bounded pair volume (measured
+    * sub-quadratic across sf); the two source lookups join by id only,
+    * and the matrix aggregate is at most #sources² rows — config
+    * cardinality. Mean similarity is a micro-unit integer mean (the r12
+    * determinism discipline).
+    */
+  def q121MirrorMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashNearDupPairs(docs(spark, dir))
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.toDF("a_id", "src_a"), Seq("a_id"))
+      .join(src.toDF("b_id", "src_b"), Seq("b_id"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        col("est_sim"))
+      .withColumn("_em", round(col("est_sim") * 1e6, 0).cast("long"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("_em")).as("_ems"))
+      .withColumn("mean_sim", round(col("_ems") / col("n_pairs") / 1e6, 6))
+      .drop("_ems")
+  }
+
   def q46MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sig = graft.CacheScope.cache(minhashSigs(shingleArrays(spark, dir)))
     val cand = bandPairs(sig)
@@ -906,6 +937,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_dedup_exact" -> q44DedupExact,
     "q115_normalize_dedup" -> q115NormalizeDedup,
+    "q121_mirror_matrix" -> q121MirrorMatrix,
     "q45_ngram_jaccard" -> q45NgramJaccard,
     "q46_minhash_lsh" -> q46MinhashLsh,
     "q47_simhash" -> q47Simhash,
@@ -1077,6 +1109,20 @@ object Dedup {
     "q46_minhash_lsh" ->
       s"""WITH $minhashPairsCte
         |SELECT a_id, b_id, est_sim FROM pairs""".stripMargin,
+    // q46's pair CTEs + the id-keyed source labels + the micro-unit mean
+    "q121_mirror_matrix" ->
+      s"""WITH $minhashPairsCte,
+        |src AS (SELECT doc_id, source FROM documents),
+        |lab AS (
+        |  SELECT least(sa.source, sb.source) AS source_a,
+        |    greatest(sa.source, sb.source) AS source_b, est_sim
+        |  FROM pairs
+        |  JOIN src sa ON sa.doc_id = pairs.a_id
+        |  JOIN src sb ON sb.doc_id = pairs.b_id)
+        |SELECT source_a, source_b, count(*) AS n_pairs,
+        |  round(sum(CAST(round(est_sim * 1e6, 0) AS BIGINT))
+        |    / count(*) / 1e6, 6) AS mean_sim
+        |FROM lab GROUP BY 1, 2""".stripMargin,
     "q58_dedup_clusters" ->
       """WITH RECURSIVE th AS (
         |  SELECT doc_id, lang,
