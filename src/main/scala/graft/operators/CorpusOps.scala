@@ -1102,6 +1102,46 @@ object CorpusOps {
       SHUFFLE_SHARDS, parts = Seq("epoch"),
       hash = md5(concat_ws(":", col("epoch"), col("doc_id"))))
 
+  /** Filter-ablation report — the overlap matrix of the three ingest
+    * gates applied INDEPENDENTLY to the whole raw corpus: per
+    * (quality_flagged, contaminated, is_dup) cell, how many documents.
+    * q100 answers "what does the short-circuit pipeline keep"; this
+    * answers the curation question behind tuning it — what each gate
+    * would kill on its own and how much the gates overlap (a gate whose
+    * kills are a subset of another's is free to drop; a heavy exclusive
+    * cell is the gate doing unique work). Kernels are q100's exactly
+    * (q69 repetition, GRAM_N token grams vs the eval slice, q44's
+    * min-id dedup) — only the composition differs: no gate conditions
+    * on another.
+    *
+    * Scale shape: the same three corpus passes q100 prices, then one
+    * aggregate to ≤ 8 cells. The gram join broadcasts the eval side; the
+    * dedup keeper is the aggregate-join shape; nothing new concentrates.
+    */
+  def q122FilterAblation(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val raw = graft.CacheScope.cache(d.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("text")))
+    val quality = repetitionScored(raw)
+      .select(col("doc_id"), col("flagged").as("quality_flagged"))
+    val evalGrams = tokenGrams(d.filter(col("source") === "src0"),
+      BloomGate.GRAM_N).select(col("gram")).distinct()
+    val cont = tokenGrams(raw, BloomGate.GRAM_N)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select(col("doc_id")).distinct()
+      .withColumn("c_hit", lit(true))
+    val hashed = raw.select(col("doc_id"), md5(col("text")).as("h"))
+    val keepers = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val dup = hashed.join(keepers, Seq("h"))
+      .select(col("doc_id"), (col("doc_id") =!= col("keeper")).as("is_dup"))
+    quality
+      .join(cont, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"))
+      .withColumn("contaminated", coalesce(col("c_hit"), lit(false)))
+      .groupBy(col("quality_flagged"), col("contaminated"), col("is_dup"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Padding-efficiency audit — the cost model that motivates q70's
     * packing (Krell et al. 2021, arXiv:2107.02027: padding can waste
     * ~50 % of compute on real corpora): under naive fixed-length
@@ -1166,13 +1206,14 @@ object CorpusOps {
     "q113_dsir_index" -> q113DsirIndex,
     "q116_domain_weights" -> q116DomainWeights,
     "q119_epoch_shuffle" -> q119EpochShuffle,
-    "q120_padding_audit" -> q120PaddingAudit)
+    "q120_padding_audit" -> q120PaddingAudit,
+    "q122_filter_ablation" -> q122FilterAblation)
 
-  /** The ingest chain (q69 quality gate → bloom-transparent gram
-    * decontamination → exact dedup) as CTEs — ONE definition shared by
-    * the q100 oracle and q104's corpus-build oracle.
+  /** The shared ingest PREFIX (corpus tokens, gram stream, eval grams,
+    * q69 quality verdicts) — reused by [[ingestCtes]]' short-circuit
+    * chain and by q122's independent-gate ablation.
     */
-  private[graft] val ingestCtes: String =
+  private[graft] val ingestBaseCtes: String =
     """tt AS (
       |  SELECT doc_id, source, text, string_split(text, ' ') AS toks
       |  FROM documents),
@@ -1191,7 +1232,14 @@ object CorpusOps {
       |          len(list_distinct(list_transform(range(1, len(toks)),
       |            i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
       |          / (len(toks) - 1), 6) ELSE 0.0 END) > 0.3)) AS quality_flagged
-      |  FROM tt WHERE source != 'src0'),
+      |  FROM tt WHERE source != 'src0')""".stripMargin
+
+  /** The ingest chain (q69 quality gate → bloom-transparent gram
+    * decontamination → exact dedup) as CTEs — ONE definition shared by
+    * the q100 oracle and q104's corpus-build oracle.
+    */
+  private[graft] val ingestCtes: String =
+    s"""$ingestBaseCtes,
       |cont AS (
       |  SELECT DISTINCT g.doc_id
       |  FROM g
@@ -1491,6 +1539,24 @@ object CorpusOps {
     // both (the hash match certifies build/serve equality cross-engine)
     "q109_ccnet_index" -> ccnetOracleSql,
     "q108_ccnet_buckets" -> ccnetOracleSql,
+    // the ingest PREFIX + every gate stated independently (contrast the
+    // q100 oracle's short-circuit chain) + the 8-cell rollup
+    "q122_filter_ablation" ->
+      s"""WITH $ingestBaseCtes,
+        |cont AS (
+        |  SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram)
+        |  WHERE g.source != 'src0'),
+        |hashed AS (SELECT doc_id, md5(text) AS h FROM q),
+        |k AS (SELECT h, min(doc_id) AS keeper FROM hashed GROUP BY 1),
+        |dup AS (
+        |  SELECT hashed.doc_id, (hashed.doc_id != k.keeper) AS is_dup
+        |  FROM hashed JOIN k USING (h))
+        |SELECT q.quality_flagged,
+        |  (cont.doc_id IS NOT NULL) AS contaminated,
+        |  dup.is_dup, count(*) AS n_docs
+        |FROM q LEFT JOIN cont ON q.doc_id = cont.doc_id
+        |JOIN dup ON dup.doc_id = q.doc_id
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q120_padding_audit" ->
       """WITH t AS (
         |  SELECT len(string_split(text, ' ')) AS n_tok,

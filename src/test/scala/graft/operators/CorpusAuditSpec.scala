@@ -43,6 +43,39 @@ class CorpusAuditSpec extends SparkSpec {
     assert(out(128L) == ((1L, 65L, 128L, 0.492188)), s"bucket 128: ${out.get(128L)}")
   }
 
+  test("q122: cells partition the raw corpus; planted docs land in their cells") {
+    // conservation on the fixture
+    val cells = CorpusOps.q122FilterAblation(spark, dir)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) -> r.getLong(3))
+    assert(cells.map(_._1).distinct.length == cells.length, "duplicate cells")
+    val nRaw = graft.Tables.load(spark, dir, "documents")
+      .filter(col("source") =!= "src0").count()
+    assert(cells.map(_._2).sum == nRaw, "cells do not partition the raw corpus")
+
+    // planted fixture: one doc per gate plus an overlap and a dup pair
+    val tmp = java.nio.file.Files.createTempDirectory("ablate").toString
+    val docs = Seq(
+      (0L, "e1 e2 e3 e4 e5 e6", "en", "src0", 1L),
+      (1L, (1 to 10).map("c" + _).mkString(" "), "en", "s", 1L),  // clean
+      (2L, "spam spam spam spam", "en", "s", 1L),                 // quality only
+      (3L, "e1 e2 e3 e4 e5 " + (1 to 6).map("f" + _).mkString(" "),
+        "en", "s", 1L),                                           // contaminated only
+      (4L, (1 to 10).map("u" + _).mkString(" "), "en", "s", 1L),  // dup keeper
+      (5L, (1 to 10).map("u" + _).mkString(" "), "en", "s", 1L),  // dup copy
+      (6L, "e1 e2 e3 e4 e5 x x x x x x x", "en", "s", 1L))        // quality+cont
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusOps.q122FilterAblation(spark, tmp)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) -> r.getLong(3))
+      .toMap
+    assert(out == Map(
+      (false, false, false) -> 2L, // clean + dup keeper
+      (true, false, false) -> 1L,
+      (false, true, false) -> 1L,
+      (false, false, true) -> 1L,
+      (true, true, false) -> 1L), s"cells: $out")
+  }
+
   test("q121: every q46 pair lands in exactly one unordered source cell") {
     val m = Dedup.q121MirrorMatrix(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
