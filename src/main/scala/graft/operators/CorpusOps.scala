@@ -1050,9 +1050,11 @@ object CorpusOps {
       hash: org.apache.spark.sql.Column = md5(col("doc_id").cast("string"))
   ): DataFrame = {
     val pcols = parts.map(col)
+    // hash computes BEFORE the projection so it may reference any input
+    // column (q123 keys on the quality decile), not just doc_id/parts
     val keyed = ids
-      .select(col("doc_id") +: pcols: _*)
       .withColumn("h", hash)
+      .select(col("doc_id") +: pcols :+ col("h"): _*)
       .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
     val byBucket =
       if (parts.isEmpty) Window.orderBy(col("bucket"))
@@ -1163,6 +1165,36 @@ object CorpusOps {
       .withColumn("waste_ratio", round(
         (col("padded_tokens") - col("real_tokens")) / col("padded_tokens"), 6))
 
+  /** Curriculum-ordered export — easy-to-hard training order (Bengio et
+    * al. 2009 curriculum learning, as production pipelines apply it to
+    * LLM data): every document gets a gap-free global ordinal that sorts
+    * by quality decile FIRST (q88's exact boundaries — highest-quality
+    * decile front) and reproducibly-random within a decile, plus q89's
+    * contiguous balanced shards, so shard k of the export is strictly
+    * earlier curriculum than shard k+1 and still a valid random sample
+    * WITHIN its quality band.
+    *
+    * The composition rides [[shardOrdinals]] unchanged by construction:
+    * the order key is `hex(10 − decile) ++ md5(doc_id)`, so the ordinal's
+    * bucket (the key's first two hex chars) is (decile, md5-prefix) — a
+    * PREFIX of the sort order, exactly the property the two-pass ordinal
+    * needs; buckets number ≤ 10×16, still a bounded offsets frame. No new
+    * exchange beyond the one decile-scoring pass (one percentile
+    * aggregate broadcast back, q88's trick).
+    */
+  def q123CurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the ordinal pass and the output join both read the deciles
+    // — uncached, the percentile scoring pass runs twice
+    val deciled = graft.CacheScope.cache(
+      TextAnalysis.q88QualityDeciles(spark, dir)
+        .select(col("doc_id"), col("decile")))
+    shardOrdinals(deciled,
+      hash = concat(lower(hex(lit(10) - col("decile"))),
+        md5(col("doc_id").cast("string"))))
+      .join(deciled, Seq("doc_id"))
+      .select(col("doc_id"), col("decile"), col("ordinal"), col("shard"))
+  }
+
   /** Train/test leakage audit: near-duplicate pairs (the q46 MinHash+LSH
     * kernel at its default dials) whose members landed in DIFFERENT q80
     * splits. Exact duplicates can never appear here — q80 splits by
@@ -1207,7 +1239,8 @@ object CorpusOps {
     "q116_domain_weights" -> q116DomainWeights,
     "q119_epoch_shuffle" -> q119EpochShuffle,
     "q120_padding_audit" -> q120PaddingAudit,
-    "q122_filter_ablation" -> q122FilterAblation)
+    "q122_filter_ablation" -> q122FilterAblation,
+    "q123_curriculum_order" -> q123CurriculumOrder)
 
   /** The shared ingest PREFIX (corpus tokens, gram stream, eval grams,
     * q69 quality verdicts) — reused by [[ingestCtes]]' short-circuit
@@ -1539,6 +1572,29 @@ object CorpusOps {
     // both (the hash match certifies build/serve equality cross-engine)
     "q109_ccnet_index" -> ccnetOracleSql,
     "q108_ccnet_buckets" -> ccnetOracleSql,
+    // q88's decile CTEs + the naive global curriculum ordinal the
+    // two-pass plan replaces — hash match certifies the permutation
+    "q123_curriculum_order" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(len(list_distinct(tokens)) AS DOUBLE) / len(tokens) AS score FROM t),
+        |b AS (SELECT quantile_cont(score,
+        |  [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs FROM sc),
+        |dec AS (
+        |  SELECT doc_id,
+        |    CAST(1 + len(list_filter(b.bs, x -> score >= x)) AS INT) AS decile
+        |  FROM sc CROSS JOIN b),
+        |k AS (
+        |  SELECT doc_id, decile,
+        |    lower(hex(10 - decile)) || md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM dec),
+        |n AS (SELECT count(*) AS n FROM k)
+        |SELECT doc_id, decile,
+        |  row_number() OVER (ORDER BY h, doc_id) - 1 AS ordinal,
+        |  CAST(((row_number() OVER (ORDER BY h, doc_id) - 1) * 16) // n.n
+        |    AS INT) AS shard
+        |FROM k CROSS JOIN n""".stripMargin,
     // the ingest PREFIX + every gate stated independently (contrast the
     // q100 oracle's short-circuit chain) + the 8-cell rollup
     "q122_filter_ablation" ->

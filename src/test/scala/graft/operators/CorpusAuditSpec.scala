@@ -76,6 +76,40 @@ class CorpusAuditSpec extends SparkSpec {
       (true, true, false) -> 1L), s"cells: $out")
   }
 
+  test("q123: gap-free curriculum — deciles non-increasing along the ordinal") {
+    val rows = graft.CacheScope.run {
+      CorpusOps.q123CurriculumOrder(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    }
+    assert(rows.nonEmpty)
+    val n = rows.length
+    assert(rows.map(_._3).sorted.toSeq == (0L until n).toSeq,
+      "curriculum ordinals are not a gap-free permutation")
+    // easy-to-hard: quality decile never increases as the ordinal grows
+    val byOrd = rows.sortBy(_._3).map(_._2).toSeq
+    byOrd.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b, s"curriculum order regressed: $a before $b")
+      case _ =>
+    }
+    // contiguous balanced shards, later shards strictly-lower-or-equal band
+    val shards = rows.groupBy(_._4)
+    val sizes = shards.map(_._2.length)
+    assert(sizes.max - sizes.min <= 1, s"shard sizes: $sizes")
+    val bands = shards.toSeq.sortBy(_._1)
+      .map { case (k, v) => (k, v.map(_._2).max, v.map(_._2).min) }
+    bands.sliding(2).foreach {
+      case Seq((_, _, minA), (_, maxB, _)) =>
+        assert(minA >= maxB, "a later shard holds an easier doc than an earlier one")
+      case _ =>
+    }
+    // decile really is q88's
+    val q88 = TextAnalysis.q88QualityDeciles(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    rows.foreach { case (id, d, _, _) =>
+      assert(d == q88(id), s"doc $id decile drifted from q88")
+    }
+  }
+
   test("q121: every q46 pair lands in exactly one unordered source cell") {
     val m = Dedup.q121MirrorMatrix(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
