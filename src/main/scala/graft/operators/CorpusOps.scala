@@ -940,7 +940,10 @@ object CorpusOps {
       .select(col("doc_id"), col("avg_nll").as("tgt_nll"))
     val selfScores = q73LmPerplexity(spark, dir)
       .select(col("doc_id"), col("avg_nll").as("self_nll"))
-    val perSource = tgtScores
+    // Cached: both the softmax normalizer `z` and the final projection
+    // consume this #sources-row frame, and its lineage carries BOTH LM
+    // scoring passes — uncached they would execute twice.
+    val perSource = graft.CacheScope.cache(tgtScores
       .join(selfScores, Seq("doc_id"))
       .join(toks.select(col("doc_id"), col("source")), Seq("doc_id"))
       .withColumn("_tm", round(col("tgt_nll") * 1e6, 0).cast("long"))
@@ -951,7 +954,7 @@ object CorpusOps {
       .withColumn("tgt_nll", round(col("_tms") / col("n_docs") / 1e6, 6))
       .withColumn("self_nll", round(col("_sms") / col("n_docs") / 1e6, 6))
       .withColumn("excess", round(col("tgt_nll") - col("self_nll"), 6))
-      .withColumn("_em", round(exp(-col("excess")) * 1e9, 0).cast("long"))
+      .withColumn("_em", round(exp(-col("excess")) * 1e9, 0).cast("long")))
     val z = perSource.agg(sum(col("_em")).as("z"))
     perSource.crossJoin(broadcast(z))
       .select(col("source"), col("n_docs"), col("tgt_nll"), col("self_nll"),

@@ -1638,8 +1638,12 @@ object Similarity {
     * means + the bottom-2 prune; q118 (index serving) shares it.
     */
   private[graft] lazy val clusterPruneOracleSql: String =
+    // Seed shorthand: lowestIdSeeds picks the PRUNE_K smallest vec_ids and
+    // the fixture ids are contiguous from 0, so `vec_id < $PRUNE_K` states
+    // the same seed set. Both dials interpolate so a constant change
+    // cannot desync the oracle from the implementation.
     s"""WITH $longFormCte,
-        |cents AS (SELECT vec_id AS c_id, pos, v FROM ex WHERE vec_id < 8),
+        |cents AS (SELECT vec_id AS c_id, pos, v FROM ex WHERE vec_id < $PRUNE_K),
         |d AS (
         |  SELECT ex.vec_id, c.c_id,
         |    round(sum((ex.v - c.v) * (ex.v - c.v)), 6) AS dist2
@@ -1669,7 +1673,7 @@ object Similarity {
         |    row_number() OVER (ORDER BY mean_q, cluster) AS q_rank
         |  FROM bc)
         |SELECT m.doc_id, m.cluster, m.score, rk.mean_q, rk.n_docs,
-        |  (rk.q_rank <= 2) AS pruned
+        |  (rk.q_rank <= $PRUNE_CLUSTERS) AS pruned
         |FROM m JOIN rk USING (cluster)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(

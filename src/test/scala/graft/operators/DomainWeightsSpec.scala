@@ -63,6 +63,31 @@ class DomainWeightsSpec extends SparkSpec {
       s"target-verbatim srcA must be up-weighted: $out")
   }
 
+  test("softmax exp terms sit away from their rounding boundary") {
+    // The one new micro-unit rounding whose INPUT each engine computes
+    // with its own libm: `_em = round(exp(-excess) * 1e9)`. `excess`
+    // itself is pinned (micro-unit integer sums, round-6), so the only
+    // cross-engine exposure is exp(-excess)*1e9 sitting at an exact .5
+    // boundary while the two engines' exp() differ by an ulp. Mirror of
+    // the DsirUnimaxSpec ln-margin: min distance from a half-integer
+    // must dwarf the ~|x|*1e-16 an exp ulp can move it (~1e-7 at the
+    // 1e9 scale of these terms).
+    val rows = graft.CacheScope.run {
+      CorpusOps.q116DomainWeights(spark, sf)
+        .select(col("source"), col("excess")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1))
+    }
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, e) =>
+      val x = math.exp(-e) * 1e9
+      val margin = math.abs(x - math.floor(x) - 0.5)
+      val ulpDrift = math.abs(x) * 1e-15
+      assert(margin > math.max(1e-4, 10 * ulpDrift),
+        s"source $s: exp(-$e)*1e9 = $x sits $margin from a half-integer " +
+          s"(ulp drift bound $ulpDrift)")
+    }
+  }
+
   test("plan: target LM broadcasts; the output frame is #sources rows") {
     val df = CorpusOps.q116DomainWeights(spark, sf)
     val p = df.queryExecution.executedPlan.toString
