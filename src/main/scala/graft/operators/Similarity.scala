@@ -1332,6 +1332,75 @@ object Similarity {
     clusterPruneAgainstLoaded(docsWithEmb, loadClusterPruneIndex(spark, path))
   }
 
+  /** Prototypicality pruning — the Sorscher et al. 2022 recipe ("Beyond
+    * neural scaling laws: beating power law scaling via data pruning",
+    * arXiv:2206.14486): cluster the embeddings (q72's shared seed-argmin
+    * kernel), take each cluster's MEAN embedding as its prototype (one
+    * Lloyd update over the seeds), score every example by its squared L2
+    * distance to its own prototype, and prune the PROTOTYPICAL examples —
+    * the ones closer to the prototype than the cluster's mean distance.
+    * In the data-abundant regime the paper keeps the HARD examples (far
+    * from the prototype); the easy core is what a 100 TB corpus can
+    * afford to drop.
+    *
+    * Determinism discipline: prototypes are micro-unit exact — each
+    * dimension sums `round(v * 1e6)` as 64-bit integers (order-free),
+    * divides once, rounds once — and the prune verdict compares in
+    * INTEGER space (`_dm * n < Σ_dm` ⟺ dist2m < mean), so no engine's
+    * rounding of the mean can flip a verdict at a boundary.
+    *
+    * Scale shape: assignment is the shared pure-map kernel; the
+    * prototype aggregate is map-side-combined down to k×(dim+1) values of
+    * bounded driver state (the IVF-centroid budget class); the distance
+    * pass is a pure map over the closure-broadcast prototypes; the
+    * verdict aggregate is k-bounded and BROADCASTS back. Nothing
+    * corpus-sized is windowed, collected, or re-shuffled beyond the one
+    * cluster-keyed aggregate.
+    */
+  def q124PrototypePrune(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    // cached: the prototype aggregate and the distance projection both
+    // read the assigned frame — uncached, the seed-argmin UDF runs twice
+    val assigned = graft.CacheScope.cache(
+      assignClusters(e, PRUNE_K)
+        .select(col("vec_id"), col("cluster"), col("embedding")))
+    val dim = lowestIdSeeds(e, 1).head._2.length
+    // micro-unit exact per-dimension sums → k×dim prototypes on the driver
+    val sumCols = count(lit(1)).as("n") +: (0 until dim).map(i =>
+      sum(round(element_at(col("embedding"), i + 1).cast("double") * 1e6, 0)
+        .cast("long")).as(s"s$i"))
+    val protos: Map[Long, Array[Double]] = assigned
+      .groupBy(col("cluster")).agg(sumCols.head, sumCols.tail: _*)
+      .collect() // ≤ PRUNE_K rows of dim+2 values — bounded driver state
+      .map { r =>
+        val n = r.getLong(1)
+        (r.getLong(0),
+          Array.tabulate(dim)(i => round6(r.getLong(i + 2).toDouble / n / 1e6)))
+      }.toMap
+    val d2mU = udf((cl: Long, v0: Seq[Float]) => {
+      val p = protos(cl)
+      val v = v0.toArray
+      var d = 0.0
+      var i = 0
+      while (i < p.length) { val df = v(i).toDouble - p(i); d += df * df; i += 1 }
+      round6(d)
+    })
+    // cached: the verdict aggregate and the join back both read the
+    // distance-scored frame
+    val scored = graft.CacheScope.cache(
+      assigned
+        .withColumn("dist2m", d2mU(col("cluster"), col("embedding")))
+        .withColumn("_dm", round(col("dist2m") * 1e6, 0).cast("long"))
+        .select(col("vec_id"), col("cluster"), col("dist2m"), col("_dm")))
+    val verdicts = scored.groupBy(col("cluster"))
+      .agg(sum(col("_dm")).as("_dms"), count(lit(1)).as("n_vecs"))
+      .withColumn("mean_d2", round(col("_dms") / col("n_vecs") / 1e6, 6))
+    scored.join(broadcast(verdicts), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("dist2m"), col("mean_d2"),
+        col("n_vecs"),
+        (col("_dm") * col("n_vecs") < col("_dms")).as("pruned"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_cosine_knn" -> q48CosineKnn,
     "q112_hard_negatives" -> q112HardNegatives,
@@ -1344,6 +1413,7 @@ object Similarity {
     "q72_kmeans_assign" -> q72KmeansAssign,
     "q114_cluster_prune" -> q114ClusterPrune,
     "q118_cluster_prune_index" -> q118ClusterPruneIndex,
+    "q124_prototype_prune" -> q124PrototypePrune,
     "q86_cluster_sample" -> q86ClusterSample,
     "q76_crossmodal_dedup" -> q76CrossmodalDedup,
     "q82_ann_index" -> q82AnnIndex,
@@ -1676,7 +1746,50 @@ object Similarity {
         |  (rk.q_rank <= $PRUNE_CLUSTERS) AS pruned
         |FROM m JOIN rk USING (cluster)""".stripMargin
 
+  /** q124's oracle — q72 assignment + micro-unit mean prototypes +
+    * dist2-to-prototype + the integer-space below-mean prune. The seed
+    * shorthand `vec_id < $PRUNE_K` matches lowestIdSeeds on the
+    * contiguous-id fixtures (same note as [[clusterPruneOracleSql]]).
+    */
+  private[graft] lazy val prototypePruneOracleSql: String =
+    s"""WITH $longFormCte,
+        |cents AS (SELECT vec_id AS c_id, pos, v FROM ex WHERE vec_id < $PRUNE_K),
+        |d AS (
+        |  SELECT ex.vec_id, c.c_id,
+        |    round(sum((ex.v - c.v) * (ex.v - c.v)), 6) AS dist2
+        |  FROM ex JOIN cents c ON c.pos = ex.pos
+        |  GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, c_id AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist2, c_id) AS rn
+        |    FROM d) WHERE rn = 1),
+        |ps AS (
+        |  SELECT a.cluster, ex.pos,
+        |    round(sum(CAST(round(ex.v * 1e6, 0) AS BIGINT))
+        |      / count(*) / 1e6, 6) AS pv
+        |  FROM ex JOIN assigned a USING (vec_id)
+        |  GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT ex.vec_id, a.cluster,
+        |    round(sum((ex.v - ps.pv) * (ex.v - ps.pv)), 6) AS dist2m
+        |  FROM ex JOIN assigned a USING (vec_id)
+        |  JOIN ps ON ps.cluster = a.cluster AND ps.pos = ex.pos
+        |  GROUP BY 1, 2),
+        |dm AS (
+        |  SELECT vec_id, cluster, dist2m,
+        |    CAST(round(dist2m * 1e6, 0) AS BIGINT) AS _dm
+        |  FROM d2),
+        |v AS (
+        |  SELECT cluster, sum(_dm) AS _dms, count(*) AS n_vecs,
+        |    round(sum(_dm) / count(*) / 1e6, 6) AS mean_d2
+        |  FROM dm GROUP BY 1)
+        |SELECT dm.vec_id, dm.cluster, dm.dist2m, v.mean_d2, v.n_vecs,
+        |  (dm._dm * v.n_vecs < v._dms) AS pruned
+        |FROM dm JOIN v USING (cluster)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q124_prototype_prune" -> prototypePruneOracleSql,
     "q82_ann_index" -> annLshSql,
     "q90_ann_sq8" -> sq8Sql,
     "q91_sq8_index" -> sq8Sql,
