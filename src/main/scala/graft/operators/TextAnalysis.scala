@@ -378,8 +378,39 @@ object TextAnalysis {
           .as("trigram_diversity"))
   }
 
+  /** Tokenizer fertility audit — the per-domain compression check a
+    * pipeline runs before committing a tokenizer to a corpus mix
+    * (fertility = subword tokens emitted per whitespace word; high
+    * fertility on a domain means the tokenizer fragments it and the
+    * domain's effective context shrinks). Subwords use q40's BPE-proxy
+    * segmentation (letter runs / digit runs / single other chars) — ONE
+    * regex shared with the token-count audit, stated identically in the
+    * oracle.
+    *
+    * Scale shape: per-row regexp counts pipeline inside the scan's
+    * codegen stage; the only exchange is the (lang, source) aggregate
+    * (map-side combined, #langs×#sources output rows). All ratios are
+    * single divisions of exact 64-bit sums — no summation-order hazard.
+    */
+  def q125TokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+          .cast("long").as("sw"),
+        length(col("text")).cast("long").as("ch"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("sw")).as("n_subwords"),
+        sum(col("ch")).as("n_chars"))
+      .withColumn("fertility", round(col("n_subwords") / col("n_words"), 6))
+      .withColumn("chars_per_subword",
+        round(col("n_chars") / col("n_subwords"), 6))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_tfidf" -> q65Tfidf,
+    "q125_tokenizer_fertility" -> q125TokenizerFertility,
     "q117_ngram_diversity" -> q117NgramDiversity,
     "q84_pii_scrub" -> q84PiiScrub,
     "q88_quality_deciles" -> q88QualityDeciles,
@@ -394,6 +425,23 @@ object TextAnalysis {
     "q111_bpe_merges" -> q111BpeMerges)
 
   val oracleSql: Map[String, String] = Map(
+    "q125_tokenizer_fertility" ->
+      """WITH t AS (
+        |  SELECT lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |      AS BIGINT) AS sw,
+        |    CAST(length(text) AS BIGINT) AS ch
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(sw) AS BIGINT) AS n_subwords,
+        |  CAST(sum(ch) AS BIGINT) AS n_chars,
+        |  round(CAST(sum(sw) AS BIGINT) / CAST(sum(w) AS BIGINT), 6)
+        |    AS fertility,
+        |  round(CAST(sum(ch) AS BIGINT) / CAST(sum(sw) AS BIGINT), 6)
+        |    AS chars_per_subword
+        |FROM t GROUP BY 1, 2""".stripMargin,
     "q117_ngram_diversity" ->
       """WITH t AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
