@@ -86,6 +86,57 @@ object CorpusOps {
         (coalesce(col("n_fp_hits"), lit(0L)) >= 2).as("contaminated"))
   }
 
+  /** q126's dials: a 4-gram repeated across [[BOILER_MIN_SOURCES]]
+    * distinct sources is boilerplate (template headers, license banners,
+    * SEO footers — text that travels between sites verbatim); a document
+    * whose distinct-gram coverage by such grams reaches [[BOILER_FLAG]]
+    * is flagged.
+    */
+  val BOILER_GRAM_N = 4
+  val BOILER_MIN_SOURCES = 3
+  val BOILER_FLAG = 0.01
+
+  /** Boilerplate n-gram coverage — the cross-source template audit
+    * (CCNet/RefinedWeb-style boilerplate detection by repetition ACROSS
+    * sites rather than within a page): a 4-gram occurring in ≥
+    * [[BOILER_MIN_SOURCES]] distinct sources is boilerplate; each doc
+    * reports what fraction of its distinct grams is boilerplate.
+    *
+    * Scale shape: the gram stream ([[tokenGrams]] — per-row explode) is
+    * cached once and feeds (a) the gram-keyed distinct-source aggregate
+    * (map-side partials per (gram, source) first is implicit in
+    * countDistinct's expand; output is vocabulary-sized) and (b) the
+    * gram-keyed join back. Both wide exchanges key on `gram` — high
+    * cardinality, no skewed reducer — and the verdict aggregate keys on
+    * doc_id. Docs too short to have a gram surface with n_grams = 0 and
+    * a NULL coverage via the id-keyed left join.
+    */
+  def q126BoilerplateCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // cached: the boilerplate-frequency aggregate and the coverage join
+    // both read the gram stream — uncached, the explode runs twice
+    val grams = graft.CacheScope.cache(
+      tokenGrams(d, BOILER_GRAM_N)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id")))
+    val boiler = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_sources") >= BOILER_MIN_SOURCES)
+      .select(col("gram"), lit(1L).as("is_boiler"))
+    val perDoc = grams.join(boiler, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+    d.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("coverage",
+        when(col("n_grams") > 0, round(col("n_boiler") / col("n_grams"), 6)))
+      .withColumn("flagged",
+        coalesce(col("coverage") >= BOILER_FLAG, lit(false)))
+  }
+
   /** Repetition-based quality scoring (the Gopher-rule family): fraction
     * of the document covered by its most frequent token, and the fraction
     * of duplicate 2-grams. Both are in-row array expressions — a narrow
@@ -1233,6 +1284,7 @@ object CorpusOps {
     "q100_ingest_pipeline" -> q100IngestPipeline,
     "q102_split_leakage" -> q102SplitLeakage,
     "q103_dedup_scrub" -> q103DedupScrub,
+    "q126_boilerplate_coverage" -> q126BoilerplateCoverage,
     "q106_dsir_select" -> q106DsirSelect,
     "q107_unimax_mix" -> q107UnimaxMix,
     "q108_ccnet_buckets" -> q108CcnetBuckets,
@@ -1465,6 +1517,31 @@ object CorpusOps {
     // tok[a:b] / Spark slice(tokens, a, 64) — both clip at the tail);
     // string_agg skips the removed rows' NULLs, coalesced to '' so a
     // fully-scrubbed doc hashes the empty string like Spark's empty join
+    "q126_boilerplate_coverage" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(1, len(toks) - ${BOILER_GRAM_N - 2}),
+        |      i -> array_to_string(toks[i:i+${BOILER_GRAM_N - 1}], ' '))) AS gram
+        |  FROM t WHERE len(toks) >= $BOILER_GRAM_N),
+        |f AS (
+        |  SELECT gram FROM g GROUP BY 1
+        |  HAVING count(DISTINCT source) >= $BOILER_MIN_SOURCES),
+        |c AS (
+        |  SELECT g.doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_boiler
+        |  FROM g LEFT JOIN f ON g.gram = f.gram GROUP BY 1)
+        |SELECT d.doc_id, d.source,
+        |  coalesce(c.n_grams, 0) AS n_grams,
+        |  coalesce(c.n_boiler, 0) AS n_boiler,
+        |  CASE WHEN c.n_grams > 0
+        |       THEN round(c.n_boiler / c.n_grams, 6) END AS coverage,
+        |  coalesce(round(c.n_boiler / c.n_grams, 6) >= $BOILER_FLAG, false)
+        |    AS flagged
+        |FROM documents d LEFT JOIN c USING (doc_id)""".stripMargin,
     "q103_dedup_scrub" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |b0 AS (
