@@ -456,6 +456,40 @@ object CorpusOps {
   def q103DedupScrub(spark: SparkSession, dir: String): DataFrame =
     scrubVerdicts(firstOccurrenceKeep(scrubBlocks(docs(spark, dir))))
 
+  /** Occurrence count at which a block is "hot" and dropped EVERYWHERE. */
+  val HOT_BLOCK_MIN = 3
+
+  /** Hot-block removal — the C4/CCNet drop-ALL rule, the second block
+    * scrub modality next to q103's keep-first: a 64-token block whose
+    * content occurs ≥ [[HOT_BLOCK_MIN]] times in the corpus is removed
+    * from EVERY document, first occurrence included. Keep-first is the
+    * dedup stance (one copy of everything survives); drop-all is the
+    * boilerplate stance — content repeated that often is template, and no
+    * copy belongs in training data. Same [[scrubBlocks]] partition and
+    * [[scrubVerdicts]] reassembly, so the two modalities cannot drift on
+    * block boundaries.
+    *
+    * Scale shape: the block frequency is a map-side-combined count keyed
+    * by block hash; the hot set it yields is TINY by construction (the
+    * rule exists because hot blocks are rare contents with huge counts),
+    * so the join back is AQE-broadcastable, and the hottest key never
+    * concentrates — unlike a keep-first rank, drop-all needs no winner
+    * per hash at all, just membership.
+    */
+  def q127HotBlockScrub(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the frequency aggregate and the join back both read the
+    // exploded block stream
+    val blocks = graft.CacheScope.cache(
+      scrubBlocks(docs(spark, dir)).withColumn("h", md5(col("btxt"))))
+    val hot = blocks.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= HOT_BLOCK_MIN)
+      .select(col("h"), lit(true).as("_hot"))
+    scrubVerdicts(
+      blocks.join(hot, Seq("h"), "left")
+        .withColumn("keep", col("_hot").isNull))
+  }
+
   /** The composed ingest pipeline — the three curation stages a corpus
     * batch runs on the way in, as ONE oracled query: repetition-quality
     * gate (q69's kernel) → bloom-gated decontamination of the survivors
@@ -1285,6 +1319,7 @@ object CorpusOps {
     "q102_split_leakage" -> q102SplitLeakage,
     "q103_dedup_scrub" -> q103DedupScrub,
     "q126_boilerplate_coverage" -> q126BoilerplateCoverage,
+    "q127_hot_block_scrub" -> q127HotBlockScrub,
     "q106_dsir_select" -> q106DsirSelect,
     "q107_unimax_mix" -> q107UnimaxMix,
     "q108_ccnet_buckets" -> q108CcnetBuckets,
@@ -1542,6 +1577,27 @@ object CorpusOps {
         |  coalesce(round(c.n_boiler / c.n_grams, 6) >= $BOILER_FLAG, false)
         |    AS flagged
         |FROM documents d LEFT JOIN c USING (doc_id)""".stripMargin,
+    "q127_hot_block_scrub" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |b0 AS (
+        |  SELECT doc_id, tok,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(len(tok) / 64.0) AS BIGINT) - 1)) AS idx
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, idx,
+        |    array_to_string(tok[idx*64+1 : idx*64+64], ' ') AS btxt
+        |  FROM b0),
+        |f AS (SELECT md5(btxt) AS h, count(*) AS c FROM b GROUP BY 1),
+        |k AS (
+        |  SELECT doc_id, idx, btxt, (f.c < $HOT_BLOCK_MIN) AS keep
+        |  FROM b JOIN f ON f.h = md5(b.btxt))
+        |SELECT doc_id, count(*) AS n_blocks,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+        |  md5(coalesce(
+        |    string_agg(CASE WHEN keep THEN btxt END, ' ' ORDER BY idx), ''))
+        |    AS scrubbed_md5
+        |FROM k GROUP BY doc_id""".stripMargin,
     "q103_dedup_scrub" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |b0 AS (
