@@ -408,9 +408,58 @@ object TextAnalysis {
       .withColumn("chars_per_subword",
         round(col("n_chars") / col("n_subwords"), 6))
 
+  /** Checkpoints on the q128 growth curve. */
+  val VOCAB_CHECKPOINTS = 10
+
+  /** Vocabulary growth curve (Heaps' law audit) — how fast the corpus
+    * keeps producing unseen tokens as it is consumed in the
+    * deterministic q89 training order: cumulative distinct-token count
+    * at [[VOCAB_CHECKPOINTS]] equal slices of the corpus. A curve that
+    * stays steep means an OOV-heavy corpus (tokenizer or dedup problem);
+    * a flattening curve certifies diminishing novelty — the measurement
+    * behind "more data stops adding vocabulary".
+    *
+    * Scale shape: the order is q89's two-pass gap-free ordinal (no
+    * global-sort reducer); a token's first sighting is a MIN aggregate
+    * over its checkpoint slice ids (token-keyed, map-side combined —
+    * checkpoint is monotone in ordinal so min(checkpoint) = checkpoint
+    * of min(ordinal)); the growth table is [[VOCAB_CHECKPOINTS]] rows,
+    * and the only windows (the two cumulative sums) run on that bounded
+    * frame.
+    */
+  def q128VocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    // cached: the per-checkpoint doc counts and the token join both read
+    // the ordinal frame — uncached, the two-pass ranking runs twice
+    val ords = graft.CacheScope.cache(
+      CorpusOps.shardOrdinals(d.select(col("doc_id")), VOCAB_CHECKPOINTS)
+        .withColumnRenamed("shard", "checkpoint")
+        .select(col("doc_id"), col("checkpoint")))
+    val firstSeen = d
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .join(ords, Seq("doc_id"))
+      .groupBy(col("token")).agg(min(col("checkpoint")).as("checkpoint"))
+    val docsPer = ords.groupBy(col("checkpoint")).agg(count(lit(1)).as("n_docs"))
+    val toksPer = firstSeen.groupBy(col("checkpoint"))
+      .agg(count(lit(1)).as("new_tokens"))
+    // bounded frame: VOCAB_CHECKPOINTS rows — the IVF-centroid kind of
+    // single-partition window, not a corpus funnel
+    val cum = Window.orderBy(col("checkpoint"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsPer.join(toksPer, Seq("checkpoint"), "left")
+      .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+      .withColumn("docs_seen", sum(col("n_docs")).over(cum))
+      .withColumn("vocab_size", sum(col("new_tokens")).over(cum))
+      .select(col("checkpoint"), col("docs_seen"), col("new_tokens"),
+        col("vocab_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_tfidf" -> q65Tfidf,
     "q125_tokenizer_fertility" -> q125TokenizerFertility,
+    "q128_vocab_growth" -> q128VocabGrowth,
     "q117_ngram_diversity" -> q117NgramDiversity,
     "q84_pii_scrub" -> q84PiiScrub,
     "q88_quality_deciles" -> q88QualityDeciles,
@@ -425,6 +474,37 @@ object TextAnalysis {
     "q111_bpe_merges" -> q111BpeMerges)
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle states the LOGICAL order (one global row_number); the
+    // Spark side reproduces it with q89's two-pass bucket-offset plan —
+    // the hash compare certifies that equivalence (same note as q89)
+    "q128_vocab_growth" ->
+      s"""WITH o AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |      - 1 AS ordinal,
+        |    count(*) OVER () AS n
+        |  FROM documents),
+        |ck AS (
+        |  SELECT doc_id,
+        |    CAST((ordinal * $VOCAB_CHECKPOINTS) // n AS INTEGER) AS checkpoint
+        |  FROM o),
+        |tk AS (
+        |  SELECT unnest(list_distinct(string_split(d.text, ' '))) AS token,
+        |    ck.checkpoint
+        |  FROM documents d JOIN ck USING (doc_id)),
+        |ft AS (SELECT token, min(checkpoint) AS checkpoint FROM tk GROUP BY 1),
+        |dp AS (SELECT checkpoint, count(*) AS n_docs FROM ck GROUP BY 1),
+        |tp AS (SELECT checkpoint, count(*) AS new_tokens FROM ft GROUP BY 1),
+        |j AS (
+        |  SELECT dp.checkpoint, dp.n_docs,
+        |    coalesce(tp.new_tokens, 0) AS new_tokens
+        |  FROM dp LEFT JOIN tp USING (checkpoint))
+        |SELECT checkpoint,
+        |  CAST(sum(n_docs) OVER (ORDER BY checkpoint) AS BIGINT) AS docs_seen,
+        |  CAST(new_tokens AS BIGINT) AS new_tokens,
+        |  CAST(sum(new_tokens) OVER (ORDER BY checkpoint) AS BIGINT)
+        |    AS vocab_size
+        |FROM j""".stripMargin,
     "q125_tokenizer_fertility" ->
       """WITH t AS (
         |  SELECT lang, source,
