@@ -430,6 +430,36 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Duplicate-cluster size spectrum — the corpus-health histogram a
+    * dedup run is judged by (Lee et al. report exactly this curve): how
+    * many clusters exist at every size, for BOTH modalities — exact
+    * (content-hash groups) and near (q58's simhash connected
+    * components). A heavy tail (few giant clusters) means boilerplate
+    * explosion; a spectrum hugging size 1 certifies a clean corpus. The
+    * two modalities in one frame expose the gap between them — near-dup
+    * mass the exact pass cannot see.
+    *
+    * Scale shape: each modality is a two-level count (corpus → clusters
+    * → sizes), both map-side combined; the histogram is
+    * max-cluster-size rows. The near modality rides the tiered CC
+    * kernel; nothing beyond its boundary graph ever concentrates.
+    */
+  def q129ClusterSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val exact = d.groupBy(md5(col("text")).as("k"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("modality", lit("exact"))
+    val near = q58DedupClusters(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("modality", lit("near"))
+    exact.unionByName(near)
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .select(col("modality"), col("cluster_size"), col("n_clusters"),
+        col("n_docs"))
+  }
+
   /** Min-label connected components over an (a_id, b_id) edge list — the
     * TWO-LEVEL shape: (1) each partition contracts its own edges with an
     * in-memory union-find (union-by-min, path compression), emitting every
@@ -942,11 +972,41 @@ object Dedup {
     "q46_minhash_lsh" -> q46MinhashLsh,
     "q47_simhash" -> q47Simhash,
     "q58_dedup_clusters" -> q58DedupClusters,
+    "q129_cluster_spectrum" -> q129ClusterSpectrum,
     "q66_dedup_pipeline" -> q66DedupPipeline,
     "q77_canonical_best" -> q77CanonicalBest,
     "q78_winnow_fingerprint" -> q78WinnowFingerprint,
     "q79_incremental_dedup" -> q79IncrementalDedup,
     "q81_incremental_index" -> q81IncrementalIndex)
+
+  /** The simhash-edge + min-label reachability CTE chain (th → reach) —
+    * ONE definition shared by the q58, q77 and q129 oracles (usage:
+    * `WITH RECURSIVE $ccReachCtes, ...`). `reach`'s min-label per id IS
+    * the connected-component label the tiered CC kernel computes.
+    */
+  private val ccReachCtes =
+    """th AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id, lang, j, sum(((h // CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1) AS vote
+      |  FROM th, generate_series(0, 15) g(j)
+      |  GROUP BY doc_id, lang, j),
+      |sim AS (
+      |  SELECT doc_id, lang,
+      |    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id, lang),
+      |edges AS (
+      |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
+      |  FROM sim x JOIN sim y ON x.lang = y.lang AND x.doc_id < y.doc_id
+      |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 2),
+      |bi AS (SELECT a_id AS src, b_id AS dst FROM edges
+      |       UNION ALL SELECT b_id, a_id FROM edges),
+      |reach(id, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT bi.src, reach.label FROM reach JOIN bi ON bi.dst = reach.id)""".stripMargin
 
   private val shingleCte =
     """t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS tok FROM documents),
@@ -1124,52 +1184,27 @@ object Dedup {
         |    / count(*) / 1e6, 6) AS mean_sim
         |FROM lab GROUP BY 1, 2""".stripMargin,
     "q58_dedup_clusters" ->
-      """WITH RECURSIVE th AS (
-        |  SELECT doc_id, lang,
-        |    ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT AS h
-        |  FROM documents),
-        |bits AS (
-        |  SELECT doc_id, lang, j, sum(((h // CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1) AS vote
-        |  FROM th, generate_series(0, 15) g(j)
-        |  GROUP BY doc_id, lang, j),
-        |sim AS (
-        |  SELECT doc_id, lang,
-        |    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id, lang),
-        |edges AS (
-        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
-        |  FROM sim x JOIN sim y ON x.lang = y.lang AND x.doc_id < y.doc_id
-        |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 2),
-        |bi AS (SELECT a_id AS src, b_id AS dst FROM edges
-        |       UNION ALL SELECT b_id, a_id FROM edges),
-        |reach(id, label) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT bi.src, reach.label FROM reach JOIN bi ON bi.dst = reach.id)
+      s"""WITH RECURSIVE $ccReachCtes
         |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
+    "q129_cluster_spectrum" ->
+      s"""WITH RECURSIVE $ccReachCtes,
+        |clusters AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+        |near AS (
+        |  SELECT 'near' AS modality, cluster_size, count(*) AS n_clusters
+        |  FROM (SELECT cluster_id, count(*) AS cluster_size
+        |        FROM clusters GROUP BY 1)
+        |  GROUP BY 2),
+        |ex AS (
+        |  SELECT 'exact' AS modality, cluster_size, count(*) AS n_clusters
+        |  FROM (SELECT md5(text) AS k, count(*) AS cluster_size
+        |        FROM documents GROUP BY 1)
+        |  GROUP BY 2),
+        |u AS (SELECT * FROM near UNION ALL SELECT * FROM ex)
+        |SELECT modality, cluster_size, n_clusters,
+        |  cluster_size * n_clusters AS n_docs
+        |FROM u""".stripMargin,
     "q77_canonical_best" ->
-      """WITH RECURSIVE th AS (
-        |  SELECT doc_id, lang,
-        |    ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT AS h
-        |  FROM documents),
-        |bits AS (
-        |  SELECT doc_id, lang, j, sum(((h // CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1) AS vote
-        |  FROM th, generate_series(0, 15) g(j)
-        |  GROUP BY doc_id, lang, j),
-        |sim AS (
-        |  SELECT doc_id, lang,
-        |    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM bits GROUP BY doc_id, lang),
-        |edges AS (
-        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
-        |  FROM sim x JOIN sim y ON x.lang = y.lang AND x.doc_id < y.doc_id
-        |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 2),
-        |bi AS (SELECT a_id AS src, b_id AS dst FROM edges
-        |       UNION ALL SELECT b_id, a_id FROM edges),
-        |reach(id, label) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT bi.src, reach.label FROM reach JOIN bi ON bi.dst = reach.id),
+      s"""WITH RECURSIVE $ccReachCtes,
         |clusters AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
         |quality AS (
         |  SELECT doc_id,
