@@ -115,13 +115,19 @@ object TimeSeries {
         round(min(col("value")), 6).as("min_v"),
         round(max(col("value")), 6).as("max_v"))
 
+  /** Session gap (ns) — ONE definition for batch q36 and the streaming
+    * sessionizer ([[graft.streaming.StreamingSessionize]]), so the two
+    * surfaces cannot drift on the boundary rule.
+    */
+  val SESSION_GAP_NS = 30L * 60 * 1000000000L
+
   /** Gap-based sessionization (streaming-style stateful op in batch form):
     * new session when >30 min since the previous event; per-session count
     * and duration.
     */
   def q36Sessionize(spark: SparkSession, dir: String): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id")).orderBy(byTs: _*)
-    val gapNs = 30L * 60 * 1000000000L
+    val gapNs = SESSION_GAP_NS
     ev(spark, dir)
       .withColumn("prev", lag(col("ts"), 1).over(wOrd))
       .withColumn("new_sess",
