@@ -171,6 +171,20 @@ class PlanAuditSpec extends SparkSpec {
       "bucket offsets must broadcast-join back:\n" + p)
   }
 
+  test("q128: vocab growth rides the two-pass ordinal; corpus ranking stays bucket-keyed") {
+    val p = plan(TextAnalysis.queries("q128_vocab_growth")(spark, dir))
+    // the corpus-side row_number keeps its hash-prefix bucket key (q89's
+    // shape); the only unpartitioned windows are the cumulative sums over
+    // the VOCAB_CHECKPOINTS-row growth frame and the 256-row offsets
+    assert(p.contains("row_number() windowspecdefinition(bucket"),
+      "ordinal ranking lost its bucket partitioning:\n" + p)
+    assert(!p.contains("row_number() windowspecdefinition(user_id") &&
+      !"row_number\\(\\) windowspecdefinition\\(\\)".r.findFirstIn(p).isDefined,
+      "no corpus-wide unpartitioned ranking:\n" + p)
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket offsets must broadcast-join back:\n" + p)
+  }
+
   test("q81: the corpus side comes from the stored index — zero corpus recompute") {
     val p = plan(Dedup.queries("q81_incremental_index")(spark, dir))
     // the whole point of the materialized path: corpus band keys and
