@@ -137,6 +137,69 @@ object CorpusOps {
         coalesce(col("coverage") >= BOILER_FLAG, lit(false)))
   }
 
+  // ------------------------------------------------------- hot-block index
+
+  /** Materialize q127's hot list: the (tiny) table of block hashes whose
+    * occurrence count reaches `hotMin`, meta LAST with the dials recorded
+    * (block width especially — a reader blocking at a guessed width would
+    * match nothing silently). Follows the writeBandIndex
+    * invalidate-first / meta-last contract.
+    */
+  def writeHotBlockIndex(docsDf: DataFrame, path: String,
+                         hotMin: Int = HOT_BLOCK_MIN): Unit = {
+    val spark = docsDf.sparkSession
+    IndexMeta.invalidate(spark, path)
+    scrubBlocks(docsDf)
+      .groupBy(md5(col("btxt")).as("h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= hotMin)
+      .select(col("h"))
+      .write.mode("overwrite").parquet(s"$path/hot")
+    IndexMeta.write(spark, path, "graft hot block list",
+      "kind" -> "hot_blocks", "hot_min" -> hotMin.toString,
+      "block" -> SCRUB_BLOCK.toString)
+  }
+
+  /** A resolved hot-block list (the stored frame stays distributed; it is
+    * tiny by construction and BROADCASTS at the join).
+    */
+  final case class LoadedHotBlocks private[operators] (hotMin: Int, hot: DataFrame)
+
+  def loadHotBlockIndex(spark: SparkSession, path: String): LoadedHotBlocks = {
+    val props = IndexMeta.read(spark, path, "writeHotBlockIndex")
+    LoadedHotBlocks(props.getProperty("hot_min").toInt,
+      spark.read.parquet(s"$path/hot"))
+  }
+
+  /** q127's semantics against a PREBUILT hot list: the batch is blocked
+    * and each block dropped iff its hash is in the stored list — a
+    * map-side broadcast membership test, zero corpus recount. The ONE
+    * scrub kernel pair ([[scrubBlocks]]/[[scrubVerdicts]]) serves both
+    * halves, so build and serve cannot drift on boundaries.
+    */
+  def hotScrubAgainstLoaded(docsDf: DataFrame, idx: LoadedHotBlocks): DataFrame =
+    scrubVerdicts(
+      scrubBlocks(docsDf)
+        .withColumn("h", md5(col("btxt")))
+        .join(broadcast(idx.hot.withColumn("_hot", lit(true))), Seq("h"), "left")
+        .withColumn("keep", col("_hot").isNull))
+
+  def hotScrubAgainstIndex(docsDf: DataFrame, path: String): DataFrame =
+    hotScrubAgainstLoaded(docsDf,
+      loadHotBlockIndex(docsDf.sparkSession, path))
+
+  /** The serving twin of q127 (the q97/q109/q118 pattern): build-once
+    * per (dir, content fingerprint), then scrub the corpus from the
+    * store. Identical output contract to q127, so it shares the same
+    * oracle SQL — the hash match certifies the store → serve round-trip.
+    */
+  def q130HotBlockIndex(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val indexPath = Tables.derivedIndexPath("graft_hot_blocks_v1", dir, "documents")
+    if (!IndexMeta.exists(spark, indexPath)) writeHotBlockIndex(d, indexPath)
+    hotScrubAgainstIndex(d, indexPath)
+  }
+
   /** Repetition-based quality scoring (the Gopher-rule family): fraction
     * of the document covered by its most frequent token, and the fraction
     * of duplicate 2-grams. Both are in-row array expressions — a narrow
@@ -1320,6 +1383,7 @@ object CorpusOps {
     "q103_dedup_scrub" -> q103DedupScrub,
     "q126_boilerplate_coverage" -> q126BoilerplateCoverage,
     "q127_hot_block_scrub" -> q127HotBlockScrub,
+    "q130_hot_block_index" -> q130HotBlockIndex,
     "q106_dsir_select" -> q106DsirSelect,
     "q107_unimax_mix" -> q107UnimaxMix,
     "q108_ccnet_buckets" -> q108CcnetBuckets,
@@ -1331,6 +1395,31 @@ object CorpusOps {
     "q120_padding_audit" -> q120PaddingAudit,
     "q122_filter_ablation" -> q122FilterAblation,
     "q123_curriculum_order" -> q123CurriculumOrder)
+
+  /** q127's oracle — blocks, occurrence counts, the drop-all keep rule,
+    * reassembly. q130 (serving the stored hot list) shares it.
+    */
+  private[graft] lazy val hotBlockScrubSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+      |b0 AS (
+      |  SELECT doc_id, tok,
+      |    unnest(generate_series(0,
+      |      CAST(ceil(len(tok) / 64.0) AS BIGINT) - 1)) AS idx
+      |  FROM t),
+      |b AS (
+      |  SELECT doc_id, idx,
+      |    array_to_string(tok[idx*64+1 : idx*64+64], ' ') AS btxt
+      |  FROM b0),
+      |f AS (SELECT md5(btxt) AS h, count(*) AS c FROM b GROUP BY 1),
+      |k AS (
+      |  SELECT doc_id, idx, btxt, (f.c < $HOT_BLOCK_MIN) AS keep
+      |  FROM b JOIN f ON f.h = md5(b.btxt))
+      |SELECT doc_id, count(*) AS n_blocks,
+      |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+      |  md5(coalesce(
+      |    string_agg(CASE WHEN keep THEN btxt END, ' ' ORDER BY idx), ''))
+      |    AS scrubbed_md5
+      |FROM k GROUP BY doc_id""".stripMargin
 
   /** The shared ingest PREFIX (corpus tokens, gram stream, eval grams,
     * q69 quality verdicts) — reused by [[ingestCtes]]' short-circuit
@@ -1577,27 +1666,10 @@ object CorpusOps {
         |  coalesce(round(c.n_boiler / c.n_grams, 6) >= $BOILER_FLAG, false)
         |    AS flagged
         |FROM documents d LEFT JOIN c USING (doc_id)""".stripMargin,
-    "q127_hot_block_scrub" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
-        |b0 AS (
-        |  SELECT doc_id, tok,
-        |    unnest(generate_series(0,
-        |      CAST(ceil(len(tok) / 64.0) AS BIGINT) - 1)) AS idx
-        |  FROM t),
-        |b AS (
-        |  SELECT doc_id, idx,
-        |    array_to_string(tok[idx*64+1 : idx*64+64], ' ') AS btxt
-        |  FROM b0),
-        |f AS (SELECT md5(btxt) AS h, count(*) AS c FROM b GROUP BY 1),
-        |k AS (
-        |  SELECT doc_id, idx, btxt, (f.c < $HOT_BLOCK_MIN) AS keep
-        |  FROM b JOIN f ON f.h = md5(b.btxt))
-        |SELECT doc_id, count(*) AS n_blocks,
-        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
-        |  md5(coalesce(
-        |    string_agg(CASE WHEN keep THEN btxt END, ' ' ORDER BY idx), ''))
-        |    AS scrubbed_md5
-        |FROM k GROUP BY doc_id""".stripMargin,
+    // q130 serves q127 from the stored hot list — ONE oracle for both:
+    // the hash match certifies the store → serve round-trip
+    "q127_hot_block_scrub" -> hotBlockScrubSql,
+    "q130_hot_block_index" -> hotBlockScrubSql,
     "q103_dedup_scrub" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |b0 AS (

@@ -430,6 +430,53 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Widest threshold on the q131 sensitivity ladder. */
+  val LADDER_MAX_HAMMING = 3
+
+  /** Dedup threshold-sensitivity ladder — "measure, don't guess" for the
+    * q47 hamming dial: near-dup pair volume and affected-document count
+    * at EVERY threshold 0..[[LADDER_MAX_HAMMING]], from ONE candidate
+    * pass at the widest setting. The curve is how the dial is actually
+    * tuned (a cliff between h=2 and h=3 means the corpus has a near-dup
+    * band right at the boundary); running q47 once per threshold would
+    * re-sign the corpus per point.
+    *
+    * Scale shape: candidates ride the pigeonhole bands at the WIDEST
+    * threshold (maxHamming+1 bands — the recall guarantee), so pair
+    * volume is the h≤3 volume, paid ONCE. Everything after is
+    * pre-aggregated to threshold cardinality BEFORE the ladder touches
+    * it: pairs count down to ≤4 (hamming, n) rows map-side, and the
+    * affected-doc count reduces per doc_id to its MIN hamming (map-side
+    * combinable) then to ≤4 rows — the cumulative ladder is then a
+    * tiny-×-tiny inequality join, never an inequality join against the
+    * corpus-sized pair frame.
+    */
+  def q131DedupSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the pair-count and doc-count aggregates both read the
+    // verified pair frame — uncached, the signing + band join runs twice
+    val pairs = graft.CacheScope.cache(
+      simhashNearDupPairs(docs(spark, dir), bits = 16,
+        maxHamming = LADDER_MAX_HAMMING)
+        .select(col("a_id"), col("b_id"), col("hamming")))
+    val byHd = pairs.groupBy(col("hamming")).agg(count(lit(1)).as("np"))
+    val docsByMinHd = pairs
+      .select(col("hamming"), explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("hamming")).as("hd"))
+      .groupBy(col("hd")).agg(count(lit(1)).as("nd"))
+    val ladder = spark.range(0, LADDER_MAX_HAMMING + 1)
+      .select(col("id").as("max_hamming"))
+    ladder.as("l")
+      .join(byHd.as("p"), col("p.hamming") <= col("l.max_hamming"), "left")
+      .groupBy(col("l.max_hamming").as("max_hamming"))
+      .agg(coalesce(sum(col("p.np")), lit(0L)).as("n_pairs"))
+      .as("l2")
+      .join(docsByMinHd.as("d"), col("d.hd") <= col("l2.max_hamming"), "left")
+      .groupBy(col("l2.max_hamming").as("max_hamming"),
+        col("l2.n_pairs").as("n_pairs"))
+      .agg(coalesce(sum(col("d.nd")), lit(0L)).as("n_dup_docs"))
+      .select(col("max_hamming"), col("n_pairs"), col("n_dup_docs"))
+  }
+
   /** Duplicate-cluster size spectrum — the corpus-health histogram a
     * dedup run is judged by (Lee et al. report exactly this curve): how
     * many clusters exist at every size, for BOTH modalities — exact
@@ -973,6 +1020,7 @@ object Dedup {
     "q47_simhash" -> q47Simhash,
     "q58_dedup_clusters" -> q58DedupClusters,
     "q129_cluster_spectrum" -> q129ClusterSpectrum,
+    "q131_dedup_sensitivity" -> q131DedupSensitivity,
     "q66_dedup_pipeline" -> q66DedupPipeline,
     "q77_canonical_best" -> q77CanonicalBest,
     "q78_winnow_fingerprint" -> q78WinnowFingerprint,
@@ -984,7 +1032,10 @@ object Dedup {
     * `WITH RECURSIVE $ccReachCtes, ...`). `reach`'s min-label per id IS
     * the connected-component label the tiered CC kernel computes.
     */
-  private val ccReachCtes =
+  /** The 16-bit simhash signature CTEs (th → sim) — shared by
+    * [[ccReachCtes]] and the q131 ladder oracle.
+    */
+  private val simhashSigCtes =
     """th AS (
       |  SELECT doc_id, lang,
       |    ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT AS h
@@ -996,7 +1047,10 @@ object Dedup {
       |sim AS (
       |  SELECT doc_id, lang,
       |    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-      |  FROM bits GROUP BY doc_id, lang),
+      |  FROM bits GROUP BY doc_id, lang)""".stripMargin
+
+  private val ccReachCtes =
+    s"""$simhashSigCtes,
       |edges AS (
       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
       |  FROM sim x JOIN sim y ON x.lang = y.lang AND x.doc_id < y.doc_id
@@ -1186,6 +1240,28 @@ object Dedup {
     "q58_dedup_clusters" ->
       s"""WITH RECURSIVE $ccReachCtes
         |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
+    "q131_dedup_sensitivity" ->
+      s"""WITH $simhashSigCtes,
+        |p AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+        |    bit_count(xor(x.simhash, y.simhash)) AS hd
+        |  FROM sim x JOIN sim y ON x.lang = y.lang AND x.doc_id < y.doc_id
+        |  WHERE bit_count(xor(x.simhash, y.simhash)) <= $LADDER_MAX_HAMMING),
+        |byhd AS (SELECT hd, count(*) AS np FROM p GROUP BY 1),
+        |dmin AS (
+        |  SELECT doc_id, min(hd) AS hd FROM (
+        |    SELECT hd, a_id AS doc_id FROM p
+        |    UNION ALL SELECT hd, b_id FROM p)
+        |  GROUP BY 1),
+        |dbyhd AS (SELECT hd, count(*) AS nd FROM dmin GROUP BY 1),
+        |lad AS (
+        |  SELECT unnest(generate_series(0, $LADDER_MAX_HAMMING)) AS max_hamming)
+        |SELECT l.max_hamming,
+        |  coalesce((SELECT CAST(sum(np) AS BIGINT) FROM byhd
+        |            WHERE hd <= l.max_hamming), 0) AS n_pairs,
+        |  coalesce((SELECT CAST(sum(nd) AS BIGINT) FROM dbyhd
+        |            WHERE hd <= l.max_hamming), 0) AS n_dup_docs
+        |FROM lad l""".stripMargin,
     "q129_cluster_spectrum" ->
       s"""WITH RECURSIVE $ccReachCtes,
         |clusters AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),

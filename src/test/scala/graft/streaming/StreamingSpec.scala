@@ -741,4 +741,39 @@ class StreamingSpec extends SparkSpec {
     assert(v3 == Map(6L -> ((1L, 1L)), 7L -> ((1L, 1L))),
       s"multi-segment ledger reach: $v3")
   }
+
+  test("streaming hot-block gate scrubs against the stored list, batch-parity") {
+    val tmp = java.nio.file.Files.createTempDirectory("hotstream").toString
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    graft.operators.CorpusOps.writeHotBlockIndex(docs, s"$tmp/index")
+    docs.write.mode("append").parquet(s"$tmp/in")
+    StreamingHotBlockGate.runAgainstIndex(spark, s"$tmp/in",
+      spark.read.parquet(s"$tmp/in").schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val out = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+      .collect().map(_.toSeq).toSet
+    // stream verdicts EQUAL inline q127 on the same corpus — the stored
+    // list was built from it, so drop-all membership is identical
+    val want = graft.CacheScope.run {
+      graft.operators.CorpusOps.q127HotBlockScrub(spark, dir)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(out == want, "stream and batch hot-block verdicts diverged")
+  }
+
+  test("hot-block gate fails the running query when the list is rebuilt") {
+    val tmp = java.nio.file.Files.createTempDirectory("hotrebuild").toString
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    graft.operators.CorpusOps.writeHotBlockIndex(docs, s"$tmp/index")
+    docs.limit(5).write.mode("append").parquet(s"$tmp/in")
+    val q = StreamingHotBlockGate.runAgainstIndex(spark, s"$tmp/in",
+      spark.read.parquet(s"$tmp/in").schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt",
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    assertDiesOnRebuild(q, s"$tmp/out/batch_0") {
+      graft.operators.CorpusOps.writeHotBlockIndex(docs, s"$tmp/index")
+      docs.limit(5).write.mode("append").parquet(s"$tmp/in")
+    }
+  }
 }
