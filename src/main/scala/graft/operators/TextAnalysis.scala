@@ -456,10 +456,73 @@ object TextAnalysis {
         col("vocab_size"))
   }
 
+  // ------------------------------------------------ incremental stats view
+
+  /** Merge-able corpus-stats partials per (lang, source): exact 64-bit
+    * count and char sums — the associative/commutative form that makes
+    * `partial(A) ⊕ partial(B) = partial(A ∪ B)` hold exactly, which is
+    * the whole contract of incremental view maintenance. ONE definition
+    * for the stored base, every delta, and the streaming maintainer.
+    */
+  private[graft] def statsPartials(df: DataFrame): DataFrame =
+    df.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+
+  /** Merge partial frames by key (re-aggregate the sums). */
+  private[graft] def mergeStatsPartials(parts: DataFrame): DataFrame =
+    parts.groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_chars")).as("total_chars"))
+
+  /** Finalize partials into the served stats row (the only non-mergeable
+    * column, the mean, derives at READ time from exact sums).
+    */
+  private[graft] def finalizeStats(parts: DataFrame): DataFrame =
+    mergeStatsPartials(parts)
+      .withColumn("avg_chars", round(col("total_chars") / col("n_docs"), 6))
+
+  /** Materialize the stats base (invalidate-first / meta-last). */
+  def writeStatsIndex(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    IndexMeta.invalidate(spark, path)
+    statsPartials(df).write.mode("overwrite").parquet(s"$path/partials")
+    IndexMeta.write(spark, path, "graft corpus stats view",
+      "kind" -> "stats_view", "keys" -> "lang,source")
+  }
+
+  /** Incremental corpus-stats maintenance — the materialized-view shape
+    * a 100 TB corpus dashboard actually runs: per-(lang, source) doc and
+    * char totals kept as a STORED partial table; a delta batch
+    * contributes only its own partials (the historical corpus is never
+    * re-read) and the view merges by key at read time. Exactness is
+    * structural: the partials are integer sums, so merge order cannot
+    * change a digit and `merge(base, delta)` equals the from-scratch
+    * aggregate bit-for-bit — which is precisely what the shared oracle
+    * (a plain full-corpus GROUP BY) certifies.
+    *
+    * The query splits the corpus by q80's content-hash rule (buckets
+    * < 90 = the "yesterday" base, the rest = today's delta), builds the
+    * base index if absent, and serves base ⊕ delta.
+    */
+  def q132StatsMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val bucket = conv(substring(md5(col("text")), 1, 15), 16, 10)
+      .cast("long") % 100
+    val path = Tables.derivedIndexPath("graft_stats_view_v1", dir, "documents")
+    if (!IndexMeta.exists(spark, path))
+      writeStatsIndex(d.filter(bucket < 90), path)
+    IndexMeta.read(spark, path, "writeStatsIndex") // refuse meta-less dirs
+    val base = spark.read.parquet(s"$path/partials")
+    val delta = statsPartials(d.filter(bucket >= 90))
+    finalizeStats(base.unionByName(delta))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_tfidf" -> q65Tfidf,
     "q125_tokenizer_fertility" -> q125TokenizerFertility,
     "q128_vocab_growth" -> q128VocabGrowth,
+    "q132_stats_maintenance" -> q132StatsMaintenance,
     "q117_ngram_diversity" -> q117NgramDiversity,
     "q84_pii_scrub" -> q84PiiScrub,
     "q88_quality_deciles" -> q88QualityDeciles,
@@ -474,6 +537,13 @@ object TextAnalysis {
     "q111_bpe_merges" -> q111BpeMerges)
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle is the from-scratch full-corpus aggregate: the hash
+    // match certifies merge(stored base, delta) == direct, bit-for-bit
+    "q132_stats_maintenance" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(CAST(sum(n_chars) AS BIGINT) / count(*), 6) AS avg_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     // the oracle states the LOGICAL order (one global row_number); the
     // Spark side reproduces it with q89's two-pass bucket-offset plan —
     // the hash compare certifies that equivalence (same note as q89)

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q132 (incremental stats view): the merge law (base ⊕ delta == direct,
+  * bit-for-bit), meta honesty, and the streaming maintainer's
+  * merge-on-read + replay idempotence.
+  */
+class StatsMaintenanceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def collectStats(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+
+  test("merge(stored base, delta) equals the from-scratch aggregate") {
+    val d = graft.Tables.load(spark, dir, "documents")
+    val direct = collectStats(TextAnalysis.finalizeStats(
+      TextAnalysis.statsPartials(d)))
+    val served = collectStats(
+      TextAnalysis.queries("q132_stats_maintenance")(spark, dir))
+    assert(served == direct, "incremental view drifted from direct")
+    assert(direct.nonEmpty)
+    // an empty delta is the identity
+    val tmp = java.nio.file.Files.createTempDirectory("stats").toString
+    TextAnalysis.writeStatsIndex(d, tmp)
+    val baseOnly = collectStats(TextAnalysis.finalizeStats(
+      spark.read.parquet(s"$tmp/partials")))
+    assert(baseOnly == direct)
+    val props = IndexMeta.read(spark, tmp, "writeStatsIndex")
+    assert(props.getProperty("keys") == "lang,source")
+  }
+
+  test("streaming maintainer: merge-on-read equals direct; replay is idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("statstream").toString
+    val d = graft.Tables.load(spark, dir, "documents")
+    def stream = spark.readStream.schema(d.schema).parquet(s"$tmp/in")
+    // two arrivals -> two maintained segments
+    d.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(s"$tmp/in")
+    graft.streaming.StreamingStats.run(spark, s"$tmp/in", d.schema,
+      s"$tmp/stats", s"$tmp/ckpt").awaitTermination()
+    d.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(s"$tmp/in")
+    graft.streaming.StreamingStats.run(spark, s"$tmp/in", d.schema,
+      s"$tmp/stats", s"$tmp/ckpt").awaitTermination()
+    val direct = collectStats(TextAnalysis.finalizeStats(
+      TextAnalysis.statsPartials(d)))
+    val view = collectStats(
+      graft.streaming.StreamingStats.readStats(spark, s"$tmp/stats"))
+    assert(view == direct, "merge-on-read view drifted from direct")
+    // a replayed batch overwrites its own segment: the view is unchanged
+    TextAnalysis.statsPartials(d.filter(col("doc_id") % 2 === 1))
+      .write.mode("overwrite").parquet(s"$tmp/stats/batch_1")
+    val replayed = collectStats(
+      graft.streaming.StreamingStats.readStats(spark, s"$tmp/stats"))
+    assert(replayed == direct, "replay must be idempotent")
+  }
+}
