@@ -456,6 +456,66 @@ object TextAnalysis {
         col("vocab_size"))
   }
 
+  /** q133 dials: a token in ≥ [[HH_FRAC]] of all docs is a heavy hitter;
+    * [[HH_SKETCH_K]] Misra–Gries counters per partition. The guarantee
+    * needs k + 1 ≥ 1/frac (here 65 ≥ 20, ample): a token below the local
+    * bar n_p/(k+1) in EVERY partition sums below N/(k+1) ≤ frac·N
+    * globally, so every true heavy hitter survives some partition's
+    * sketch.
+    */
+  val HH_FRAC = 0.05
+  val HH_SKETCH_K = 64
+
+  /** Heavy-hitter tokens via per-partition Misra–Gries + exact verify —
+    * the bounded-memory alternative to q64's vocabulary-sized aggregate:
+    * at 100 TB the (token → doc_freq) map-side hash is vocabulary-sized
+    * per task, while the MG sketch holds exactly k counters per
+    * partition no matter the vocabulary. The sketch is a SUPERSET filter
+    * (no false negatives, by the pigeonhole above); the exact counting
+    * pass then runs only over the candidate set — a broadcast membership
+    * gate inside the explode's codegen span — so the wide exchange
+    * carries candidates×docs rows, not vocabulary×docs.
+    *
+    * Output is EXACT and partitioning-independent: candidates vary with
+    * the partitioning, but every true heavy hitter is always among them
+    * and the exact threshold removes the rest — the determinism the
+    * oracle (a plain GROUP BY … HAVING) certifies.
+    *
+    * `mapPartitions` is deliberate (the documented last resort): MG is
+    * genuinely per-partition imperative state with a decrement-all step
+    * no Column expression or declarative aggregate expresses.
+    */
+  def q133HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val nDocs = d.count()
+    // cached: the sketch pass and the exact verify both read the
+    // doc-distinct token stream
+    val tk = graft.CacheScope.cache(
+      d.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token")))
+    val candidates: Array[String] = tk.select(col("token")).as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          if (counters.contains(t)) counters(t) += 1
+          else if (counters.size < HH_SKETCH_K) counters(t) = 1L
+          else {
+            // decrement-all; drop zeroed counters, the newcomer is not kept
+            val dead = counters.iterator.filter(_._2 == 1L).map(_._1).toList
+            counters.mapValuesInPlace((_, v) => v - 1)
+            dead.foreach(counters.remove)
+          }
+        }
+        counters.keysIterator
+      }
+      .distinct().collect() // ≤ partitions × k strings — bounded driver state
+    val thresh = math.ceil(HH_FRAC * nDocs).toLong
+    tk.filter(col("token").isInCollection(candidates))
+      .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= thresh)
+  }
+
   // ------------------------------------------------ incremental stats view
 
   /** Merge-able corpus-stats partials per (lang, source): exact 64-bit
@@ -523,6 +583,7 @@ object TextAnalysis {
     "q125_tokenizer_fertility" -> q125TokenizerFertility,
     "q128_vocab_growth" -> q128VocabGrowth,
     "q132_stats_maintenance" -> q132StatsMaintenance,
+    "q133_heavy_hitters" -> q133HeavyHitters,
     "q117_ngram_diversity" -> q117NgramDiversity,
     "q84_pii_scrub" -> q84PiiScrub,
     "q88_quality_deciles" -> q88QualityDeciles,
@@ -537,6 +598,17 @@ object TextAnalysis {
     "q111_bpe_merges" -> q111BpeMerges)
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle is the plain exact aggregate — the MG sketch is
+    // TRANSPARENT in the answer (superset candidates, exact verify),
+    // which is exactly what the hash match certifies
+    "q133_heavy_hitters" ->
+      s"""WITH tk AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |n AS (SELECT count(*) AS c FROM documents)
+        |SELECT token, count(*) AS doc_freq
+        |FROM tk GROUP BY 1
+        |HAVING count(*) >= ceil($HH_FRAC * (SELECT c FROM n))""".stripMargin,
     // the oracle is the from-scratch full-corpus aggregate: the hash
     // match certifies merge(stored base, delta) == direct, bit-for-bit
     "q132_stats_maintenance" ->
