@@ -1150,11 +1150,15 @@ object CorpusOps {
     * per-row projection of built-in codegen'd functions that any engine
     * replays identically).
     */
+  /** q80's content-hash bucket — ONE definition for the split query and
+    * q132's base/delta partition of the corpus.
+    */
+  private[graft] def contentBucket: org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"), lit(100))
+
   def q80DatasetSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
-      .cast("long"), lit(100))
     docs(spark, dir)
-      .select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .select(col("doc_id"), col("source"), contentBucket.as("bucket"))
       .withColumn("split",
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "valid")

@@ -567,8 +567,7 @@ object TextAnalysis {
     */
   def q132StatsMaintenance(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val bucket = conv(substring(md5(col("text")), 1, 15), 16, 10)
-      .cast("long") % 100
+    val bucket = CorpusOps.contentBucket // q80's rule — one definition
     val path = Tables.derivedIndexPath("graft_stats_view_v1", dir, "documents")
     if (!IndexMeta.exists(spark, path))
       writeStatsIndex(d.filter(bucket < 90), path)
