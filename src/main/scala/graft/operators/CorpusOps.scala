@@ -137,6 +137,80 @@ object CorpusOps {
         coalesce(col("coverage") >= BOILER_FLAG, lit(false)))
   }
 
+  /** Contamination provenance — the REVERSE of q68's per-train-doc flag:
+    * for each EVAL document, how many training documents share a token
+    * 8-gram with it and which single training doc is the worst offender
+    * (most distinct shared grams, ties to the lower id). q68 answers
+    * "which training docs must go"; this answers the auditor's question
+    * "which benchmark items are compromised, and by what" — the report
+    * attached to a contamination incident.
+    *
+    * Scale shape: the gram join is q68's exactly (eval side tiny and
+    * BROADCAST; the corpus never shuffles text); the per-(eval, train)
+    * hit count keys on the pair, and the per-eval rollup reduces with a
+    * `min(struct(-n, id))` argmax — map-side combinable, no window. The
+    * eval table is benchmark-sized, so the output and every post-join
+    * frame are eval-bounded.
+    */
+  def q135ContaminationProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    def grams(df: DataFrame): DataFrame = tokenGrams(df, 8)
+    val ev = d.filter(col("source") === "src0")
+    val hits = grams(d.filter(col("source") =!= "src0"))
+      .withColumnRenamed("doc_id", "train_id")
+      .join(broadcast(grams(ev).withColumnRenamed("doc_id", "eval_id")),
+        Seq("gram"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_offenders"),
+        min(struct((-col("n_shared")).as("neg"), col("train_id"))).as("_top"))
+      .select(col("eval_id"), col("n_offenders"),
+        col("_top.train_id").as("top_offender"),
+        (-col("_top.neg")).as("top_shared"))
+    ev.select(col("doc_id").as("eval_id"))
+      .join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_offenders"), lit(0L)).as("n_offenders"),
+        col("top_offender"),
+        col("top_shared"))
+  }
+
+  /** Docs sampled per epoch by q134's apportionment. */
+  val EPOCH_BUDGET = 1000L
+
+  /** Epoch-budget apportionment — Hamilton's largest-remainder method
+    * over per-source token mass: how many documents each source
+    * contributes to a fixed per-epoch sampling budget so that quotas are
+    * integers, sum EXACTLY to the budget, and differ from the exact
+    * proportional share by less than one. This is the scheduling step
+    * between mixture weights (q107/q116) and the shuffled export (q119):
+    * training loaders consume integer quotas, not real-valued weights.
+    *
+    * Determinism: all in 64-bit integer arithmetic — floor share =
+    * `(B·toks) div total`, remainders ranked by `(B·toks) mod total`
+    * (ties to the lower source) — so no engine's float rounding can
+    * move a seat. The only window ranks the #sources-row aggregate (the
+    * q107 kind of bounded frame).
+    */
+  def q134EpochApportion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = docs(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("w"))
+      .groupBy(col("source")).agg(sum(col("w")).as("n_tokens"))
+    val total = perSource.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    val base = perSource
+      .withColumn("fl", expr(s"($EPOCH_BUDGET * n_tokens) div $total"))
+      .withColumn("rem", expr(s"($EPOCH_BUDGET * n_tokens) % $total"))
+    // bounded frame: #sources rows
+    val ranked = base.withColumn("r",
+      row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+    val deficit = EPOCH_BUDGET -
+      base.agg(sum(col("fl"))).collect()(0).getLong(0)
+    ranked.select(col("source"), col("n_tokens"),
+      (col("fl") + when(col("r") <= deficit, 1L).otherwise(0L)).as("quota"))
+  }
+
   // ------------------------------------------------------- hot-block index
 
   /** Materialize q127's hot list: the (tiny) table of block hashes whose
@@ -1388,6 +1462,8 @@ object CorpusOps {
     "q126_boilerplate_coverage" -> q126BoilerplateCoverage,
     "q127_hot_block_scrub" -> q127HotBlockScrub,
     "q130_hot_block_index" -> q130HotBlockIndex,
+    "q134_epoch_apportion" -> q134EpochApportion,
+    "q135_contamination_provenance" -> q135ContaminationProvenance,
     "q106_dsir_select" -> q106DsirSelect,
     "q107_unimax_mix" -> q107UnimaxMix,
     "q108_ccnet_buckets" -> q108CcnetBuckets,
@@ -1670,6 +1746,54 @@ object CorpusOps {
         |  coalesce(round(c.n_boiler / c.n_grams, 6) >= $BOILER_FLAG, false)
         |    AS flagged
         |FROM documents d LEFT JOIN c USING (doc_id)""".stripMargin,
+    "q134_epoch_apportion" ->
+      s"""WITH t AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM t),
+        |base AS (
+        |  SELECT source, n_tokens,
+        |    ($EPOCH_BUDGET * n_tokens) // total AS fl,
+        |    ($EPOCH_BUDGET * n_tokens) % total AS rem
+        |  FROM t, tot),
+        |rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS r
+        |  FROM base),
+        |d AS (SELECT $EPOCH_BUDGET - CAST(sum(fl) AS BIGINT) AS deficit FROM base)
+        |SELECT source, n_tokens,
+        |  CAST(fl + CASE WHEN r <= (SELECT deficit FROM d) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS quota
+        |FROM rk""".stripMargin,
+    "q135_contamination_provenance" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    unnest(list_transform(range(1, len(toks) - 6),
+        |      i -> array_to_string(toks[i:i+7], ' '))) AS gram
+        |  FROM t WHERE len(toks) >= 8),
+        |h AS (
+        |  SELECT e.doc_id AS eval_id, tr.doc_id AS train_id,
+        |    count(*) AS n_shared
+        |  FROM g e JOIN g tr USING (gram)
+        |  WHERE e.source = 'src0' AND tr.source != 'src0'
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT eval_id, count(*) AS n_offenders FROM h GROUP BY 1),
+        |top1 AS (
+        |  SELECT eval_id, train_id, n_shared FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY eval_id
+        |      ORDER BY n_shared DESC, train_id) AS rn
+        |    FROM h) WHERE rn = 1)
+        |SELECT d.doc_id AS eval_id,
+        |  coalesce(agg.n_offenders, 0) AS n_offenders,
+        |  top1.train_id AS top_offender,
+        |  top1.n_shared AS top_shared
+        |FROM documents d
+        |LEFT JOIN agg ON agg.eval_id = d.doc_id
+        |LEFT JOIN top1 ON top1.eval_id = d.doc_id
+        |WHERE d.source = 'src0'""".stripMargin,
     // q130 serves q127 from the stored hot list — ONE oracle for both:
     // the hash match certifies the store → serve round-trip
     "q127_hot_block_scrub" -> hotBlockScrubSql,
