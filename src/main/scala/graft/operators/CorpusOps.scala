@@ -195,9 +195,12 @@ object CorpusOps {
     */
   def q134EpochApportion(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perSource = docs(spark, dir)
+    // cached: the total collect, the deficit collect and the final plan
+    // all read the per-source aggregate — uncached, the corpus token
+    // count would run three times
+    val perSource = graft.CacheScope.cache(docs(spark, dir)
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("w"))
-      .groupBy(col("source")).agg(sum(col("w")).as("n_tokens"))
+      .groupBy(col("source")).agg(sum(col("w")).as("n_tokens")))
     val total = perSource.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
     val base = perSource
       .withColumn("fl", expr(s"($EPOCH_BUDGET * n_tokens) div $total"))
