@@ -202,7 +202,46 @@ object TimeSeries {
         round(col("qs").getItem(1), 6).as("p90"),
         round(col("qs").getItem(2), 6).as("p99"))
 
+  /** Robust per-user outlier census — median/MAD flagging, the outlier
+    * rejection a light-curve pipeline runs before fitting (flares,
+    * cosmic-ray hits, glitches survive a mean/σ cut because they inflate
+    * σ; the median absolute deviation doesn't move): per user, the
+    * median value, the MAD, and how many events sit more than 3 MADs
+    * from the median.
+    *
+    * Determinism: med and MAD round to 6 (the q62 percentile-parity
+    * convention) BEFORE the flag compares, so both engines compare
+    * bitwise-identical doubles; a user with MAD = 0 (constant curve)
+    * flags exactly its non-median values — the standard degenerate
+    * reading, identical on both engines.
+    *
+    * Scale shape: all exchanges key on user_id; the med/MAD tables are
+    * user-bounded. Exact per-group percentiles buffer the group's values
+    * — fine while curves are bounded per user (this data model); for
+    * unbounded groups swap `approx_percentile`, same shape (q88's note).
+    */
+  def q136RobustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("user_id"), col("value"))
+    val med = e.groupBy(col("user_id"))
+      .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
+    // cached: the MAD aggregate and the final census both read the
+    // deviation frame — uncached, the median join would run twice
+    val dev = graft.CacheScope.cache(
+      e.join(med, Seq("user_id"))
+        .withColumn("dev", abs(col("value") - col("med"))))
+    val mad = dev.groupBy(col("user_id"))
+      .agg(round(percentile(col("dev"), lit(0.5)), 6).as("mad"))
+    dev.join(mad, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_robust_outliers" -> q136RobustOutliers,
     "q62_quantiles" -> q62Quantiles,
     "q61_asof_join" -> q61AsofJoin,
     "q30_ts_bin_agg" -> q30TsBinAgg,
@@ -215,6 +254,23 @@ object TimeSeries {
     "q37_kernel_features" -> q37KernelFeatures)
 
   val oracleSql: Map[String, String] = Map(
+    "q136_robust_outliers" ->
+      """WITH e AS (SELECT user_id, value FROM events),
+        |m AS (
+        |  SELECT user_id, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT e.user_id, m.med, abs(e.value - m.med) AS dev
+        |  FROM e JOIN m USING (user_id)),
+        |md AS (
+        |  SELECT user_id, round(quantile_cont(dev, 0.5), 6) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.user_id, count(*) AS n_events,
+        |  max(d.med) AS med, max(md.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN md USING (user_id)
+        |GROUP BY 1""".stripMargin,
     "q37_kernel_features" -> KernelOracleSql.q37Sql,
     "q62_quantiles" ->
       """SELECT event_type,
