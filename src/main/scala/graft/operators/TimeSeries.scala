@@ -240,8 +240,66 @@ object TimeSeries {
           .as("n_outliers"))
   }
 
+  /** q137's trial-period grid (days), ascending — ties on the statistic
+    * resolve to the shorter period on both engines.
+    */
+  val TRIAL_PERIODS: Seq[Double] = Seq(0.5, 1.0, 1.5, 2.0, 3.0, 5.0, 8.0, 13.0)
+
+  /** Period search by the string-length method (Dworetsky 1983) — THE
+    * classic variable-star operation: fold each user's curve at every
+    * trial period (phase = t mod P), sort by phase, and sum the absolute
+    * magnitude steps between phase-neighbours; the true period makes the
+    * folded curve smooth, minimizing the "string length". Reported per
+    * user: the best period and its statistic.
+    *
+    * Determinism: the fold/sort/sum runs over bit-identical doubles on
+    * both engines (t and v come straight from the table; `%` is IEEE
+    * fmod in both), the phase sort breaks ties by event_id, and each
+    * |Δv| rounds to 1e-6 units BEFORE an exact 64-bit sum — so the
+    * statistic, and therefore the argmin, is summation-order- and
+    * engine-independent.
+    *
+    * Scale shape: ONE exchange (the per-user collect — curves are
+    * bounded in-row arrays, the data model's contract); the whole
+    * period grid then evaluates in-row inside the task, the same shape
+    * a Lomb–Scargle would use (per-frequency trig sums over the same
+    * in-row points). Grid size scales the per-row CPU, never the
+    * shuffle.
+    */
+  def q137PeriodSearch(spark: SparkSession, dir: String): DataFrame = {
+    val periods = TRIAL_PERIODS.toArray
+    val bestU = udf((ts: Seq[Double], vs: Seq[Double], ids: Seq[Long]) => {
+      val n = ts.length
+      val idx = Array.range(0, n)
+      var bestP = 0.0
+      var bestSl = Long.MaxValue
+      periods.foreach { p =>
+        val order = idx.sortBy(i => (ts(i) % p, ids(i)))
+        var sl = 0L
+        var j = 1
+        while (j < n) {
+          val dv = math.abs(vs(order(j)) - vs(order(j - 1)))
+          sl += math.floor(dv * 1e6 + 0.5).toLong
+          j += 1
+        }
+        if (sl < bestSl) { bestSl = sl; bestP = p } // ascending grid: ties → shorter P
+      }
+      (bestP, bestSl.toDouble / 1e6)
+    })
+    ev(spark, dir)
+      .withColumn("t_days", col("ts") / lit(86400e9))
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("t_days").as("t"), col("value").as("v"),
+        col("event_id").as("id"))).as("pts"))
+      .filter(size(col("pts")) > 10)
+      .withColumn("b", bestU(col("pts.t"), col("pts.v"), col("pts.id")))
+      .select(col("user_id"), size(col("pts")).as("n_points"),
+        col("b._1").as("best_period"), col("b._2").as("best_sl"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_robust_outliers" -> q136RobustOutliers,
+    "q137_period_search" -> q137PeriodSearch,
     "q62_quantiles" -> q62Quantiles,
     "q61_asof_join" -> q61AsofJoin,
     "q30_ts_bin_agg" -> q30TsBinAgg,
@@ -254,6 +312,34 @@ object TimeSeries {
     "q37_kernel_features" -> q37KernelFeatures)
 
   val oracleSql: Map[String, String] = Map(
+    "q137_period_search" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts)/86400e9 AS t, value AS v
+        |  FROM events),
+        |n AS (
+        |  SELECT user_id, count(*) AS n_points FROM e
+        |  GROUP BY 1 HAVING count(*) > 10),
+        |p AS (SELECT unnest([${TRIAL_PERIODS.mkString(", ")}]) AS period),
+        |f AS (
+        |  SELECT e.user_id, p.period, e.event_id, e.v,
+        |    (e.t % p.period) AS phase
+        |  FROM e JOIN n USING (user_id), p),
+        |d AS (
+        |  SELECT user_id, period,
+        |    abs(v - lag(v) OVER (PARTITION BY user_id, period
+        |      ORDER BY phase, event_id)) AS dv
+        |  FROM f),
+        |sl AS (
+        |  SELECT user_id, period,
+        |    CAST(sum(CAST(round(dv * 1e6, 0) AS BIGINT)) AS BIGINT) AS su
+        |  FROM d WHERE dv IS NOT NULL GROUP BY 1, 2),
+        |best AS (
+        |  SELECT user_id, period, su,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY su, period) AS rn
+        |  FROM sl)
+        |SELECT b.user_id, n.n_points, b.period AS best_period,
+        |  CAST(b.su AS DOUBLE) / 1e6 AS best_sl
+        |FROM best b JOIN n USING (user_id) WHERE rn = 1""".stripMargin,
     "q136_robust_outliers" ->
       """WITH e AS (SELECT user_id, value FROM events),
         |m AS (

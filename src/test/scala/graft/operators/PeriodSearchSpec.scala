@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** q137 (string-length period search): a planted sinusoid is recovered
+  * from irregular sampling; a constant curve ties every period and
+  * resolves to the shortest; short curves are excluded.
+  */
+class PeriodSearchSpec extends SparkSpec {
+
+  test("planted periods are recovered; degenerate curves behave") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("period").toString
+    val dayNs = 86400e9
+    // irregular-but-deterministic sampling over 40 days
+    def times(seed: Int) =
+      (0 until 120).map(i => i * 0.337 + 0.11 * ((i * seed) % 7))
+    // user 1: P = 2.0 sinusoid; user 2: P = 5.0; user 3: constant;
+    // user 4: too short to qualify (<= 10 points)
+    val ev =
+      times(3).zipWithIndex.map { case (t, i) =>
+        (i.toLong, (t * dayNs).toLong, 1L, "obs",
+          14.0 + math.sin(2 * math.Pi * t / 2.0), "") } ++
+      times(5).zipWithIndex.map { case (t, i) =>
+        (1000L + i, (t * dayNs).toLong, 2L, "obs",
+          12.0 + math.sin(2 * math.Pi * t / 5.0), "") } ++
+      times(7).zipWithIndex.map { case (t, i) =>
+        (2000L + i, (t * dayNs).toLong, 3L, "obs", 9.0, "") } ++
+      (0 until 5).map(i =>
+        (3000L + i, (i * dayNs).toLong, 4L, "obs", 1.0 * i, ""))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = graft.CacheScope.run {
+      TimeSeries.q137PeriodSearch(spark, tmp)
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    }
+    assert(rows.keySet == Set(1L, 2L, 3L), "short curve excluded")
+    assert(rows(1L)._2 == 2.0, s"user 1 period: ${rows(1L)}")
+    assert(rows(2L)._2 == 5.0, s"user 2 period: ${rows(2L)}")
+    // constant curve: sl = 0 at every period, ascending-grid tie -> 0.5
+    assert(rows(3L)._2 == 0.5 && rows(3L)._3 == 0.0)
+    // the winning fold is dramatically smoother than an unfolded walk
+    assert(rows(1L)._3 < 40.0, s"string length ${rows(1L)._3} not smooth")
+  }
+
+  test("fixture census: one row per qualifying user, stat positive") {
+    val rows = graft.CacheScope.run {
+      TimeSeries.q137PeriodSearch(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+          r.getDouble(3)))
+    }
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, n, p, sl) =>
+      assert(n > 10 && sl >= 0.0 &&
+        TimeSeries.TRIAL_PERIODS.contains(p), s"user $u row invalid")
+    }
+  }
+}
