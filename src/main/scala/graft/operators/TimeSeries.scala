@@ -221,23 +221,13 @@ object TimeSeries {
     * unbounded groups swap `approx_percentile`, same shape (q88's note).
     */
   def q136RobustOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val e = ev(spark, dir).select(col("user_id"), col("value"))
-    val med = e.groupBy(col("user_id"))
-      .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
-    // cached: the MAD aggregate and the final census both read the
-    // deviation frame — uncached, the median join would run twice
-    val dev = graft.CacheScope.cache(
-      e.join(med, Seq("user_id"))
-        .withColumn("dev", abs(col("value") - col("med"))))
-    val mad = dev.groupBy(col("user_id"))
-      .agg(round(percentile(col("dev"), lit(0.5)), 6).as("mad"))
-    dev.join(mad, Seq("user_id"))
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        max(col("med")).as("med"),
-        max(col("mad")).as("mad"),
-        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
-          .as("n_outliers"))
+    // cached: the boundary computation and the census join both read the
+    // two-column event projection
+    val e = graft.CacheScope.cache(
+      ev(spark, dir).select(col("user_id"), col("value")))
+    // ONE kernel pair for the inline query, the q138 serve path and the
+    // streaming gate — the three surfaces cannot drift on the rule
+    outliersAgainstBounds(e, madBoundaries(e))
   }
 
   /** q137's trial-period grid (days), ascending — ties on the statistic
@@ -297,9 +287,63 @@ object TimeSeries {
         col("b._1").as("best_period"), col("b._2").as("best_sl"))
   }
 
+  /** The (user_id, med, mad) boundary table of [[q136RobustOutliers]] —
+    * shared by the inline query's serving twin and the streaming gate.
+    */
+  private def madBoundaries(e: DataFrame): DataFrame = {
+    val med = e.groupBy(col("user_id"))
+      .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
+    e.join(med, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(max(col("med")).as("med"),
+        round(percentile(abs(col("value") - col("med")), lit(0.5)), 6).as("mad"))
+  }
+
+  /** Materialize q136's per-user boundaries (invalidate-first/meta-last). */
+  def writeOutlierIndex(events: DataFrame, path: String): Unit = {
+    val spark = events.sparkSession
+    IndexMeta.invalidate(spark, path)
+    madBoundaries(events.select(col("user_id"), col("value")))
+      .write.mode("overwrite").parquet(s"$path/bounds")
+    IndexMeta.write(spark, path, "graft outlier boundaries",
+      "kind" -> "mad_bounds", "k" -> "3")
+  }
+
+  /** Census a batch against STORED boundaries — the per-batch kernel of
+    * the streaming gate and the q138 serve path: one user-keyed join
+    * against the user-bounded boundary table, zero percentile work at
+    * serve time.
+    */
+  private[graft] def outliersAgainstBounds(batch: DataFrame,
+                                           bounds: DataFrame): DataFrame =
+    batch.join(bounds, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+
+  private[graft] def loadOutlierBounds(spark: SparkSession, path: String): DataFrame = {
+    IndexMeta.read(spark, path, "writeOutlierIndex")
+    spark.read.parquet(s"$path/bounds")
+  }
+
+  /** q136 served from the materialized boundaries (the q130 pattern):
+    * same answer, zero percentile recompute — shares q136's oracle, so
+    * the hash match certifies the store → serve round-trip.
+    */
+  def q138OutlierIndex(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir).select(col("user_id"), col("value"))
+    val path = graft.Tables.derivedIndexPath("graft_mad_bounds_v1", dir, "events")
+    if (!IndexMeta.exists(spark, path)) writeOutlierIndex(e, path)
+    outliersAgainstBounds(e, loadOutlierBounds(spark, path))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_robust_outliers" -> q136RobustOutliers,
     "q137_period_search" -> q137PeriodSearch,
+    "q138_outlier_index" -> q138OutlierIndex,
     "q62_quantiles" -> q62Quantiles,
     "q61_asof_join" -> q61AsofJoin,
     "q30_ts_bin_agg" -> q30TsBinAgg,
@@ -310,6 +354,25 @@ object TimeSeries {
     "q35_user_stats" -> q35UserStats,
     "q36_sessionize" -> q36Sessionize,
     "q37_kernel_features" -> q37KernelFeatures)
+
+  /** q136's oracle — medians, MAD, the 3-MAD census. q138 shares it. */
+  private[graft] lazy val madOracleSql: String =
+    """WITH e AS (SELECT user_id, value FROM events),
+      |m AS (
+      |  SELECT user_id, round(quantile_cont(value, 0.5), 6) AS med
+      |  FROM e GROUP BY 1),
+      |d AS (
+      |  SELECT e.user_id, m.med, abs(e.value - m.med) AS dev
+      |  FROM e JOIN m USING (user_id)),
+      |md AS (
+      |  SELECT user_id, round(quantile_cont(dev, 0.5), 6) AS mad
+      |  FROM d GROUP BY 1)
+      |SELECT d.user_id, count(*) AS n_events,
+      |  max(d.med) AS med, max(md.mad) AS mad,
+      |  CAST(sum(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM d JOIN md USING (user_id)
+      |GROUP BY 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q137_period_search" ->
@@ -340,23 +403,9 @@ object TimeSeries {
         |SELECT b.user_id, n.n_points, b.period AS best_period,
         |  CAST(b.su AS DOUBLE) / 1e6 AS best_sl
         |FROM best b JOIN n USING (user_id) WHERE rn = 1""".stripMargin,
-    "q136_robust_outliers" ->
-      """WITH e AS (SELECT user_id, value FROM events),
-        |m AS (
-        |  SELECT user_id, round(quantile_cont(value, 0.5), 6) AS med
-        |  FROM e GROUP BY 1),
-        |d AS (
-        |  SELECT e.user_id, m.med, abs(e.value - m.med) AS dev
-        |  FROM e JOIN m USING (user_id)),
-        |md AS (
-        |  SELECT user_id, round(quantile_cont(dev, 0.5), 6) AS mad
-        |  FROM d GROUP BY 1)
-        |SELECT d.user_id, count(*) AS n_events,
-        |  max(d.med) AS med, max(md.mad) AS mad,
-        |  CAST(sum(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_outliers
-        |FROM d JOIN md USING (user_id)
-        |GROUP BY 1""".stripMargin,
+    "q136_robust_outliers" -> madOracleSql,
+    // q138 serves q136 from the stored boundaries — ONE oracle for both
+    "q138_outlier_index" -> madOracleSql,
     "q37_kernel_features" -> KernelOracleSql.q37Sql,
     "q62_quantiles" ->
       """SELECT event_type,

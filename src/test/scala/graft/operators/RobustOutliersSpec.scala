@@ -38,6 +38,24 @@ class RobustOutliersSpec extends SparkSpec {
       "MAD 0 flags exactly the non-median value")
   }
 
+  test("q138: serving stored boundaries reproduces inline q136 with no percentile") {
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("madidx").toString
+    val e = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("value"))
+    TimeSeries.writeOutlierIndex(e, tmp)
+    val served = TimeSeries.outliersAgainstBounds(
+      e, TimeSeries.loadOutlierBounds(spark, tmp))
+    val inline = graft.CacheScope.run {
+      TimeSeries.q136RobustOutliers(spark, dir).collect().map(_.toSeq).toSet
+    }
+    assert(served.collect().map(_.toSeq).toSet == inline,
+      "store → serve round-trip drifted")
+    val p = served.queryExecution.executedPlan.toString
+    assert(!p.contains("percentile"),
+      "serving must not recompute percentiles:\n" + p)
+  }
+
   test("census laws on the events fixture") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.CacheScope.run {

@@ -762,6 +762,25 @@ class StreamingSpec extends SparkSpec {
     assert(out == want, "stream and batch hot-block verdicts diverged")
   }
 
+  test("streaming outlier gate censuses against stored boundaries, batch-parity") {
+    val tmp = java.nio.file.Files.createTempDirectory("madstream").toString
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("value"))
+    graft.operators.TimeSeries.writeOutlierIndex(ev, s"$tmp/index")
+    ev.write.mode("append").parquet(s"$tmp/in")
+    StreamingOutlierGate.runAgainstIndex(spark, s"$tmp/in",
+      spark.read.parquet(s"$tmp/in").schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val out = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+      .collect().map(_.toSeq).toSet
+    val want = graft.CacheScope.run {
+      graft.operators.TimeSeries.q136RobustOutliers(spark, dir)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(out == want, "stream and batch censuses diverged")
+  }
+
   test("hot-block gate fails the running query when the list is rebuilt") {
     val tmp = java.nio.file.Files.createTempDirectory("hotrebuild").toString
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
