@@ -55,5 +55,24 @@ class StatsMaintenanceSpec extends SparkSpec {
     val replayed = collectStats(
       graft.streaming.StreamingStats.readStats(spark, s"$tmp/stats"))
     assert(replayed == direct, "replay must be idempotent")
+
+    // compaction folds the segments exactly: the view does not move
+    graft.streaming.StreamingStats.compactStats(spark, s"$tmp/stats")
+    assert(collectStats(graft.streaming.StreamingStats
+      .readStats(spark, s"$tmp/stats")) == direct, "compaction changed the view")
+    // crash simulation: a covered batch dir left behind is EXCLUDED by
+    // id (additive partials must not double-count)
+    TextAnalysis.statsPartials(d.filter(col("doc_id") % 2 === 0))
+      .write.mode("overwrite").parquet(s"$tmp/stats/batch_0")
+    assert(collectStats(graft.streaming.StreamingStats
+      .readStats(spark, s"$tmp/stats")) == direct,
+      "covered leftovers double-counted")
+    // post-compaction batches merge on top; a second compaction folds
+    // compact + live into one segment, view still exact
+    TextAnalysis.statsPartials(d.limit(0))
+      .write.mode("overwrite").parquet(s"$tmp/stats/batch_2")
+    graft.streaming.StreamingStats.compactStats(spark, s"$tmp/stats")
+    assert(collectStats(graft.streaming.StreamingStats
+      .readStats(spark, s"$tmp/stats")) == direct, "re-compaction drifted")
   }
 }
