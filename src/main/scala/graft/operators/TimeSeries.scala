@@ -290,7 +290,7 @@ object TimeSeries {
   /** The (user_id, med, mad) boundary table of [[q136RobustOutliers]] —
     * shared by the inline query's serving twin and the streaming gate.
     */
-  private def madBoundaries(e: DataFrame): DataFrame = {
+  private[graft] def madBoundaries(e: DataFrame): DataFrame = {
     val med = e.groupBy(col("user_id"))
       .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
     e.join(med, Seq("user_id"))
@@ -329,6 +329,71 @@ object TimeSeries {
     spark.read.parquet(s"$path/bounds")
   }
 
+  /** Per-event CUSUM frame — the shared kernel of [[q139CusumAlerts]] and
+    * the streaming gate (sequential level-shift detection, Page 1954: the
+    * transient-onset alarm a mean/σ census can't give because it ignores
+    * ORDER). Baseline and scale come from the same med/MAD boundary table
+    * as q136/q138, so all three outlier surfaces share one rule: the
+    * increment is x = v − med − k with allowance k = mad/2 and the alarm
+    * threshold h = 5·mad.
+    *
+    * Exactness: everything runs in 1e-6-unit 64-bit integers (v rounds
+    * half-up like q137; med/mad are already on the 1e-6 grid, k by integer
+    * division), and the resetting recurrence C_i = max(0, C_{i−1} + x_i)
+    * is evaluated through its closed form C_i = S_i − min(0, min_{j≤i}
+    * S_j) — two exact running windows, no scan recurrence — so both
+    * engines produce identical longs. A constant curve (mad = 0) has
+    * x = 0 everywhere → C ≡ 0 → no alarms, the right degenerate reading.
+    *
+    * Scale shape: one user-keyed join + one user-keyed window; prefix sums
+    * stay < 2^53 ns-grid-independent (|x| ≤ 5e8 micro-units, curves are
+    * bounded per user by the data model).
+    */
+  /** Alarm threshold in MAD units: C must clear h = CUSUM_H_MADS · mad. */
+  private[graft] val CUSUM_H_MADS = 5L
+
+  /** The per-event increment table (x, mad_u) both CUSUM surfaces build
+    * on — batch evaluates the closed form over it, the streaming gate
+    * folds it through per-user state; sharing it means the two cannot
+    * drift on units, rounding, or the allowance rule.
+    */
+  private[graft] def cusumIncrements(batch: DataFrame, bounds: DataFrame): DataFrame =
+    batch.join(bounds, Seq("user_id"))
+      .withColumn("v_u", expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)"))
+      .withColumn("med_u", expr("CAST(round(med * 1e6, 0) AS BIGINT)"))
+      .withColumn("mad_u", expr("CAST(round(mad * 1e6, 0) AS BIGINT)"))
+      .withColumn("x", col("v_u") - col("med_u") - expr("mad_u div 2"))
+
+  private[graft] def cusumFrame(batch: DataFrame, bounds: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(byTs: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cusumIncrements(batch, bounds)
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("c", col("s") - least(lit(0L), min(col("s")).over(w)))
+      .withColumn("alarm", col("c") > lit(CUSUM_H_MADS) * col("mad_u"))
+  }
+
+  /** CUSUM change-point census per user: event count, alarm count, the
+    * first alarming event (by time) and the peak CUSUM excursion. The
+    * one-sided upward chart over the q136 baseline — flares and level
+    * shifts raise consecutive x increments whose cumulative sum clears
+    * 5 MADs long before any single point would.
+    */
+  def q139CusumAlerts(spark: SparkSession, dir: String): DataFrame = {
+    // cached: boundaries and the CUSUM frame both read the projection
+    val e = graft.CacheScope.cache(ev(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value")))
+    cusumFrame(e, madBoundaries(e.select(col("user_id"), col("value"))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("alarm"), struct(col("ts"), col("event_id")))).as("fa"),
+        max(col("c")).as("maxc"))
+      .select(col("user_id"), col("n_events"), col("n_alarms"),
+        col("fa.event_id").as("first_alarm_id"),
+        round(col("maxc") / 1e6, 6).as("max_cusum"))
+  }
+
   /** q136 served from the materialized boundaries (the q130 pattern):
     * same answer, zero percentile recompute — shares q136's oracle, so
     * the hash match certifies the store → serve round-trip.
@@ -344,6 +409,7 @@ object TimeSeries {
     "q136_robust_outliers" -> q136RobustOutliers,
     "q137_period_search" -> q137PeriodSearch,
     "q138_outlier_index" -> q138OutlierIndex,
+    "q139_cusum_alerts" -> q139CusumAlerts,
     "q62_quantiles" -> q62Quantiles,
     "q61_asof_join" -> q61AsofJoin,
     "q30_ts_bin_agg" -> q30TsBinAgg,
@@ -406,6 +472,55 @@ object TimeSeries {
     "q136_robust_outliers" -> madOracleSql,
     // q138 serves q136 from the stored boundaries — ONE oracle for both
     "q138_outlier_index" -> madOracleSql,
+    // q139: the same med/MAD CTEs as q136, then the CUSUM closed form
+    // (running sum − clamped running min) in exact 1e-6-unit integers
+    "q139_cusum_alerts" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tsn, value FROM events),
+        |m AS (
+        |  SELECT user_id, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM e GROUP BY 1),
+        |d AS (
+        |  SELECT e.user_id, abs(e.value - m.med) AS dev
+        |  FROM e JOIN m USING (user_id)),
+        |md AS (
+        |  SELECT user_id, round(quantile_cont(dev, 0.5), 6) AS mad
+        |  FROM d GROUP BY 1),
+        |x AS (
+        |  SELECT e.user_id, e.event_id, e.tsn,
+        |    CAST(round(e.value * 1e6, 0) AS BIGINT)
+        |      - CAST(round(m.med * 1e6, 0) AS BIGINT)
+        |      - (CAST(round(md.mad * 1e6, 0) AS BIGINT) // 2) AS x,
+        |    CAST(round(md.mad * 1e6, 0) AS BIGINT) AS mad_u
+        |  FROM e JOIN m USING (user_id) JOIN md USING (user_id)),
+        |s AS (
+        |  SELECT user_id, event_id, tsn, mad_u,
+        |    sum(x) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM x),
+        |c AS (
+        |  SELECT user_id, event_id, tsn, mad_u,
+        |    s - least(0, min(s) OVER (PARTITION BY user_id
+        |      ORDER BY tsn, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS c
+        |  FROM s),
+        |fa AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY tsn, event_id) AS rn
+        |  FROM c WHERE c > 5 * mad_u),
+        |agg AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CASE WHEN c > 5 * mad_u THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_alarms,
+        |    max(c) AS maxc
+        |  FROM c GROUP BY 1)
+        |SELECT a.user_id, a.n_events, a.n_alarms,
+        |  f.event_id AS first_alarm_id,
+        |  round(CAST(a.maxc AS DOUBLE) / 1e6, 6) AS max_cusum
+        |FROM agg a
+        |LEFT JOIN (SELECT user_id, event_id FROM fa WHERE rn = 1) f
+        |  USING (user_id)""".stripMargin,
     "q37_kernel_features" -> KernelOracleSql.q37Sql,
     "q62_quantiles" ->
       """SELECT event_type,

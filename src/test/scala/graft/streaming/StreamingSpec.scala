@@ -781,6 +781,38 @@ class StreamingSpec extends SparkSpec {
     assert(out == want, "stream and batch censuses diverged")
   }
 
+  test("streaming CUSUM gate alarms match the batch closed form across batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("cusumstream").toString
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    graft.operators.TimeSeries.writeOutlierIndex(
+      ev.select(col("user_id"), col("value")), s"$tmp/index")
+    // split at the global time median: per-user arrival order across the
+    // two micro-batches stays event-time ordered (the gate's contract)
+    val cut = ev.agg(expr("percentile(ts, 0.5)")).head().getDouble(0).toLong
+    ev.filter(col("ts") <= cut).write.mode("append").parquet(s"$tmp/in")
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    StreamingCusum.runAgainstIndex(spark, s"$tmp/in", schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    // second run restores (runningSum, minPrefix) from the checkpoint —
+    // alarms in the tail half depend on state built in the first
+    ev.filter(col("ts") > cut).write.mode("append").parquet(s"$tmp/in")
+    StreamingCusum.runAgainstIndex(spark, s"$tmp/in", schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val got = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$tmp/out").collect().map(_.toSeq).toSet
+    val want = graft.CacheScope.run {
+      graft.operators.TimeSeries.cusumFrame(ev,
+        graft.operators.TimeSeries.loadOutlierBounds(spark, s"$tmp/index"))
+        .filter(col("alarm"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("c"))
+        .collect().map(_.toSeq).toSet
+    }
+    assert(got.nonEmpty, "fixture must produce alarms for the parity to bite")
+    assert(got == want, "stream and batch CUSUM alarms diverged")
+  }
+
   test("hot-block gate fails the running query when the list is rebuilt") {
     val tmp = java.nio.file.Files.createTempDirectory("hotrebuild").toString
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
