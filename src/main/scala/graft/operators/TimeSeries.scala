@@ -256,7 +256,13 @@ object TimeSeries {
     * in-row points). Grid size scales the per-row CPU, never the
     * shuffle.
     */
-  def q137PeriodSearch(spark: SparkSession, dir: String): DataFrame = {
+  def q137PeriodSearch(spark: SparkSession, dir: String): DataFrame =
+    bestPeriods(ev(spark, dir))
+
+  /** q137's body over a caller-supplied events frame — shared with q140,
+    * which folds the SAME argmin winner (one definition of "best").
+    */
+  private[graft] def bestPeriods(events: DataFrame): DataFrame = {
     val periods = TRIAL_PERIODS.toArray
     val bestU = udf((ts: Seq[Double], vs: Seq[Double], ids: Seq[Long]) => {
       val n = ts.length
@@ -276,7 +282,7 @@ object TimeSeries {
       }
       (bestP, bestSl.toDouble / 1e6)
     })
-    ev(spark, dir)
+    events
       .withColumn("t_days", col("ts") / lit(86400e9))
       .groupBy(col("user_id"))
       .agg(collect_list(struct(col("t_days").as("t"), col("value").as("v"),
@@ -285,6 +291,44 @@ object TimeSeries {
       .withColumn("b", bestU(col("pts.t"), col("pts.v"), col("pts.id")))
       .select(col("user_id"), size(col("pts")).as("n_points"),
         col("b._1").as("best_period"), col("b._2").as("best_sl"))
+  }
+
+  /** q140's phase grid: the folded period divides into this many bins. */
+  private[graft] val FOLD_BINS = 8
+
+  /** Phase-folded template export — the mean light-curve profile at
+    * q137's best period (`lc.py`-style folded curves are what the
+    * reference's shape descriptors consume; this is their distributed
+    * build): each point's phase = (t mod P)/P lands in one of
+    * [[FOLD_BINS]] equal bins, and each (user, bin) row carries the
+    * point count and the mean magnitude.
+    *
+    * One definition of "best": the winner comes from [[bestPeriods]]
+    * (q137's exact integer argmin), so the template can never fold at a
+    * period the search didn't pick. Exactness: phase/bin arithmetic is
+    * the same IEEE double expression on both engines; the bin mean sums
+    * 1e-6-unit longs and divides once (round 6).
+    *
+    * Scale shape: the argmin's one per-user exchange plus a user-keyed
+    * join and a (user, bin)-keyed aggregate with map-side partials —
+    * bins multiply output rows, never shuffle width.
+    */
+  def q140FoldTemplate(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.CacheScope.cache(ev(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value")))
+    e.join(bestPeriods(e).select(col("user_id"), col("best_period")),
+        Seq("user_id"))
+      .withColumn("t_days", col("ts") / lit(86400e9))
+      .withColumn("phase",
+        (col("t_days") % col("best_period")) / col("best_period"))
+      .withColumn("bin",
+        least(floor(col("phase") * FOLD_BINS), lit((FOLD_BINS - 1).toLong)))
+      .withColumn("v_u", expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)"))
+      .groupBy(col("user_id"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("v_u")).as("su"))
+      .select(col("user_id"), col("bin"), col("n"),
+        round(col("su").cast("double") / col("n").cast("double") / 1e6, 6)
+          .as("mean_v"))
   }
 
   /** The (user_id, med, mad) boundary table of [[q136RobustOutliers]] —
@@ -410,6 +454,7 @@ object TimeSeries {
     "q137_period_search" -> q137PeriodSearch,
     "q138_outlier_index" -> q138OutlierIndex,
     "q139_cusum_alerts" -> q139CusumAlerts,
+    "q140_fold_template" -> q140FoldTemplate,
     "q62_quantiles" -> q62Quantiles,
     "q61_asof_join" -> q61AsofJoin,
     "q30_ts_bin_agg" -> q30TsBinAgg,
@@ -440,35 +485,61 @@ object TimeSeries {
       |FROM d JOIN md USING (user_id)
       |GROUP BY 1""".stripMargin
 
+  /** q137's CTE chain up to the per-(user, period) argmin — q140 folds
+    * the same winner, so both oracles state it ONCE.
+    */
+  private lazy val periodCtes: String =
+    s"""e AS (
+      |  SELECT user_id, event_id, epoch_ns(ts)/86400e9 AS t, value AS v
+      |  FROM events),
+      |n AS (
+      |  SELECT user_id, count(*) AS n_points FROM e
+      |  GROUP BY 1 HAVING count(*) > 10),
+      |p AS (SELECT unnest([${TRIAL_PERIODS.mkString(", ")}]) AS period),
+      |f AS (
+      |  SELECT e.user_id, p.period, e.event_id, e.v,
+      |    (e.t % p.period) AS phase
+      |  FROM e JOIN n USING (user_id), p),
+      |d AS (
+      |  SELECT user_id, period,
+      |    abs(v - lag(v) OVER (PARTITION BY user_id, period
+      |      ORDER BY phase, event_id)) AS dv
+      |  FROM f),
+      |sl AS (
+      |  SELECT user_id, period,
+      |    CAST(sum(CAST(round(dv * 1e6, 0) AS BIGINT)) AS BIGINT) AS su
+      |  FROM d WHERE dv IS NOT NULL GROUP BY 1, 2),
+      |best AS (
+      |  SELECT user_id, period, su,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY su, period) AS rn
+      |  FROM sl)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q137_period_search" ->
-      s"""WITH e AS (
-        |  SELECT user_id, event_id, epoch_ns(ts)/86400e9 AS t, value AS v
-        |  FROM events),
-        |n AS (
-        |  SELECT user_id, count(*) AS n_points FROM e
-        |  GROUP BY 1 HAVING count(*) > 10),
-        |p AS (SELECT unnest([${TRIAL_PERIODS.mkString(", ")}]) AS period),
-        |f AS (
-        |  SELECT e.user_id, p.period, e.event_id, e.v,
-        |    (e.t % p.period) AS phase
-        |  FROM e JOIN n USING (user_id), p),
-        |d AS (
-        |  SELECT user_id, period,
-        |    abs(v - lag(v) OVER (PARTITION BY user_id, period
-        |      ORDER BY phase, event_id)) AS dv
-        |  FROM f),
-        |sl AS (
-        |  SELECT user_id, period,
-        |    CAST(sum(CAST(round(dv * 1e6, 0) AS BIGINT)) AS BIGINT) AS su
-        |  FROM d WHERE dv IS NOT NULL GROUP BY 1, 2),
-        |best AS (
-        |  SELECT user_id, period, su,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY su, period) AS rn
-        |  FROM sl)
+      s"""WITH $periodCtes
         |SELECT b.user_id, n.n_points, b.period AS best_period,
         |  CAST(b.su AS DOUBLE) / 1e6 AS best_sl
         |FROM best b JOIN n USING (user_id) WHERE rn = 1""".stripMargin,
+    // q140: fold every point of q137's winning period into FOLD_BINS
+    // equal phase bins; bin means sum 1e-6-unit longs, one division
+    "q140_fold_template" ->
+      s"""WITH $periodCtes,
+        |bp AS (
+        |  SELECT user_id, period AS best_period FROM best WHERE rn = 1),
+        |fold AS (
+        |  SELECT e.user_id,
+        |    ((e.t % bp.best_period) / bp.best_period) AS phase,
+        |    CAST(round(e.v * 1e6, 0) AS BIGINT) AS v_u
+        |  FROM e JOIN bp USING (user_id)),
+        |b AS (
+        |  SELECT user_id,
+        |    least(CAST(floor(phase * $FOLD_BINS) AS BIGINT),
+        |      ${FOLD_BINS - 1}) AS bin, v_u
+        |  FROM fold)
+        |SELECT user_id, bin, count(*) AS n,
+        |  round(CAST(sum(v_u) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6, 6)
+        |    AS mean_v
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "q136_robust_outliers" -> madOracleSql,
     // q138 serves q136 from the stored boundaries — ONE oracle for both
     "q138_outlier_index" -> madOracleSql,

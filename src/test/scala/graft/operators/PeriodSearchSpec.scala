@@ -44,6 +44,45 @@ class PeriodSearchSpec extends SparkSpec {
     assert(rows(1L)._3 < 40.0, s"string length ${rows(1L)._3} not smooth")
   }
 
+  test("q140: templates fold the q137 winner; sinusoid shape survives, constant flattens") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("foldtpl").toString
+    val dayNs = 86400e9
+    def times(seed: Int) =
+      (0 until 120).map(i => i * 0.337 + 0.11 * ((i * seed) % 7))
+    val ev =
+      times(3).zipWithIndex.map { case (t, i) =>
+        (i.toLong, (t * dayNs).toLong, 1L, "obs",
+          14.0 + math.sin(2 * math.Pi * t / 2.0), "") } ++
+      times(7).zipWithIndex.map { case (t, i) =>
+        (2000L + i, (t * dayNs).toLong, 3L, "obs", 9.0, "") }
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val tpl = graft.CacheScope.run {
+      TimeSeries.q140FoldTemplate(spark, tmp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+    }
+    // conservation: every point of a qualifying user lands in one bin
+    val perUser = tpl.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perUser == Map(1L -> 120L, 3L -> 120L), s"bin counts: $perUser")
+    tpl.foreach { case (_, bin, n, _) =>
+      assert(bin >= 0 && bin < TimeSeries.FOLD_BINS && n >= 1) }
+    // the sinusoid folded at its true period keeps its amplitude: bin
+    // means span ~2 (peak-to-peak), and the extremes sit half a cycle
+    // apart; the constant curve's template is flat at the constant
+    val m1 = tpl.filter(_._1 == 1L).map(t => t._2 -> t._4).toMap
+    assert(m1.size == TimeSeries.FOLD_BINS, "sinusoid fills all bins")
+    val span = m1.values.max - m1.values.min
+    assert(span > 1.5 && span <= 2.0, s"folded amplitude lost: $span")
+    // extremes sit roughly half a cycle apart (sin's flat quarter-bins
+    // tie in expectation, so allow ±1 bin either side of antiphase)
+    val hiBin = m1.maxBy(_._2)._1; val loBin = m1.minBy(_._2)._1
+    assert(math.abs(math.abs(hiBin - loBin) - TimeSeries.FOLD_BINS / 2) <= 1,
+      s"extremes not antiphase: $hiBin vs $loBin")
+    assert(tpl.filter(_._1 == 3L).forall(_._4 == 9.0), "constant stays flat")
+  }
+
   test("fixture census: one row per qualifying user, stat positive") {
     val rows = graft.CacheScope.run {
       TimeSeries.q137PeriodSearch(spark, "/root/testdata/sf0.001")
