@@ -316,19 +316,90 @@ object TimeSeries {
   def q140FoldTemplate(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.CacheScope.cache(ev(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts"), col("value")))
-    e.join(bestPeriods(e).select(col("user_id"), col("best_period")),
-        Seq("user_id"))
+    foldTemplate(e, bestPeriods(e))
+  }
+
+  /** Assign each point its phase bin at the user's period — shared by the
+    * template BUILD and the residual SERVE, so the two cannot drift on
+    * the fold arithmetic.
+    */
+  private def withPhaseBin(events: DataFrame, period: DataFrame): DataFrame =
+    events.join(period, Seq("user_id"))
       .withColumn("t_days", col("ts") / lit(86400e9))
       .withColumn("phase",
         (col("t_days") % col("best_period")) / col("best_period"))
       .withColumn("bin",
         least(floor(col("phase") * FOLD_BINS), lit((FOLD_BINS - 1).toLong)))
+
+  /** q140's body over caller-supplied events + argmin frames. */
+  private[graft] def foldTemplate(e: DataFrame, best: DataFrame): DataFrame =
+    withPhaseBin(e, best.select(col("user_id"), col("best_period")))
       .withColumn("v_u", expr("CAST(floor(value * 1e6 + 0.5) AS BIGINT)"))
       .groupBy(col("user_id"), col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("v_u")).as("su"))
       .select(col("user_id"), col("bin"), col("n"),
         round(col("su").cast("double") / col("n").cast("double") / 1e6, 6)
           .as("mean_v"))
+
+  /** Materialize the phase-serving index (invalidate-first/meta-last):
+    * `period` — per-user (best_period, med, mad), the argmin winner
+    * denormalized with the robust scale so the gate needs ONE index;
+    * `template` — q140's (user, bin, n, mean_v) profile. The expensive
+    * parts (grid search, percentiles, fold aggregate) all happen HERE,
+    * at build time.
+    */
+  def writePhaseIndex(events: DataFrame, path: String): Unit = {
+    val spark = events.sparkSession
+    IndexMeta.invalidate(spark, path)
+    val e = graft.CacheScope.cache(events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value")))
+    val best = graft.CacheScope.cache(bestPeriods(e))
+    best.select(col("user_id"), col("best_period"))
+      .join(madBoundaries(e.select(col("user_id"), col("value"))),
+        Seq("user_id"))
+      .write.mode("overwrite").parquet(s"$path/period")
+    foldTemplate(e, best).write.mode("overwrite").parquet(s"$path/template")
+    IndexMeta.write(spark, path, "graft phase template",
+      "kind" -> "phase_template", "bins" -> FOLD_BINS.toString, "k" -> "3")
+  }
+
+  private[graft] def loadPhaseIndex(spark: SparkSession,
+                                    path: String): (DataFrame, DataFrame) = {
+    IndexMeta.read(spark, path, "writePhaseIndex")
+    (spark.read.parquet(s"$path/period"),
+      spark.read.parquet(s"$path/template"))
+  }
+
+  /** Score a batch against the STORED period/template/scale — the
+    * per-batch kernel of the streaming gate and the q141 serve path: two
+    * user-bounded joins, the shared fold arithmetic, ZERO grid search or
+    * percentile work. Census per user: points scored, points more than
+    * 3 MADs off the phase-level expectation (an eclipse-depth change or
+    * phase-shifted transient — invisible to q136's global census because
+    * the CURVE's own spread absorbs it), and the peak residual.
+    */
+  private[graft] def phaseResidualsAgainstIndex(batch: DataFrame,
+      period: DataFrame, template: DataFrame): DataFrame =
+    withPhaseBin(batch, period)
+      .join(template.select(col("user_id"), col("bin"), col("mean_v")),
+        Seq("user_id", "bin"))
+      .withColumn("resid", abs(col("value") - col("mean_v")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("resid") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_off"),
+        round(max(col("resid")), 6).as("max_resid"))
+
+  /** Phase-residual census served from the materialized index (the q138
+    * pattern): the fold search ran once at build; serving is joins only.
+    */
+  def q141PhaseResiduals(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val path = graft.Tables.derivedIndexPath("graft_phase_tpl_v1", dir, "events")
+    if (!IndexMeta.exists(spark, path)) writePhaseIndex(e, path)
+    val (period, template) = loadPhaseIndex(spark, path)
+    phaseResidualsAgainstIndex(e, period, template)
   }
 
   /** The (user_id, med, mad) boundary table of [[q136RobustOutliers]] —
@@ -455,6 +526,7 @@ object TimeSeries {
     "q138_outlier_index" -> q138OutlierIndex,
     "q139_cusum_alerts" -> q139CusumAlerts,
     "q140_fold_template" -> q140FoldTemplate,
+    "q141_phase_residuals" -> q141PhaseResiduals,
     "q62_quantiles" -> q62Quantiles,
     "q61_asof_join" -> q61AsofJoin,
     "q30_ts_bin_agg" -> q30TsBinAgg,
@@ -540,6 +612,41 @@ object TimeSeries {
         |  round(CAST(sum(v_u) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6, 6)
         |    AS mean_v
         |FROM b GROUP BY 1, 2""".stripMargin,
+    // q141: the whole serve composition in one statement — q137's argmin,
+    // q140's template, q136's MAD scale, then the residual census; the
+    // hash match certifies the build→store→serve round-trip end to end
+    "q141_phase_residuals" ->
+      s"""WITH $periodCtes,
+        |bp AS (
+        |  SELECT user_id, period AS best_period FROM best WHERE rn = 1),
+        |fold AS (
+        |  SELECT e.user_id, e.v,
+        |    least(CAST(floor(((e.t % bp.best_period) / bp.best_period)
+        |      * $FOLD_BINS) AS BIGINT), ${FOLD_BINS - 1}) AS bin
+        |  FROM e JOIN bp USING (user_id)),
+        |tpl AS (
+        |  SELECT user_id, bin,
+        |    round(CAST(sum(CAST(round(v * 1e6, 0) AS BIGINT)) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) / 1e6, 6) AS mean_v
+        |  FROM fold GROUP BY 1, 2),
+        |m AS (
+        |  SELECT user_id, round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY 1),
+        |dv AS (
+        |  SELECT ev.user_id, abs(ev.value - m.med) AS dev
+        |  FROM events ev JOIN m USING (user_id)),
+        |md AS (
+        |  SELECT user_id, round(quantile_cont(dev, 0.5), 6) AS mad
+        |  FROM dv GROUP BY 1),
+        |r AS (
+        |  SELECT f.user_id, abs(f.v - t.mean_v) AS resid, md.mad
+        |  FROM fold f JOIN tpl t USING (user_id, bin)
+        |    JOIN md USING (user_id))
+        |SELECT user_id, count(*) AS n_scored,
+        |  CAST(sum(CASE WHEN resid > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_off,
+        |  round(max(resid), 6) AS max_resid
+        |FROM r GROUP BY 1""".stripMargin,
     "q136_robust_outliers" -> madOracleSql,
     // q138 serves q136 from the stored boundaries — ONE oracle for both
     "q138_outlier_index" -> madOracleSql,

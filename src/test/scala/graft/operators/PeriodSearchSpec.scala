@@ -83,6 +83,30 @@ class PeriodSearchSpec extends SparkSpec {
     assert(tpl.filter(_._1 == 3L).forall(_._4 == 9.0), "constant stays flat")
   }
 
+  test("q141: serving the stored index runs no grid search or percentile") {
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("phaseidx").toString
+    val e = graft.Tables.load(spark, dir, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("value"))
+    graft.CacheScope.run { TimeSeries.writePhaseIndex(e, tmp) }
+    val (period, template) = TimeSeries.loadPhaseIndex(spark, tmp)
+    val served = TimeSeries.phaseResidualsAgainstIndex(e, period, template)
+    val rows = served.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), "n_off bounded by n_scored")
+      assert(r.getDouble(3) >= 0.0)
+    }
+    // the serve plan must hold neither the fold search (per-user
+    // collect_list + UDF) nor any percentile — build-time work only
+    val p = served.queryExecution.executedPlan.toString
+    assert(!p.contains("percentile") && !p.contains("collect_list"),
+      "serving recomputed build-time work:\n" + p)
+  }
+
   test("fixture census: one row per qualifying user, stat positive") {
     val rows = graft.CacheScope.run {
       TimeSeries.q137PeriodSearch(spark, "/root/testdata/sf0.001")

@@ -813,6 +813,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "stream and batch CUSUM alarms diverged")
   }
 
+  test("streaming phase gate censuses residuals against the stored template") {
+    val tmp = java.nio.file.Files.createTempDirectory("phasestream").toString
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    graft.CacheScope.run {
+      graft.operators.TimeSeries.writePhaseIndex(ev, s"$tmp/index")
+    }
+    ev.write.mode("append").parquet(s"$tmp/in")
+    StreamingPhaseGate.runAgainstIndex(spark, s"$tmp/in",
+      spark.read.parquet(s"$tmp/in").schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val out = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+      .collect().map(_.toSeq).toSet
+    val want = graft.CacheScope.run {
+      graft.operators.TimeSeries.q141PhaseResiduals(spark, dir)
+        .collect().map(_.toSeq).toSet
+    }
+    assert(out == want, "stream and batch phase censuses diverged")
+  }
+
   test("hot-block gate fails the running query when the list is rebuilt") {
     val tmp = java.nio.file.Files.createTempDirectory("hotrebuild").toString
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
