@@ -28,6 +28,7 @@ object SparkEntry {
       operators.CorpusOps.queries ++
       operators.BloomGate.queries ++
       operators.Spatial.queries ++
+      operators.Bm25.queries ++
       CorpusBuild.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -43,5 +44,6 @@ object SparkEntry {
       operators.CorpusOps.oracleSql ++
       operators.BloomGate.oracleSql ++
       operators.Spatial.oracleSql ++
+      operators.Bm25.oracleSql ++
       CorpusBuild.oracleSql
 }

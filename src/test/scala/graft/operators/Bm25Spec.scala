@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval: independent Scala replay of the whole chain (df →
+  * term ranks → integer-unit scores → top-k), the ln-rounding margin
+  * guard, and the stored-postings vs recomputed-batch round-trip.
+  */
+class Bm25Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Plain-Scala BM25 over the corpus — no Spark, no SQL: tokenize with
+    * the same keep-empty split semantics, recompute df/stats/term
+    * ranks/integer scores with the spec's own loops.
+    */
+  private lazy val brute: (Map[String, Long], Seq[(Int, Long, Double, Long)], Seq[Double], Seq[Double]) = {
+    val rows = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val toks = rows.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val n = rows.length.toLong
+    val sumDl = toks.values.map(_.size.toLong).sum
+    val avgdl = sumDl.toDouble / n
+    val tf: Map[(String, Long), Long] = rows.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, g) => (w, id) -> g.length.toLong }
+    }.toMap
+    val df: Map[String, Long] =
+      tf.keys.groupBy(_._1).map { case (w, g) => w -> g.size.toLong }
+    def idf(d: Long) = math.log(1.0 + (n - d + 0.5) / (d + 0.5))
+    val ranked = df.toSeq.sortBy { case (w, d) => (-d, w) }
+    val terms = ranked.slice(Bm25.RANK_LO - 1, Bm25.RANK_HI).map(_._1)
+    def termScore(w: String, id: Long): Double = {
+      val t = tf((w, id)); val dl = toks(id).size
+      idf(df(w)) * ((t * (Bm25.K1 + 1.0)) /
+        (t + Bm25.K1 * (1.0 - Bm25.B + Bm25.B * dl / avgdl)))
+    }
+    val matched = for {
+      w <- terms; id <- rows.map(_._1) if tf.contains((w, id))
+    } yield (id, termScore(w, id))
+    val perDoc = matched.groupBy(_._1).map { case (id, g) =>
+      (id, g.map { case (_, s) => math.floor(s * 1e6 + 0.5).toLong }.sum,
+        g.size.toLong)
+    }.toSeq
+    val top = perDoc.sortBy { case (id, su, _) => (-su, id) }.take(Bm25.TOP_K)
+      .zipWithIndex.map { case ((id, su, nt), i) =>
+        // round(su/1e6, 6) is the identity on su/1e6: the quotient's
+        // shortest decimal form already has ≤ 6 fractional digits
+        (i + 1, id, su / 1e6, nt)
+      }
+    val termMargins = matched.map { case (_, s) =>
+      val x = s * 1e6; math.abs(x - math.floor(x) - 0.5)
+    }
+    val idfMargins = df.values.map { d =>
+      val x = idf(d) * 1e6; math.abs(x - math.floor(x) - 0.5)
+    }.toSeq
+    (df, top, termMargins, idfMargins)
+  }
+
+  test("q142/q143 match the plain-Scala replay end to end") {
+    val (bDf, bTop, _, _) = brute
+    val idx = Bm25.queries("q142_bm25_index")(spark, dir).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
+    assert(idx == bDf, "stored df table diverged from the replay")
+    val got = Bm25.queries("q143_bm25_topk")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("n_terms"))).toSeq
+    assert(got == bTop, s"top-k diverged:\n got $got\nwant $bTop")
+  }
+
+  test("integer-unit scores sit far from their rounding boundaries") {
+    val (_, _, termMargins, idfMargins) = brute
+    // a cross-engine ln ulp moves term·1e6 by ≈ |x|·1e-16 ≲ 1e-8; the
+    // measured half-integer margins must dwarf that for the hash match
+    // to be robust (the DsirUnimaxSpec discipline)
+    assert(termMargins.nonEmpty && termMargins.min > 1e-4,
+      s"term-score margin too thin: ${termMargins.min}")
+    assert(idfMargins.min > 1e-4, s"idf margin too thin: ${idfMargins.min}")
+  }
+
+  test("delta append merges bit-identically to a from-scratch build") {
+    val d = Tables.load(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25inc").toString
+    Bm25.writeBm25Index(d, s"$tmp/full")
+    Bm25.writeBm25Index(d.filter(pmod(col("doc_id"), lit(5)) =!= 0), s"$tmp/inc")
+    Bm25.appendBm25Delta(d.filter(pmod(col("doc_id"), lit(5)) === 0), s"$tmp/inc")
+    val (postF, dfF, nF, sF) = Bm25.loadBm25Index(spark, s"$tmp/full")
+    val (postI, dfI, nI, sI) = Bm25.loadBm25Index(spark, s"$tmp/inc")
+    assert((nF, sF) == (nI, sI), "corpus stats diverged after append")
+    assert(dfF.collect().map(_.toSeq).toSet == dfI.collect().map(_.toSeq).toSet,
+      "finalized df table diverged after append")
+    assert(postF.collect().map(_.toSeq).toSet == postI.collect().map(_.toSeq).toSet,
+      "postings diverged after append")
+    val topF = Bm25.topKAgainstLoaded(postF, dfF, nF, sF).collect().map(_.toSeq)
+    val topI = Bm25.topKAgainstLoaded(postI, dfI, nI, sI).collect().map(_.toSeq)
+    assert(topF.sameElements(topI), "served top-k diverged after append")
+  }
+
+  test("empty delta append is the identity; append to a missing index refuses") {
+    val d = Tables.load(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25incid").toString
+    Bm25.writeBm25Index(d, s"$tmp/idx")
+    val before = Bm25.loadBm25Index(spark, s"$tmp/idx")
+    Bm25.appendBm25Delta(d.filter(lit(false)), s"$tmp/idx")
+    val after = Bm25.loadBm25Index(spark, s"$tmp/idx")
+    assert((before._3, before._4) == (after._3, after._4))
+    assert(before._2.collect().map(_.toSeq).toSet ==
+      after._2.collect().map(_.toSeq).toSet, "empty delta changed the vocab")
+    intercept[IllegalStateException] {
+      Bm25.appendBm25Delta(d.limit(1), s"$tmp/never_built")
+    }
+  }
+
+  test("serve from stored postings equals scoring recomputed from text") {
+    val d = Tables.load(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25rt").toString
+    Bm25.writeBm25Index(d, s"$tmp/index")
+    val (post, dfT, n, sumDl) = Bm25.loadBm25Index(spark, s"$tmp/index")
+    val terms = Bm25.queryTerms(dfT)
+    val fromStore = Bm25.scoreMatched(
+        post.join(broadcast(terms), Seq("token")), n, sumDl)
+      .collect().map(_.toSeq).toSet
+    val fromText = Bm25.scoreMatched(
+        Bm25.postingsWithNorms(d.select(col("doc_id"), col("text")))
+          .join(broadcast(terms), Seq("token")), n, sumDl)
+      .collect().map(_.toSeq).toSet
+    assert(fromStore == fromText,
+      "stored postings and recomputed text scoring diverged")
+  }
+}

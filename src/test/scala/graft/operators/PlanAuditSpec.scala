@@ -271,6 +271,23 @@ class PlanAuditSpec extends SparkSpec {
       "q105 recomputes the Morton cascade at read time:\n" + p)
   }
 
+  test("q143: BM25 serves from stored postings with the term predicate pushed") {
+    val p = plan(Bm25.queries("q143_bm25_topk")(spark, dir))
+    assert(p.contains("graft_bm25_v1"),
+      "q143 must serve from the materialized postings:\n" + p)
+    // the ≤3-term isin must reach the postings scan — row-group pruning
+    // on the token-sorted layout is what keeps serving df-bounded
+    assert(p.split('\n').exists(l =>
+      l.contains("PushedFilters") && l.contains("token")),
+      "q143's term filter did not reach the postings scan:\n" + p)
+    // norms are denormalized into postings: no corpus tokenization and
+    // no corpus-sized doclen join may reappear at serve time
+    assert(!p.contains("split(text"),
+      "q143 re-tokenizes the corpus at serve time:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "q143's top-k lost its TakeOrdered shape:\n" + p)
+  }
+
   test("q104: the composed build keeps every stage's audited shape") {
     val p = plan(graft.CorpusBuild.queries("q104_corpus_build")(spark, dir))
     // no stage may regress to a pairwise comparison, and the shard

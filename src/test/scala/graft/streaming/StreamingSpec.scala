@@ -834,6 +834,33 @@ class StreamingSpec extends SparkSpec {
     assert(out == want, "stream and batch phase censuses diverged")
   }
 
+  test("streaming BM25 gate scores arriving docs against the frozen index, batch-parity") {
+    val tmp = java.nio.file.Files.createTempDirectory("bm25stream").toString
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.load(spark, dir, "documents")
+    graft.operators.Bm25.writeBm25Index(docs, s"$tmp/index")
+    docs.select(col("doc_id"), col("text")).write.mode("append").parquet(s"$tmp/in")
+    StreamingBm25Gate.runAgainstIndex(spark, s"$tmp/in",
+      spark.read.parquet(s"$tmp/in").schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val out = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+      .collect().map(_.toSeq).toSet
+    // the stream tokenizes arriving docs; the expectation scores the SAME
+    // corpus from the STORED postings — equality certifies both the
+    // kernel share and the postings round-trip
+    val (post, dfT, n, sumDl) =
+      graft.operators.Bm25.loadBm25Index(spark, s"$tmp/index")
+    val terms = graft.operators.Bm25.queryTerms(dfT)
+    val want = graft.CacheScope.run {
+      graft.operators.Bm25.scoreMatched(
+          post.join(broadcast(terms), Seq("token")), n, sumDl)
+        .select(col("doc_id"), round(col("su") / lit(1e6), 6).as("score"),
+          col("n_terms"))
+        .collect().map(_.toSeq).toSet
+    }
+    assert(out == want, "stream and batch BM25 scores diverged")
+  }
+
   test("hot-block gate fails the running query when the list is rebuilt") {
     val tmp = java.nio.file.Files.createTempDirectory("hotrebuild").toString
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
