@@ -1448,7 +1448,79 @@ object CorpusOps {
         col("est_sim"))
   }
 
+  /** Weighted-sample size (interpolated into the oracle). */
+  private[graft] val WS_K = 100
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spiliopoulou
+    * 2006): each doc draws a deterministic uniform u from a 60-bit md5
+    * hash of its id and competes with key ln(u)/w — taking the top
+    * WS_K by key is EXACTLY a weighted draw without replacement with
+    * inclusion proportional to weight w (here the distinct-token
+    * ratio, the q41/q88 quality signal — quality-weighted sampling).
+    *
+    * The scale point: the textbook algorithm keeps a driver-side
+    * reservoir; here the whole draw is one per-row projection + ONE
+    * TakeOrderedAndProject — no reservoir, no global sort, no state,
+    * and re-running on any partitioning returns the identical sample
+    * because u is content-addressed, not RNG state. Keys convert to
+    * 1e-6-unit longs before ranking (ln is the only libm op; the spec
+    * pins the half-integer margins), ties break by doc_id.
+    */
+  def q146WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val w = size(array_distinct(toks)).cast("double") / size(toks)
+    val h = conv(substring(
+      md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)) / lit(1.152921504606846976e18) // (h+1)/2^60 ∈ (0,1]
+    val keyU = floor((log(u) / w) * lit(1e6) + lit(0.5)).cast("long")
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), round(w, 6).as("w"),
+        keyU.as("key_u"))
+      .orderBy(col("key_u").desc, col("doc_id")).limit(WS_K)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("key_u").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("source"), col("w"),
+        round(col("key_u") / lit(1e6), 6).as("es_key"))
+  }
+
+  /** Corpus snapshot diff — the versioning audit between two corpus
+    * states: per (source, class) doc counts for added / removed /
+    * modified / unchanged, classified by content hash over an id-keyed
+    * FULL OUTER join. The snapshots derive deterministically from the
+    * fixture (old = ids ∌ 7·k; new = ids ∌ 5·k with every 11·k doc
+    * revised), so the oracle replays the same derivation.
+    *
+    * Scale shape: each side projects to (id, source, md5) BEFORE the
+    * join — text never shuffles — and the diff aggregate is map-side
+    * partial. This is the delta-detection front of every incremental
+    * tier here (q79/q132/q144): what changed, before deciding what to
+    * recompute.
+    */
+  def q147SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val o = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"), col("source").as("src_o"),
+        md5(col("text")).as("h_o"))
+    val n = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .select(col("doc_id"), col("source").as("src_n"),
+        md5(when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text"))).as("h_n"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("diff_class",
+        when(col("h_n").isNull, lit("removed"))
+          .when(col("h_o").isNull, lit("added"))
+          .when(col("h_o") =!= col("h_n"), lit("modified"))
+          .otherwise(lit("unchanged")))
+      .groupBy(coalesce(col("src_o"), col("src_n")).as("source"),
+        col("diff_class"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_weighted_sample" -> q146WeightedSample,
+    "q147_snapshot_diff" -> q147SnapshotDiff,
     "q68_decontaminate" -> q68Decontaminate,
     "q85_decontaminate_substr" -> q85DecontaminateSubstr,
     "q69_repetition" -> q69Repetition,
@@ -1548,6 +1620,40 @@ object CorpusOps {
       |sk AS (SELECT s2.doc_id, k.keeper FROM s2 JOIN k USING (h))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q146_weighted_sample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS w,
+         |    ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |      AS h
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, source, w,
+         |    CAST(floor((ln((h + 1) / 1152921504606846976.0) / w) * 1e6 + 0.5)
+         |      AS BIGINT) AS key_u
+         |  FROM b)
+         |SELECT CAST(row_number() OVER (ORDER BY key_u DESC, doc_id) AS INT)
+         |    AS rank,
+         |  doc_id, source, round(w, 6) AS w, round(key_u / 1e6, 6) AS es_key
+         |FROM k ORDER BY key_u DESC, doc_id LIMIT $WS_K""".stripMargin,
+    "q147_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, source, md5(text) AS h
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END)
+        |      AS h
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(o.source, n.source) AS source,
+        |  CASE WHEN n.h IS NULL THEN 'removed'
+        |       WHEN o.h IS NULL THEN 'added'
+        |       WHEN o.h <> n.h THEN 'modified'
+        |       ELSE 'unchanged' END AS diff_class,
+        |  count(*) AS n_docs
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |GROUP BY 1, 2""".stripMargin,
     // the fps CTEs mirror q78's oracle (same 20-char grams, 10-window
     // minima, first-occurrence-distinct) with q68's eval/corpus split
     "q85_decontaminate_substr" ->
