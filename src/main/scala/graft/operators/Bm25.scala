@@ -69,65 +69,143 @@ object Bm25 {
       .groupBy(col("token"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
 
-  /** One snapshot's contribution to the index, written with the given
-    * save mode. df and stats are stored as MERGE-ABLE PARTIALS (exact
-    * 64-bit sums — the q132 rule): a delta append contributes only its
-    * own partial rows, and finalization is a vocab-keyed aggregate at
-    * load. Postings need no merging at all — snapshots must carry
-    * DISJOINT doc_id sets (append-only corpus; updates are a rebuild),
-    * so a (token, doc) row exists in exactly one segment.
+  /** Segmented storage (the q132/StreamingStats convention): each of
+    * postings/df/stats holds `seg_<i>` dirs plus at most a newest
+    * `compact_<hi>` dir; df and stats rows are MERGE-ABLE PARTIALS
+    * (exact 64-bit sums — the q132 rule) finalized at load, and
+    * postings need no merging at all because snapshots carry DISJOINT
+    * doc_id sets (append-only corpus; updates are a rebuild), so a
+    * (token, doc) row exists in exactly one segment.
+    *
+    * The df subtree is the SINGLE source of truth for segment topology:
+    * readers list df/, then read the same segment names under
+    * postings/ and stats/ — so a crashed compaction that wrote some
+    * compact dirs but not df's is invisible (orphans are never listed),
+    * and leftover covered `seg_<i>` dirs are excluded by id.
     */
-  private def writeSegment(d: DataFrame, path: String, mode: String): Unit = {
+  private val SegDir = "seg_(\\d+)".r
+  private val CompactDir = "compact_(\\d+)".r
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Live segment names from the df subtree: newest compact (if any)
+    * plus every seg with id above what it covers.
+    */
+  private def segmentNames(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/df")
+    val f = fs(spark, path)
+    if (!f.exists(p)) return Nil
+    val names = f.listStatus(p).toSeq.map(_.getPath.getName)
+    val compacts = names.collect { case n @ CompactDir(h) => (h.toLong, n) }
+    val covered = if (compacts.isEmpty) -1L else compacts.map(_._1).max
+    val newest = compacts.sortBy(_._1).lastOption.map(_._2).toSeq
+    newest ++ names.collect { case n @ SegDir(i) if i.toLong > covered => n }
+  }
+
+  private def nextSegId(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/df")
+    val f = fs(spark, path)
+    if (!f.exists(p)) 0L
+    else {
+      val ids = f.listStatus(p).toSeq.map(_.getPath.getName).collect {
+        case SegDir(i) => i.toLong
+        case CompactDir(h) => h.toLong
+      }
+      if (ids.isEmpty) 0L else ids.max + 1L
+    }
+  }
+
+  /** One snapshot's contribution, written as segment `name`. df lands
+    * LAST — it is the topology root, so the segment becomes visible
+    * only when all three tables exist (a crashed write leaves orphans
+    * that are never listed).
+    */
+  private def writeSegment(d: DataFrame, path: String, name: String): Unit = {
     val post = graft.CacheScope.cache(postingsWithNorms(d))
     post.repartition(col("token")).sortWithinPartitions(col("token"))
-      .write.mode(mode).parquet(s"$path/postings")
-    post.groupBy(col("token"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-      .write.mode(mode).parquet(s"$path/df")
+      .write.mode("overwrite").parquet(s"$path/postings/$name")
     d.select(size(split(col("text"), " ")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
-      .coalesce(1).write.mode(mode).parquet(s"$path/stats")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats/$name")
+    post.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .write.mode("overwrite").parquet(s"$path/df/$name")
   }
 
   /** Materialize postings + df + exact corpus stats. */
   def writeBm25Index(d: DataFrame, path: String): Unit = {
     val spark = d.sparkSession
     IndexMeta.invalidate(spark, path)
-    writeSegment(d, path, "overwrite")
+    fs(spark, path).delete(new org.apache.hadoop.fs.Path(path), true)
+    writeSegment(d, path, "seg_0")
     IndexMeta.write(spark, path, "graft bm25 index",
       "kind" -> "bm25", "k1" -> K1.toString, "b" -> B.toString)
   }
 
   /** Append a delta snapshot (NEW doc_ids only) at delta-sized cost:
-    * its postings/df/stats partials land as additional files; nothing
-    * historical is read or rewritten. Invalidate-first/meta-last makes
-    * a crashed append a loud refusal, and the meta rewrite flips the
-    * fingerprint so running serving streams restart rather than mix
-    * old term stats with new postings.
+    * one new segment; nothing historical is read or rewritten.
+    * Invalidate-first/meta-last makes a crashed append a loud refusal,
+    * and the meta rewrite flips the fingerprint so running serving
+    * streams restart rather than mix old term stats with new postings.
     */
   def appendBm25Delta(delta: DataFrame, path: String): Unit = {
     val spark = delta.sparkSession
     IndexMeta.read(spark, path, "writeBm25Index") // append extends, never creates
+    val name = s"seg_${nextSegId(spark, path)}"
     IndexMeta.invalidate(spark, path)
-    writeSegment(delta, path, "append")
+    writeSegment(delta, path, name)
+    IndexMeta.write(spark, path, "graft bm25 index",
+      "kind" -> "bm25", "k1" -> K1.toString, "b" -> B.toString)
+  }
+
+  /** Fold every live segment into ONE `compact_<hi>` segment and drop
+    * the covered dirs — EXACT (integer partials; postings a disjoint
+    * union re-sorted by token, restoring row-group pruning across what
+    * appends fragmented). Maintenance-only (the one-writer contract);
+    * covered-id exclusion makes the deletes non-load-bearing, and the
+    * df-last write order makes a crash leave only unlisted orphans.
+    */
+  def compactBm25(spark: SparkSession, path: String): Unit = {
+    val segs = segmentNames(spark, path)
+    if (segs.size <= 1) return
+    val hi = nextSegId(spark, path) - 1L
+    val name = s"compact_$hi"
+    IndexMeta.invalidate(spark, path) // running streams must restart
+    val post = spark.read.parquet(segs.map(n => s"$path/postings/$n"): _*)
+    post.repartition(col("token")).sortWithinPartitions(col("token"))
+      .write.mode("overwrite").parquet(s"$path/postings/$name")
+    spark.read.parquet(segs.map(n => s"$path/stats/$n"): _*)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats/$name")
+    spark.read.parquet(segs.map(n => s"$path/df/$n"): _*)
+      .groupBy(col("token"))
+      .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
+      .write.mode("overwrite").parquet(s"$path/df/$name")
+    val f = fs(spark, path)
+    for (tbl <- Seq("postings", "stats", "df"); n <- segs)
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/$tbl/$n"), true)
     IndexMeta.write(spark, path, "graft bm25 index",
       "kind" -> "bm25", "k1" -> K1.toString, "b" -> B.toString)
   }
 
   /** Load + finalize: df/cf/stats partials fold by exact integer sums,
-    * so an appended index is BIT-IDENTICAL to a from-scratch build
-    * (Bm25IncSpec proves it; q144/q145 share q142/q143's oracles).
+    * so an appended or compacted index is BIT-IDENTICAL to a
+    * from-scratch build (Bm25Spec proves it; q144/q145 share
+    * q142/q143's oracles).
     */
   private[graft] def loadBm25Index(spark: SparkSession, path: String)
       : (DataFrame, DataFrame, Long, Long) = {
     IndexMeta.read(spark, path, "writeBm25Index")
-    val st = spark.read.parquet(s"$path/stats")
+    val segs = segmentNames(spark, path)
+    val st = spark.read.parquet(segs.map(n => s"$path/stats/$n"): _*)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       .collect()(0)
-    val dfTable = spark.read.parquet(s"$path/df")
+    val dfTable = spark.read.parquet(segs.map(n => s"$path/df/$n"): _*)
       .groupBy(col("token"))
       .agg(sum(col("df")).as("df"), sum(col("cf")).as("cf"))
-    (spark.read.parquet(s"$path/postings"), dfTable,
+    (spark.read.parquet(segs.map(n => s"$path/postings/$n"): _*), dfTable,
       st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"))
   }
 
@@ -199,7 +277,7 @@ object Bm25 {
   }
 
   private def ensureIndex(spark: SparkSession, dir: String): String = {
-    val path = Tables.derivedIndexPath("graft_bm25_v1", dir, "documents")
+    val path = Tables.derivedIndexPath("graft_bm25_v2", dir, "documents")
     if (!IndexMeta.exists(spark, path)) writeBm25Index(docs(spark, dir), path)
     path
   }
@@ -224,7 +302,7 @@ object Bm25 {
     * to a retrieval index.
     */
   private def ensureIncIndex(spark: SparkSession, dir: String): String = {
-    val path = Tables.derivedIndexPath("graft_bm25_inc_v1", dir, "documents")
+    val path = Tables.derivedIndexPath("graft_bm25_inc_v2", dir, "documents")
     if (!IndexMeta.exists(spark, path)) {
       val d = docs(spark, dir)
       writeBm25Index(d.filter(pmod(col("doc_id"), lit(5)) =!= 0), path)

@@ -97,6 +97,39 @@ class Bm25Spec extends SparkSpec {
     assert(topF.sameElements(topI), "served top-k diverged after append")
   }
 
+  test("compaction folds segments exactly; covered leftovers are excluded; appends continue") {
+    val d = Tables.load(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25cmp").toString
+    val idx = s"$tmp/idx"
+    Bm25.writeBm25Index(d.filter(pmod(col("doc_id"), lit(3)) === 0), idx)
+    Bm25.appendBm25Delta(d.filter(pmod(col("doc_id"), lit(3)) === 1), idx)
+    Bm25.appendBm25Delta(d.filter(pmod(col("doc_id"), lit(3)) === 2), idx)
+    def snap() = {
+      val (post, dfT, n, s) = Bm25.loadBm25Index(spark, idx)
+      (post.collect().map(_.toSeq).toSet, dfT.collect().map(_.toSeq).toSet,
+        n, s,
+        Bm25.topKAgainstLoaded(post, dfT, n, s).collect().map(_.toSeq).toSeq)
+    }
+    val before = snap()
+    Bm25.compactBm25(spark, idx)
+    val after = snap()
+    assert(before == after, "compaction changed what the index serves")
+    val segs = new java.io.File(s"$idx/df").listFiles().map(_.getName)
+      .filter(n => n.startsWith("seg_") || n.startsWith("compact_"))
+    assert(segs.toSeq == Seq("compact_2"),
+      s"expected one compacted segment, found ${segs.toSeq}")
+    // a crashed delete leaves a covered seg dir behind: its id ≤ hi, so
+    // readers must exclude it even though it holds duplicate partials
+    val (_, dfT, _, _) = Bm25.loadBm25Index(spark, idx)
+    dfT.limit(5).write.mode("overwrite").parquet(s"$idx/df/seg_1")
+    assert(snap() == after, "a covered leftover segment leaked into the read")
+    // and the lifecycle continues: post-compaction appends get fresh ids
+    Bm25.appendBm25Delta(d.limit(0), idx)
+    assert(new java.io.File(s"$idx/df/seg_3").exists(),
+      "post-compaction append did not take the next segment id")
+    assert(snap()._3 == after._3, "empty post-compaction append changed n_docs")
+  }
+
   test("empty delta append is the identity; append to a missing index refuses") {
     val d = Tables.load(spark, dir, "documents")
     val tmp = java.nio.file.Files.createTempDirectory("bm25incid").toString

@@ -273,7 +273,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q143: BM25 serves from stored postings with the term predicate pushed") {
     val p = plan(Bm25.queries("q143_bm25_topk")(spark, dir))
-    assert(p.contains("graft_bm25_v1"),
+    assert(p.contains("graft_bm25_v2"),
       "q143 must serve from the materialized postings:\n" + p)
     // the ≤3-term isin must reach the postings scan — row-group pruning
     // on the token-sorted layout is what keeps serving df-bounded
