@@ -1466,8 +1466,14 @@ object CorpusOps {
     * 1e-6-unit longs before ranking (ln is the only libm op; the spec
     * pins the half-integer margins), ties break by doc_id.
     */
-  def q146WeightedSample(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def q146WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    rankReservoir(topKReservoir(weightedKeys(docs(spark, dir)), WS_K))
+
+  /** Per-doc E–S keys — the q146 kernel, shared by the streaming
+    * reservoir maintainer ([[graft.streaming.StreamingSample]]) so the
+    * live sample can never diverge from the batch draw by construction.
+    */
+  private[graft] def weightedKeys(d: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val w = size(array_distinct(toks)).cast("double") / size(toks)
     val h = conv(substring(
@@ -1475,10 +1481,24 @@ object CorpusOps {
       .cast("long")
     val u = (h + lit(1L)) / lit(1.152921504606846976e18) // (h+1)/2^60 ∈ (0,1]
     val keyU = floor((log(u) / w) * lit(1e6) + lit(0.5)).cast("long")
-    docs(spark, dir)
-      .select(col("doc_id"), col("source"), round(w, 6).as("w"),
-        keyU.as("key_u"))
-      .orderBy(col("key_u").desc, col("doc_id")).limit(WS_K)
+    d.select(col("doc_id"), col("source"), round(w, 6).as("w"),
+      keyU.as("key_u"))
+  }
+
+  /** Top-k of the keyed rows — ONE TakeOrderedAndProject, and the merge
+    * law the streaming tier leans on: top-k is associative and
+    * IDEMPOTENT over row sets (unlike additive partials), so per-batch
+    * reservoirs fold exactly in any order and duplicate rows from a
+    * replay cannot shift the result (ties break by doc_id; keys are
+    * already 1e-6-unit longs, so equality is exact).
+    */
+  private[graft] def topKReservoir(keyed: DataFrame, k: Int): DataFrame =
+    keyed.orderBy(col("key_u").desc, col("doc_id")).limit(k)
+
+  /** Final presentation: dense rank + the fractional E–S key. */
+  private[graft] def rankReservoir(reservoir: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    reservoir
       .withColumn("rank",
         row_number().over(Window.orderBy(col("key_u").desc, col("doc_id"))))
       .select(col("rank"), col("doc_id"), col("source"), col("w"),
