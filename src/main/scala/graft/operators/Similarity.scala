@@ -166,6 +166,76 @@ object Similarity {
       .select(col("p_id"), col("c_id"), col("cosine"), col("rn"))
   }
 
+  /** Margin-mining dials (interpolated into the oracle so a change
+    * cannot desync it): probe-id bound, neighborhood size, and the
+    * acceptance threshold as the exact rational MM_NUM/MM_DEN — the
+    * filter runs entirely in integer micro-units, so the threshold
+    * comparison has ZERO float exposure cross-engine.
+    */
+  val MM_P = 40
+  val MM_K = 4
+  val MM_NUM = 102
+  val MM_DEN = 100
+
+  /** Margin-based neighbor mining (the CCMatrix/LASER bitext-mining
+    * scoring rule, forward direction): corpus sides A/B are the label's
+    * parity; for each side-A probe, score its side-B neighborhood and
+    * accept a pair only when its cosine clears the neighborhood's mean
+    * by the ratio margin — margin(x,y) = cos(x,y) / mean_k(cos(x, NN_k))
+    * ≥ MM_NUM/MM_DEN. Absolute-threshold mining can't distinguish a
+    * genuine translation pair from a dense hubness region; the margin
+    * rule normalizes by the local neighborhood, which is the whole point
+    * of the technique.
+    *
+    * Numeric discipline: cosines convert to 1e-6-unit longs BEFORE the
+    * neighborhood mean, so the denominator is an exact integer sum (no
+    * summation-order exposure) and the acceptance test cross-multiplies
+    * entirely in integer space (`cos_u·k·DEN ≥ NUM·denom_u`); the
+    * reported margin is one shared double division of those same
+    * integers. Scale shape: the bounded probe set broadcasts against one
+    * corpus scan (q48's kernel), the top-k window partitions by probe
+    * id, the neighborhood mean is a k-row-bounded aggregate broadcast
+    * back — at deployment scale the brute scan swaps for the q95
+    * serving stack exactly as q112 documents.
+    */
+  def q148MarginMining(spark: SparkSession, dir: String): DataFrame =
+    marginMine(withNorm(emb(spark, dir)))
+
+  /** The q148 kernel over any (vec_id, embedding, nn, label) frame —
+    * factored so the spec can drive synthetic hubness cases through the
+    * exact production chain.
+    */
+  private[operators] def marginMine(en: DataFrame): DataFrame = {
+    val spark = en.sparkSession
+    val e = en.withColumn("side", pmod(col("label"), lit(2)))
+    val probes = e.filter(col("side") === 0 && col("vec_id") < MM_P)
+      .select(col("vec_id").as("p_id"), col("embedding").as("pe"),
+        col("nn").as("np"))
+    val cands = e.filter(col("side") === 1)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        col("nn").as("nc"))
+    val cos = broadcast(probes).join(cands)
+      .withColumn("cosine",
+        round6c(dotC(spark, "pe", "ce") / (sqrt(col("np")) * sqrt(col("nc")))))
+      .withColumn("cos_u",
+        (signum(col("cosine")) * floor(abs(col("cosine")) * 1e6 + 0.5))
+          .cast("long"))
+    val w = Window.partitionBy(col("p_id")).orderBy(col("cos_u").desc, col("c_id"))
+    val nbhd = graft.CacheScope.cache(
+      cos.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= MM_K)
+        .select(col("p_id"), col("c_id"), col("cosine"), col("cos_u"),
+          col("rn")))
+    val denom = nbhd.groupBy(col("p_id"))
+      .agg(sum(col("cos_u")).as("denom_u"), count(lit(1)).as("n_nb"))
+      .filter(col("n_nb") === MM_K)
+    nbhd.join(broadcast(denom), Seq("p_id"))
+      .filter(col("cos_u") * MM_K * MM_DEN >= lit(MM_NUM) * col("denom_u"))
+      .select(col("p_id"), col("c_id"), col("cosine"),
+        round6c(col("cos_u") * lit(MM_K) / col("denom_u")).as("margin"),
+        col("rn").cast("int").as("rn"))
+  }
+
   /** All band signatures within hamming distance 2 of the exact signature
     * (1 + 12 + 66 = 79 masks for 12-bit bands) — the PROBE-side multiprobe
     * expansion: per-band match probability rises from p^12 to
@@ -1404,6 +1474,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_cosine_knn" -> q48CosineKnn,
     "q112_hard_negatives" -> q112HardNegatives,
+    "q148_margin_mining" -> q148MarginMining,
     "q87_semantic_dedup" -> q87SemanticDedup,
     "q49_ann_lsh" -> q49AnnLsh,
     "q56_embedding_neardup" -> q56EmbeddingNeardup,
@@ -1823,6 +1894,37 @@ object Similarity {
         |SELECT p_id, c_id, cosine, CAST(rn AS INT) AS rn FROM (
         |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
         |  FROM cos) WHERE rn <= 5""".stripMargin,
+    "q148_margin_mining" ->
+      s"""WITH $longFormCte,
+        |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),
+        |sides AS (SELECT vec_id, label % 2 AS side FROM embeddings),
+        |dots AS (
+        |  SELECT a.vec_id AS p_id, b.vec_id AS c_id, sum(a.v * b.v) AS dot
+        |  FROM ex a JOIN sides sa ON sa.vec_id = a.vec_id AND sa.side = 0
+        |    AND a.vec_id < $MM_P
+        |  JOIN ex b ON b.pos = a.pos
+        |  JOIN sides sb ON sb.vec_id = b.vec_id AND sb.side = 1
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT p_id, c_id,
+        |    round(dot / (sqrt(np.nn) * sqrt(nc.nn)), 6) AS cosine
+        |  FROM dots JOIN norms np ON np.vec_id = p_id
+        |    JOIN norms nc ON nc.vec_id = c_id),
+        |nbhd AS (
+        |  SELECT p_id, c_id, cosine,
+        |    CAST(round(cosine * 1e6, 0) AS BIGINT) AS cos_u, rn
+        |  FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY p_id
+        |      ORDER BY CAST(round(cosine * 1e6, 0) AS BIGINT) DESC, c_id) AS rn
+        |    FROM cos) WHERE rn <= $MM_K),
+        |denom AS (
+        |  SELECT p_id, sum(cos_u) AS denom_u FROM nbhd
+        |  GROUP BY 1 HAVING count(*) = $MM_K)
+        |SELECT n.p_id, n.c_id, n.cosine,
+        |  round(n.cos_u * $MM_K / d.denom_u, 6) AS margin,
+        |  CAST(n.rn AS INT) AS rn
+        |FROM nbhd n JOIN denom d ON d.p_id = n.p_id
+        |WHERE n.cos_u * $MM_K * $MM_DEN >= $MM_NUM * d.denom_u""".stripMargin,
     "q48_cosine_knn" ->
       s"""WITH $longFormCte,
         |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),
