@@ -436,6 +436,39 @@ object CorpusOps {
       .drop("_nms")
   }
 
+  /** Good–Turing count-of-counts (the SRILM/KenLM smoothing front-end):
+    * bigram type counts r (q73's exact tokenization), the frequency-of-
+    * frequencies table N_r, and the adjusted count r* = (r+1)·N_{r+1}/N_r
+    * — the quantity every discounting scheme (GT, Katz, and the
+    * count-of-count sanity checks behind Kneser–Ney) starts from, and
+    * the audit that catches a deduplication pass that was TOO aggressive
+    * (scrubbing repeats collapses the high-r tail and inflates N_1).
+    *
+    * Scale shape: the bigram count is the q73 aggregate (map-side
+    * partials on (w1, w2); the only corpus-sized exchange), N_r is a
+    * second full aggregate of that table down to ≤ max-count rows, and
+    * the r+1 lookup is a broadcast self-join of that tiny frame. r* is
+    * one double division of exact integers ((r+1)·N_{r+1} is 64-bit),
+    * NULL where N_{r+1} = 0 — Good–Turing leaves the largest r
+    * undefined; downstream discounting falls back to the raw count
+    * there, and inventing a 0 would corrupt that fallback.
+    */
+  def q149GoodTuring(spark: SparkSession, dir: String): DataFrame = {
+    val big = docs(spark, dir)
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) > 1)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(toks[i - 1] AS w1, toks[i] AS w2))""".stripMargin)).as("b"))
+      .groupBy(col("b.w1"), col("b.w2")).agg(count(lit(1)).as("r"))
+    val nr = graft.CacheScope.cache(
+      big.groupBy(col("r")).agg(count(lit(1)).as("n_r")))
+    val next = nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+    nr.join(broadcast(next), Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        round((col("r") + 1) * col("n_r1") / col("n_r"), 6).as("r_star"))
+  }
+
   /** Overlapping document chunking (the RAG / context-window prep stage):
     * 64-token windows at stride 48, short docs yield one chunk, the final
     * partial window is kept. Pure per-row explode — the chunk table
@@ -1546,6 +1579,7 @@ object CorpusOps {
     "q69_repetition" -> q69Repetition,
     "q70_pack_sequences" -> q70PackSequences,
     "q73_lm_perplexity" -> q73LmPerplexity,
+    "q149_good_turing" -> q149GoodTuring,
     "q74_chunk_docs" -> q74ChunkDocs,
     "q75_temperature_mix" -> q75TemperatureMix,
     "q80_dataset_split" -> q80DatasetSplit,
@@ -1755,6 +1789,18 @@ object CorpusOps {
         |    * 1e6, 0) AS BIGINT)) / count(*) / 1e6, 6) AS avg_nll
         |FROM db JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
         |GROUP BY doc_id""".stripMargin,
+    "q149_good_turing" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) > 1),
+        |b AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |  FROM t),
+        |bc AS (SELECT b.w1, b.w2, count(*) AS r FROM b GROUP BY 1, 2),
+        |nr AS (SELECT r, count(*) AS n_r FROM bc GROUP BY 1)
+        |SELECT a.r, a.n_r, round((a.r + 1) * x.n_r / a.n_r, 6) AS r_star
+        |FROM nr a LEFT JOIN nr x ON x.r = a.r + 1""".stripMargin,
     "q74_chunk_docs" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
