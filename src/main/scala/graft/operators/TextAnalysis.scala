@@ -577,8 +577,60 @@ object TextAnalysis {
     finalizeStats(base.unionByName(delta))
   }
 
+  /** Linear-counting bucket width. 16 Ki buckets hold the fixture's
+    * trigram cardinalities (1–11 k per source across sfs) in the
+    * sketch's accurate load range while staying 3 orders of magnitude
+    * under the 100 TB-scale cardinalities the EXACT side would choke on.
+    */
+  val LC_M = 16384
+
+  /** Per-source distinct-trigram estimate by LINEAR COUNTING (Whang et
+    * al. 1990): hash each trigram type into one of LC_M buckets; with V
+    * buckets left empty, est = -m·ln(V/m). The deterministic,
+    * cross-engine-reproducible alternative to approx_count_distinct —
+    * Spark's HLL++ sketch hashes with a private seed and cannot be
+    * replayed in another engine, while this sketch is pure md5 column
+    * math, so the ESTIMATE ITSELF hash-matches the oracle. Emitted next
+    * to the exact count, the row is a self-auditing sketch: the judge of
+    * its own error.
+    *
+    * Scale shape: the trigram TYPE table (groupBy (source, trigram),
+    * map-side partials) is the only corpus-sized exchange and already
+    * feeds the exact side; the sketch side collapses it to ≤ m rows per
+    * source before the final count, so sketch state is m bits per
+    * source no matter how the corpus grows — the whole point. At true
+    * scale the exact columns drop and only the bucket bitmap (OR-merge-
+    * able, the q132 partial discipline) persists.
+    */
+  def q150DistinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    val tris = docs(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) > 2)
+      .select(col("source"), explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+          |  i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))""".stripMargin))
+        .as("tri"))
+    val perTri = graft.CacheScope.cache(
+      tris.groupBy(col("source"), col("tri")).agg(count(lit(1)).as("c")))
+    val exact = perTri.groupBy(col("source"))
+      .agg(count(lit(1)).as("exact_distinct"), sum(col("c")).as("n_trigrams"))
+    val occ = perTri
+      .select(col("source"),
+        pmod(conv(substring(md5(col("tri")), 1, 15), 16, 10).cast("long"),
+          lit(LC_M.toLong)).as("bucket"))
+      .distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("occupied"))
+    exact.join(occ, Seq("source"))
+      .select(col("source"), col("n_trigrams"), col("exact_distinct"),
+        col("occupied"),
+        round(-lit(LC_M.toDouble) *
+          log((lit(LC_M) - col("occupied")) / lit(LC_M.toDouble)), 6)
+          .as("est_distinct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_tfidf" -> q65Tfidf,
+    "q150_distinct_sketch" -> q150DistinctSketch,
     "q125_tokenizer_fertility" -> q125TokenizerFertility,
     "q128_vocab_growth" -> q128VocabGrowth,
     "q132_stats_maintenance" -> q132StatsMaintenance,
@@ -597,6 +649,29 @@ object TextAnalysis {
     "q111_bpe_merges" -> q111BpeMerges)
 
   val oracleSql: Map[String, String] = Map(
+    "q150_distinct_sketch" ->
+      s"""WITH t AS (
+        |  SELECT source, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) > 2),
+        |g AS (
+        |  SELECT source,
+        |    unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS tri
+        |  FROM t),
+        |pt AS (SELECT source, tri, count(*) AS c FROM g GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT source, count(*) AS exact_distinct,
+        |    CAST(sum(c) AS BIGINT) AS n_trigrams
+        |  FROM pt GROUP BY 1),
+        |occ AS (
+        |  SELECT source, count(*) AS occupied FROM (
+        |    SELECT DISTINCT source,
+        |      ('0x' || substr(md5(tri), 1, 15))::BIGINT % $LC_M AS bucket
+        |    FROM pt) GROUP BY 1)
+        |SELECT source, n_trigrams, exact_distinct, occupied,
+        |  round(-$LC_M * ln(($LC_M - occupied) / ${LC_M.toDouble}), 6)
+        |    AS est_distinct
+        |FROM ex JOIN occ USING (source)""".stripMargin,
     // the oracle is the plain exact aggregate — the MG sketch is
     // TRANSPARENT in the answer (superset candidates, exact verify),
     // which is exactly what the hash match certifies
