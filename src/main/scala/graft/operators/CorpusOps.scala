@@ -469,6 +469,76 @@ object CorpusOps {
         round((col("r") + 1) * col("n_r1") / col("n_r"), 6).as("r_star"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM perplexity (Kneser & Ney 1995;
+    * the smoothing KenLM — and therefore the real CCNet pipeline — uses,
+    * next to q73's add-1 and q149's Good–Turing front-end): with absolute
+    * discount D = 3/4,
+    *
+    *   P_KN(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/T
+    *
+    * where N1+(w1·) / N1+(·w2) are the distinct-continuation /
+    * distinct-history TYPE counts and T the total bigram types — the
+    * continuation distribution that makes "Francisco" cheap only after
+    * "San". Scoring the corpus against its own model means every scored
+    * bigram is observed (c12 ≥ 1 > D), so the max() never clips and the
+    * probability has an EXACT integer form:
+    *
+    *   P_KN = ((4·c12 − 3)·T + 3·N1+(w1·)·N1+(·w2)) / (4·c1·T)
+    *
+    * Per-bigram nll = ln(4·c1·T) − ln(num) over exact 64-bit integers —
+    * the only libm exposure is ln of an integer (the q73/q142 class;
+    * margins measured in KneserNeySpec) — and per-doc means sum
+    * 1e-6-unit longs (order-independent). The numerator stays in range
+    * while c12·T < 2^61; at corpora where that bound breaks the integer
+    * form degrades to the float expression, trading bit-exactness for
+    * range — the fixture corpora sit ~7 orders below it.
+    *
+    * Scale shape: q73's exactly — the bigram TYPE table is the only
+    * corpus-sized exchange (map-side combined); context stats (c1,
+    * N1+(w1·)) and history stats (N1+(·w2)) are ONE aggregate each over
+    * that table, vocabulary-sized and distributed; the doc-bigram stream
+    * reaches them via equi-joins, the Zipfian w1 AND w2 heads both
+    * through [[Skew.saltedJoinAdaptive]] (at 100 TB "the" is a straggler
+    * on either side of the bigram).
+    */
+  def q151KneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    val docBigrams = toks
+      .filter(size(col("tokens")) > 1)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, size(tokens) - 1),
+          |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))""".stripMargin)).as(Seq("pos", "b")))
+      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = graft.CacheScope.cache(
+      docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+    val ctx = graft.CacheScope.cache(big.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_w1")))
+    // c2 (occurrence count) is the skew gate's measure of PROBE load per
+    // w2 key — n1p_w2 (the type count the formula needs) would understate
+    // a Zipfian head whose occurrences dwarf its distinct predecessors
+    val hist = graft.CacheScope.cache(big.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1p_w2"), sum(col("c12")).as("c2")))
+    val types = big.agg(count(lit(1)).as("t"))
+    val j1 = Skew.saltedJoinAdaptive(
+      docBigrams.join(big, Seq("w1", "w2"))
+        .withColumn("_uid", concat_ws(":", col("doc_id"), col("pos"))),
+      ctx, "w1", SKEW_SALTS, "_uid", keyCounts = ctx, cntCol = "c1")
+    val j2 = Skew.saltedJoinAdaptive(
+      j1, hist, "w2", SKEW_SALTS, "_uid",
+      keyCounts = hist, cntCol = "c2")
+    j2.crossJoin(broadcast(types))
+      .withColumn("nll",
+        log((lit(4L) * col("c1") * col("t")).cast("double")) -
+          log(((lit(4L) * col("c12") - 3L) * col("t") +
+            lit(3L) * col("n1p_w1") * col("n1p_w2")).cast("double")))
+      .withColumn("_nm", round(col("nll") * 1e6, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_nm")).as("_nms"))
+      .withColumn("avg_nll", round(col("_nms") / col("n_bigrams") / 1e6, 6))
+      .drop("_nms")
+  }
+
   /** Overlapping document chunking (the RAG / context-window prep stage):
     * 64-token windows at stride 48, short docs yield one chunk, the final
     * partial window is kept. Pure per-row explode — the chunk table
@@ -1580,6 +1650,7 @@ object CorpusOps {
     "q70_pack_sequences" -> q70PackSequences,
     "q73_lm_perplexity" -> q73LmPerplexity,
     "q149_good_turing" -> q149GoodTuring,
+    "q151_kneser_ney" -> q151KneserNey,
     "q74_chunk_docs" -> q74ChunkDocs,
     "q75_temperature_mix" -> q75TemperatureMix,
     "q80_dataset_split" -> q80DatasetSplit,
@@ -1788,6 +1859,26 @@ object CorpusOps {
         |  round(sum(CAST(round(-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v.v))
         |    * 1e6, 0) AS BIGINT)) / count(*) / 1e6, 6) AS avg_nll
         |FROM db JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        |GROUP BY doc_id""".stripMargin,
+    "q151_kneser_ney" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |db AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |    FROM t WHERE len(toks) > 1)),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    count(*) AS n1p_w1 FROM big GROUP BY 1),
+        |hist AS (SELECT w2, count(*) AS n1p_w2 FROM big GROUP BY 1),
+        |ty AS (SELECT count(*) AS t FROM big)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(CAST(round((ln(CAST(4 * c1 * ty.t AS DOUBLE))
+        |      - ln(CAST((4 * c12 - 3) * ty.t + 3 * n1p_w1 * n1p_w2 AS DOUBLE)))
+        |    * 1e6, 0) AS BIGINT)) / count(*) / 1e6, 6) AS avg_nll
+        |FROM db JOIN big USING (w1, w2) JOIN ctx USING (w1)
+        |  JOIN hist USING (w2) CROSS JOIN ty
         |GROUP BY doc_id""".stripMargin,
     "q149_good_turing" ->
       """WITH t AS (
