@@ -628,8 +628,82 @@ object TextAnalysis {
           .as("est_distinct"))
   }
 
+  /** How many collocations q152 surfaces. */
+  val G2_TOP = 50
+
+  /** Dunning log-likelihood-ratio collocations (Dunning 1993, "Accurate
+    * Methods for the Statistics of Surprise and Coincidence"): for each
+    * bigram type, G² = 2·Σ O·ln(O/E) over its 2×2 contingency table
+    * (k11 = c12, k12 = c1−c12, k21 = c2−c12, k22 = N−c1−c2+c12;
+    * E_ij = row·col/N), the association statistic that — unlike raw
+    * frequency or PMI — is calibrated for BOTH common and rare bigrams;
+    * the top-[[G2_TOP]] table is the collocation dictionary a phrase
+    * miner or tokenizer-merge pass starts from (the statistical cousin
+    * of q111's count-based BPE merges).
+    *
+    * Determinism: every table cell is an exact 64-bit integer, each of
+    * the 4 terms is k·ln((k·N)/(row·col)) with 0·ln0 := 0. The ratio
+    * form is deliberate: k·N and row·col are exact (< 2^53 while
+    * N² < 2^53; the q151 range note applies), IEEE division is
+    * correctly rounded so the ratio is BIT-IDENTICAL across engines,
+    * and for the O(N)-sized k22 cell the ratio sits near 1 where
+    * ulp(ln) is vanishing — the k·(ln a − ln b) form would instead
+    * amplify two full-magnitude ln ulps by k ≈ N past the micro-unit
+    * rounding margin (measured: the worst-case drift bound crosses the
+    * observed minimum margin at sf0.01; with the ratio form it sits
+    * ≥ 10× under it — CollocationSpec checks the per-row bound). G²
+    * rounds ONCE to micro-units; ranking compares (micro-G² desc, w1,
+    * w2), so order is engine- and partitioning-exact.
+    *
+    * Scale shape: the bigram TYPE aggregate is the only corpus-sized
+    * exchange; marginals are two further aggregates OF THE TYPE TABLE
+    * (vocabulary-sized, distributed, map-side combined); the marginal
+    * joins key on w1/w2 with the Zipfian head through
+    * [[Skew.saltedJoinAdaptive]]; the global top-k is the shared
+    * two-phase take, so no single reducer ever ranks the full
+    * vocabulary² frame.
+    */
+  def q152Collocations(spark: SparkSession, dir: String): DataFrame = {
+    val big = graft.CacheScope.cache(docs(spark, dir)
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) > 1)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(toks[i - 1] AS w1, toks[i] AS w2))""".stripMargin)).as("b"))
+      .groupBy(col("b.w1"), col("b.w2")).agg(count(lit(1)).as("c12")))
+    val ctx = graft.CacheScope.cache(
+      big.groupBy(col("w1")).agg(sum(col("c12")).as("c1")))
+    val hist = graft.CacheScope.cache(
+      big.groupBy(col("w2")).agg(sum(col("c12")).as("c2")))
+    val n = big.agg(sum(col("c12")).as("n"))
+    val j1 = Skew.saltedJoinAdaptive(
+      big.withColumn("_uid", concat_ws(" ", col("w1"), col("w2"))),
+      ctx, "w1", CorpusOps.SKEW_SALTS, "_uid", keyCounts = ctx, cntCol = "c1")
+    val j2 = Skew.saltedJoinAdaptive(
+      j1, hist, "w2", CorpusOps.SKEW_SALTS, "_uid",
+      keyCounts = hist, cntCol = "c2")
+    def term(k: org.apache.spark.sql.Column, row: org.apache.spark.sql.Column,
+             c: org.apache.spark.sql.Column) =
+      when(k > 0,
+        k.cast("double") *
+          log((k * col("n")).cast("double") / (row * c).cast("double")))
+        .otherwise(lit(0.0))
+    val scored = j2.crossJoin(broadcast(n))
+      .withColumn("_g2m", round(lit(2.0) * (
+        term(col("c12"), col("c1"), col("c2")) +
+          term(col("c1") - col("c12"), col("c1"), col("n") - col("c2")) +
+          term(col("c2") - col("c12"), col("n") - col("c1"), col("c2")) +
+          term(col("n") - col("c1") - col("c2") + col("c12"),
+            col("n") - col("c1"), col("n") - col("c2"))) * 1e6, 0).cast("long"))
+    Ranked.twoPhaseTopK(scored, Seq.empty,
+      Seq(col("_g2m").desc, col("w1"), col("w2")), lit(G2_TOP))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        (col("_g2m") / 1e6).as("g2"), col("rk").cast("int").as("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_tfidf" -> q65Tfidf,
+    "q152_collocations" -> q152Collocations,
     "q150_distinct_sketch" -> q150DistinctSketch,
     "q125_tokenizer_fertility" -> q125TokenizerFertility,
     "q128_vocab_growth" -> q128VocabGrowth,
@@ -649,6 +723,37 @@ object TextAnalysis {
     "q111_bpe_merges" -> q111BpeMerges)
 
   val oracleSql: Map[String, String] = Map(
+    "q152_collocations" ->
+      s"""WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) > 1),
+        |b AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |  FROM t),
+        |big AS (SELECT b.w1, b.w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+        |hist AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM big GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM big),
+        |g AS (
+        |  SELECT w1, w2, c12, c1, c2,
+        |    CAST(round(2.0 * (
+        |      CASE WHEN c12 > 0 THEN c12 * ln(CAST(c12 * n AS DOUBLE)
+        |        / CAST(c1 * c2 AS DOUBLE)) ELSE 0.0 END
+        |      + CASE WHEN c1 - c12 > 0 THEN (c1 - c12)
+        |          * ln(CAST((c1 - c12) * n AS DOUBLE)
+        |        / CAST(c1 * (n - c2) AS DOUBLE)) ELSE 0.0 END
+        |      + CASE WHEN c2 - c12 > 0 THEN (c2 - c12)
+        |          * ln(CAST((c2 - c12) * n AS DOUBLE)
+        |        / CAST((n - c1) * c2 AS DOUBLE)) ELSE 0.0 END
+        |      + CASE WHEN n - c1 - c2 + c12 > 0 THEN (n - c1 - c2 + c12)
+        |          * ln(CAST((n - c1 - c2 + c12) * n AS DOUBLE)
+        |        / CAST((n - c1) * (n - c2) AS DOUBLE)) ELSE 0.0 END
+        |    ) * 1e6, 0) AS BIGINT) AS g2m
+        |  FROM big JOIN ctx USING (w1) JOIN hist USING (w2) CROSS JOIN nn)
+        |SELECT w1, w2, c12, c1, c2, g2m / 1e6 AS g2, CAST(rk AS INT) AS rk
+        |FROM (SELECT *, row_number() OVER (ORDER BY g2m DESC, w1, w2) AS rk
+        |  FROM g) WHERE rk <= $G2_TOP""".stripMargin,
     "q150_distinct_sketch" ->
       s"""WITH t AS (
         |  SELECT source, string_split(text, ' ') AS toks FROM documents
