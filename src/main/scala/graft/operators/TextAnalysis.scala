@@ -677,7 +677,7 @@ object TextAnalysis {
       big.groupBy(col("w2")).agg(sum(col("c12")).as("c2")))
     val n = big.agg(sum(col("c12")).as("n"))
     val j1 = Skew.saltedJoinAdaptive(
-      big.withColumn("_uid", concat_ws(" ", col("w1"), col("w2"))),
+      big.withColumn("_uid", concat_ws(" ", col("w1"), col("w2"))),
       ctx, "w1", CorpusOps.SKEW_SALTS, "_uid", keyCounts = ctx, cntCol = "c1")
     val j2 = Skew.saltedJoinAdaptive(
       j1, hist, "w2", CorpusOps.SKEW_SALTS, "_uid",
