@@ -602,16 +602,20 @@ object TextAnalysis {
     * scale the exact columns drop and only the bucket bitmap (OR-merge-
     * able, the q132 partial discipline) persists.
     */
+  /** The (source, trigram-occurrence) stream — ONE definition for both
+    * cardinality sketches (q150 linear counting, q153/q154 HLL).
+    */
+  private[graft] def triStream(df: DataFrame): DataFrame = df
+    .select(col("source"), split(col("text"), " ").as("toks"))
+    .filter(size(col("toks")) > 2)
+    .select(col("source"), explode(expr(
+      """transform(sequence(0, size(toks) - 3),
+        |  i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))""".stripMargin))
+      .as("tri"))
+
   def q150DistinctSketch(spark: SparkSession, dir: String): DataFrame = {
-    val tris = docs(spark, dir)
-      .select(col("source"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) > 2)
-      .select(col("source"), explode(expr(
-        """transform(sequence(0, size(toks) - 3),
-          |  i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))""".stripMargin))
-        .as("tri"))
-    val perTri = graft.CacheScope.cache(
-      tris.groupBy(col("source"), col("tri")).agg(count(lit(1)).as("c")))
+    val perTri = graft.CacheScope.cache(triStream(docs(spark, dir))
+      .groupBy(col("source"), col("tri")).agg(count(lit(1)).as("c")))
     val exact = perTri.groupBy(col("source"))
       .agg(count(lit(1)).as("exact_distinct"), sum(col("c")).as("n_trigrams"))
     val occ = perTri
@@ -626,6 +630,127 @@ object TextAnalysis {
         round(-lit(LC_M.toDouble) *
           log((lit(LC_M) - col("occupied")) / lit(LC_M.toDouble)), 6)
           .as("est_distinct"))
+  }
+
+  /** HLL register count (2^8 — 6.5% standard error, 256 longs of state
+    * per source at ANY cardinality).
+    */
+  val HLL_M = 256
+
+  /** α_m·m²·2^53 — the raw-estimate numerator over the exact integer
+    * harmonic sum. Computed ONCE here and interpolated into the oracle
+    * as its shortest decimal representation (which round-trips to the
+    * identical double), so both engines divide the same constant.
+    */
+  val HLL_NUM: Double =
+    0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * 9007199254740992.0
+
+  /** Per-(source, register) max-rho partials from the trigram stream —
+    * ONE definition for the inline sketch (q153), the stored base, every
+    * delta (q154), and any streaming maintainer. The md5-derived 60-bit
+    * value splits into an 8-bit register index and a 52-bit tail whose
+    * leading-zero rank is read off `length(bin(w))` — pure string math,
+    * identical on both engines. Crucially the input is the OCCURRENCE
+    * stream: duplicates land on the same (register, rho), so max-merge
+    * needs NO distinct pass and NO type table — per-task state is m
+    * counters regardless of corpus size, the property that makes this
+    * the 100 TB cardinality path (q150's linear counting still builds
+    * the type table and saturates past its bucket range).
+    */
+  private[graft] def hllPartials(df: DataFrame): DataFrame =
+    triStream(df)
+      .select(col("source"),
+        conv(substring(md5(col("tri")), 1, 15), 16, 10).cast("long").as("v"))
+      .select(col("source"), pmod(col("v"), lit(HLL_M.toLong)).as("idx"),
+        expr(s"v div $HLL_M").as("w"))
+      .select(col("source"), col("idx"),
+        when(col("w") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("source"), col("idx")).agg(max(col("rho")).as("m_j"))
+
+  /** Merge register partials (max is associative/commutative/idempotent —
+    * the strongest merge algebra of the incremental tier: re-delivered
+    * deltas are absorbed, not double-counted).
+    */
+  private[graft] def mergeHllPartials(parts: DataFrame): DataFrame =
+    parts.groupBy(col("source"), col("idx")).agg(max(col("m_j")).as("m_j"))
+
+  /** Finalize registers into the per-source estimate: exact integer
+    * harmonic sum Z = Σ 2^(53−M_j) (empty registers contribute 2^53;
+    * 256·2^53 = 2^61 stays in range), raw = [[HLL_NUM]]/Z — one IEEE
+    * division of bit-identical operands, so the raw path needs NO
+    * rounding margin — and the Flajolet small-range correction
+    * m·ln(m/zeros) when raw ≤ 2.5·m (the branch condition compares
+    * bit-identical doubles; only the correction's ln needs a margin,
+    * measured in HllSpec).
+    */
+  private[graft] def finalizeHll(parts: DataFrame): DataFrame =
+    mergeHllPartials(parts)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("occupied"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_j AS INT))"))
+          .as("_zp"))
+      .withColumn("z_int",
+        col("_zp") + (lit(HLL_M.toLong) - col("occupied")) *
+          lit(9007199254740992L))
+      .withColumn("_raw", lit(HLL_NUM) / col("z_int"))
+      .withColumn("est_distinct",
+        round(when(col("_raw") <= lit(2.5 * HLL_M) &&
+          col("occupied") < HLL_M,
+          lit(HLL_M.toDouble) *
+            log(lit(HLL_M.toDouble) / (lit(HLL_M.toLong) - col("occupied"))))
+          .otherwise(col("_raw")), 6))
+      .select(col("source"), col("occupied"), col("z_int"),
+        col("est_distinct"))
+
+  /** Per-source distinct-trigram estimate by HYPERLOGLOG (Flajolet et
+    * al. 2007) over the deterministic md5 hash — q150's linear counting
+    * taken to the cardinality range where the type table itself is the
+    * bottleneck. Emitted next to the exact count (the self-audit column,
+    * which DOES build the type table and drops at true scale — the
+    * register math never needs it).
+    */
+  def q153HllSketch(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.CacheScope.cache(docs(spark, dir)
+      .select(col("source"), col("text")))
+    val exact = triStream(d)
+      .groupBy(col("source")).agg(count_distinct(col("tri")).as("exact_distinct"))
+    exact.join(finalizeHll(hllPartials(d)), Seq("source"))
+      .select(col("source"), col("exact_distinct"), col("occupied"),
+        col("z_int"), col("est_distinct"))
+  }
+
+  /** Materialize the HLL register base (invalidate-first / meta-last). */
+  def writeHllIndex(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    IndexMeta.invalidate(spark, path)
+    hllPartials(df).write.mode("overwrite").parquet(s"$path/registers")
+    IndexMeta.write(spark, path, "graft hll register view",
+      "kind" -> "hll_registers", "m" -> HLL_M.toString)
+  }
+
+  /** Incremental cardinality maintenance — the q132 materialized-view
+    * shape with the MAX merge algebra: the corpus's registers are stored
+    * (m rows per source, forever); a delta batch contributes only its
+    * own registers and `merge(base, delta)` equals the from-scratch
+    * sketch BIT-FOR-BIT because max is associative, commutative, and
+    * idempotent — a replayed delta cannot even double-count, which no
+    * sum-based partial can claim. Serving never re-reads the base
+    * corpus and never builds a type table: this row is the one a
+    * 100 TB dedup planner reads to size its hash tables. Oracle:
+    * the register CTEs over the full corpus — the hash match IS the
+    * merge law.
+    */
+  def q154HllMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val bucket = CorpusOps.contentBucket // q80's rule — one definition
+    val path = Tables.derivedIndexPath("graft_hll_view_v1", dir, "documents")
+    if (!IndexMeta.exists(spark, path))
+      writeHllIndex(d.filter(bucket < 90), path)
+    IndexMeta.read(spark, path, "writeHllIndex") // refuse meta-less dirs
+    val base = spark.read.parquet(s"$path/registers")
+    val delta = hllPartials(d.filter(bucket >= 90))
+    finalizeHll(base.unionByName(delta))
   }
 
   /** How many collocations q152 surfaces. */
@@ -705,6 +830,8 @@ object TextAnalysis {
     "q65_tfidf" -> q65Tfidf,
     "q152_collocations" -> q152Collocations,
     "q150_distinct_sketch" -> q150DistinctSketch,
+    "q153_hll_sketch" -> q153HllSketch,
+    "q154_hll_maintenance" -> q154HllMaintenance,
     "q125_tokenizer_fertility" -> q125TokenizerFertility,
     "q128_vocab_growth" -> q128VocabGrowth,
     "q132_stats_maintenance" -> q132StatsMaintenance,
@@ -721,6 +848,40 @@ object TextAnalysis {
     "q64_vocab" -> q64Vocab,
     "q101_oov_rate" -> q101OovRate,
     "q111_bpe_merges" -> q111BpeMerges)
+
+  /** Register CTEs shared by q153/q154 — every dial ([[HLL_M]], 2^53,
+    * [[HLL_NUM]], the 2.5·m correction bound) interpolates so a constant
+    * change cannot desync the oracle from the implementation.
+    */
+  private val hllCtes: String =
+    s"""t AS (
+      |  SELECT source, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) > 2),
+      |g AS (
+      |  SELECT source,
+      |    unnest(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS tri
+      |  FROM t),
+      |h AS (
+      |  SELECT source, ('0x' || substr(md5(tri), 1, 15))::BIGINT AS v FROM g),
+      |r AS (
+      |  SELECT source, v % $HLL_M AS idx,
+      |    CASE WHEN v // $HLL_M = 0 THEN 53
+      |         ELSE 53 - length(bin(v // $HLL_M)) END AS rho
+      |  FROM h),
+      |regs AS (SELECT source, idx, max(rho) AS m_j FROM r GROUP BY 1, 2),
+      |agg0 AS (
+      |  SELECT source, count(*) AS occupied,
+      |    CAST(sum(1::BIGINT << CAST(53 - m_j AS INT)) AS BIGINT)
+      |      + ($HLL_M - count(*)) * 9007199254740992::BIGINT AS z_int
+      |  FROM regs GROUP BY 1),
+      |agg AS (
+      |  SELECT source, occupied, z_int,
+      |    round(CASE WHEN $HLL_NUM / z_int <= ${2.5 * HLL_M}
+      |        AND occupied < $HLL_M
+      |      THEN $HLL_M * ln($HLL_M.0 / ($HLL_M - occupied))
+      |      ELSE $HLL_NUM / z_int END, 6) AS est_distinct
+      |  FROM agg0)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q152_collocations" ->
@@ -754,6 +915,20 @@ object TextAnalysis {
         |SELECT w1, w2, c12, c1, c2, g2m / 1e6 AS g2, CAST(rk AS INT) AS rk
         |FROM (SELECT *, row_number() OVER (ORDER BY g2m DESC, w1, w2) AS rk
         |  FROM g) WHERE rk <= $G2_TOP""".stripMargin,
+    // the register CTEs are shared verbatim by q153 (full corpus, with
+    // the exact audit column) and q154 (served from the stored base ⊕
+    // delta) — the q154 hash match against the FULL-corpus SQL is the
+    // max-merge law itself
+    "q153_hll_sketch" ->
+      s"""WITH $hllCtes,
+        |ex AS (
+        |  SELECT source, count(DISTINCT tri) AS exact_distinct FROM g
+        |  GROUP BY 1)
+        |SELECT source, exact_distinct, occupied, z_int, est_distinct
+        |FROM ex JOIN agg USING (source)""".stripMargin,
+    "q154_hll_maintenance" ->
+      s"""WITH $hllCtes
+        |SELECT source, occupied, z_int, est_distinct FROM agg""".stripMargin,
     "q150_distinct_sketch" ->
       s"""WITH t AS (
         |  SELECT source, string_split(text, ' ') AS toks FROM documents
