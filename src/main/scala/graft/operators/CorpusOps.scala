@@ -1289,6 +1289,71 @@ object CorpusOps {
         col("excess"), round(col("_em") / col("z"), 6).as("weight"))
   }
 
+  /** PageRank iteration count (fixed — the plan is 8 unrolled
+    * join+aggregate rounds, not a convergence loop).
+    */
+  val PR_ITERS = 8
+
+  /** Rank mass scale: ranks live in 1e-9-unit 64-bit integers. */
+  val PR_SCALE = 1000000000L
+
+  /** PageRank over the near-duplicate graph (q46's LSH-verified pairs,
+    * symmetrized) — graph centrality as a CURATION signal: within a dup
+    * cluster the highest-rank node is the most-connected variant (the
+    * canonical-document picker that min-id keeper rules approximate),
+    * and across the corpus a high rank flags template hubs that connect
+    * many near-copies. The classic random-surfer recurrence with
+    * damping 0.85, run a FIXED [[PR_ITERS]] rounds in PURE 64-bit
+    * integer arithmetic: ranks are 1e-9-unit longs, each node's
+    * outbound share is `r div deg`, the damped update is
+    * `150000000 div n + (85 · Σ shares) div 100` — no floating point
+    * anywhere in the loop, so the fixpoint trajectory is bit-identical
+    * on any engine and any partitioning (mass leaks a few nano-units
+    * per round to the floor divisions, which is part of the DEFINED
+    * algorithm, not error).
+    *
+    * Scale shape: the edge set is LSH-bounded (band-key equi-join,
+    * never all-pairs — q110's subgraph discipline) and CACHED once;
+    * each iteration is ONE node-keyed equi-join (rank ⋈ degree), one
+    * edge-keyed join, and one map-side-combinable sum — 8 fixed rounds
+    * of shuffles that scale with the PAIR subgraph, not the corpus.
+    * The subgraph node count is the only driver-side scalar.
+    */
+  def q155PairRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankOnPairs(
+      Dedup.minhashNearDupPairs(docs(spark, dir)).select(col("a_id"), col("b_id")))
+
+  /** The rank loop over an arbitrary (a_id, b_id) pair frame — kept
+    * separate so specs can drive constructed graphs through the exact
+    * production arithmetic.
+    */
+  private[graft] def pageRankOnPairs(pairFrame: DataFrame): DataFrame = {
+    val pairs = graft.CacheScope.cache(pairFrame)
+    val bi = graft.CacheScope.cache(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
+    val deg = graft.CacheScope.cache(
+      bi.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("src", "id"))
+    // bounded driver scalar (subgraph nodes); max(1) only guards the
+    // no-pairs corpus, where every frame below is empty anyway
+    val n = deg.count().max(1L)
+    val init = PR_SCALE / n
+    val teleport = 150000000L / n
+    var r = deg.select(col("id"), lit(init).as("r"))
+    for (_ <- 1 to PR_ITERS) {
+      val share = r.join(deg, Seq("id"))
+        .select(col("id"), expr("r div deg").as("share"))
+      r = share.join(bi, share("id") === bi("src"))
+        .groupBy(col("dst")).agg(sum(col("share")).as("s"))
+        .select(col("dst").as("id"),
+          (lit(teleport) + expr("(85 * s) div 100")).as("r"))
+    }
+    r.join(deg, Seq("id"))
+      .select(col("id").as("doc_id"), col("deg"),
+        col("r").as("pr_nano"), (col("r") / 1e9).as("pr"))
+  }
+
   /** Split-leakage REPAIR — the transform counterpart of q102's audit:
     * co-split every near-duplicate cluster so no LSH-verified pair
     * straddles train/test. Pairs come from q46's minhash kernel,
@@ -1651,6 +1716,7 @@ object CorpusOps {
     "q73_lm_perplexity" -> q73LmPerplexity,
     "q149_good_turing" -> q149GoodTuring,
     "q151_kneser_ney" -> q151KneserNey,
+    "q155_pair_rank" -> q155PairRank,
     "q74_chunk_docs" -> q74ChunkDocs,
     "q75_temperature_mix" -> q75TemperatureMix,
     "q80_dataset_split" -> q80DatasetSplit,
@@ -1860,6 +1926,29 @@ object CorpusOps {
         |    * 1e6, 0) AS BIGINT)) / count(*) / 1e6, 6) AS avg_nll
         |FROM db JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
         |GROUP BY doc_id""".stripMargin,
+    // 8 unrolled integer-arithmetic rounds over the shared minhash pair
+    // CTEs — the iteration count and both mass dials interpolate
+    "q155_pair_rank" -> {
+      val iters = (1 to PR_ITERS).map { k =>
+        s"""r$k AS (
+          |  SELECT bi.dst AS id,
+          |    CAST(150000000 // (SELECT n FROM nn)
+          |      + (85 * sum(p.r // d.deg)) // 100 AS BIGINT) AS r
+          |  FROM r${k - 1} p JOIN deg d USING (id)
+          |    JOIN bi ON bi.src = p.id
+          |  GROUP BY bi.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${Dedup.minhashPairsCte},
+        |bi AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |       UNION ALL SELECT b_id, a_id FROM pairs),
+        |deg AS (SELECT src AS id, count(*) AS deg FROM bi GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT id, $PR_SCALE // (SELECT n FROM nn) AS r FROM deg),
+        |$iters
+        |SELECT r$PR_ITERS.id AS doc_id, deg.deg, r$PR_ITERS.r AS pr_nano,
+        |  r$PR_ITERS.r / 1e9 AS pr
+        |FROM r$PR_ITERS JOIN deg USING (id)""".stripMargin
+    },
     "q151_kneser_ney" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
