@@ -10,9 +10,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * batch-keyed segment dir; the view is a merge-on-read over all
   * segments. The historical corpus is never re-read, replays overwrite
   * their own segment (idempotent — the ledger convention), and the merge
-  * is associative so segment arrival order is irrelevant. State is the
-  * segment store, bounded by (#batches × #groups); a compactor could
-  * fold old segments exactly (integer sums) without changing any read.
+  * is associative so segment arrival order is irrelevant. Segment
+  * topology (covered-id exclusion, crash-safe compaction) lives in the
+  * shared [[SegmentStore]]; this object contributes only the stats
+  * algebra (partial = integer sums, merge = re-sum, finalize = mean at
+  * read time).
   */
 object StreamingStats {
 
@@ -34,65 +36,15 @@ object StreamingStats {
       }
       .start()
 
-  private val BatchDir = "batch_(\\d+)".r
-  private val CompactDir = "compact_(\\d+)".r
-
-  /** (compacted segment covering ids ≤ hi if any, live batch dirs). */
-  private def segments(spark: SparkSession,
-                       statsPath: String): (Option[(Long, String)], Seq[String]) = {
-    val p = new org.apache.hadoop.fs.Path(statsPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return (None, Nil)
-    val dirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-    val compacts = dirs.flatMap(d => d.getName match {
-      case CompactDir(hi) => Some(hi.toLong -> d.toString)
-      case _ => None
-    })
-    val newest = compacts.sortBy(-_._1).headOption
-    val hi = newest.map(_._1).getOrElse(-1L)
-    // a batch dir covered by the compacted segment is EXCLUDED even if a
-    // crashed compactor failed to delete it — additive partials would
-    // otherwise double-count (contrast the block-scrub ledger, whose
-    // seen-set semantics make leftovers harmless)
-    val live = dirs.flatMap(d => d.getName match {
-      case BatchDir(id) if id.toLong > hi => Some(d.toString)
-      case _ => None
-    })
-    (newest, live.toSeq)
-  }
-
   /** Merge-on-read: the current view = the newest compacted segment plus
     * every batch segment it does not cover.
     */
-  def readStats(spark: SparkSession, statsPath: String): DataFrame = {
-    val (compact, live) = segments(spark, statsPath)
-    val paths = compact.map(_._2).toSeq ++ live
-    TextAnalysis.finalizeStats(spark.read.parquet(paths: _*))
-  }
+  def readStats(spark: SparkSession, statsPath: String): DataFrame =
+    TextAnalysis.finalizeStats(SegmentStore.readPartials(spark, statsPath))
 
-  /** Fold the newest compacted segment and every live batch segment into
-    * ONE `compact_<hi>` segment (hi = highest covered batch id), then
-    * best-effort delete the covered dirs. EXACT: partials are integer
-    * sums, so folding changes no read (spec-pinned across the fold and
-    * across a simulated crash that leaves covered dirs behind). Run as
-    * maintenance with no active maintainer — the one-writer contract;
-    * readers are safe either way because covered ids are excluded by
-    * name, so the delete is never load-bearing.
+  /** Fold segments into ONE compacted segment EXACTLY (integer sums —
+    * spec-pinned across the fold and across a simulated compactor crash).
     */
-  def compactStats(spark: SparkSession, statsPath: String): Unit = {
-    val (compact, live) = segments(spark, statsPath)
-    if (live.isEmpty) return
-    val hi = live.map { d =>
-      new org.apache.hadoop.fs.Path(d).getName match {
-        case BatchDir(id) => id.toLong
-      }
-    }.max
-    val inputs = compact.map(_._2).toSeq ++ live
-    TextAnalysis.mergeStatsPartials(spark.read.parquet(inputs: _*))
-      .write.mode("overwrite").parquet(s"$statsPath/compact_$hi")
-    val fs = new org.apache.hadoop.fs.Path(statsPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    inputs.foreach(d =>
-      fs.delete(new org.apache.hadoop.fs.Path(d), true))
-  }
+  def compactStats(spark: SparkSession, statsPath: String): Unit =
+    SegmentStore.compact(spark, statsPath, TextAnalysis.mergeStatsPartials)
 }

@@ -133,6 +133,38 @@ class HllSpec extends SparkSpec {
     assert(got == want, s"got $got want $want")
   }
 
+  test("streaming maintainer: merge-on-read equals direct; cross-id replay absorbed") {
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("hllstream").toString
+    val d = Tables.load(spark, dir, "documents")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("occupied"), r.getAs[Long]("z_int"),
+          r.getAs[Double]("est_distinct"))).toMap
+    d.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(s"$tmp/in")
+    graft.streaming.StreamingHll.run(spark, s"$tmp/in", d.schema,
+      s"$tmp/hll", s"$tmp/ckpt").awaitTermination()
+    d.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(s"$tmp/in")
+    graft.streaming.StreamingHll.run(spark, s"$tmp/in", d.schema,
+      s"$tmp/hll", s"$tmp/ckpt").awaitTermination()
+    val direct = collect(TextAnalysis.finalizeHll(TextAnalysis.hllPartials(d)))
+    assert(collect(graft.streaming.StreamingHll
+      .readEstimates(spark, s"$tmp/hll")) == direct,
+      "merge-on-read view drifted from direct")
+    // max is IDEMPOTENT: a batch re-delivered under a NEW id — the
+    // failure the sum-based stats view cannot absorb — changes nothing
+    TextAnalysis.hllPartials(d.filter(col("doc_id") % 2 === 0))
+      .write.mode("overwrite").parquet(s"$tmp/hll/batch_7")
+    assert(collect(graft.streaming.StreamingHll
+      .readEstimates(spark, s"$tmp/hll")) == direct,
+      "cross-id replay moved a register")
+    // compaction folds registers exactly; the view does not move
+    graft.streaming.StreamingHll.compactRegisters(spark, s"$tmp/hll")
+    assert(collect(graft.streaming.StreamingHll
+      .readEstimates(spark, s"$tmp/hll")) == direct,
+      "compaction changed the view")
+  }
+
   test("q154 serves the identical estimate from the stored base") {
     val dir = "/root/testdata/sf0.001"
     val inline = TextAnalysis.queries("q153_hll_sketch")(spark, dir)
