@@ -1294,6 +1294,67 @@ object Similarity {
     clusterPruneJoined(m, clusterVerdicts(m))
   }
 
+  /** Lloyd iteration dials for q156: k seeds, L full assign→update
+    * rounds before the output assignment.
+    */
+  val LLOYD_K = 8
+  val LLOYD_ROUNDS = 3
+
+  /** Multi-round Lloyd k-means (q156) — the ITERATIVE training loop the
+    * one-update queries (q57's IVF train, q124's prototypes) stop short
+    * of: [[LLOYD_ROUNDS]] full assign→update rounds from the
+    * deterministic lowest-id seeds, then the assignment against the
+    * final centroids. Every round's state is the k×dim centroid table —
+    * BOUNDED driver memory at any corpus size — and every round's
+    * corpus-side work is ONE pure-map argmin (broadcast centroids baked
+    * into the kernel closure) feeding ONE map-side-combinable aggregate
+    * of micro-unit integer sums; nothing corpus-sized ever shuffles
+    * twice per round, and rounds are a FIXED count, not a convergence
+    * test (the 100 TB discipline: plan shape must not depend on data).
+    *
+    * Determinism: dist2 rounds to 6 before each argmin (ties to the
+    * lower centroid id — the q72 kernel, shared), centroid means are
+    * exact 64-bit micro-unit sums divided once and rounded once
+    * ([[round6]], the q124 prototype convention), and a cluster that
+    * goes empty keeps its previous centroid. The oracle unrolls the
+    * identical rounds in SQL, so the hash match certifies the whole
+    * TRAJECTORY — seeds, every intermediate assignment, every update —
+    * not just the final partition.
+    */
+  def q156LloydIterate(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.CacheScope.cache(emb(spark, dir))
+    val cents = lloydCentroids(e, LLOYD_K, LLOYD_ROUNDS)
+    e.withColumn("a", nearestSeedU(cents)(col("embedding")))
+      .select(col("vec_id"), col("a._1").as("cluster"), col("a._2").as("dist2"))
+  }
+
+  /** The Lloyd trajectory: `rounds` assign→update steps from the
+    * lowest-id seeds; a cluster that goes empty keeps its previous
+    * centroid. Exposed for specs to drive constructed geometries through
+    * the exact production arithmetic.
+    */
+  private[graft] def lloydCentroids(e: DataFrame, k: Int,
+                                    rounds: Int): Array[(Long, Array[Double])] = {
+    var cents = lowestIdSeeds(e, k)
+    val dim = cents.head._2.length
+    val sumCols = count(lit(1)).as("n") +: (0 until dim).map(i =>
+      sum(round(element_at(col("embedding"), i + 1).cast("double") * 1e6, 0)
+        .cast("long")).as(s"s$i"))
+    for (_ <- 1 to rounds) {
+      val updated = e
+        .groupBy(nearestSeedU(cents)(col("embedding")).getField("_1").as("cid"))
+        .agg(sumCols.head, sumCols.tail: _*)
+        .collect() // ≤ k rows of dim+2 values — bounded driver state
+        .map { r =>
+          val n = r.getLong(1)
+          (r.getLong(0),
+            Array.tabulate(dim)(i => round6(r.getLong(i + 2).toDouble / n / 1e6)))
+        }.toMap
+      cents = cents.map { case (id, old) => (id, updated.getOrElse(id, old)) }
+    }
+    cents
+  }
+
   /** (doc_id, cluster, score) under a given seed table — q88's quality
     * score per doc + q72's assignment, id-keyed join. ONE definition for
     * the inline query, the index build's verdict pass, and serving.
@@ -1473,6 +1534,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_cosine_knn" -> q48CosineKnn,
+    "q156_lloyd_iterate" -> q156LloydIterate,
     "q112_hard_negatives" -> q112HardNegatives,
     "q148_margin_mining" -> q148MarginMining,
     "q87_semantic_dedup" -> q87SemanticDedup,
@@ -2062,6 +2124,46 @@ object Similarity {
         |  FROM d) WHERE rn = 1""".stripMargin,
     // q72's assignment + the q88 quality score joined doc-to-vec, cluster
     // means in exact micro-units, the 2 lowest-mean clusters pruned
+    // the Lloyd rounds unroll mechanically — seeds (the `vec_id < k`
+    // contiguous-id shorthand, same note as clusterPruneOracleSql),
+    // per-round argmin + micro-unit mean + empty-cluster carry-over, then
+    // the final assignment; every dial interpolates
+    "q156_lloyd_iterate" -> {
+      val rounds = (1 to LLOYD_ROUNDS).map { r =>
+        s"""d$r AS (
+          |  SELECT ex.vec_id, c.c_id,
+          |    round(sum((ex.v - c.v) * (ex.v - c.v)), 6) AS d
+          |  FROM ex JOIN c${r - 1} c ON c.pos = ex.pos
+          |  GROUP BY 1, 2),
+          |a$r AS (SELECT vec_id, c_id FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY vec_id
+          |      ORDER BY d, c_id) AS rn
+          |    FROM d$r) WHERE rn = 1),
+          |m$r AS (
+          |  SELECT a.c_id, ex.pos,
+          |    round(sum(CAST(round(ex.v * 1e6, 0) AS BIGINT))
+          |      / count(*) / 1e6, 6) AS v
+          |  FROM a$r a JOIN ex ON ex.vec_id = a.vec_id
+          |  GROUP BY 1, 2),
+          |c$r AS (
+          |  SELECT c_id, pos, v FROM m$r
+          |  UNION ALL
+          |  SELECT c.c_id, c.pos, c.v FROM c${r - 1} c
+          |  WHERE c.c_id NOT IN (SELECT c_id FROM m$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $longFormCte,
+        |c0 AS (SELECT vec_id AS c_id, pos, v FROM ex WHERE vec_id < $LLOYD_K),
+        |$rounds,
+        |df AS (
+        |  SELECT ex.vec_id, c.c_id,
+        |    round(sum((ex.v - c.v) * (ex.v - c.v)), 6) AS d
+        |  FROM ex JOIN c$LLOYD_ROUNDS c ON c.pos = ex.pos
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, c_id AS cluster, d AS dist2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d, c_id) AS rn
+        |  FROM df) WHERE rn = 1""".stripMargin
+    },
     "q114_cluster_prune" -> clusterPruneOracleSql,
     // the index path serves the SAME answer from stored centroids +
     // verdicts — one oracle serves both, certifying the round trip
