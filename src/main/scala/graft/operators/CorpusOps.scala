@@ -1059,6 +1059,38 @@ object CorpusOps {
         col("alloc_tokens"), col("epochs"))
   }
 
+  /** Temperature-scaled mixture weights (q157; the multilingual-sampling
+    * law of XLM/mBERT — Conneau & Lample 2019 — and T5's mixing knob):
+    * p_s ∝ n_s^α flattens the source-size distribution so small domains
+    * are up-sampled and giants down-sampled. α is FIXED at 1/2
+    * deliberately: n^(1/2) is `sqrt`, the one power IEEE 754 requires
+    * correctly rounded — bit-identical on any engine — where a general
+    * `pow(n, 0.3)` is not and would put the whole weight column at the
+    * mercy of two libms. sqrt(n_s) rounds once to micro-units, the
+    * normalizer is an exact 64-bit sum (q116's softmax discipline), and
+    * every emitted ratio is one division of exact operands.
+    *
+    * Scale shape: ONE map-side-combined per-source token count — the only
+    * corpus-wide work — then all mixture math happens on the
+    * #sources-row frame with the normalizer broadcast back (no window
+    * over the corpus, no second pass). The output pairs with q134: these
+    * weights are what Hamilton apportionment turns into integer quotas.
+    */
+  def q157TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.CacheScope.cache(docs(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("n_s"))
+      .withColumn("_sm", round(sqrt(col("n_s")) * 1e6, 0).cast("long")))
+    val z = counts.agg(sum(col("_sm")).as("z"), sum(col("n_s")).as("total"))
+    counts.crossJoin(broadcast(z))
+      .select(col("source"), col("n_s"),
+        round(col("n_s") / col("total"), 6).as("p_raw"),
+        round(col("_sm") / col("z"), 6).as("weight"),
+        // the resampling factor a loader applies: >1 up-samples the tail
+        round(col("_sm") / col("z") / (col("n_s") / col("total")), 6)
+          .as("sample_factor"))
+  }
+
   /** CCNet-style perplexity bucketing: train a bigram LM on the TARGET
     * slice only (`src0` — the Wikipedia stand-in), score every raw
     * document by mean negative log-likelihood under it, and split the
@@ -1717,6 +1749,7 @@ object CorpusOps {
     "q149_good_turing" -> q149GoodTuring,
     "q151_kneser_ney" -> q151KneserNey,
     "q155_pair_rank" -> q155PairRank,
+    "q157_temperature_mix" -> q157TemperatureMix,
     "q74_chunk_docs" -> q74ChunkDocs,
     "q75_temperature_mix" -> q75TemperatureMix,
     "q80_dataset_split" -> q80DatasetSplit,
@@ -1949,6 +1982,24 @@ object CorpusOps {
         |  r$PR_ITERS.r / 1e9 AS pr
         |FROM r$PR_ITERS JOIN deg USING (id)""".stripMargin
     },
+    "q157_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_s
+        |  FROM documents GROUP BY 1),
+        |s AS (
+        |  SELECT source, n_s,
+        |    CAST(round(sqrt(n_s) * 1e6, 0) AS BIGINT) AS sm
+        |  FROM c),
+        |z AS (
+        |  SELECT CAST(sum(sm) AS BIGINT) AS z,
+        |    CAST(sum(n_s) AS BIGINT) AS total
+        |  FROM s)
+        |SELECT source, n_s,
+        |  round(n_s / total, 6) AS p_raw,
+        |  round(sm / z, 6) AS weight,
+        |  round(sm / z / (n_s / total), 6) AS sample_factor
+        |FROM s CROSS JOIN z""".stripMargin,
     "q151_kneser_ney" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
