@@ -753,6 +753,62 @@ object TextAnalysis {
     finalizeHll(base.unionByName(delta))
   }
 
+  /** Count-Min dials: d hash rows × w buckets — 4096 integer cells of
+    * sketch state at ANY corpus size.
+    */
+  val CM_D = 4
+  val CM_W = 1024L
+
+  /** Count-Min frequency sketch with exact verify (q158; Cormode &
+    * Muthukrishnan 2005) — the third sketch algebra next to q133's
+    * Misra–Gries (candidates) and q153's HLL (cardinality): CM answers
+    * POINT frequency queries for any key with a one-sided error
+    * guarantee, est ≥ exact always, est ≤ exact + εN w.h.p. Counters
+    * are md5-salted ([[CM_D]] rows × [[CM_W]] buckets), so the sketch
+    * is engine-reproducible and MERGE-ABLE BY + (the q132 sum algebra —
+    * a distributed ingest can keep per-partition sketches and add
+    * them). The audit emits the head-100 and tail-100 tokens with
+    * exact vs estimated counts: the head shows near-zero error, the
+    * tail shows the collision overestimates the guarantee prices in.
+    *
+    * Keys are TRIGRAMS, not tokens — the fixture's token vocabulary is a
+    * fixed 31-word pool, which would leave every bucket collision-free
+    * and the guarantee untested; the ~16 k trigram types load the 1024
+    * buckets ~16 deep, so the emitted overestimates are REAL collisions
+    * the oracle hash-certifies.
+    *
+    * Scale shape: the ONLY corpus-sized work is the map-side-combined
+    * trigram count; the sketch builds from the TYPE table (explode ×d,
+    * one (j, bucket) aggregate down to d·w cells) and both query sets
+    * plan as TakeOrderedAndProject. All arithmetic is 64-bit integer —
+    * bit-exact on any engine and partitioning.
+    */
+  def q158CountMin(spark: SparkSession, dir: String): DataFrame = {
+    val tok = graft.CacheScope.cache(
+      triStream(docs(spark, dir))
+        .groupBy(col("tri")).agg(count(lit(1)).as("c")))
+    def buckets(df: DataFrame): DataFrame = df
+      .select(col("tri"), col("c"),
+        explode(sequence(lit(0), lit(CM_D - 1))).as("j"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(concat_ws(":", col("j"), col("tri"))), 1, 15),
+          16, 10).cast("long"), lit(CM_W)))
+    val counters = buckets(tok)
+      .groupBy(col("j"), col("bucket")).agg(sum(col("c")).as("cnt"))
+    val qset = graft.CacheScope.cache(
+      tok.orderBy(col("c").desc, col("tri")).limit(100)
+        .withColumn("which", lit("head"))
+        .unionByName(tok.orderBy(col("c").asc, col("tri")).limit(100)
+          .withColumn("which", lit("tail"))))
+    buckets(qset.select(col("tri"), col("c")).distinct())
+      .join(counters, Seq("j", "bucket"))
+      .groupBy(col("tri"), col("c"))
+      .agg(min(col("cnt")).as("c_est"))
+      .join(qset.select(col("tri"), col("which")), Seq("tri"))
+      .select(col("which"), col("tri"), col("c").as("c_exact"),
+        col("c_est"), (col("c_est") - col("c")).as("overestimate"))
+  }
+
   /** How many collocations q152 surfaces. */
   val G2_TOP = 50
 
@@ -831,6 +887,7 @@ object TextAnalysis {
     "q152_collocations" -> q152Collocations,
     "q150_distinct_sketch" -> q150DistinctSketch,
     "q153_hll_sketch" -> q153HllSketch,
+    "q158_count_min" -> q158CountMin,
     "q154_hll_maintenance" -> q154HllMaintenance,
     "q125_tokenizer_fertility" -> q125TokenizerFertility,
     "q128_vocab_growth" -> q128VocabGrowth,
@@ -919,6 +976,38 @@ object TextAnalysis {
     // the exact audit column) and q154 (served from the stored base ⊕
     // delta) — the q154 hash match against the FULL-corpus SQL is the
     // max-merge law itself
+    "q158_count_min" ->
+      s"""WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) > 2),
+        |tok AS (
+        |  SELECT tri, count(*) AS c FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS tri
+        |    FROM t)
+        |  GROUP BY 1),
+        |cells AS (
+        |  SELECT tri, c, g.j,
+        |    ('0x' || substr(md5(CAST(g.j AS VARCHAR) || ':' || tri), 1, 15))
+        |      ::BIGINT % $CM_W AS bucket
+        |  FROM tok, generate_series(0, ${CM_D - 1}) g(j)),
+        |counters AS (
+        |  SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM cells GROUP BY 1, 2),
+        |q AS (
+        |  SELECT 'head' AS which, tri FROM
+        |    (SELECT tri FROM tok ORDER BY c DESC, tri LIMIT 100)
+        |  UNION ALL
+        |  SELECT 'tail', tri FROM
+        |    (SELECT tri FROM tok ORDER BY c ASC, tri LIMIT 100)),
+        |est AS (
+        |  SELECT ce.tri, ce.c, min(co.cnt) AS c_est
+        |  FROM cells ce JOIN counters co USING (j, bucket)
+        |  WHERE ce.tri IN (SELECT tri FROM q)
+        |  GROUP BY 1, 2)
+        |SELECT q.which, q.tri, e.c AS c_exact, e.c_est,
+        |  e.c_est - e.c AS overestimate
+        |FROM q JOIN est e USING (tri)""".stripMargin,
     "q153_hll_sketch" ->
       s"""WITH $hllCtes,
         |ex AS (
