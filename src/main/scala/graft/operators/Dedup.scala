@@ -178,6 +178,64 @@ object Dedup {
     ngramVerify(ngramCandidates(sh), sh)
   }
 
+  /** Containment dials: shingles in more than EXC_DF_CAP docs generate
+    * no candidate pairs (boilerplate is not evidence of excerpting — and
+    * it is exactly what would make the shingle self-join quadratic);
+    * pairs must share at least EXC_MIN_SHARED rare shingles to reach the
+    * verify stage.
+    */
+  val EXC_DF_CAP = 10
+  val EXC_MIN_SHARED = 3
+
+  /** Excerpt detection by shingle CONTAINMENT (q159) — the asymmetric
+    * dedup modality the resemblance family (q45/q46/q47) structurally
+    * misses: a 30-shingle quote inside a 300-shingle article has
+    * Jaccard ≈ 0.1, so minhash bands essentially never collide, yet its
+    * containment inter/min(|A|,|B|) is ≈ 1 (Broder 1997 distinguishes
+    * exactly these two measures). Candidates come from an EXACT
+    * df-capped shingle self-join — per-shingle fan-out is bounded by
+    * C([[EXC_DF_CAP]], 2) pairs, so hot boilerplate shingles cannot
+    * blow the join up — and the verify computes exact intersection on
+    * the in-row shingle sets (the q45 ngramVerify shape, id-keyed).
+    * Both verdicts are INTEGER-space comparisons (5·inter ≥ 4·min for
+    * containment ≥ 0.8; 2·inter < |A|+|B|−inter for Jaccard < 0.5 — the
+    * `excerpt` flag separating quotes from plain near-dups), so no
+    * division can flip a verdict; the emitted ratios are single IEEE
+    * divisions of exact integers, bit-identical cross-engine.
+    *
+    * Scale shape: the df aggregate and the capped self-join are
+    * shingle-keyed with map-side partials; pair volume is
+    * ≤ 45·#shingles by the cap; the verify joins are id-keyed against
+    * the in-row sets, so no shingle-level frame survives past the
+    * candidate stage.
+    */
+  def q159ExcerptContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.CacheScope.cache(
+      shingleArrays(spark, dir).select(col("doc_id"), col("shingles")))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val rare = graft.CacheScope.cache(ex.join(
+      ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= EXC_DF_CAP),
+      Seq("shingle")).select(col("shingle"), col("doc_id")))
+    val cand = rare.select(col("shingle"), col("doc_id").as("a_id"))
+      .join(rare.select(col("shingle"), col("doc_id").as("b_id")), Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("shared_rare"))
+      .filter(col("shared_rare") >= EXC_MIN_SHARED)
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sh_a")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), Seq("b_id"))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
+      .withColumn("n_b", size(col("sh_b")).cast("long"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(lit(5) * col("inter") >= lit(4) * least(col("n_a"), col("n_b")))
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"), col("inter"),
+        (col("inter") / least(col("n_a"), col("n_b"))).as("containment"),
+        (col("inter") / (col("n_a") + col("n_b") - col("inter"))).as("jaccard"),
+        (lit(2) * col("inter") < col("n_a") + col("n_b") - col("inter"))
+          .as("excerpt"))
+  }
+
   /** THE word-3-gram shingle definition — one Column-level helper shared
     * by batch ([[shingleArrays]]) and streaming (`StreamingDedup
     * .runNearDup`), so the two surfaces can never drift apart on
@@ -1025,7 +1083,8 @@ object Dedup {
     "q77_canonical_best" -> q77CanonicalBest,
     "q78_winnow_fingerprint" -> q78WinnowFingerprint,
     "q79_incremental_dedup" -> q79IncrementalDedup,
-    "q81_incremental_index" -> q81IncrementalIndex)
+    "q81_incremental_index" -> q81IncrementalIndex,
+    "q159_excerpt_containment" -> q159ExcerptContainment)
 
   /** The simhash-edge + min-label reachability CTE chain (th → reach) —
     * ONE definition shared by the q58, q77 and q129 oracles (usage:
@@ -1146,6 +1205,32 @@ object Dedup {
       |LEFT JOIN best ON best.a_id = d.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // shared shingle CTEs + the df-capped exact candidate join; both
+    // verdicts stated in the same integer space; dials interpolate
+    "q159_excerpt_containment" ->
+      s"""WITH $shingleCte,
+        |sdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        |rare AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN sdf USING (shingle)
+        |  WHERE df <= $EXC_DF_CAP),
+        |cand AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS shared_rare
+        |  FROM rare x JOIN rare y ON y.shingle = x.shingle
+        |    AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= $EXC_MIN_SHARED),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |ii AS (
+        |  SELECT a_id, b_id, count(*) AS inter FROM cand
+        |  JOIN sh sa ON sa.doc_id = a_id
+        |  JOIN sh sb ON sb.doc_id = b_id AND sb.shingle = sa.shingle
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, na.n AS n_a, nb.n AS n_b, inter,
+        |  inter / least(na.n, nb.n) AS containment,
+        |  inter / (na.n + nb.n - inter) AS jaccard,
+        |  (2 * inter < na.n + nb.n - inter) AS excerpt
+        |FROM ii JOIN sizes na ON na.doc_id = a_id
+        |  JOIN sizes nb ON nb.doc_id = b_id
+        |WHERE 5 * inter >= 4 * least(na.n, nb.n)""".stripMargin,
     "q66_dedup_pipeline" ->
       s"""WITH RECURSIVE $shingleCte,
         |sig AS (
