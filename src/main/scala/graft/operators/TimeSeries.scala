@@ -520,7 +520,57 @@ object TimeSeries {
     outliersAgainstBounds(e, loadOutlierBounds(spark, path))
   }
 
+  /** ACF lags emitted by q160. */
+  val ACF_LAGS = 5
+
+  /** Per-user autocorrelation function at lags 1..[[ACF_LAGS]] (q160) —
+    * the memory statistic next to q34's variogram and q31's Abbe value:
+    * r_k = Σ(x_i−x̄)(x_{i+k}−x̄) / Σ(x_i−x̄)², the quantity an AR-model
+    * screen or a correlated-noise test starts from (flickering stars
+    * have long-memory curves; measurement noise has r_k ≈ 0).
+    *
+    * Exactness: values convert to micro-unit longs once; the mean is
+    * kept RATIONAL by multiplying through by n² — each factor
+    * (n·v_i − S) is an exact long, products/sums accumulate in
+    * DECIMAL(38,0) (overflow-checked, order-independent), and r_k is
+    * ONE double division of the two exact integers, so every emitted
+    * value is bit-identical on any engine and partitioning. A constant
+    * curve (den = 0) emits NULL, not NaN.
+    *
+    * Scale shape: one user-keyed window (all [[ACF_LAGS]] leads in the
+    * SAME pass — one sort), one map-side-combinable aggregate per user,
+    * then a bounded 5-row unpivot per user via stack. The 100 TB axis
+    * is users; nothing beyond the per-user sort ever exchanges.
+    */
+  def q160Acf(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(byTs: _*)
+    val wAll = Window.partitionBy(col("user_id"))
+    val base = ev(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 1e6, 0).cast("long").as("v"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("s", sum(col("v")).over(wAll))
+      .withColumn("c", (col("n") * col("v") - col("s")).cast("decimal(38,0)"))
+    val leads = (1 to ACF_LAGS).foldLeft(base) { (df, k) =>
+      df.withColumn(s"c$k", lead(col("c"), k).over(w))
+    }
+    val aggCols = count(lit(1)).as("n_events") +:
+      sum(col("c") * col("c")).as("den") +:
+      (1 to ACF_LAGS).map(k => sum(col("c") * col(s"c$k")).as(s"num$k"))
+    val agg = leads.groupBy(col("user_id")).agg(aggCols.head, aggCols.tail: _*)
+    agg.select(col("user_id"), col("n_events"),
+      expr(s"stack($ACF_LAGS, " +
+        (1 to ACF_LAGS).map(k => s"$k, num$k").mkString(", ") +
+        ") AS (lag, num)"), col("den"))
+      .filter(col("n_events") > col("lag")) // a lag needs at least one pair
+      .select(col("user_id"), col("n_events"), col("lag").cast("int").as("lag"),
+        when(col("den") =!= 0,
+          col("num").cast("double") / col("den").cast("double"))
+          .as("r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_acf" -> q160Acf,
     "q136_robust_outliers" -> q136RobustOutliers,
     "q137_period_search" -> q137PeriodSearch,
     "q138_outlier_index" -> q138OutlierIndex,
@@ -587,6 +637,43 @@ object TimeSeries {
       |  FROM sl)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the rational-mean trick: every factor (n·v − S) is an exact long,
+    // sums accumulate in HUGEINT (Spark side: DECIMAL(38,0)), r is ONE
+    // division of the two exact integers
+    "q160_acf" -> {
+      val leadCols = (1 to ACF_LAGS).map(k =>
+        s"lead(c, $k) OVER w AS c$k").mkString(",\n        |    ")
+      val numCols = (1 to ACF_LAGS).map(k =>
+        s"sum(c * c$k) AS num$k").mkString(",\n        |    ")
+      val unpivot = (1 to ACF_LAGS).map(k =>
+        s"SELECT user_id, n_events, $k AS lag, num$k AS num, den FROM a")
+        .mkString("\n        |  UNION ALL ")
+      s"""WITH b AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 1e6, 0) AS BIGINT) AS v
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, ts, event_id, v,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    CAST(sum(v) OVER (PARTITION BY user_id) AS BIGINT) AS s
+        |  FROM b),
+        |cc AS (
+        |  SELECT user_id, c,
+        |    $leadCols
+        |  FROM (SELECT *, CAST(n * v - s AS HUGEINT) AS c FROM st)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    sum(c * c) AS den,
+        |    $numCols
+        |  FROM cc GROUP BY 1),
+        |u AS (
+        |  $unpivot)
+        |SELECT user_id, n_events, CAST(lag AS INT) AS lag,
+        |  CASE WHEN den != 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |  END AS r
+        |FROM u WHERE n_events > lag""".stripMargin
+    },
     "q137_period_search" ->
       s"""WITH $periodCtes
         |SELECT b.user_id, n.n_points, b.period AS best_period,
