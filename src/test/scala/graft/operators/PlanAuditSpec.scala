@@ -288,6 +288,54 @@ class PlanAuditSpec extends SparkSpec {
       "q143's top-k lost its TakeOrdered shape:\n" + p)
   }
 
+  test("q153/q154: the register path never builds a type table") {
+    // HLL's whole scale claim is that registers come from the OCCURRENCE
+    // stream: no distinct and no (source, tri) aggregate may appear in
+    // the serve half (q154 reads stored registers + delta partials). The
+    // inline q153 carries the exact-audit column, so only q154 is the
+    // honest register-path probe.
+    val p = plan(TextAnalysis.queries("q154_hll_maintenance")(spark, dir))
+    // no aggregate may key on the trigram column (tri#N in a Keys list)
+    // and no distinct operator may appear — registers aggregate (source,
+    // idx) straight off the occurrence stream
+    assert(!p.split('\n').exists(l => l.contains("Keys") && l.contains("tri#")),
+      "register maintenance gained a trigram-keyed aggregate:\n" + p)
+    assert(!p.contains("count(distinct"),
+      "register maintenance gained a distinct pass:\n" + p)
+    assert(p.contains("partial"),
+      "register max-merge lost map-side partials:\n" + p)
+  }
+
+  test("q158: both audit query sets compile to TakeOrderedAndProject") {
+    val p = plan(TextAnalysis.queries("q158_count_min")(spark, dir))
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      "head/tail query sets lost their TakeOrdered shape:\n" + p)
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("q159: candidates stay a shingle equi-join, never corpus x corpus") {
+    val p = plan(Dedup.queries("q159_excerpt_containment")(spark, dir))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      "containment candidates regressed to a pairwise comparison:\n" + p)
+  }
+
+  test("q160: all five lags ride ONE window pass (one per-user sort)") {
+    val p = plan(TimeSeries.queries("q160_acf")(spark, dir))
+    // one Window operator computes every lead; a per-lag window would
+    // multiply the user-keyed sort by ACF_LAGS
+    assert("\\bWindow \\[".r.findAllIn(p).size <= 2, // leads + n/s counts
+      "lags split into separate window passes:\n" + p)
+  }
+
+  test("q151: both Zipfian marginal joins keep map-side partial aggs") {
+    val p = plan(CorpusOps.queries("q151_kneser_ney")(spark, dir))
+    assert(p.contains("partial"), p)
+    // the 1-row type-count attach is a deliberate broadcast NLJ (the q73
+    // scalar shape); only a true Cartesian is a regression
+    assert(!p.contains("CartesianProduct"),
+      "the bigram scoring path gained a pairwise join:\n" + p)
+  }
+
   test("q104: the composed build keeps every stage's audited shape") {
     val p = plan(graft.CorpusBuild.queries("q104_corpus_build")(spark, dir))
     // no stage may regress to a pairwise comparison, and the shard
