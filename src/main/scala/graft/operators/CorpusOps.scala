@@ -1059,6 +1059,53 @@ object CorpusOps {
         col("alloc_tokens"), col("epochs"))
   }
 
+  /** Source-confusion matrix (q161): cross-entropy of every source's
+    * unigram distribution under every other source's add-1-smoothed
+    * unigram LM — H(p_s, q_t) = −Σ_w p_s(w)·ln q_t(w) — the
+    * domain-similarity matrix a mixing policy (q107/q116/q157) consults
+    * before merging or reweighting domains, and the distribution-level
+    * sibling of q121's near-dup mirror matrix. Gibbs' inequality puts
+    * the diagonal at (essentially) each row's minimum; a far-off-diagonal
+    * cell is a domain the target LM finds alien.
+    *
+    * Determinism: each term is c_s(w) · ln((n_t + V)/(c_t(w) + 1)) — the
+    * ln of a ratio of exact integers in RATIO form (the q152 discipline),
+    * micro-rounded per TERM and summed as 64-bit integers weighted by
+    * exact counts, so H is partitioning-independent; the final mean is
+    * one division.
+    *
+    * Scale shape: per-(source, token) counts aggregate map-side (the
+    * only corpus-sized exchange); the matrix build is a token-keyed
+    * LEFT join of that vocab-sized frame against its per-target twin —
+    * (s, t, w) rows ≤ m²·V with m config-bounded — and the result is an
+    * m²-row frame. Absent (s-token, t) cells smooth to count 0 (add-1)
+    * through the join's null.
+    */
+  def q161SourceConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.CacheScope.cache(docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
+    val totals = graft.CacheScope.cache(counts.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_s")))
+    val vocab = counts.select(col("w")).distinct().count() // bounded scalar
+    val cells = counts
+      .select(col("source").as("s"), col("w"), col("c").as("c_s"))
+      .join(totals.select(col("source").as("s"), col("n_s")), Seq("s"))
+      // m target rows per s-token row — the config-bounded fan-out
+      .crossJoin(broadcast(
+        totals.select(col("source").as("t"), col("n_s").as("n_t"))))
+      .join(counts.select(col("source").as("t"), col("w"),
+        col("c").as("c_t")), Seq("t", "w"), "left")
+      .withColumn("_term",
+        col("c_s") * round(log((col("n_t") + lit(vocab)).cast("double") /
+          (coalesce(col("c_t"), lit(0L)) + 1).cast("double")) * 1e6, 0).cast("long"))
+    cells.groupBy(col("s").as("source_a"), col("t").as("source_b"),
+      col("n_s"))
+      .agg(sum(col("_term")).as("_hm"))
+      .select(col("source_a"), col("source_b"),
+        round(col("_hm") / col("n_s") / 1e6, 6).as("cross_entropy"))
+  }
+
   /** Temperature-scaled mixture weights (q157; the multilingual-sampling
     * law of XLM/mBERT — Conneau & Lample 2019 — and T5's mixing knob):
     * p_s ∝ n_s^α flattens the source-size distribution so small domains
@@ -1763,6 +1810,7 @@ object CorpusOps {
     "q151_kneser_ney" -> q151KneserNey,
     "q155_pair_rank" -> q155PairRank,
     "q157_temperature_mix" -> q157TemperatureMix,
+    "q161_source_confusion" -> q161SourceConfusion,
     "q74_chunk_docs" -> q74ChunkDocs,
     "q75_temperature_mix" -> q75TemperatureMix,
     "q80_dataset_split" -> q80DatasetSplit,
@@ -1995,6 +2043,28 @@ object CorpusOps {
         |  r$PR_ITERS.r / 1e9 AS pr
         |FROM r$PR_ITERS JOIN deg USING (id)""".stripMargin
     },
+    "q161_source_confusion" ->
+      """WITH cnt AS (
+        |  SELECT source, w, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM cnt GROUP BY 1),
+        |voc AS (SELECT count(DISTINCT w) AS v FROM cnt),
+        |cells AS (
+        |  SELECT s.source AS source_a, t.source AS source_b, st.n_s,
+        |    s.c * CAST(round(ln(CAST(t.n_s + voc.v AS DOUBLE)
+        |      / CAST(coalesce(ct.c, 0) + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+        |      AS term
+        |  FROM cnt s
+        |  JOIN tot st ON st.source = s.source
+        |  CROSS JOIN tot t
+        |  CROSS JOIN voc
+        |  LEFT JOIN cnt ct ON ct.source = t.source AND ct.w = s.w)
+        |SELECT source_a, source_b,
+        |  round(sum(term) / n_s / 1e6, 6) AS cross_entropy
+        |FROM cells GROUP BY source_a, source_b, n_s""".stripMargin,
     "q157_temperature_mix" ->
       """WITH c AS (
         |  SELECT source,
