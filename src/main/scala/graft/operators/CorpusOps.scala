@@ -1059,6 +1059,48 @@ object CorpusOps {
         col("alloc_tokens"), col("epochs"))
   }
 
+  /** Zipf head depth for q162 — the power law lives in the frequency
+    * head; a bounded rank cut keeps the fit frame rank-bounded at any
+    * vocabulary.
+    */
+  val ZIPF_TOP = 256
+
+  /** Zipf-slope naturalness audit (q162): per source, the least-squares
+    * slope of ln(freq) on ln(rank) over the top-[[ZIPF_TOP]] tokens —
+    * natural language sits near −1 (Zipf 1949); machine-generated or
+    * template text flattens toward 0, and THIS fixture's synthetic
+    * 31-token pool measures exactly that flattening (the audit flagging
+    * its own test data as synthetic is the demonstration). Ranks come
+    * from the shared two-phase take, NEVER a vocabulary-wide per-source
+    * window; ln(rank) and ln(count) are ln of exact integers
+    * micro-rounded once, and the slope is
+    * (n·Σxy − Σx·Σy)/(n·Σx² − Σx²) over DECIMAL(38,0) sums of exact
+    * longs (the q160 rational discipline) — ONE double division at the
+    * end, bit-identical on any engine and partitioning.
+    */
+  def q162ZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val ranked = Ranked.twoPhaseTopK(counts, Seq(col("source")),
+      Seq(col("c").desc, col("w")), lit(ZIPF_TOP))
+    val xy = ranked
+      .withColumn("x", round(log(col("rk").cast("double")) * 1e6, 0)
+        .cast("long").cast("decimal(38,0)"))
+      .withColumn("y", round(log(col("c").cast("double")) * 1e6, 0)
+        .cast("long").cast("decimal(38,0)"))
+    xy.groupBy(col("source"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n").cast("long").as("n_ranks"),
+        when(col("n") * col("sxx") =!= col("sx") * col("sx"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+          .as("zipf_slope"))
+  }
+
   /** Source-confusion matrix (q161): cross-entropy of every source's
     * unigram distribution under every other source's add-1-smoothed
     * unigram LM — H(p_s, q_t) = −Σ_w p_s(w)·ln q_t(w) — the
@@ -1811,6 +1853,7 @@ object CorpusOps {
     "q155_pair_rank" -> q155PairRank,
     "q157_temperature_mix" -> q157TemperatureMix,
     "q161_source_confusion" -> q161SourceConfusion,
+    "q162_zipf_slope" -> q162ZipfSlope,
     "q74_chunk_docs" -> q74ChunkDocs,
     "q75_temperature_mix" -> q75TemperatureMix,
     "q80_dataset_split" -> q80DatasetSplit,
@@ -2043,6 +2086,31 @@ object CorpusOps {
         |  r$PR_ITERS.r / 1e9 AS pr
         |FROM r$PR_ITERS JOIN deg USING (id)""".stripMargin
     },
+    "q162_zipf_slope" ->
+      s"""WITH cnt AS (
+        |  SELECT source, w, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT source, c,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rk
+        |  FROM cnt),
+        |h AS (
+        |  SELECT source,
+        |    CAST(round(ln(CAST(rk AS DOUBLE)) * 1e6, 0) AS HUGEINT) AS x,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS HUGEINT) AS y
+        |  FROM rk WHERE rk <= $ZIPF_TOP),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM h GROUP BY 1)
+        |SELECT source, CAST(n AS BIGINT) AS n_ranks,
+        |  CASE WHEN n * sxx != sx * sx THEN
+        |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |  END AS zipf_slope
+        |FROM a""".stripMargin,
     "q161_source_confusion" ->
       """WITH cnt AS (
         |  SELECT source, w, count(*) AS c FROM (
