@@ -502,8 +502,10 @@ object CorpusOps {
     * on either side of the bigram).
     */
   def q151KneserNey(spark: SparkSession, dir: String): DataFrame = {
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    // cached (q73's discipline): the bigram TYPE aggregate and the
+    // doc-bigram probe stream both re-run the scan + tokenize otherwise
+    val toks = graft.CacheScope.cache(docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens")))
     val docBigrams = toks
       .filter(size(col("tokens")) > 1)
       .select(col("doc_id"), posexplode(expr(
