@@ -1532,8 +1532,54 @@ object Similarity {
         (col("_dm") * col("n_vecs") < col("_dms")).as("pruned"))
   }
 
+  /** Labels per cluster emitted by q163. */
+  val CTFIDF_TOP = 5
+
+  /** c-TF-IDF cluster labeling (q163; the BERTopic class-TF-IDF,
+    * Grootendorst 2022): treat each embedding cluster (q72's shared
+    * assignment) as ONE class document; a token's label score is
+    * tf_{t,c} · ln(1 + A/f_t) with A the average tokens per class and
+    * f_t the token's corpus frequency — frequent-in-cluster but
+    * corpus-rare tokens name the cluster. The top-[[CTFIDF_TOP]] tokens
+    * per cluster are the human-readable face of every cluster-keyed
+    * operator (q86's samples, q114's prune verdicts).
+    *
+    * Determinism: ln(1 + A/f_t) = ln((k·f_t + T)/(k·f_t)) — the q152
+    * ratio form over exact integers — micro-rounded ONCE and multiplied
+    * by the exact tf, so scores are 64-bit integers; ranking is the
+    * shared two-phase take ordered (score desc, token).
+    *
+    * Scale shape: the (cluster, token) aggregate is the only
+    * corpus-sized exchange (map-side partials; the assignment join is
+    * id-keyed against q72's pure-map output); f_t and the total are
+    * aggregates OF that frame; the take never windows more than the
+    * per-partition survivors.
+    */
+  def q163ClusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = assignClusters(emb(spark, dir), PRUNE_K)
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+    val tf = graft.CacheScope.cache(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .join(assigned, Seq("doc_id"))
+        .groupBy(col("cluster"), col("w")).agg(count(lit(1)).as("tf")))
+    val ft = tf.groupBy(col("w")).agg(sum(col("tf")).as("f_t"))
+    val tot = tf.agg(sum(col("tf")).as("t"))
+    val scored = tf.join(ft, Seq("w")).crossJoin(broadcast(tot))
+      .withColumn("_lm",
+        round(log((lit(PRUNE_K.toLong) * col("f_t") + col("t")).cast("double") /
+          (lit(PRUNE_K.toLong) * col("f_t")).cast("double")) * 1e6, 0)
+          .cast("long"))
+      .withColumn("_sm", col("tf") * col("_lm"))
+    Ranked.twoPhaseTopK(scored, Seq(col("cluster")),
+      Seq(col("_sm").desc, col("w")), lit(CTFIDF_TOP))
+      .select(col("cluster"), col("w").as("token"), col("tf"), col("f_t"),
+        (col("_sm") / 1e6).as("score"), col("rk").cast("int").as("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_cosine_knn" -> q48CosineKnn,
+    "q163_cluster_labels" -> q163ClusterLabels,
     "q156_lloyd_iterate" -> q156LloydIterate,
     "q112_hard_negatives" -> q112HardNegatives,
     "q148_margin_mining" -> q148MarginMining,
@@ -2110,6 +2156,40 @@ object Similarity {
         |  ((t.cluster_id = t.doc_id) = (v.canonical_id = t.doc_id)) AS agree
         |FROM t_clusters t JOIN v_clusters v ON v.vec_id = t.doc_id""".stripMargin
     },
+    // q72's assignment CTEs + per-class counts + the ratio-form ln; the
+    // seeds note and every dial interpolate as usual
+    "q163_cluster_labels" ->
+      s"""WITH $longFormCte,
+        |cents AS (SELECT vec_id AS c_id, pos, v FROM ex
+        |  WHERE vec_id < $PRUNE_K),
+        |d AS (
+        |  SELECT ex.vec_id, c.c_id,
+        |    round(sum((ex.v - c.v) * (ex.v - c.v)), 6) AS dist2
+        |  FROM ex JOIN cents c ON c.pos = ex.pos
+        |  GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id AS doc_id, c_id AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist2, c_id) AS rn
+        |    FROM d) WHERE rn = 1),
+        |tf AS (
+        |  SELECT cluster, w, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) tk
+        |  JOIN assigned USING (doc_id)
+        |  GROUP BY 1, 2),
+        |ft AS (SELECT w, CAST(sum(tf) AS BIGINT) AS f_t FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM tf),
+        |sc AS (
+        |  SELECT cluster, w, tf, f_t,
+        |    tf * CAST(round(ln(CAST($PRUNE_K * f_t + t AS DOUBLE)
+        |      / CAST($PRUNE_K * f_t AS DOUBLE)) * 1e6, 0) AS BIGINT) AS sm
+        |  FROM tf JOIN ft USING (w) CROSS JOIN tot)
+        |SELECT cluster, w AS token, tf, f_t, sm / 1e6 AS score,
+        |  CAST(rk AS INT) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+        |    ORDER BY sm DESC, w) AS rk
+        |  FROM sc) WHERE rk <= $CTFIDF_TOP""".stripMargin,
     "q72_kmeans_assign" ->
       s"""WITH $longFormCte,
         |cents AS (SELECT vec_id AS c_id, pos, v FROM ex WHERE vec_id < 8),
