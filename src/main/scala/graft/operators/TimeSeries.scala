@@ -569,8 +569,103 @@ object TimeSeries {
           .as("r"))
   }
 
+  /** Weekly retention cohorts (q164) — THE product-analytics matrix:
+    * users grouped by first-seen week, each later week's distinct
+    * actives counted per (cohort, offset) cell. All time math is exact
+    * integer division of the long-ns timestamp (day = ts div 86400e9,
+    * week = day div 7 — fixed epoch grid, no calendar library), so the
+    * matrix is engine- and timezone-independent by construction.
+    *
+    * Scale shape: the per-user first-day MIN is map-side combinable;
+    * the cohort join is user-keyed against that user-sized frame; the
+    * cell count is a two-level distinct (first keyed (cohort, offset,
+    * user) — map-side — then the cell rollup), so no cell ever funnels
+    * raw events.
+    */
+  def q164RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = ev(spark, dir)
+      .select(col("user_id"), expr("ts div 604800000000000").as("week"))
+    val cohorts = e.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    e.join(cohorts, Seq("user_id"))
+      .select(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"),
+        col("user_id")).distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Ordered conversion funnel (q165): signup → view → click → purchase,
+    * each stage's timestamp the EARLIEST event of that type STRICTLY
+    * after the previous stage (the standard funnel semantics — a click
+    * before the first view does not count). Four user-keyed conditional
+    * MIN aggregates over one cached projection — each pass is map-side
+    * combinable and the frames after pass 1 are user-sized; no window,
+    * no per-user collect. stage_reached counts the non-null prefix.
+    * All comparisons are on the exact long-ns timestamps.
+    */
+  def q165Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.CacheScope.cache(ev(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts")))
+    val stages = Seq("signup", "view", "click", "purchase")
+    // fold: each stage joins the previous per-user watermark and keeps
+    // the earliest strictly-later event of its type
+    val init = e.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val perStage = stages.zipWithIndex.drop(1).foldLeft(init) {
+      case (acc, (st, i)) =>
+        val prev = s"t$i"
+        val cur = s"t${i + 1}"
+        // conditional MIN, not filter-then-min: a user whose stage
+        // events all PRECEDE the watermark must survive with NULL, not
+        // vanish from the funnel
+        acc.join(e.filter(col("event_type") === st), Seq("user_id"), "left")
+          .groupBy((col("user_id") +: (1 to i).map(j => col(s"t$j"))): _*)
+          .agg(min(when(col("ts") > col(prev), col("ts"))).as(cur))
+    }
+    // users with no signup never enter `init`: surface them with stage 0
+    val allUsers = e.select(col("user_id")).distinct()
+    allUsers.join(perStage, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"), col("t4"),
+        ((1 to 4).map(j => when(col(s"t$j").isNotNull, 1).otherwise(0))
+          .reduce(_ + _)).cast("int").as("stage_reached"))
+  }
+
+  /** Per-user burst-day census (q166): a day is a BURST when its event
+    * count sits ≥ 3σ above the user's own Poisson rate — z ≥ 3 stated
+    * in PURE integer space, (k·D − T)² ≥ 9·T·D with k·D > T (k = day
+    * count, D = active days, T = total events), so no square root or
+    * division can flip a verdict. The single-day-spike complement of
+    * q139's CUSUM (sustained drift) on counts instead of values; the
+    * burst day surfaces via a min(struct(−k, day)) aggregate, ties to
+    * the earlier day — no window. Day = ts div 86400e9, the q164 grid.
+    */
+  def q166BurstDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ev(spark, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("k"))
+    val tot = daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("d_days"), sum(col("k")).as("t_events"))
+    daily.join(tot, Seq("user_id"))
+      .withColumn("bursty",
+        col("k") * col("d_days") > col("t_events") &&
+          (col("k") * col("d_days") - col("t_events")) *
+            (col("k") * col("d_days") - col("t_events")) >=
+            lit(9L) * col("t_events") * col("d_days"))
+      .groupBy(col("user_id"), col("d_days"), col("t_events"))
+      .agg(sum(when(col("bursty"), 1L).otherwise(0L)).as("n_bursty"),
+        max(col("k")).as("max_day_count"),
+        min(when(col("bursty"), struct((-col("k")).as("nk"), col("day"))))
+          .as("_b"))
+      .select(col("user_id"), col("d_days"), col("t_events"),
+        col("n_bursty"), col("max_day_count"),
+        col("_b.day").as("top_burst_day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_acf" -> q160Acf,
+    "q164_retention_cohorts" -> q164RetentionCohorts,
+    "q165_funnel" -> q165Funnel,
+    "q166_burst_days" -> q166BurstDays,
     "q136_robust_outliers" -> q136RobustOutliers,
     "q137_period_search" -> q137PeriodSearch,
     "q138_outlier_index" -> q138OutlierIndex,
@@ -637,6 +732,68 @@ object TimeSeries {
       |  FROM sl)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q164_retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 604800000000000 AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+        |cells AS (
+        |  SELECT DISTINCT cohort_week, week - cohort_week AS week_offset,
+        |    e.user_id
+        |  FROM e JOIN c USING (user_id))
+        |SELECT cohort_week, week_offset, count(*) AS n_users
+        |FROM cells GROUP BY 1, 2""".stripMargin,
+    "q165_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+        |s1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+        |  FROM e GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, t1,
+        |    min(CASE WHEN event_type = 'view' AND e.ts > t1 THEN e.ts END) AS t2
+        |  FROM e JOIN s1 USING (user_id) GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT e.user_id, t1, t2,
+        |    min(CASE WHEN event_type = 'click' AND e.ts > t2 THEN e.ts END) AS t3
+        |  FROM e JOIN s2 USING (user_id) GROUP BY 1, 2, 3),
+        |s4 AS (
+        |  SELECT e.user_id, t1, t2, t3,
+        |    min(CASE WHEN event_type = 'purchase' AND e.ts > t3 THEN e.ts END) AS t4
+        |  FROM e JOIN s3 USING (user_id) GROUP BY 1, 2, 3, 4)
+        |SELECT user_id, t1, t2, t3, t4,
+        |  CAST((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+        |    + (t3 IS NOT NULL)::INT + (t4 IS NOT NULL)::INT AS INT)
+        |    AS stage_reached
+        |FROM s4""".stripMargin,
+    "q166_burst_days" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |    count(*) AS k
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT user_id, count(*) AS d_days,
+        |    CAST(sum(k) AS BIGINT) AS t_events
+        |  FROM d GROUP BY 1),
+        |j AS (
+        |  SELECT d.user_id, day, k, d_days, t_events,
+        |    (k * d_days > t_events AND
+        |     (k * d_days - t_events) * (k * d_days - t_events)
+        |       >= 9 * t_events * d_days) AS bursty
+        |  FROM d JOIN t USING (user_id)),
+        |top AS (
+        |  SELECT user_id, day FROM (
+        |    SELECT user_id, day,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY k DESC, day) AS rn
+        |    FROM j WHERE bursty) WHERE rn = 1)
+        |SELECT j.user_id, d_days, t_events,
+        |  CAST(sum(CASE WHEN bursty THEN 1 ELSE 0 END) AS BIGINT) AS n_bursty,
+        |  max(k) AS max_day_count,
+        |  any_value(top.day) AS top_burst_day
+        |FROM j LEFT JOIN top ON top.user_id = j.user_id
+        |GROUP BY 1, 2, 3""".stripMargin,
     // the rational-mean trick: every factor (n·v − S) is an exact long,
     // sums accumulate in HUGEINT (Spark side: DECIMAL(38,0)), r is ONE
     // division of the two exact integers

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** q164/q165/q166 event analytics: structural laws on the real fixture
+  * plus constructed scenarios pinning the semantics (ordered-funnel
+  * strictness, cohort identities, the burst threshold and its argmax).
+  */
+class EventAnalyticsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q164 cohort identities on the real fixture") {
+    val cells = TimeSeries.queries("q164_retention_cohorts")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("cohort_week"),
+        r.getAs[Long]("week_offset")) -> r.getAs[Long]("n_users")).toMap
+    val users = Tables.load(spark, dir, "events")
+      .select(col("user_id")).distinct().count()
+    // every user is active in their own first week → the offset-0
+    // column partitions the user base exactly
+    assert(cells.keys.forall(_._2 >= 0), "negative offset")
+    assert(cells.collect { case ((_, 0L), n) => n }.sum == users)
+    // retention never exceeds the cohort's size
+    cells.foreach { case ((c, o), n) =>
+      assert(n <= cells((c, 0L)), s"cell ($c, $o) exceeds cohort size")
+    }
+  }
+
+  test("q165 funnel prefix property on the real fixture") {
+    val rows = TimeSeries.queries("q165_funnel")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ts = (1 to 4).map(j => Option(r.get(r.fieldIndex(s"t$j")))
+        .map(_.asInstanceOf[Long]))
+      // stages form a strict chain and a prefix
+      ts.sliding(2).foreach {
+        case Seq(Some(a), Some(b)) => assert(b > a, s"non-increasing: $ts")
+        case Seq(None, Some(_)) => fail(s"gap in the prefix: $ts")
+        case _ =>
+      }
+      assert(r.getAs[Int]("stage_reached") == ts.count(_.isDefined))
+    }
+  }
+
+  test("constructed scenarios: funnel strictness, cohorts, burst argmax") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("evan").toString
+    val base = 1700000000000L
+    def at(dayMin: Int) = new java.sql.Timestamp(base + dayMin * 60000L)
+    // uA completes in order; uB's purchase PRECEDES its click (stage 3);
+    // uC never signs up (stage 0); uD signs up only (stage 1).
+    // uE: 9 quiet days (1 event) + one 30-event spike (burst).
+    val ev = Seq(
+      (1L, at(0), 10L, "signup"), (2L, at(1), 10L, "view"),
+      (3L, at(2), 10L, "click"), (4L, at(3), 10L, "purchase"),
+      (5L, at(0), 11L, "signup"), (6L, at(1), 11L, "view"),
+      (7L, at(3), 11L, "click"), (8L, at(2), 11L, "purchase"),
+      (9L, at(0), 12L, "view"), (10L, at(1), 12L, "purchase"),
+      (11L, at(5), 13L, "signup")) ++
+      (0 until 9).map(d => (100L + d, new java.sql.Timestamp(
+        base + d.toLong * 86400000L), 14L, "click")) ++
+      (0 until 30).map(i => (200L + i, new java.sql.Timestamp(
+        base + 9L * 86400000L + i * 1000L), 14L, "click"))
+    ev.map { case (id, ts, u, t) => (id, ts, u, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val fun = TimeSeries.queries("q165_funnel")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Int]("stage_reached")).toMap
+    assert(fun(10L) == 4, s"complete funnel: ${fun(10L)}")
+    assert(fun(11L) == 3, s"out-of-order purchase must not count: ${fun(11L)}")
+    assert(fun(12L) == 0, s"no signup: ${fun(12L)}")
+    assert(fun(13L) == 1, s"signup only: ${fun(13L)}")
+    val burst = TimeSeries.queries("q166_burst_days")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_bursty"), r.getAs[Long]("max_day_count"),
+          Option(r.get(r.fieldIndex("top_burst_day")))
+            .map(_.asInstanceOf[Long]))).toMap
+    // uE: λ = 39/10 = 3.9; the 30-event day is >> 3σ, quiet days are not
+    val (nb, mx, top) = burst(14L)
+    assert(nb == 1 && mx == 30, s"burst census: ${burst(14L)}")
+    val spikeDay = (base + 9L * 86400000L) * 1000000L / 86400000000000L
+    assert(top.contains(spikeDay), s"top burst day $top vs $spikeDay")
+    // single-day users: D = 1 → k·D = T, strict > fails → never bursty
+    assert(burst(10L)._1 == 0 && burst(10L)._3.isEmpty,
+      s"single-day user flagged: ${burst(10L)}")
+    val cohorts = TimeSeries.queries("q164_retention_cohorts")(spark, tmp)
+      .collect().map(r => (r.getAs[Long]("cohort_week"),
+        r.getAs[Long]("week_offset")) -> r.getAs[Long]("n_users")).toMap
+    // uE spans 10 days → appears at offsets 0 and 1 of its cohort
+    assert(cohorts.exists { case ((_, o), _) => o >= 1 },
+      s"multi-week activity must produce a nonzero offset: $cohorts")
+  }
+}
