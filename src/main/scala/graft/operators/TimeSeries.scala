@@ -661,8 +661,53 @@ object TimeSeries {
         col("_b.day").as("top_burst_day"))
   }
 
+  /** Event-type transition matrix (q167) — the Markov structure of user
+    * behavior: counts and probabilities of each (current → next) pair
+    * over every user's time-ordered stream. ONE user-keyed window pass
+    * (the q160 sort) produces the adjacent pairs; the matrix aggregate
+    * is map-side combinable down to ≤ |types|² rows, and probabilities
+    * are single divisions of exact counts (bit-identical cross-engine).
+    * The funnel (q165) asks "does the canonical order happen?"; this
+    * measures what order ACTUALLY happens.
+    */
+  def q167EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(byTs: _*)
+    val pairs = ev(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("cur")).agg(sum(col("n")).as("row_n"))
+    pairs.join(totals, Seq("cur"))
+      .select(col("cur"), col("nxt"), col("n"),
+        (col("n") / col("row_n")).as("p"))
+  }
+
+  /** Semi-structured extraction audit (q168): pull the numeric `k` out
+    * of the `props` JSON column per event and aggregate per event_type —
+    * count, parse failures, exact integer sum/min/max and the mean as
+    * one division. JSON parsing happens IN the scan's codegen span
+    * (get_json_object — no UDF); unparseable or absent keys surface as
+    * a counted class, never a dropped row. The semi-structured sibling
+    * of q60's typed rollup.
+    */
+  def q168PropsExtract(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_unparsed"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .withColumn("mean_k",
+        col("sum_k") / (col("n") - col("n_unparsed")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_acf" -> q160Acf,
+    "q167_event_transitions" -> q167EventTransitions,
+    "q168_props_extract" -> q168PropsExtract,
     "q164_retention_cohorts" -> q164RetentionCohorts,
     "q165_funnel" -> q165Funnel,
     "q166_burst_days" -> q166BurstDays,
@@ -732,6 +777,31 @@ object TimeSeries {
       |  FROM sl)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q167_event_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |m AS (
+        |  SELECT cur, nxt, count(*) AS n FROM p
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS row_n FROM m GROUP BY 1)
+        |SELECT cur, nxt, n, n / row_n AS p
+        |FROM m JOIN t USING (cur)""".stripMargin,
+    "q168_props_extract" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unparsed,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(k) AS BIGINT) / (count(*)
+        |    - sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)) AS mean_k
+        |FROM e GROUP BY 1""".stripMargin,
     "q164_retention_cohorts" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) // 604800000000000 AS week

@@ -43,6 +43,58 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q167 transition laws; q168 extraction conservation (real fixture)") {
+    val m = TimeSeries.queries("q167_event_transitions")(spark, dir)
+      .collect().map(r => (r.getAs[String]("cur"), r.getAs[String]("nxt")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("p"))).toMap
+    // row-stochastic: every current state's outgoing probabilities sum
+    // to 1 (rationally n_i/row_n — doubles land within ulps)
+    m.keys.map(_._1).toSeq.distinct.foreach { cur =>
+      val ps = m.collect { case ((c, _), (_, p)) if c == cur => p }
+      assert(math.abs(ps.sum - 1.0) < 1e-9, s"$cur row sums ${ps.sum}")
+    }
+    // conservation: each user contributes (events − 1) pairs
+    val e = Tables.load(spark, dir, "events")
+    val users = e.groupBy(col("user_id")).count().collect()
+    assert(m.values.map(_._1).sum == users.map(_.getLong(1) - 1).sum)
+    val x = TimeSeries.queries("q168_props_extract")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_unparsed"),
+          r.getAs[Long]("sum_k"))).toMap
+    assert(x.values.map(_._1).sum == e.count(), "row conservation")
+    // the fixture's props are all well-formed {"k": N}
+    assert(x.values.forall(_._2 == 0L), s"unexpected parse failures: $x")
+  }
+
+  test("q167/q168 constructed: deterministic chain and a broken JSON row") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("evtr").toString
+    val base = 1700000000000L
+    // one user cycles signup→view→signup→view…; one row carries junk JSON
+    val ev = (0 until 10).map(i => (i.toLong,
+      new java.sql.Timestamp(base + i * 1000L), 1L,
+      if (i % 2 == 0) "signup" else "view", 1.0,
+      if (i == 4) "not json" else s"""{"k": $i}"""))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val m = TimeSeries.queries("q167_event_transitions")(spark, tmp)
+      .collect().map(r => (r.getAs[String]("cur"), r.getAs[String]("nxt")) ->
+        r.getAs[Double]("p")).toMap
+    assert(m(("signup", "view")) == 1.0 && m(("view", "signup")) == 1.0,
+      s"deterministic chain must have unit transitions: $m")
+    assert(m.size == 2, s"phantom transitions: $m")
+    val x = TimeSeries.queries("q168_props_extract")(spark, tmp)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_unparsed"),
+          r.getAs[Long]("sum_k"), r.getAs[Double]("mean_k"))).toMap
+    // the junk row (i=4, signup) is COUNTED, excluded from the sum, and
+    // the mean divides by parsed rows only
+    assert(x("signup") == ((5L, 1L, 0L + 2 + 6 + 8, (16.0 / 4))),
+      s"signup stats: ${x("signup")}")
+    assert(x("view") == ((5L, 0L, 1L + 3 + 5 + 7 + 9, 25.0 / 5)),
+      s"view stats: ${x("view")}")
+  }
+
   test("constructed scenarios: funnel strictness, cohorts, burst argmax") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("evan").toString
