@@ -704,8 +704,61 @@ object TimeSeries {
       .withColumn("mean_k",
         col("sum_k") / (col("n") - col("n_unparsed")))
 
+  /** Behavioral-sequence likelihood (q169): score every user's stream
+    * under the GLOBAL transition matrix (q167's — the same aggregate,
+    * one definition through [[q167EventTransitions]]) by mean −ln p per
+    * transition — the bot/anomaly screen: repetitive scripted streams
+    * score far below the population, erratic ones far above. The
+    * corpus-trained-model-applied-back shape of q73, at the behavioral
+    * level.
+    *
+    * Determinism: p = n/row_n is a ratio of exact counts, so −ln p is
+    * the q152 ratio-form ln, micro-rounded per TRANSITION TYPE (≤ types²
+    * values) before the per-user exact integer mean. The matrix
+    * broadcasts; the stream pays one window pass + one map-side
+    * aggregate.
+    */
+  def q169SequenceLikelihood(spark: SparkSession, dir: String): DataFrame = {
+    val m = q167EventTransitions(spark, dir)
+      // −ln of the emitted probability (p is one exact-operand IEEE
+      // division, so −ln(p) is the same bit pattern on both engines up
+      // to the usual ln ulp the micro-round absorbs)
+      .withColumn("_nm", round(-log(col("p")) * 1e6, 0).cast("long"))
+      .select(col("cur").as("m_cur"), col("nxt").as("m_nxt"), col("_nm"))
+    val w = Window.partitionBy(col("user_id")).orderBy(byTs: _*)
+    ev(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .join(broadcast(m),
+        col("event_type") === col("m_cur") && col("nxt") === col("m_nxt"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_transitions"), sum(col("_nm")).as("_s"))
+      .select(col("user_id"), col("n_transitions"),
+        round(col("_s") / col("n_transitions") / 1e6, 6).as("avg_nll"))
+  }
+
+  /** Hour-of-day activity profile (q170): per (event_type, hour) counts
+    * and within-type share — the load-shape dashboard row. Hour is exact
+    * integer math on the long-ns ts ((ts div 3600e9) mod 24 — UTC grid,
+    * timezone-free); shares are single divisions of exact counts. One
+    * map-side aggregate; ≤ types×24 output rows.
+    */
+  def q170HourlyProfile(spark: SparkSession, dir: String): DataFrame = {
+    val h = ev(spark, dir)
+      .select(col("event_type"),
+        expr("(ts div 3600000000000) % 24").as("hour"))
+      .groupBy(col("event_type"), col("hour")).agg(count(lit(1)).as("n"))
+    val tot = h.groupBy(col("event_type")).agg(sum(col("n")).as("type_n"))
+    h.join(tot, Seq("event_type"))
+      .select(col("event_type"), col("hour"), col("n"),
+        (col("n") / col("type_n")).as("share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q160_acf" -> q160Acf,
+    "q169_sequence_likelihood" -> q169SequenceLikelihood,
+    "q170_hourly_profile" -> q170HourlyProfile,
     "q167_event_transitions" -> q167EventTransitions,
     "q168_props_extract" -> q168PropsExtract,
     "q164_retention_cohorts" -> q164RetentionCohorts,
@@ -777,6 +830,33 @@ object TimeSeries {
       |  FROM sl)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q169_sequence_likelihood" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type AS cur,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |m AS (
+        |  SELECT cur, nxt, count(*) AS n FROM p
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS row_n FROM m GROUP BY 1),
+        |nm AS (
+        |  SELECT cur, nxt,
+        |    CAST(round(-ln(n / row_n) * 1e6, 0) AS BIGINT) AS nmv
+        |  FROM m JOIN t USING (cur))
+        |SELECT user_id, count(*) AS n_transitions,
+        |  round(sum(nmv) / count(*) / 1e6, 6) AS avg_nll
+        |FROM p JOIN nm ON nm.cur = p.cur AND nm.nxt = p.nxt
+        |GROUP BY 1""".stripMargin,
+    "q170_hourly_profile" ->
+      """WITH h AS (
+        |  SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS type_n
+        |      FROM h GROUP BY 1)
+        |SELECT event_type, hour, n, n / type_n AS share
+        |FROM h JOIN t USING (event_type)""".stripMargin,
     "q167_event_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS cur,

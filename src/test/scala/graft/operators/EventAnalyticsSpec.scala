@@ -95,6 +95,25 @@ class EventAnalyticsSpec extends SparkSpec {
       s"view stats: ${x("view")}")
   }
 
+  test("q169/q170 laws: nonnegative likelihoods, shares partition each type") {
+    val lk = TimeSeries.queries("q169_sequence_likelihood")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_transitions"), r.getAs[Double]("avg_nll")))
+    assert(lk.nonEmpty)
+    lk.foreach { case (u, (n, nll)) =>
+      assert(n > 0 && nll >= 0, s"user $u: $n / $nll")
+    }
+    val hp = TimeSeries.queries("q170_hourly_profile")(spark, dir)
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("hour"), r.getAs[Long]("n"), r.getAs[Double]("share")))
+    hp.groupBy(_._1).foreach { case (t, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9, s"$t shares")
+      rows.foreach(r => assert(r._2 >= 0 && r._2 < 24, s"hour ${r._2}"))
+    }
+    assert(hp.map(_._3).sum ==
+      Tables.load(spark, dir, "events").count(), "row conservation")
+  }
+
   test("constructed scenarios: funnel strictness, cohorts, burst argmax") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("evan").toString
