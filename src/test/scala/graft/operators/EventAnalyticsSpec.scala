@@ -83,6 +83,11 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(m(("signup", "view")) == 1.0 && m(("view", "signup")) == 1.0,
       s"deterministic chain must have unit transitions: $m")
     assert(m.size == 2, s"phantom transitions: $m")
+    // a perfectly predictable stream costs exactly 0 nats
+    val lk = TimeSeries.queries("q169_sequence_likelihood")(spark, tmp)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Double]("avg_nll")).toMap
+    assert(lk(1L) == 0.0, s"deterministic chain nll: ${lk(1L)}")
     val x = TimeSeries.queries("q168_props_extract")(spark, tmp)
       .collect().map(r => r.getAs[String]("event_type") ->
         (r.getAs[Long]("n"), r.getAs[Long]("n_unparsed"),
