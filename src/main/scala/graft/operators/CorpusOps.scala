@@ -1103,6 +1103,47 @@ object CorpusOps {
           .as("zipf_slope"))
   }
 
+  /** Mix-concentration audit (q171): the Gini coefficient of per-source
+    * token mass, per language and for the whole corpus ('*' row) — the
+    * single number that says whether a mix is balanced (0) or one domain
+    * owns it (→1), the quantity q107/q116/q157 exist to push DOWN. Uses
+    * the sorted closed form G = Σ(2i−n−1)·x_(i) / (n·Σx): the numerator
+    * is an exact 64-bit sum over the ascending (n_s, source) order, the
+    * value ONE division of exact integers — bit-identical cross-engine,
+    * no rounding at all. Ties are weight-invariant (equal x swaps change
+    * nothing), so the order tiebreak is cosmetic.
+    *
+    * Scale shape: one map-side per-(lang, source) count; ranking windows
+    * only the #sources-row frame (config cardinality — the q107/q134
+    * pattern); the corpus row reuses the same frame re-keyed, not a
+    * second scan.
+    */
+  def q171MixGini(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.CacheScope.cache(docs(spark, dir)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("lang"), col("source")).agg(sum(col("n_tok")).as("n_s")))
+    def gini(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_s"), col("source"))
+      val all = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).rowsBetween(Long.MinValue, Long.MaxValue)
+      df.withColumn("i", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("tot", sum(col("n_s")).over(all))
+        .withColumn("_t", (lit(2L) * col("i") - col("n") - 1L) * col("n_s"))
+        .groupBy(col("lang"), col("n"), col("tot"))
+        .agg(sum(col("_t")).as("_num"))
+        .select(col("lang"), col("n").cast("long").as("n_sources"),
+          col("tot").as("total_tokens"),
+          (col("_num").cast("double") /
+            (col("n") * col("tot")).cast("double")).as("gini"))
+    }
+    gini(counts).unionByName(gini(
+      counts.groupBy(col("source")).agg(sum(col("n_s")).as("n_s"))
+        .withColumn("lang", lit("*"))))
+  }
+
   /** Source-confusion matrix (q161): cross-entropy of every source's
     * unigram distribution under every other source's add-1-smoothed
     * unigram LM — H(p_s, q_t) = −Σ_w p_s(w)·ln q_t(w) — the
@@ -1856,6 +1897,7 @@ object CorpusOps {
     "q157_temperature_mix" -> q157TemperatureMix,
     "q161_source_confusion" -> q161SourceConfusion,
     "q162_zipf_slope" -> q162ZipfSlope,
+    "q171_mix_gini" -> q171MixGini,
     "q74_chunk_docs" -> q74ChunkDocs,
     "q75_temperature_mix" -> q75TemperatureMix,
     "q80_dataset_split" -> q80DatasetSplit,
@@ -2088,6 +2130,26 @@ object CorpusOps {
         |  r$PR_ITERS.r / 1e9 AS pr
         |FROM r$PR_ITERS JOIN deg USING (id)""".stripMargin
     },
+    "q171_mix_gini" ->
+      """WITH c AS (
+        |  SELECT lang, source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_s
+        |  FROM documents GROUP BY 1, 2),
+        |u AS (
+        |  SELECT lang, source, n_s FROM c
+        |  UNION ALL
+        |  SELECT '*', source, CAST(sum(n_s) AS BIGINT)
+        |  FROM c GROUP BY 2),
+        |r AS (
+        |  SELECT lang, n_s,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_s, source) AS i,
+        |    count(*) OVER (PARTITION BY lang) AS n,
+        |    CAST(sum(n_s) OVER (PARTITION BY lang) AS BIGINT) AS tot
+        |  FROM u)
+        |SELECT lang, CAST(n AS BIGINT) AS n_sources, tot AS total_tokens,
+        |  CAST(sum((2 * i - n - 1) * n_s) AS DOUBLE)
+        |    / CAST(n * tot AS DOUBLE) AS gini
+        |FROM r GROUP BY lang, n, tot""".stripMargin,
     "q162_zipf_slope" ->
       s"""WITH cnt AS (
         |  SELECT source, w, count(*) AS c FROM (
