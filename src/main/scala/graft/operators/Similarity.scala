@@ -1532,6 +1532,59 @@ object Similarity {
         (col("_dm") * col("n_vecs") < col("_dms")).as("pruned"))
   }
 
+  /** Embedding isotropy audit (q172; the anisotropy diagnosis of
+    * Ethayarajh 2019): per q72 cluster, the mean vector norm and the
+    * mean cosine to the GLOBAL centroid — a healthy embedding space
+    * spreads directions (mean cos near 0); a collapsed "cone" (mean cos
+    * → 1) silently breaks every cosine-threshold dial downstream
+    * (q56/q87's dedup cuts, the ANN ladder's recall), so this row is
+    * the precondition check for the whole similarity family.
+    *
+    * Determinism: the centroid is the q124 micro-mean convention
+    * (dim-bounded driver state), cosines are q48's exact kernel shape
+    * (dot / (√nn·√nm), rounded once at 6), and per-cluster means sum
+    * micro-unit longs.
+    *
+    * Scale shape: TWO corpus passes, both pure maps after dim-bounded
+    * aggregates — the centroid aggregate (map-side combined per-dim
+    * sums) and the score pass (centroid in the kernel closure, q72
+    * assignment fused in the same map) — plus one cluster-keyed
+    * aggregate of micro longs.
+    */
+  def q172EmbeddingIsotropy(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.CacheScope.cache(withNorm(emb(spark, dir)))
+    val dim = lowestIdSeeds(e, 1).head._2.length
+    val sumCols = count(lit(1)).as("n") +: (0 until dim).map(i =>
+      sum(round(element_at(col("embedding"), i + 1).cast("double") * 1e6, 0)
+        .cast("long")).as(s"s$i"))
+    val row = e.agg(sumCols.head, sumCols.tail: _*).head() // dim-bounded
+    val nVec = row.getLong(0)
+    val mu = Array.tabulate(dim)(i => round6(row.getLong(i + 1).toDouble / nVec / 1e6))
+    val muNorm2 = {
+      var s = 0.0; var i = 0
+      while (i < mu.length) { s += mu(i) * mu(i); i += 1 }
+      s
+    }
+    val scoreU = udf((v0: Seq[Float], nn: Double) => {
+      val v = v0.toArray
+      var d = 0.0
+      var i = 0
+      while (i < mu.length) { d += v(i).toDouble * mu(i); i += 1 }
+      (round6(d / (math.sqrt(nn) * math.sqrt(muNorm2))), round6(math.sqrt(nn)))
+    })
+    assignClusters(e, PRUNE_K)
+      .withColumn("sc", scoreU(col("embedding"), col("nn")))
+      .select(col("cluster"),
+        round(col("sc._1") * 1e6, 0).cast("long").as("_cm"),
+        round(col("sc._2") * 1e6, 0).cast("long").as("_nm"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("_cm")).as("_cs"), sum(col("_nm")).as("_ns"))
+      .select(col("cluster"), col("n_vecs"),
+        round(col("_ns") / col("n_vecs") / 1e6, 6).as("mean_norm"),
+        round(col("_cs") / col("n_vecs") / 1e6, 6).as("mean_cos"))
+  }
+
   /** Labels per cluster emitted by q163. */
   val CTFIDF_TOP = 5
 
@@ -1580,6 +1633,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_cosine_knn" -> q48CosineKnn,
     "q163_cluster_labels" -> q163ClusterLabels,
+    "q172_embedding_isotropy" -> q172EmbeddingIsotropy,
     "q156_lloyd_iterate" -> q156LloydIterate,
     "q112_hard_negatives" -> q112HardNegatives,
     "q148_margin_mining" -> q148MarginMining,
@@ -2156,6 +2210,43 @@ object Similarity {
         |  ((t.cluster_id = t.doc_id) = (v.canonical_id = t.doc_id)) AS agree
         |FROM t_clusters t JOIN v_clusters v ON v.vec_id = t.doc_id""".stripMargin
     },
+    // q72's assignment + the q124 micro-mean centroid + q48's cosine
+    // shape; per-cluster means in micro units
+    "q172_embedding_isotropy" ->
+      s"""WITH $longFormCte,
+        |cents AS (SELECT vec_id AS c_id, pos, v FROM ex
+        |  WHERE vec_id < $PRUNE_K),
+        |d AS (
+        |  SELECT ex.vec_id, c.c_id,
+        |    round(sum((ex.v - c.v) * (ex.v - c.v)), 6) AS dist2
+        |  FROM ex JOIN cents c ON c.pos = ex.pos
+        |  GROUP BY 1, 2),
+        |assigned AS (
+        |  SELECT vec_id, c_id AS cluster FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist2, c_id) AS rn
+        |    FROM d) WHERE rn = 1),
+        |cent AS (
+        |  SELECT pos,
+        |    round(sum(CAST(round(v * 1e6, 0) AS BIGINT)) / count(*) / 1e6, 6)
+        |      AS cv
+        |  FROM ex GROUP BY 1),
+        |nm AS (SELECT sum(cv * cv) AS nm2 FROM cent),
+        |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),
+        |dots AS (
+        |  SELECT ex.vec_id, sum(ex.v * c.cv) AS dot
+        |  FROM ex JOIN cent c USING (pos) GROUP BY 1),
+        |per AS (
+        |  SELECT vec_id,
+        |    CAST(round(round(dot / (sqrt(nn) * sqrt(nm2)), 6) * 1e6, 0)
+        |      AS BIGINT) AS cm,
+        |    CAST(round(round(sqrt(nn), 6) * 1e6, 0) AS BIGINT) AS nmv
+        |  FROM dots JOIN norms USING (vec_id) CROSS JOIN nm)
+        |SELECT cluster, count(*) AS n_vecs,
+        |  round(sum(nmv) / count(*) / 1e6, 6) AS mean_norm,
+        |  round(sum(cm) / count(*) / 1e6, 6) AS mean_cos
+        |FROM per JOIN assigned USING (vec_id)
+        |GROUP BY 1""".stripMargin,
     // q72's assignment CTEs + per-class counts + the ratio-form ln; the
     // seeds note and every dial interpolate as usual
     "q163_cluster_labels" ->
