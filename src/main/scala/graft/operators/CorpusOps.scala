@@ -1103,6 +1103,53 @@ object CorpusOps {
           .as("zipf_slope"))
   }
 
+  /** Split-drift audit (q173): the Kolmogorov–Smirnov statistic between
+    * the train and test token-length distributions under q80's
+    * content-hash split — the DISTRIBUTIONAL complement of q102's
+    * leakage audit: leakage asks "do the splits share documents?", this
+    * asks "do they even look alike?" (a hash split should read D ≈ 0; a
+    * time- or source-correlated split would not). D = max_L
+    * |F_train(L) − F_test(L)| evaluated EXACTLY: per-length counts,
+    * cumulative sums, and the gap compared as |cum_a·n_b − cum_b·n_a|
+    * in DECIMAL(38,0) (cross-multiplied CDFs — no division until the
+    * single emitted D), argmax ties to the smallest length via
+    * min(struct(−gap, L)).
+    *
+    * Scale shape: ONE map-side (len, split) count; everything after
+    * runs on the #distinct-lengths frame — bounded by the max document
+    * length (a VALUE bound, not a corpus bound), which is why the
+    * cumulative window may run single-partition where a corpus-keyed
+    * window could not. Split totals are a 2-row driver scalar.
+    */
+  def q173SplitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("len"),
+        when(contentBucket < 90, "train")
+          .when(contentBucket < 95, "valid")
+          .otherwise("test").as("split"))
+      .filter(col("split") =!= "valid")
+    val counts = graft.CacheScope.cache(
+      d.groupBy(col("len"), col("split")).agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy(col("split")).agg(sum(col("c")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nA, nB) = (totals.getOrElse("train", 0L), totals.getOrElse("test", 0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("len")).rowsBetween(Long.MinValue, 0)
+    counts.groupBy(col("len"))
+      .agg(sum(when(col("split") === "train", col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("split") === "test", col("c")).otherwise(0L)).as("cb"))
+      .withColumn("cum_a", sum(col("ca")).over(w).cast("decimal(38,0)"))
+      .withColumn("cum_b", sum(col("cb")).over(w).cast("decimal(38,0)"))
+      .withColumn("gap",
+        abs(col("cum_a") * lit(nB) - col("cum_b") * lit(nA)))
+      .agg(min(struct((-col("gap")).as("ng"), col("len").as("l"))).as("_m"))
+      .select(lit(nA).as("n_train"), lit(nB).as("n_test"),
+        col("_m.l").as("at_length"),
+        ((-col("_m.ng")).cast("double") /
+          (lit(nA).cast("decimal(38,0)") * lit(nB)).cast("double"))
+          .as("d_stat"))
+  }
+
   /** Mix-concentration audit (q171): the Gini coefficient of per-source
     * token mass, per language and for the whole corpus ('*' row) — the
     * single number that says whether a mix is balanced (0) or one domain
@@ -1898,6 +1945,7 @@ object CorpusOps {
     "q161_source_confusion" -> q161SourceConfusion,
     "q162_zipf_slope" -> q162ZipfSlope,
     "q171_mix_gini" -> q171MixGini,
+    "q173_split_drift" -> q173SplitDrift,
     "q74_chunk_docs" -> q74ChunkDocs,
     "q75_temperature_mix" -> q75TemperatureMix,
     "q80_dataset_split" -> q80DatasetSplit,
@@ -2130,6 +2178,42 @@ object CorpusOps {
         |  r$PR_ITERS.r / 1e9 AS pr
         |FROM r$PR_ITERS JOIN deg USING (id)""".stripMargin
     },
+    "q173_split_drift" ->
+      """WITH d AS (
+        |  SELECT len(string_split(text, ' ')) AS len,
+        |    CASE WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 90
+        |           THEN 'train'
+        |         WHEN ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 < 95
+        |           THEN 'valid'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |c AS (
+        |  SELECT len,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM d WHERE split != 'valid' GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(sum(ca) AS HUGEINT) AS na,
+        |    CAST(sum(cb) AS HUGEINT) AS nb
+        |  FROM c),
+        |cum AS (
+        |  SELECT len,
+        |    CAST(sum(ca) OVER (ORDER BY len) AS HUGEINT) AS cum_a,
+        |    CAST(sum(cb) OVER (ORDER BY len) AS HUGEINT) AS cum_b
+        |  FROM c),
+        |g AS (
+        |  SELECT len, abs(cum_a * nb - cum_b * na) AS gap
+        |  FROM cum CROSS JOIN t),
+        |best AS (
+        |  SELECT len, gap FROM (
+        |    SELECT *, row_number() OVER (ORDER BY gap DESC, len) AS rn
+        |    FROM g) WHERE rn = 1)
+        |SELECT CAST(t.na AS BIGINT) AS n_train, CAST(t.nb AS BIGINT) AS n_test,
+        |  best.len AS at_length,
+        |  CAST(best.gap AS DOUBLE) / CAST(t.na * t.nb AS DOUBLE) AS d_stat
+        |FROM best CROSS JOIN t""".stripMargin,
     "q171_mix_gini" ->
       """WITH c AS (
         |  SELECT lang, source,
