@@ -125,19 +125,44 @@ object TimeSeries {
     * new session when >30 min since the previous event; per-session count
     * and duration.
     */
-  def q36Sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** Gap-based session-id assignment — ONE definition for q36's rollup
+    * and q174's conversion census (and mirrored by the streaming
+    * sessionizer's timeout rule).
+    */
+  private[graft] def withSessionIds(df: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id")).orderBy(byTs: _*)
-    val gapNs = SESSION_GAP_NS
-    ev(spark, dir)
-      .withColumn("prev", lag(col("ts"), 1).over(wOrd))
+    df.withColumn("prev", lag(col("ts"), 1).over(wOrd))
       .withColumn("new_sess",
-        when(col("prev").isNull || col("ts") - col("prev") > gapNs, 1).otherwise(0))
+        when(col("prev").isNull || col("ts") - col("prev") > SESSION_GAP_NS, 1)
+          .otherwise(0))
       .withColumn("session", sum(col("new_sess")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev", "new_sess")
+  }
+
+  def q36Sessionize(spark: SparkSession, dir: String): DataFrame =
+    withSessionIds(ev(spark, dir))
       .groupBy(col("user_id"), col("session"))
       .agg(count(lit(1)).as("n_events"),
         round((max(col("ts")) - min(col("ts"))) / 1e9, 3).as("duration_s"))
-  }
+
+  /** Per-user session conversion census (q174): how many of a user's
+    * gap-sessions contain a purchase — THE product metric the funnel
+    * (q165, lifetime stages) and the sessionizer (q36, structure) exist
+    * to feed; sessions come from the SHARED [[withSessionIds]] kernel so
+    * the three surfaces cannot drift on the boundary rule. Exact
+    * integers end-to-end; the rate is one division.
+    */
+  def q174SessionConversion(spark: SparkSession, dir: String): DataFrame =
+    withSessionIds(ev(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+      .groupBy(col("user_id"), col("session"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converting"))
+      .select(col("user_id"), col("n_sessions"), col("n_converting"),
+        (col("n_converting") / col("n_sessions")).as("conversion_rate"))
 
   /** Full kernel feature extraction per user through the real Scala kernels:
     * Abbe, SAX word, variogram slope, curve density over the user's curve.
@@ -762,6 +787,7 @@ object TimeSeries {
     "q167_event_transitions" -> q167EventTransitions,
     "q168_props_extract" -> q168PropsExtract,
     "q164_retention_cohorts" -> q164RetentionCohorts,
+    "q174_session_conversion" -> q174SessionConversion,
     "q165_funnel" -> q165Funnel,
     "q166_burst_days" -> q166BurstDays,
     "q136_robust_outliers" -> q136RobustOutliers,
@@ -882,6 +908,25 @@ object TimeSeries {
         |  CAST(sum(k) AS BIGINT) / (count(*)
         |    - sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)) AS mean_k
         |FROM e GROUP BY 1""".stripMargin,
+    "q174_session_conversion" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type,
+        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_type,
+        |    sum(CASE WHEN prev IS NULL OR tsn - prev > 1800000000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+        |  FROM g),
+        |per AS (
+        |  SELECT user_id, session,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(converted) AS BIGINT) AS n_converting,
+        |  sum(converted) / count(*) AS conversion_rate
+        |FROM per GROUP BY 1""".stripMargin,
     "q164_retention_cohorts" ->
       """WITH e AS (
         |  SELECT user_id, epoch_ns(ts) // 604800000000000 AS week

@@ -119,6 +119,23 @@ class EventAnalyticsSpec extends SparkSpec {
       Tables.load(spark, dir, "events").count(), "row conservation")
   }
 
+  test("q174 reconciles with q36's session structure (one boundary rule)") {
+    val conv = TimeSeries.queries("q174_session_conversion")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_converting"),
+          r.getAs[Double]("conversion_rate"))).toMap
+    val sess = TimeSeries.queries("q36_sessionize")(spark, dir)
+      .collect().groupBy(_.getAs[Long]("user_id")).map { case (u, g) =>
+        u -> g.length.toLong
+      }
+    assert(conv.keySet == sess.keySet)
+    conv.foreach { case (u, (n, c, rate)) =>
+      assert(n == sess(u), s"user $u: q174 sees $n sessions, q36 ${sess(u)}")
+      assert(c <= n && rate >= 0 && rate <= 1, s"user $u: $c/$n/$rate")
+      assert(rate == c.toDouble / n, s"user $u rate")
+    }
+  }
+
   test("constructed scenarios: funnel strictness, cohorts, burst argmax") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("evan").toString
