@@ -1505,6 +1505,32 @@ object CorpusOps {
     */
   val PR_ITERS = 8
 
+  /** Barrier cadence: materialize the rank frame every Nth round instead
+    * of every round. The trajectory is integer-exact, so checkpoint
+    * cadence CANNOT change the answer (PairRankSpec pins this against the
+    * plain-Scala recurrence); what it changes is the scheduling floor —
+    * 8 eager barriers on a tiny subgraph are pure latency (measured 23 s
+    * under driver-box co-tenant load vs 4 s quiet in r13). Every 2 rounds
+    * keeps the lazy plan ≤ 2 joins deep (cheap to re-optimize) while
+    * halving the barrier count.
+    */
+  val PR_CHECKPOINT_EVERY = 2
+
+  /** Target rank rows per loop partition: the per-round frames are
+    * (id, rank) pairs, so 512k rows/partition is a few MB — the barrier
+    * runs single-digit tasks on a small subgraph and scales the task
+    * count linearly with subgraph nodes at 100 TB.
+    */
+  val PR_ROWS_PER_PART = 512 * 1024L
+
+  /** Barriers taken by the CURRENT thread's last [[pageRankOnPairs]] run
+    * (thread-local so parallel suites can't race): PairRankSpec asserts
+    * the cadence actually holds (≤ 4 materializations for 8 rounds).
+    */
+  private[graft] val prBarriersLastRun = new ThreadLocal[Int] {
+    override def initialValue: Int = 0
+  }
+
   /** Rank mass scale: ranks live in 1e-9-unit 64-bit integers. */
   val PR_SCALE = 1000000000L
 
@@ -1546,32 +1572,58 @@ object CorpusOps {
     val deg = graft.CacheScope.cache(
       bi.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .withColumnRenamed("src", "id"))
-    // the BM25 norm-in-posting move: each edge carries its source's
-    // degree, so a round is ONE rank⋈edge join + one aggregate — not a
-    // rank⋈degree join first. Halves the join stages across the 8
-    // rounds (measured 4.8 s → the edge-denormalized shape at sf0.1,
-    // where stage latency, not data, dominates the tiny pair subgraph).
-    val edges = graft.CacheScope.cache(
-      bi.join(deg.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("src"), col("dst"), col("deg").as("src_deg")))
     // bounded driver scalar (subgraph nodes); max(1) only guards the
     // no-pairs corpus, where every frame below is empty anyway
     val n = deg.count().max(1L)
     val init = PR_SCALE / n
     val teleport = 150000000L / n
+    // barrier partition count: sized by the subgraph (n is already a
+    // bounded driver scalar), so each materialization is single-digit
+    // tasks on a small graph and grows linearly at 100 TB — never the
+    // fixed 32-partition shuffle shape regardless of data
+    val loopParts = math.max(1L, math.min(
+      pairFrame.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      n / PR_ROWS_PER_PART + 1L)).toInt
+    // `coalesce(1)` reports SinglePartition — which satisfies ANY
+    // clustered distribution, so on a small subgraph every round's join
+    // AND aggregate run exchange-free in one whole-stage task. Above the
+    // single-partition regime, repartition on the key instead: the
+    // HashPartitioning survives cache/checkpoint, so the join still
+    // shuffles only what it must.
+    def boundParts(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+      if (loopParts == 1) df.coalesce(1) else df.repartition(loopParts, key)
+    // the BM25 norm-in-posting move: each edge carries its source's
+    // degree, so a round is ONE rank⋈edge join + one aggregate — not a
+    // rank⋈degree join first. Cached PRE-PARTITIONED on the join key at
+    // the loop's own partition count, so the (much wider) edge frame
+    // never re-exchanges across the 8 rounds.
+    val edges = graft.CacheScope.cache(boundParts(
+      bi.join(deg.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("src"), col("dst"), col("deg").as("src_deg")), col("src")))
+    prBarriersLastRun.set(0)
     var r = deg.select(col("id"), lit(init).as("r"))
-    for (_ <- 1 to PR_ITERS) {
-      // eager localCheckpoint per round (the repo's iterative-loop
-      // discipline): without it the final action executes ONE 8-round
-      // lazy DAG whose planning + AQE re-optimization dominates the tiny
-      // per-round work; with it each round is a small materialized job
-      // and the next round's plan is one join deep
-      r = edges.join(r, edges("src") === r("id"))
+    for (i <- 1 to PR_ITERS) {
+      // shuffle_hash with rank as build: the per-partition rank slice is
+      // a few MB by construction (PR_ROWS_PER_PART), while broadcasting
+      // the rank frame — what AQE picks unhinted on a small subgraph —
+      // is wrong at 100 TB (rank rows = ALL subgraph nodes) and costs a
+      // driver round-trip per round locally
+      val next = edges.join(r.hint("shuffle_hash"), edges("src") === r("id"))
         .select(col("dst"), expr("r div src_deg").as("share"))
         .groupBy(col("dst")).agg(sum(col("share")).as("s"))
         .select(col("dst").as("id"),
           (lit(teleport) + expr("(85 * s) div 100")).as("r"))
-        .localCheckpoint(true)
+      // eager localCheckpoint every PR_CHECKPOINT_EVERY rounds (and at
+      // the last round): without ANY barrier the final action executes
+      // one 8-round lazy DAG whose planning + AQE re-optimization
+      // dominates the tiny per-round work; with a barrier EVERY round
+      // (the r13 shape) 8 synchronous materializations are pure
+      // scheduling floor. The cadence keeps the lazy plan shallow;
+      // boundParts sizes each barrier's task count by the subgraph.
+      r = if (i % PR_CHECKPOINT_EVERY == 0 || i == PR_ITERS) {
+        prBarriersLastRun.set(prBarriersLastRun.get + 1)
+        boundParts(next, col("id")).localCheckpoint(true)
+      } else next
     }
     r.join(deg, Seq("id"))
       .select(col("id").as("doc_id"), col("deg"),

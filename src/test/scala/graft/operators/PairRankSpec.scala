@@ -67,4 +67,21 @@ class PairRankSpec extends SparkSpec {
     val want = replay(Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L)))
     assert(out == want, s"got $out want $want")
   }
+
+  test("barrier cadence: <= 4 materializations for 8 rounds") {
+    import spark.implicits._
+    // the replay tests above prove cadence-INDEPENDENCE of the values
+    // (the plain-Scala recurrence has no checkpoints at all); this pins
+    // the cadence itself — the r13 shape was 8 eager barriers, pure
+    // scheduling floor on a tiny subgraph
+    val pairFrame = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    graft.CacheScope.run {
+      CorpusOps.pageRankOnPairs(pairFrame).collect()
+    }
+    val barriers = CorpusOps.prBarriersLastRun.get
+    val expected = (1 to CorpusOps.PR_ITERS)
+      .count(i => i % CorpusOps.PR_CHECKPOINT_EVERY == 0 || i == CorpusOps.PR_ITERS)
+    assert(barriers == expected, s"loop took $barriers barriers, cadence says $expected")
+    assert(barriers <= 4, s"8 rounds must materialize at most 4 times, took $barriers")
+  }
 }
