@@ -30,8 +30,23 @@ object CorpusBuild {
   private[graft] final case class BuildFrames(
       verdicts: DataFrame, scrubbed: DataFrame, curated: DataFrame)
 
-  /** The shared frame chain (caches register in the CALLER's scope — the
-    * q79 convention; `materialize` and the driver harness both wrap the
+  /** The shared frame chain. Each stage ends in an EAGER localCheckpoint
+    * (not a cache): the composed analyzed tree had grown so large that
+    * driver-side planning — canonicalization for cache lookup, AQE
+    * re-walks per query stage — dominated q104's wall (measured at sf0.1:
+    * 12-18 s of "execute" against ~3 s of actual job time). Truncating
+    * lineage between stages makes every downstream plan a few nodes over
+    * LogicalRDD leaves, so planning is milliseconds and each stage's wall
+    * is its OWN execution — which is also what makes [[q104StageProbe]]'s
+    * attribution exact by construction. Same lineage discipline as
+    * q155's rank loop; on a real cluster the build would stage through
+    * reliable checkpoints or the `materialize` parquet output instead
+    * (localCheckpoint blocks die with their executor), but the
+    * shape — materialize each stage once, plan only one stage deep — is
+    * the 100 TB shape.
+    *
+    * Remaining caches register in the CALLER's scope (the q79
+    * convention; `materialize` and the driver harness both wrap the
     * terminal action in `CacheScope.run`).
     */
   private[graft] def buildFrames(spark: SparkSession, sfDir: String): BuildFrames = {
@@ -46,30 +61,30 @@ object CorpusBuild {
   // ---- the four build stages, factored so [[q104StageProbe]] times the
   // EXACT frames the builder runs (one definition, no probe drift) ----
 
-  private def ingestStage(spark: SparkSession, sfDir: String): DataFrame =
-    CacheScope.cache(operators.CorpusOps.q100IngestPipeline(spark, sfDir))
+  private[graft] def ingestStage(spark: SparkSession, sfDir: String): DataFrame =
+    operators.CorpusOps.q100IngestPipeline(spark, sfDir).localCheckpoint(true)
 
   /** Survivors of the ingest pipeline, with their metadata. */
-  private def survivorsStage(spark: SparkSession, sfDir: String,
+  private[graft] def survivorsStage(spark: SparkSession, sfDir: String,
                              verdicts: DataFrame): DataFrame = {
     val corpus = Tables.load(spark, sfDir, "documents")
       .filter(col("source") =!= "src0")
-    CacheScope.cache(
-      corpus.select(col("doc_id"), col("text"), col("lang"), col("source"))
-        .join(verdicts.filter(col("kept")).select(col("doc_id")), Seq("doc_id")))
+    corpus.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .join(verdicts.filter(col("kept")).select(col("doc_id")), Seq("doc_id"))
+      .localCheckpoint(true)
   }
 
   /** q103's scrub, materializing the TEXT (same kernels: block explode,
     * shared first-occurrence keep rule, in-row reassembly).
     */
-  private def scrubStage(survivors: DataFrame): DataFrame =
-    CacheScope.cache(
-      operators.CorpusOps.firstOccurrenceKeep(
-        operators.CorpusOps.scrubBlocks(survivors))
-        .groupBy(col("doc_id"))
-        .agg(operators.CorpusOps.scrubAssembled.as("text"),
-          count(lit(1)).as("n_blocks"),
-          sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed")))
+  private[graft] def scrubStage(survivors: DataFrame): DataFrame =
+    operators.CorpusOps.firstOccurrenceKeep(
+      operators.CorpusOps.scrubBlocks(survivors))
+      .groupBy(col("doc_id"))
+      .agg(operators.CorpusOps.scrubAssembled.as("text"),
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+      .localCheckpoint(true)
 
   /** q80's content-hash split over the CURATED text + q89's shared
     * two-pass shard ordinal over the curated ids (fully-scrubbed docs are
@@ -78,7 +93,7 @@ object CorpusBuild {
     * and the manifest count) — uncached, the assembly joins and the
     * ordinal windows would run a second full pass just for a count.
     */
-  private def curatedStage(survivors: DataFrame, nonEmpty: DataFrame): DataFrame = {
+  private[graft] def curatedStage(survivors: DataFrame, nonEmpty: DataFrame): DataFrame = {
     val bucket = pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
       .cast("long"), lit(100))
     CacheScope.cache(nonEmpty
@@ -94,6 +109,11 @@ object CorpusBuild {
     * stages run the EXACT builder frames, each materialized inside its
     * timer, and emit one Telemetry event each. `split_shard` covers the
     * pure-projection split plus the two-pass ordinal and assembly joins.
+    * Attribution is exact because the stage functions each END in an
+    * eager localCheckpoint: a stage's timer covers its own execution
+    * only, never a re-walk of upstream lineage (the r13 probe read
+    * `split_shard` at 3× the whole query's wall because every count
+    * re-paid Catalyst planning over the full composed tree).
     */
   def q104StageProbe(spark: SparkSession, dir: String): Unit = CacheScope.run {
     def stage[A](name: String)(work: => (A, Long)): A = {
