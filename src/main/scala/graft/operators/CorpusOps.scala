@@ -1510,11 +1510,11 @@ object CorpusOps {
     * cadence CANNOT change the answer (PairRankSpec pins this against the
     * plain-Scala recurrence); what it changes is the scheduling floor —
     * 8 eager barriers on a tiny subgraph are pure latency (measured 23 s
-    * under driver-box co-tenant load vs 4 s quiet in r13). Every 2 rounds
-    * keeps the lazy plan ≤ 2 joins deep (cheap to re-optimize) while
-    * halving the barrier count.
+    * under driver-box co-tenant load vs 4 s quiet in r13). Every 4 rounds
+    * keeps the lazy plan ≤ 4 joins deep — still one whole-stage task in the exchange-free single-partition regime while
+    * quartering the barrier count (2 for 8 rounds).
     */
-  val PR_CHECKPOINT_EVERY = 2
+  val PR_CHECKPOINT_EVERY = 4
 
   /** Target rank rows per loop partition: the per-round frames are
     * (id, rank) pairs, so 512k rows/partition is a few MB — the barrier
@@ -1565,7 +1565,13 @@ object CorpusOps {
     * production arithmetic.
     */
   private[graft] def pageRankOnPairs(pairFrame: DataFrame): DataFrame = {
-    val pairs = graft.CacheScope.cache(pairFrame)
+    val tStart = System.nanoTime()
+    // CHECKPOINT (not cache) the pair frame: the loop takes ~7 more
+    // driver-synchronized actions, and with a cache each one re-pays
+    // plan canonicalization over the whole upstream LSH tree just to
+    // look the cache up (the q104 lesson). A LogicalRDD root makes
+    // every downstream plan a few nodes.
+    val pairs = pairFrame.localCheckpoint(true)
     val bi = graft.CacheScope.cache(
       pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
@@ -1624,6 +1630,13 @@ object CorpusOps {
         prBarriersLastRun.set(prBarriersLastRun.get + 1)
         boundParts(next, col("id")).localCheckpoint(true)
       } else next
+    }
+    // the loop's wall is attributable from the artifact (the q66/q104
+    // probe convention): prologue = pair cache + degree count + edge
+    // materialization ordering, loop = the barrier cadence in action
+    graft.Telemetry.record {
+      val tLoop = (System.nanoTime() - tStart) / 1e9
+      f"q155 rankloop nodes=$n parts=$loopParts barriers=${prBarriersLastRun.get} secs=$tLoop%.3f"
     }
     r.join(deg, Seq("id"))
       .select(col("id").as("doc_id"), col("deg"),
