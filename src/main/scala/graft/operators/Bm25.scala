@@ -153,6 +153,21 @@ object Bm25 {
   def appendBm25Delta(delta: DataFrame, path: String): Unit = {
     val spark = delta.sparkSession
     IndexMeta.read(spark, path, "writeBm25Index") // append extends, never creates
+    // ENFORCE the new-doc_ids-only contract instead of documenting it:
+    // an overlapping delta silently double-counts df/cf/n_docs/sum_dl
+    // and duplicates (token, doc) postings — nothing downstream fails
+    // loudly. The check reads one column of the stored postings
+    // (dictionary-pruned; maintenance-path cost, the same order the
+    // compactor already pays) and refuses BEFORE invalidating the meta,
+    // so a rejected append leaves the index serving.
+    val dup = spark.read
+      .parquet(segmentNames(spark, path).map(n => s"$path/postings/$n"): _*)
+      .select(col("doc_id")).distinct()
+      .join(delta.select(col("doc_id")).distinct(), Seq("doc_id"))
+      .limit(5).collect().map(_.getLong(0))
+    require(dup.isEmpty,
+      s"appendBm25Delta: delta re-submits stored doc_ids (e.g. ${dup.mkString(", ")}) — " +
+        "deltas must carry NEW documents only; updates are a rebuild")
     val name = s"seg_${nextSegId(spark, path)}"
     IndexMeta.invalidate(spark, path)
     writeSegment(delta, path, name)

@@ -597,9 +597,11 @@ object TimeSeries {
   /** Weekly retention cohorts (q164) — THE product-analytics matrix:
     * users grouped by first-seen week, each later week's distinct
     * actives counted per (cohort, offset) cell. All time math is exact
-    * integer division of the long-ns timestamp (day = ts div 86400e9,
-    * week = day div 7 — fixed epoch grid, no calendar library), so the
-    * matrix is engine- and timezone-independent by construction.
+    * FLOOR division of the long-ns timestamp (week = floor(ts/604800e9)
+    * via the `(ts - pmod(ts, k)) div k` identity — fixed epoch grid, no
+    * calendar library), so the matrix is engine- and timezone-independent
+    * by construction: DuckDB's `//` floors, and a truncating `div` would
+    * disagree on any pre-epoch (negative) timestamp.
     *
     * Scale shape: the per-user first-day MIN is map-side combinable;
     * the cohort join is user-keyed against that user-sized frame; the
@@ -609,7 +611,7 @@ object TimeSeries {
     */
   def q164RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     val e = ev(spark, dir)
-      .select(col("user_id"), expr("ts div 604800000000000").as("week"))
+      .select(col("user_id"), expr("(ts - pmod(ts, 604800000000000)) div 604800000000000").as("week"))
     val cohorts = e.groupBy(col("user_id"))
       .agg(min(col("week")).as("cohort_week"))
     e.join(cohorts, Seq("user_id"))
@@ -662,11 +664,12 @@ object TimeSeries {
     * division can flip a verdict. The single-day-spike complement of
     * q139's CUSUM (sustained drift) on counts instead of values; the
     * burst day surfaces via a min(struct(−k, day)) aggregate, ties to
-    * the earlier day — no window. Day = ts div 86400e9, the q164 grid.
+    * the earlier day — no window. Day = floor(ts / 86400e9), the q164
+    * floor-division epoch grid.
     */
   def q166BurstDays(spark: SparkSession, dir: String): DataFrame = {
     val daily = ev(spark, dir)
-      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .select(col("user_id"), expr("(ts - pmod(ts, 86400000000000)) div 86400000000000").as("day"))
       .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("k"))
     val tot = daily.groupBy(col("user_id"))
       .agg(count(lit(1)).as("d_days"), sum(col("k")).as("t_events"))
@@ -765,14 +768,14 @@ object TimeSeries {
 
   /** Hour-of-day activity profile (q170): per (event_type, hour) counts
     * and within-type share — the load-shape dashboard row. Hour is exact
-    * integer math on the long-ns ts ((ts div 3600e9) mod 24 — UTC grid,
+    * integer math on the long-ns ts (floor(ts/3600e9) mod 24 — UTC grid,
     * timezone-free); shares are single divisions of exact counts. One
     * map-side aggregate; ≤ types×24 output rows.
     */
   def q170HourlyProfile(spark: SparkSession, dir: String): DataFrame = {
     val h = ev(spark, dir)
       .select(col("event_type"),
-        expr("(ts div 3600000000000) % 24").as("hour"))
+        expr("((ts - pmod(ts, 3600000000000)) div 3600000000000) % 24").as("hour"))
       .groupBy(col("event_type"), col("hour")).agg(count(lit(1)).as("n"))
     val tot = h.groupBy(col("event_type")).agg(sum(col("n")).as("type_n"))
     h.join(tot, Seq("event_type"))

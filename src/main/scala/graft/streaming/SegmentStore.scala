@@ -16,7 +16,15 @@ private[streaming] object SegmentStore {
   private val BatchDir = "batch_(\\d+)".r
   private val CompactDir = "compact_(\\d+)".r
 
-  /** (newest compacted segment covering ids ≤ hi if any, live batch dirs). */
+  /** (newest compacted segment covering ids ≤ hi if any, live batch dirs).
+    *
+    * A compact dir counts only when it carries the committer's `_SUCCESS`
+    * marker: a compactor crash mid-write leaves a partial `compact_<hi>`
+    * whose covered `batch_*` dirs are still intact (deletes happen only
+    * after a successful write), so the incomplete dir must NOT mask
+    * them — readers fall back to the previous valid compact plus every
+    * live batch, and the re-run compactor overwrites the partial.
+    */
   def segments(spark: SparkSession,
                path: String): (Option[(Long, String)], Seq[String]) = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -24,7 +32,9 @@ private[streaming] object SegmentStore {
     if (!fs.exists(p)) return (None, Nil)
     val dirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
     val compacts = dirs.flatMap(d => d.getName match {
-      case CompactDir(hi) => Some(hi.toLong -> d.toString)
+      case CompactDir(hi)
+        if fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")) =>
+        Some(hi.toLong -> d.toString)
       case _ => None
     })
     val newest = compacts.sortBy(-_._1).headOption
@@ -60,8 +70,17 @@ private[streaming] object SegmentStore {
     val inputs = compactSeg.map(_._2).toSeq ++ live
     merge(spark.read.parquet(inputs: _*))
       .write.mode("overwrite").parquet(s"$path/compact_$hi")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    inputs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    // best-effort sweep (never load-bearing — readers exclude by name):
+    // the covered batch dirs, the superseded compact, and any crashed
+    // partial compact_<i> the _SUCCESS guard in segments() was masking
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isDirectory).map(_.getPath).foreach { d =>
+      d.getName match {
+        case BatchDir(id) if id.toLong <= hi => fs.delete(d, true); ()
+        case CompactDir(id) if id.toLong != hi => fs.delete(d, true); ()
+        case _ => ()
+      }
+    }
   }
 }

@@ -60,6 +60,12 @@ object StreamingFunnel {
           val evs = rows.toArray.sortBy(r => (r._3, r._2))
           var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L, 0L))
           evs.foreach { case (_, _, ts, tpe) =>
+            // 0L is the empty-stage sentinel, so the long-ns feed must be
+            // strictly post-epoch — enforce the assumption loudly instead
+            // of silently treating an epoch/negative ts as "unfilled"
+            require(ts > 0L,
+              s"funnel ts contract: ts=$ts for user=$user must be > 0 " +
+                "(0 is the FunnelState empty-stage sentinel)")
             val filled = Seq(st.t1, st.t2, st.t3, st.t4)
             val next = filled.indexWhere(_ == 0L)
             if (next >= 0 && stages(next) == tpe &&

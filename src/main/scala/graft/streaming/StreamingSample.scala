@@ -49,61 +49,26 @@ object StreamingSample {
       }
       .start()
 
-  private val BatchDir = "batch_(\\d+)".r
-  private val CompactDir = "compact_(\\d+)".r
-
-  /** (newest compacted segment if any, live batch dirs above its id). */
-  private def segments(spark: SparkSession,
-                       samplePath: String): (Option[String], Seq[String]) = {
-    val p = new org.apache.hadoop.fs.Path(samplePath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return (None, Nil)
-    val dirs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-    val compacts = dirs.flatMap(d => d.getName match {
-      case CompactDir(hi) => Some(hi.toLong -> d.toString)
-      case _ => None
-    })
-    val newest = compacts.sortBy(-_._1).headOption
-    val hi = newest.map(_._1).getOrElse(-1L)
-    val live = dirs.flatMap(d => d.getName match {
-      case BatchDir(id) if id.toLong > hi => Some(d.toString)
-      case _ => None
-    })
-    (newest.map(_._2), live.toSeq)
-  }
-
-  /** Merge-on-read: global top-k over every live segment, presented in
-    * q146's exact output shape (rank, doc_id, source, w, es_key).
+  /** Merge-on-read: global top-k over every live segment (the shared
+    * [[SegmentStore]] topology — one definition of batch/compact/covered),
+    * presented in q146's exact output shape (rank, doc_id, source, w,
+    * es_key).
     */
   def readSample(spark: SparkSession, samplePath: String,
-                 k: Int = CorpusOps.WS_K): DataFrame = {
-    val (compact, live) = segments(spark, samplePath)
-    val paths = compact.toSeq ++ live
+                 k: Int = CorpusOps.WS_K): DataFrame =
     CorpusOps.rankReservoir(
-      CorpusOps.topKReservoir(spark.read.parquet(paths: _*), k))
-  }
+      CorpusOps.topKReservoir(SegmentStore.readPartials(spark, samplePath), k))
 
   /** Fold every live segment into ONE `compact_<hi>` segment holding just
-    * the current top-k, then best-effort delete the covered dirs. EXACT
-    * by top-k associativity, and uniquely for this maintainer the crash
-    * case is doubly safe: a covered leftover holds rows the compact
-    * segment either already contains (idempotent under duplicates) or
-    * outranks. One-writer maintenance contract, same as StreamingStats.
+    * the current top-k ([[SegmentStore.compact]] with top-k as the merge).
+    * EXACT by top-k associativity, and uniquely for this maintainer the
+    * crash case is doubly safe: beyond the store's _SUCCESS guard, a
+    * covered leftover holds rows the compact segment either already
+    * contains (idempotent under duplicates) or outranks. One-writer
+    * maintenance contract, same as StreamingStats.
     */
   def compactSample(spark: SparkSession, samplePath: String,
-                    k: Int = CorpusOps.WS_K): Unit = {
-    val (compact, live) = segments(spark, samplePath)
-    if (live.isEmpty) return
-    val hi = live.map { d =>
-      new org.apache.hadoop.fs.Path(d).getName match {
-        case BatchDir(id) => id.toLong
-      }
-    }.max
-    val inputs = compact.toSeq ++ live
-    CorpusOps.topKReservoir(spark.read.parquet(inputs: _*), k)
-      .write.mode("overwrite").parquet(s"$samplePath/compact_$hi")
-    val fs = new org.apache.hadoop.fs.Path(samplePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    inputs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
-  }
+                    k: Int = CorpusOps.WS_K): Unit =
+    SegmentStore.compact(spark, samplePath,
+      df => CorpusOps.topKReservoir(df, k))
 }

@@ -145,6 +145,30 @@ class Bm25Spec extends SparkSpec {
     }
   }
 
+  test("overlapping delta is refused loudly and leaves the index serving") {
+    val d = Tables.load(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25ovl").toString
+    Bm25.writeBm25Index(d.filter(pmod(col("doc_id"), lit(2)) === 0), s"$tmp/idx")
+    val before = Bm25.loadBm25Index(spark, s"$tmp/idx")
+    val beforeDf = before._2.collect().map(_.toSeq).toSet
+    // the whole corpus re-submits every stored doc_id — the silent
+    // failure mode is double-counted df/cf/n_docs and duplicate postings
+    val e = intercept[IllegalArgumentException] {
+      Bm25.appendBm25Delta(d, s"$tmp/idx")
+    }
+    assert(e.getMessage.contains("NEW documents"), e.getMessage)
+    // refusal happened BEFORE meta invalidation: the index still serves
+    val after = Bm25.loadBm25Index(spark, s"$tmp/idx")
+    assert((before._3, before._4) == (after._3, after._4),
+      "refused append changed corpus stats")
+    assert(after._2.collect().map(_.toSeq).toSet == beforeDf,
+      "refused append changed the df table")
+    // and a genuinely-new delta still goes through afterwards
+    Bm25.appendBm25Delta(d.filter(pmod(col("doc_id"), lit(2)) === 1), s"$tmp/idx")
+    val grown = Bm25.loadBm25Index(spark, s"$tmp/idx")
+    assert(grown._3 == d.count(), "post-refusal append lost documents")
+  }
+
   test("serve from stored postings equals scoring recomputed from text") {
     val d = Tables.load(spark, dir, "documents")
     val tmp = java.nio.file.Files.createTempDirectory("bm25rt").toString

@@ -185,4 +185,29 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(cohorts.exists { case ((_, o), _) => o >= 1 },
       s"multi-week activity must produce a nonzero offset: $cohorts")
   }
+
+  test("epoch grids FLOOR: a pre-epoch ts lands in the earlier bucket") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("evneg").toString
+    // 1 ms before the epoch (ts = -1e6 ns): floor puts it in week/day/
+    // hour -1; a truncating `div` (the pre-r14 shape) put it in bucket 0
+    // while the DuckDB oracle's `//` floors — the divergence this pins.
+    val ev = Seq(
+      (1L, new java.sql.Timestamp(-1L), 10L, "signup"),
+      (2L, new java.sql.Timestamp(604800000L), 10L, "view")) // exactly week 1
+    ev.map { case (id, ts, u, t) => (id, ts, u, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val cohorts = TimeSeries.queries("q164_retention_cohorts")(spark, tmp)
+      .collect().map(r => (r.getAs[Long]("cohort_week"),
+        r.getAs[Long]("week_offset")) -> r.getAs[Long]("n_users")).toMap
+    assert(cohorts == Map((-1L, 0L) -> 1L, (-1L, 2L) -> 1L),
+      s"pre-epoch event must cohort at floor week -1 (offset 1-(-1)=2): $cohorts")
+    val hours = TimeSeries.queries("q170_hourly_profile")(spark, tmp)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("hour")).toMap
+    // floor(-1e6 / 3.6e12) = -1; Spark's and DuckDB's % both follow the
+    // dividend's sign, so the engines agree at -1 (trunc-div gave 0)
+    assert(hours("signup") == -1L, s"pre-epoch hour must floor to -1: $hours")
+  }
 }

@@ -75,4 +75,35 @@ class StatsMaintenanceSpec extends SparkSpec {
     assert(collectStats(graft.streaming.StreamingStats
       .readStats(spark, s"$tmp/stats")) == direct, "re-compaction drifted")
   }
+
+  test("a partial compact (no _SUCCESS) never masks intact batch segments") {
+    val tmp = java.nio.file.Files.createTempDirectory("statscrash").toString
+    val d = graft.Tables.load(spark, dir, "documents")
+    TextAnalysis.statsPartials(d.filter(col("doc_id") % 2 === 0))
+      .write.mode("overwrite").parquet(s"$tmp/stats/batch_0")
+    TextAnalysis.statsPartials(d.filter(col("doc_id") % 2 === 1))
+      .write.mode("overwrite").parquet(s"$tmp/stats/batch_1")
+    val direct = collectStats(TextAnalysis.finalizeStats(
+      TextAnalysis.statsPartials(d)))
+    assert(collectStats(graft.streaming.StreamingStats
+      .readStats(spark, s"$tmp/stats")) == direct)
+    // compactor crash mid-write: a compact dir with DATA (here: wrong,
+    // quarter-corpus partials, so masking would visibly move the view)
+    // but no _SUCCESS marker — readers must keep serving the intact
+    // batch segments it would have covered
+    TextAnalysis.statsPartials(d.filter(col("doc_id") % 4 === 0))
+      .write.mode("overwrite").parquet(s"$tmp/stats/compact_1")
+    assert(new java.io.File(s"$tmp/stats/compact_1/_SUCCESS").delete(),
+      "fixture bug: expected the committer's _SUCCESS marker")
+    assert(collectStats(graft.streaming.StreamingStats
+      .readStats(spark, s"$tmp/stats")) == direct,
+      "a partial compact masked intact batch segments")
+    // the re-run compactor overwrites the partial and the view is exact;
+    // the covered batch dirs are swept
+    graft.streaming.StreamingStats.compactStats(spark, s"$tmp/stats")
+    assert(collectStats(graft.streaming.StreamingStats
+      .readStats(spark, s"$tmp/stats")) == direct, "recovery compaction drifted")
+    assert(!new java.io.File(s"$tmp/stats/batch_0").exists(),
+      "recovery compaction must sweep covered batch dirs")
+  }
 }
