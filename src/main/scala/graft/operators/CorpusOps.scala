@@ -1213,12 +1213,27 @@ object CorpusOps {
     * m²-row frame. Absent (s-token, t) cells smooth to count 0 (add-1)
     * through the join's null.
     */
+  /** The loud contract behind q161's m² shape: the confusion matrix is
+    * O(m²·V) in the source count m, which is fine for the config-bounded
+    * source taxonomies it exists for and catastrophic if someone points
+    * it at, say, per-domain sources. Callers above the cap should
+    * stratify first — group long-tail sources into an "other" bucket or
+    * compute the matrix on a sampled source subset — rather than have
+    * this operator silently plan a million-cell cross join.
+    */
+  val MAX_CONFUSION_SOURCES = 64L
+
   def q161SourceConfusion(spark: SparkSession, dir: String): DataFrame = {
     val counts = graft.CacheScope.cache(docs(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
     val totals = graft.CacheScope.cache(counts.groupBy(col("source"))
       .agg(sum(col("c")).as("n_s")))
+    val m = totals.count() // bounded scalar: #sources
+    require(m <= MAX_CONFUSION_SOURCES,
+      s"q161 source-confusion is O(m^2 * vocab) in the source count; " +
+        s"m=$m exceeds $MAX_CONFUSION_SOURCES — bucket or sample sources first " +
+        "(see MAX_CONFUSION_SOURCES)")
     val vocab = counts.select(col("w")).distinct().count() // bounded scalar
     val cells = counts
       .select(col("source").as("s"), col("w"), col("c").as("c_s"))

@@ -284,11 +284,25 @@ object TimeSeries {
   def q137PeriodSearch(spark: SparkSession, dir: String): DataFrame =
     bestPeriods(ev(spark, dir))
 
+  /** Log-spaced trial grid over [[TRIAL_PERIODS]]' span — the dial a
+    * production sweep turns: real string-length/Lomb–Scargle searches
+    * run 10³–10⁴ trial periods. The in-row kernel scales linearly in
+    * grid size with ZERO extra shuffle (the per-user exchange happens
+    * once regardless), so the ladder prices pure CPU; SCALE.md carries
+    * the measured secs/period-point curve at sf0.1.
+    */
+  private[graft] def periodGrid(n: Int): Array[Double] = {
+    val lo = TRIAL_PERIODS.head
+    val hi = TRIAL_PERIODS.last
+    Array.tabulate(n)(i => lo * math.pow(hi / lo, i.toDouble / (n - 1)))
+  }
+
   /** q137's body over a caller-supplied events frame — shared with q140,
     * which folds the SAME argmin winner (one definition of "best").
     */
-  private[graft] def bestPeriods(events: DataFrame): DataFrame = {
-    val periods = TRIAL_PERIODS.toArray
+  private[graft] def bestPeriods(events: DataFrame,
+                                 periods: Array[Double] = TRIAL_PERIODS.toArray
+                                ): DataFrame = {
     val bestU = udf((ts: Seq[Double], vs: Seq[Double], ids: Seq[Long]) => {
       val n = ts.length
       val idx = Array.range(0, n)

@@ -107,6 +107,55 @@ class PeriodSearchSpec extends SparkSpec {
       "serving recomputed build-time work:\n" + p)
   }
 
+  test("denser grids refine recovery: the 512-point ladder rung localizes a planted off-grid period") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ladder").toString
+    val dayNs = 86400e9
+    // planted period 2.7 d — deliberately OFF the 8-value production
+    // grid, so the coarse rung can only bracket it while the dense rungs
+    // must localize it to within one (log-spaced) grid step. The span is
+    // kept to ~4 cycles: over many cycles a half-step grid misalignment
+    // (2.6% at n=64) scrambles the true-period fold enough that the
+    // luckily-aligned 2P harmonic can capture the argmin — the classic
+    // string-length alias, which a production sweep counters with
+    // exactly this kind of denser grid.
+    val planted = 2.7
+    val ev = (0 until 160).map { i =>
+      val t = i * 0.0674 + 0.022 * ((i * 3) % 7)
+      (i.toLong, (t * dayNs).toLong, 1L, "obs",
+        14.0 + math.sin(2 * math.Pi * t / planted), "")
+    }
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val e = graft.Tables.load(spark, tmp, "events")
+    def recovered(n: Int): Double = graft.CacheScope.run {
+      TimeSeries.bestPeriods(e, TimeSeries.periodGrid(n))
+        .collect().map(r => r.getAs[Double]("best_period")).head
+    }
+    // grid-step factor at n log-spaced points over [0.5, 13]
+    def step(n: Int) = math.pow(13.0 / 0.5, 1.0 / (n - 1))
+    val r64 = recovered(64)
+    val r512 = recovered(512)
+    // the coarse rung may alias to the 2P harmonic: string-length smear
+    // grows with POINT COUNT, not amplitude, so a half-step-misaligned
+    // true period (up to 2.6% at n=64) loses to a luckily-aligned
+    // harmonic whose clean fold merely doubles the total variation.
+    // Accept {P, 2P} at 64 but demand the fundamental at 512, where no
+    // grid point is more than 0.33% off.
+    def logDist(a: Double, b: Double) = math.abs(math.log(a / b))
+    assert(Seq(planted, 2 * planted).exists(p => logDist(r64, p) <= math.log(step(64))),
+      s"64-rung missed both the planted period and its 2P alias: $r64 vs $planted")
+    assert(logDist(r512, planted) <= math.log(step(512)),
+      s"512-rung missed the planted period: $r512 vs $planted")
+    // and the production 8-grid stays self-consistent: its winner is a
+    // member of its own grid (the default-argument path is unchanged)
+    val r8 = graft.CacheScope.run {
+      TimeSeries.bestPeriods(e).collect()
+        .map(_.getAs[Double]("best_period")).head
+    }
+    assert(TimeSeries.TRIAL_PERIODS.contains(r8), s"8-grid winner off-grid: $r8")
+  }
+
   test("fixture census: one row per qualifying user, stat positive") {
     val rows = graft.CacheScope.run {
       TimeSeries.q137PeriodSearch(spark, "/root/testdata/sf0.001")

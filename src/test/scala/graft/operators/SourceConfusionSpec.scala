@@ -74,4 +74,19 @@ class SourceConfusionSpec extends SparkSpec {
       assert(row.min == m((s, s)), s"row $s: $row")
     }
   }
+
+  test("the m^2 shape refuses loudly above MAX_CONFUSION_SOURCES") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("confcap").toString
+    val n = (CorpusOps.MAX_CONFUSION_SOURCES + 1).toInt
+    (0 until n).map(i => (i.toLong, "alpha beta", "en", s"src$i", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.CacheScope.run {
+        CorpusOps.queries("q161_source_confusion")(spark, tmp).collect()
+      }
+    }
+    assert(e.getMessage.contains("MAX_CONFUSION_SOURCES"), e.getMessage)
+  }
 }

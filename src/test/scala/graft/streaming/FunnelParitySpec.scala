@@ -42,12 +42,20 @@ class FunnelParitySpec extends SparkSpec {
     // second half lands after a RESTART (a fresh query on the same
     // checkpoint — state must restore, not recompute)
     e.filter(col("ts") > cut).write.mode("append").parquet(s"$tmp/in")
-    StreamingFunnel.run(spark, s"$tmp/in", e.schema,
-      s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val q2 = StreamingFunnel.run(spark, s"$tmp/in", e.schema,
+      s"$tmp/out", s"$tmp/ckpt")
+    q2.awaitTermination()
     val streamed = collectFunnel(StreamingFunnel.readFunnel(spark, s"$tmp/out"))
     val batch = collectFunnel(
       graft.operators.TimeSeries.queries("q165_funnel")(spark, dir))
     assert(streamed == batch,
       s"stream diverged from batch: ${streamed.toSeq.diff(batch.toSeq).take(3)}")
+    // state-size law: exactly ONE four-long row per user seen in the
+    // stream — no event history, no per-key growth with replay length
+    val stateRows = q2.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).lastOption.getOrElse(-1L)
+    val activeUsers = e.select(col("user_id")).distinct().count()
+    assert(stateRows == activeUsers,
+      s"funnel state must be one row per active user: $stateRows vs $activeUsers")
   }
 }

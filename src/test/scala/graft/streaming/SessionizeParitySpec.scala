@@ -31,6 +31,14 @@ class SessionizeParitySpec extends SparkSpec {
       .schema(spark.read.parquet(s"$tmp/in").schema).parquet(s"$tmp/in")
     val q = StreamingSessionize.run(stream, s"$tmp/out", s"$tmp/ckpt")
     q.awaitTermination()
+    // state-size law: the event-time timeout REMOVES closed state — after
+    // the sentinel's watermark closes every real session, only the
+    // sentinel's own still-open session remains. State tracks the
+    // concurrently-active population, not history.
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).lastOption.getOrElse(-1L)
+    assert(stateRows == 1L,
+      s"timed-out sessions must leave the store (expected only the sentinel): $stateRows")
     val got = readOut(s"$tmp/out").filter(col("user_id") >= 0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).toSet

@@ -798,8 +798,9 @@ class StreamingSpec extends SparkSpec {
     // second run restores (runningSum, minPrefix) from the checkpoint —
     // alarms in the tail half depend on state built in the first
     ev.filter(col("ts") > cut).write.mode("append").parquet(s"$tmp/in")
-    StreamingCusum.runAgainstIndex(spark, s"$tmp/in", schema,
-      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val q2 = StreamingCusum.runAgainstIndex(spark, s"$tmp/in", schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt")
+    q2.awaitTermination()
     val got = spark.read.option("recursiveFileLookup", "true")
       .parquet(s"$tmp/out").collect().map(_.toSeq).toSet
     val want = graft.CacheScope.run {
@@ -811,6 +812,18 @@ class StreamingSpec extends SparkSpec {
     }
     assert(got.nonEmpty, "fixture must produce alarms for the parity to bite")
     assert(got == want, "stream and batch CUSUM alarms diverged")
+    // state-size law: two longs per user WITH INCREMENTS (users outside
+    // the boundary table never enter the fold), independent of replay
+    // length — the O(1)-per-user claim, asserted
+    val stateRows = q2.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).lastOption.getOrElse(-1L)
+    val usersWithIncrements = graft.CacheScope.run {
+      graft.operators.TimeSeries.cusumIncrements(ev,
+        graft.operators.TimeSeries.loadOutlierBounds(spark, s"$tmp/index"))
+        .select(col("user_id")).distinct().count()
+    }
+    assert(stateRows == usersWithIncrements,
+      s"cusum state must be one row per incremented user: $stateRows vs $usersWithIncrements")
   }
 
   test("streaming phase gate censuses residuals against the stored template") {
