@@ -113,30 +113,43 @@ object CorpusBuild {
     * eager localCheckpoint: a stage's timer covers its own execution
     * only, never a re-walk of upstream lineage (the r13 probe read
     * `split_shard` at 3× the whole query's wall because every count
-    * re-paid Catalyst planning over the full composed tree).
+    * re-paid Catalyst planning over the full composed tree). The probe
+    * runs the chain TWICE and records each stage's MIN — the
+    * steal-resistant estimate on a co-tenant box (the bench queries get
+    * the same treatment via their 3-sample medians; a single-sample
+    * probe would re-open the gap the restructure closed).
     */
-  def q104StageProbe(spark: SparkSession, dir: String): Unit = CacheScope.run {
-    def stage[A](name: String)(work: => (A, Long)): A = {
-      val t0 = System.nanoTime()
-      val (out, n) = work
-      val secs = (System.nanoTime() - t0) / 1e9
-      Telemetry.record(f"q104probe stage=$name secs=$secs%.3f rows=$n")
-      out
+  def q104StageProbe(spark: SparkSession, dir: String): Unit = {
+    val samples = (1 to 2).map { _ =>
+      CacheScope.run {
+        val out = Seq.newBuilder[(String, Double, Long)]
+        def stage[A](name: String)(work: => (A, Long)): A = {
+          val t0 = System.nanoTime()
+          val (o, n) = work
+          out += ((name, (System.nanoTime() - t0) / 1e9, n))
+          o
+        }
+        val verdicts = stage("ingest") {
+          val d = ingestStage(spark, dir); (d, d.count())
+        }
+        val survivors = stage("survivors") {
+          val d = survivorsStage(spark, dir, verdicts); (d, d.count())
+        }
+        val nonEmpty = stage("scrub") {
+          val d = CacheScope.cache(scrubStage(survivors).filter(length(col("text")) > 0))
+          (d, d.count())
+        }
+        stage("split_shard") {
+          val d = curatedStage(survivors, nonEmpty); (d, d.count())
+        }
+        out.result()
+      }
     }
-    val verdicts = stage("ingest") {
-      val d = ingestStage(spark, dir); (d, d.count())
+    samples.head.indices.foreach { i =>
+      val (name, _, rows) = samples.head(i)
+      val secs = samples.map(_(i)._2).min
+      Telemetry.record(f"q104probe stage=$name secs=$secs%.3f rows=$rows")
     }
-    val survivors = stage("survivors") {
-      val d = survivorsStage(spark, dir, verdicts); (d, d.count())
-    }
-    val nonEmpty = stage("scrub") {
-      val d = CacheScope.cache(scrubStage(survivors).filter(length(col("text")) > 0))
-      (d, d.count())
-    }
-    stage("split_shard") {
-      val d = curatedStage(survivors, nonEmpty); (d, d.count())
-    }
-    ()
   }
 
   /** The whole build as a driver-gated query: curated rows with the
