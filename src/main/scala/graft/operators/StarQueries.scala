@@ -111,9 +111,14 @@ object StarQueries {
     * grid geometry and scoring are additionally pinned by StarsFilterSpec.
     */
   def q71StarProbspace(spark: SparkSession, dir: String): DataFrame = {
-    // ONE cached descriptor pass feeds training and the PCA mesh
+    // ONE descriptor pass feeds training and the PCA mesh — CHECKPOINTED,
+    // not cached: training's driver-side collects are several sequential
+    // actions, and each re-paid plan canonicalization over the whole
+    // star-build + descriptor tree when this was a cache (the q155/q104
+    // lesson; measured ~1.4 s of driver-idle wall here at sf0.1)
     val sf = new StarsFilter(descriptors, Seq(new LDADec(), new QDADec()))
-    val coords = graft.CacheScope.cache(sf.spaceCoordinates(starsFromEvents(spark, dir).toDF()))
+    val coords = sf.spaceCoordinates(starsFromEvents(spark, dir).toDF())
+      .localCheckpoint(true)
     val sCoords = coords.filter(col("starClass") === "searched")
     val oCoords = coords.filter(col("starClass") =!= "searched")
     val model = sf.learnOnCoords(sCoords, oCoords)
