@@ -280,6 +280,41 @@ object Bm25 {
         round(col("su") / lit(1e6), 6).as("score"), col("n_terms"))
   }
 
+  /** Serve top-k for a USER-SUPPLIED query — arbitrary terms, not the
+    * df-ranked standing window q143 serves. The whole read is
+    * term-pruned: df partials fold only for the queried tokens (the
+    * `isin` reaches the df parquet scan) and the postings scan carries
+    * the same `isin` (row-group min/max on the token-sorted compact
+    * segment prunes what appends fragmented), so serve cost scales with
+    * the queried terms' postings — never the vocabulary. This is the
+    * 10⁸-term contract: the only global reads are the stats partials
+    * (segment-count rows). Terms absent from the vocabulary simply
+    * match nothing.
+    */
+  def bm25TopKForTerms(spark: SparkSession, path: String,
+                       terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 64,
+      s"user query must carry 1..64 terms, got ${terms.size}")
+    IndexMeta.read(spark, path, "writeBm25Index")
+    val segs = segmentNames(spark, path)
+    val st = spark.read.parquet(segs.map(n => s"$path/stats/$n"): _*)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .collect()(0)
+    val (n, sumDl) = (st.getAs[Long]("n_docs"), st.getAs[Long]("sum_dl"))
+    val dfT = spark.read.parquet(segs.map(s => s"$path/df/$s"): _*)
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
+    val matched = spark.read.parquet(segs.map(s => s"$path/postings/$s"): _*)
+      .filter(col("token").isin(terms: _*))
+      .join(broadcast(dfT), Seq("token"))
+    scoreMatched(matched, n, sumDl)
+      .orderBy(col("su").desc, col("doc_id")).limit(TOP_K)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("su").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"),
+        round(col("su") / lit(1e6), 6).as("score"), col("n_terms"))
+  }
+
   /** Score an ARRIVING doc batch against frozen terms + corpus stats
     * (tf/dl from the batch's own text) — the streaming gate kernel.
     */
@@ -326,6 +361,25 @@ object Bm25 {
     path
   }
 
+  /** User-supplied-terms retrieval as a gated query (q175): the term set
+    * is derived by a deterministic rule — the 3 alphabetically-first
+    * distinct tokens of the min-doc_id document — purely so the oracle
+    * can name the same terms; the SERVE path is [[bm25TopKForTerms]]
+    * verbatim (term-pruned df fold + isin-pruned postings scan), i.e.
+    * what an interactive caller with arbitrary terms pays. The term
+    * lookup itself is one single-document point read.
+    */
+  def q175Bm25UserQuery(spark: SparkSession, dir: String): DataFrame = {
+    val path = ensureIndex(spark, dir)
+    val d0 = docs(spark, dir)
+    val minId = d0.agg(min(col("doc_id"))).collect()(0).getLong(0)
+    val terms = d0.filter(col("doc_id") === minId)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .distinct().orderBy(col("token")).limit(3)
+      .collect().map(_.getString(0)).toSeq
+    bm25TopKForTerms(spark, path, terms)
+  }
+
   /** Vocabulary audit of the APPENDED index — oracle is q142's. */
   def q144Bm25IncIndex(spark: SparkSession, dir: String): DataFrame = {
     val (_, dfTable, n, _) = loadBm25Index(spark, ensureIncIndex(spark, dir))
@@ -343,7 +397,8 @@ object Bm25 {
     "q142_bm25_index" -> q142Bm25Index,
     "q143_bm25_topk" -> q143Bm25TopK,
     "q144_bm25_inc_index" -> q144Bm25IncIndex,
-    "q145_bm25_inc_topk" -> q145Bm25IncTopK)
+    "q145_bm25_inc_topk" -> q145Bm25IncTopK,
+    "q175_bm25_user_query" -> q175Bm25UserQuery)
 
   def oracleSql: Map[String, String] = {
     val base = baseOracleSql
@@ -351,8 +406,27 @@ object Bm25 {
     // oracle each certifies merge(base, delta) == from-scratch
     base ++ Map(
       "q144_bm25_inc_index" -> base("q142_bm25_index"),
-      "q145_bm25_inc_topk" -> base("q143_bm25_topk"))
-  }
+      "q145_bm25_inc_topk" -> base("q143_bm25_topk"),
+      // q175: q143's scoring verbatim with the terms CTE swapped for the
+      // deterministic user-term rule (3 alphabetically-first distinct
+      // tokens of the min-doc_id document)
+      "q175_bm25_user_query" -> base("q143_bm25_topk").replace(
+        s"""terms AS (
+           |  SELECT token, df FROM (
+           |    SELECT token, df,
+           |      row_number() OVER (ORDER BY df DESC, token) AS rk
+           |    FROM dfv)
+           |  WHERE rk BETWEEN $RANK_LO AND $RANK_HI),""".stripMargin,
+        """terms0 AS (
+          |  SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+          |  FROM documents
+          |  WHERE doc_id = (SELECT min(doc_id) FROM documents)),
+          |terms AS (
+          |  SELECT t0.token, dfv.df
+          |  FROM (SELECT token FROM terms0 ORDER BY token LIMIT 3) t0
+          |  JOIN dfv USING (token)),""".stripMargin))
+  }.ensuring(m => m("q175_bm25_user_query") != m("q143_bm25_topk"),
+    "q175 oracle rewrite did not match q143's terms CTE — needle drifted")
 
   private def baseOracleSql: Map[String, String] = Map(
     "q142_bm25_index" ->

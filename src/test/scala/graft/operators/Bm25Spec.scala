@@ -185,4 +185,40 @@ class Bm25Spec extends SparkSpec {
     assert(fromStore == fromText,
       "stored postings and recomputed text scoring diverged")
   }
+
+  test("user-supplied terms: term-pruned serve equals a from-text recompute; scans are pruned") {
+    val d = Tables.load(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25usr").toString
+    Bm25.writeBm25Index(d, s"$tmp/index")
+    val (_, dfT, n, sumDl) = Bm25.loadBm25Index(spark, s"$tmp/index")
+    // two real vocabulary terms + one absent term (matches nothing)
+    val real = dfT.orderBy(col("df").asc, col("token")).limit(2)
+      .collect().map(_.getString(0)).toSeq
+    val terms = real :+ "zz_not_in_vocab"
+    val served = Bm25.bm25TopKForTerms(spark, s"$tmp/index", terms)
+    // plan contract: both the postings and df scans carry the token
+    // pushdown — the read scales with the queried terms, not the vocab
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"),
+      "token isin must reach the parquet scans:\n" + plan)
+    val got = served.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Long]("n_terms"))).toSet
+    // reference: score the same terms from raw text with df recomputed
+    val refDf = dfT.filter(col("token").isin(terms: _*))
+    val want = Bm25.scoreMatched(
+        Bm25.postingsWithNorms(d.select(col("doc_id"), col("text")))
+          .join(broadcast(refDf), Seq("token")), n, sumDl)
+      .orderBy(col("su").desc, col("doc_id")).limit(10)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        BigDecimal(r.getAs[Long]("su") / 1e6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        r.getAs[Long]("n_terms"))).toSet
+    assert(got == want, s"user-query serve drifted: got $got want $want")
+    // the absent term changed nothing; the 2 real rare terms bound n_terms
+    assert(got.forall(_._3 <= 2))
+    intercept[IllegalArgumentException] {
+      Bm25.bm25TopKForTerms(spark, s"$tmp/index", Nil)
+    }
+  }
 }
