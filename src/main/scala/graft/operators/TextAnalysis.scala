@@ -35,6 +35,63 @@ object TextAnalysis {
   private def distinctRatio(tokens: org.apache.spark.sql.Column) =
     size(array_distinct(tokens)).cast("double") / size(tokens)
 
+  /** The Gopher rule-set document gate (q176; Rae et al. 2021 App. A —
+    * the filter battery production corpora actually run, beyond q41's
+    * score columns): word-count bounds, mean-word-length band,
+    * symbol-to-word ratio ('#' and '…' as '...'), alphabetic-word
+    * fraction, ellipsis-/bullet-line fractions, and the ≥2-stopword
+    * requirement, plus the composite pass verdict.
+    *
+    * Exactness: every REPORTED ratio is one IEEE division rounded once,
+    * but every VERDICT compares cross-multiplied 64-bit integers
+    * (3·wc ≤ Σlen ≤ 10·wc, 10·symbols ≤ wc, 5·alpha ≥ 4·wc,
+    * 10·ell_lines ≤ 3·lines, 10·bullets ≤ 9·lines) — the q148/q173
+    * discipline, so no rounding can flip a pass.
+    *
+    * Scale shape: ONE map-only pass, all rules in-row over the split
+    * arrays; nothing shuffles.
+    */
+  def q176GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("wc", size(col("toks")).cast("long"))
+      .withColumn("sum_len", aggregate(
+        transform(col("toks"), t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x))
+      .withColumn("n_hash",
+        (length(col("text")) - length(regexp_replace(col("text"), "#", ""))).cast("long"))
+      .withColumn("n_ell", expr(
+        "CAST((length(text) - length(replace(text, '...', ''))) div 3 AS BIGINT)"))
+      .withColumn("alpha_words",
+        size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("nl", size(col("lines")).cast("long"))
+      .withColumn("ell_lines",
+        size(filter(col("lines"), l => l.endsWith("..."))).cast("long"))
+      .withColumn("bullet_lines",
+        size(filter(col("lines"),
+          l => l.startsWith("- ") || l.startsWith("* "))).cast("long"))
+      .withColumn("stop_hits",
+        size(filter(col("toks"), t => lower(t).isInCollection(stop))).cast("long"))
+      .withColumn("passes",
+        col("wc") >= 50L && col("wc") <= 100000L &&
+          col("sum_len") >= lit(3L) * col("wc") &&
+          col("sum_len") <= lit(10L) * col("wc") &&
+          lit(10L) * (col("n_hash") + col("n_ell")) <= col("wc") &&
+          lit(5L) * col("alpha_words") >= lit(4L) * col("wc") &&
+          lit(10L) * col("ell_lines") <= lit(3L) * col("nl") &&
+          lit(10L) * col("bullet_lines") <= lit(9L) * col("nl") &&
+          col("stop_hits") >= 2L)
+      .select(col("doc_id"), col("wc").as("word_count"),
+        round(col("sum_len") / col("wc"), 6).as("mean_word_len"),
+        round((col("n_hash") + col("n_ell")) / col("wc"), 6).as("symbol_ratio"),
+        round(col("alpha_words") / col("wc"), 6).as("alpha_frac"),
+        round(col("ell_lines") / col("nl"), 6).as("ellipsis_line_frac"),
+        round(col("bullet_lines") / col("nl"), 6).as("bullet_line_frac"),
+        col("stop_hits"), col("passes"))
+  }
+
   /** Quality scoring (`length / punct / stopword ratios`): single-pass
     * per-row expressions; ratios are single IEEE divisions — identical on
     * both engines without rounding.
@@ -897,6 +954,7 @@ object TextAnalysis {
     "q84_pii_scrub" -> q84PiiScrub,
     "q88_quality_deciles" -> q88QualityDeciles,
     "q40_token_count" -> q40TokenCount,
+    "q176_gopher_rules" -> q176GopherRules,
     "q41_quality" -> q41Quality,
     "q42_lang_id" -> q42LangId,
     "q43_fingerprint" -> q43Fingerprint,
@@ -941,6 +999,39 @@ object TextAnalysis {
       |  FROM agg0)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q176_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split(text, ' ') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS wc,
+        |    CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS sum_len,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ell,
+        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST(len(lines) AS BIGINT) AS nl,
+        |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS ell_lines,
+        |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(toks, x -> list_contains(['the','be','to','of','and','that','have','with'], lower(x)))) AS BIGINT) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, wc AS word_count,
+        |  round(sum_len / CAST(wc AS DOUBLE), 6) AS mean_word_len,
+        |  round((n_hash + n_ell) / CAST(wc AS DOUBLE), 6) AS symbol_ratio,
+        |  round(alpha_words / CAST(wc AS DOUBLE), 6) AS alpha_frac,
+        |  round(ell_lines / CAST(nl AS DOUBLE), 6) AS ellipsis_line_frac,
+        |  round(bullet_lines / CAST(nl AS DOUBLE), 6) AS bullet_line_frac,
+        |  stop_hits,
+        |  (wc >= 50 AND wc <= 100000
+        |    AND sum_len >= 3 * wc AND sum_len <= 10 * wc
+        |    AND 10 * (n_hash + n_ell) <= wc
+        |    AND 5 * alpha_words >= 4 * wc
+        |    AND 10 * ell_lines <= 3 * nl
+        |    AND 10 * bullet_lines <= 9 * nl
+        |    AND stop_hits >= 2) AS passes
+        |FROM m""".stripMargin,
     "q152_collocations" ->
       s"""WITH t AS (
         |  SELECT string_split(text, ' ') AS toks FROM documents

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** q176 (Gopher rule-set gate): each rule is exercised by a constructed
+  * document that fails EXACTLY that rule, the verdicts are integer-exact
+  * at their boundaries, and the fixture census sanity-holds.
+  */
+class GopherRulesSpec extends SparkSpec {
+
+  private def run(tmp: String) =
+    graft.CacheScope.run {
+      TextAnalysis.queries("q176_gopher_rules")(spark, tmp)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Boolean]("passes"), r.getAs[Long]("stop_hits"))).toMap
+    }
+
+  test("each rule fails exactly its constructed offender") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
+    val good = (("the quick brown fox and the lazy dog went to of " * 6).trim + " end")
+    // 61 words, all alphabetic, plenty of stopwords, mean len in [3,10]
+    val docs = Seq(
+      (1L, good),                                        // passes all
+      (2L, "too short to have fifty words"),             // word count < 50
+      (3L, ("xx " * 60).trim),                           // mean word len 2 < 3, no stopwords
+      (4L, good + " " + ("# " * 12).trim),               // symbols: 12 '#' vs 74 words > 0.1
+      (5L, good.replace(" ", " 123 ")),                  // alpha fraction ~0.5 < 0.8
+      (6L, (1 to 12).map(i => s"the line $i goes on...").mkString("\n") +
+        "\nthe closing line stays here and more words follow " + good), // 12/14 lines ellipsis > 0.3
+      (7L, ("data table row " * 20).trim)                // zero stopwords
+    )
+    docs.map { case (i, t) => (i, t, "en", "src1", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = run(tmp)
+    assert(got(1L)._1, s"control doc must pass: ${got(1L)}")
+    Seq(2L, 3L, 4L, 5L, 6L, 7L).foreach { id =>
+      assert(!got(id)._1, s"doc $id must fail its rule: ${got(id)}")
+    }
+    assert(got(7L)._2 == 0L, "stopword count must be 0 for the jargon doc")
+  }
+
+  test("verdict boundaries are integer-exact (no rounding flips)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("gopherb").toString
+    // exactly 50 words (the lower bound is inclusive); all len-5 words
+    // except enough stopwords; symbol count exactly wc/10 (10*sym == wc
+    // passes the <= rule exactly)
+    val base = ("would " * 43).trim // 43 five-letter words
+    val text = base + " the and that have with" + " #" * 2
+    // wc = 43 + 5 + 2 = 50; symbols = 2; 10*2 = 20 <= 50; mean len =
+    // (43*5 + 3+3+4+4+4 + 2*1) / 50 = 235/50 = 4.7 in [3,10]
+    Seq((1L, text, "en", "src1", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.CacheScope.run {
+      TextAnalysis.queries("q176_gopher_rules")(spark, tmp).collect()
+    }
+    val r = rows.head
+    assert(r.getAs[Long]("word_count") == 50L)
+    assert(r.getAs[Boolean]("passes"),
+      s"50-word inclusive boundary must pass: $r")
+  }
+
+  test("fixture census: every row verdicts, ratios in range") {
+    val rows = graft.CacheScope.run {
+      TextAnalysis.queries("q176_gopher_rules")(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("alpha_frac") >= 0.0 &&
+        r.getAs[Double]("alpha_frac") <= 1.0)
+      assert(r.getAs[Double]("symbol_ratio") >= 0.0)
+      assert(r.getAs[Double]("mean_word_len") > 0.0)
+    }
+    // the fixture text is clean lowercase prose: a healthy majority of
+    // the long-enough docs should pass
+    val passed = rows.count(_.getAs[Boolean]("passes"))
+    assert(passed > 0, "no fixture doc passes - thresholds miscalibrated")
+  }
+}
