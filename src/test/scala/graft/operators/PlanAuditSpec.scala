@@ -70,6 +70,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "per-row scrub gained a shuffle:\n" + p)
   }
 
+  test("q176: the Gopher gate is one map-only pass — no exchange") {
+    val p = plan(TextAnalysis.queries("q176_gopher_rules")(spark, dir))
+    assert(!p.contains("Exchange"), "in-row rule gate gained a shuffle:\n" + p)
+  }
+
   test("q88: decile bucketing broadcasts the boundary row — no global sort, no window") {
     val p = plan(TextAnalysis.queries("q88_quality_deciles")(spark, dir))
     assert(p.contains("BroadcastExchange"), "boundaries not broadcast:\n" + p)
