@@ -51,9 +51,16 @@ object TextAnalysis {
     * Scale shape: ONE map-only pass, all rules in-row over the split
     * arrays; nothing shuffles.
     */
-  def q176GopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def q176GopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherVerdicts(docs(spark, dir))
+
+  /** q176's body over a caller-supplied docs frame — ONE definition
+    * shared with [[graft.streaming.StreamingGopherGate]], so the batch
+    * audit and the ingest-time router cannot drift on a threshold.
+    */
+  private[graft] def gopherVerdicts(d: DataFrame): DataFrame = {
     val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    docs(spark, dir)
+    d
       .withColumn("toks", split(col("text"), " "))
       .withColumn("lines", split(col("text"), "\n"))
       .withColumn("wc", size(col("toks")).cast("long"))

@@ -64,6 +64,35 @@ class GopherRulesSpec extends SparkSpec {
       s"50-word inclusive boundary must pass: $r")
   }
 
+  test("streaming gate: verdict parity with batch q176, sinks partition the input") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("gopherstream").toString
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // two arrivals -> two micro-batches through the gate
+    d.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(s"$tmp/in")
+    graft.streaming.StreamingGopherGate.run(spark, s"$tmp/in", d.schema,
+      s"$tmp/pass", s"$tmp/reject", s"$tmp/ckpt").awaitTermination()
+    d.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(s"$tmp/in")
+    graft.streaming.StreamingGopherGate.run(spark, s"$tmp/in", d.schema,
+      s"$tmp/pass", s"$tmp/reject", s"$tmp/ckpt").awaitTermination()
+    def ids(path: String): Set[Long] =
+      if (!new java.io.File(path).exists()) Set.empty
+      else spark.read.parquet(path).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+    val (passed, rejected) = (ids(s"$tmp/pass"), ids(s"$tmp/reject"))
+    val batch = graft.CacheScope.run {
+      TextAnalysis.queries("q176_gopher_rules")(spark, "/root/testdata/sf0.001")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Boolean]("passes")).toMap
+    }
+    assert(passed == batch.filter(_._2).keySet,
+      "streamed pass sink diverged from batch verdicts")
+    assert(rejected == batch.filterNot(_._2).keySet,
+      "streamed reject sink diverged from batch verdicts")
+    assert((passed & rejected).isEmpty && (passed | rejected) == batch.keySet,
+      "sinks must partition the input")
+  }
+
   test("fixture census: every row verdicts, ratios in range") {
     val rows = graft.CacheScope.run {
       TextAnalysis.queries("q176_gopher_rules")(spark, "/root/testdata/sf0.001")
