@@ -128,6 +128,29 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= Similarity.recallFloor("q57_ann_ivf", dir), f"IVF recall collapsed to $recall%.3f — check nprobe/quantizer")
   }
 
+  test("IVF serves a FOREIGN query vector (not a corpus row) exactly") {
+    // the q175-style serving contract for vectors: a user query arrives
+    // as its own 1-row probe frame with a sentinel id — the index must
+    // rank real neighbors for it, and a probe identical to a stored
+    // vector must surface that vector at cosine 1 (sanity: self-match)
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("ivffv").toString
+    graft.CacheScope.run { Similarity.writeIvfIndex(e, s"$tmp/idx") }
+    val v7 = e.filter(org.apache.spark.sql.functions.col("vec_id") === 7L)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val probe = Seq((-1L, v7)).toDF("vec_id", "embedding")
+    val got = graft.CacheScope.run {
+      Similarity.ivfSearchAgainstIndex(probe, s"$tmp/idx")
+        .collect().map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"),
+          r.getAs[Double]("cosine"), r.getAs[Int]("rn")))
+    }
+    assert(got.nonEmpty && got.forall(_._1 == -1L))
+    val top = got.minBy(_._4)
+    assert(top._2 == 7L && top._3 == 1.0,
+      s"identical foreign probe must self-match at cosine 1: $top")
+    assert(got.length <= 3 && got.map(_._4).sorted.sameElements(1 to got.length))
+  }
+
   test("probe masks are combinatorial at every permitted band width") {
     // 2^bits enumeration wrapped (Int shift is mod 32) or exploded memory
     // for wide dials; the combinatorial form must hold across the full
