@@ -54,11 +54,20 @@ object TextAnalysis {
   def q176GopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherVerdicts(docs(spark, dir))
 
-  /** q176's body over a caller-supplied docs frame — ONE definition
-    * shared with [[graft.streaming.StreamingGopherGate]], so the batch
-    * audit and the ingest-time router cannot drift on a threshold.
+  /** The Gopher rule columns APPENDED to the caller's frame — the
+    * document payload (text/lang/source/…) survives alongside the
+    * verdict, so [[graft.streaming.StreamingGopherGate]]'s pass sink
+    * carries real documents a downstream dedup/quality stage can
+    * consume (the [[graft.streaming.StreamingQuality]] convention: keep
+    * the row, drop only helper columns). One definition with the q176
+    * audit projection below, so batch and stream cannot drift on a
+    * threshold.
+    *
+    * `stop_hits` counts DISTINCT stopwords present (Rae et al.'s "contain
+    * at least two of the following English words" — two occurrences of
+    * one word, e.g. "the the", do NOT satisfy the rule).
     */
-  private[graft] def gopherVerdicts(d: DataFrame): DataFrame = {
+  private[graft] def gopherScored(d: DataFrame): DataFrame = {
     val stop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     d
       .withColumn("toks", split(col("text"), " "))
@@ -80,7 +89,9 @@ object TextAnalysis {
         size(filter(col("lines"),
           l => l.startsWith("- ") || l.startsWith("* "))).cast("long"))
       .withColumn("stop_hits",
-        size(filter(col("toks"), t => lower(t).isInCollection(stop))).cast("long"))
+        size(array_intersect(
+          array_distinct(transform(col("toks"), t => lower(t))),
+          typedlit(stop))).cast("long"))
       .withColumn("passes",
         col("wc") >= 50L && col("wc") <= 100000L &&
           col("sum_len") >= lit(3L) * col("wc") &&
@@ -90,14 +101,25 @@ object TextAnalysis {
           lit(10L) * col("ell_lines") <= lit(3L) * col("nl") &&
           lit(10L) * col("bullet_lines") <= lit(9L) * col("nl") &&
           col("stop_hits") >= 2L)
-      .select(col("doc_id"), col("wc").as("word_count"),
-        round(col("sum_len") / col("wc"), 6).as("mean_word_len"),
-        round((col("n_hash") + col("n_ell")) / col("wc"), 6).as("symbol_ratio"),
-        round(col("alpha_words") / col("wc"), 6).as("alpha_frac"),
-        round(col("ell_lines") / col("nl"), 6).as("ellipsis_line_frac"),
-        round(col("bullet_lines") / col("nl"), 6).as("bullet_line_frac"),
-        col("stop_hits"), col("passes"))
+      .withColumn("word_count", col("wc"))
+      .withColumn("mean_word_len", round(col("sum_len") / col("wc"), 6))
+      .withColumn("symbol_ratio",
+        round((col("n_hash") + col("n_ell")) / col("wc"), 6))
+      .withColumn("alpha_frac", round(col("alpha_words") / col("wc"), 6))
+      .withColumn("ellipsis_line_frac", round(col("ell_lines") / col("nl"), 6))
+      .withColumn("bullet_line_frac", round(col("bullet_lines") / col("nl"), 6))
+      .drop("toks", "lines", "wc", "sum_len", "n_hash", "n_ell",
+        "alpha_words", "nl", "ell_lines", "bullet_lines")
   }
+
+  /** q176's audit projection over [[gopherScored]] — verdict + metric
+    * columns only (the hash-gated surface).
+    */
+  private[graft] def gopherVerdicts(d: DataFrame): DataFrame =
+    gopherScored(d)
+      .select(col("doc_id"), col("word_count"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_frac"), col("ellipsis_line_frac"),
+        col("bullet_line_frac"), col("stop_hits"), col("passes"))
 
   /** Quality scoring (`length / punct / stopword ratios`): single-pass
     * per-row expressions; ratios are single IEEE divisions — identical on
@@ -1022,7 +1044,7 @@ object TextAnalysis {
         |    CAST(len(lines) AS BIGINT) AS nl,
         |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT) AS ell_lines,
         |    CAST(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS bullet_lines,
-        |    CAST(len(list_filter(toks, x -> list_contains(['the','be','to','of','and','that','have','with'], lower(x)))) AS BIGINT) AS stop_hits
+        |    CAST(len(list_intersect(list_distinct(list_transform(toks, x -> lower(x))), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
         |  FROM t)
         |SELECT doc_id, wc AS word_count,
         |  round(sum_len / CAST(wc AS DOUBLE), 6) AS mean_word_len,

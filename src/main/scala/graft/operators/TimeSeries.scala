@@ -631,8 +631,10 @@ object TimeSeries {
     * FLOOR division of the long-ns timestamp (week = floor(ts/604800e9)
     * via the `(ts - pmod(ts, k)) div k` identity — fixed epoch grid, no
     * calendar library), so the matrix is engine- and timezone-independent
-    * by construction: DuckDB's `//` floors, and a truncating `div` would
-    * disagree on any pre-epoch (negative) timestamp.
+    * by construction. The oracle states the SAME pmod-subtraction floor:
+    * DuckDB's integer `//` truncates toward zero (measured on 1.0.0), so
+    * a bare `ts // k` on either engine would disagree with the floor grid
+    * on any pre-epoch (negative) timestamp.
     *
     * Scale shape: the per-user first-day MIN is map-side combinable;
     * the cohort join is user-keyed against that user-sized frame; the
@@ -799,14 +801,17 @@ object TimeSeries {
 
   /** Hour-of-day activity profile (q170): per (event_type, hour) counts
     * and within-type share — the load-shape dashboard row. Hour is exact
-    * integer math on the long-ns ts (floor(ts/3600e9) mod 24 — UTC grid,
-    * timezone-free); shares are single divisions of exact counts. One
-    * map-side aggregate; ≤ types×24 output rows.
+    * integer math on the long-ns ts (pmod(floor(ts/3600e9), 24) — UTC
+    * grid, timezone-free); pmod, not `%`, so a pre-epoch instant lands in
+    * its wall-clock bucket [0,24) (23:59:59.999 UTC on 1969-12-31 is hour
+    * 23, not -1) and the documented ≤ types×24 row bound holds on any
+    * data. Shares are single divisions of exact counts. One map-side
+    * aggregate.
     */
   def q170HourlyProfile(spark: SparkSession, dir: String): DataFrame = {
     val h = ev(spark, dir)
       .select(col("event_type"),
-        expr("((ts - pmod(ts, 3600000000000)) div 3600000000000) % 24").as("hour"))
+        expr("pmod((ts - pmod(ts, 3600000000000)) div 3600000000000, 24)").as("hour"))
       .groupBy(col("event_type"), col("hour")).agg(count(lit(1)).as("n"))
     val tot = h.groupBy(col("event_type")).agg(sum(col("n")).as("type_n"))
     h.join(tot, Seq("event_type"))
@@ -908,11 +913,20 @@ object TimeSeries {
         |  round(sum(nmv) / count(*) / 1e6, 6) AS avg_nll
         |FROM p JOIN nm ON nm.cur = p.cur AND nm.nxt = p.nxt
         |GROUP BY 1""".stripMargin,
+    // exact FLOOR division + pmod in portable SQL: DuckDB's integer `//`
+    // TRUNCATES toward zero ((-7)//2 = -3 on 1.0.0 — measured, despite
+    // docs that read like floor), so the grid is stated as
+    // (x - pmod(x,k)) // k, which is exact for any sign because the
+    // numerator is a multiple of k; the hour then wraps with the same
+    // ((h%24)+24)%24 pmod identity
     "q170_hourly_profile" ->
-      """WITH h AS (
-        |  SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+      """WITH e AS (SELECT event_type, epoch_ns(ts) AS tsn FROM events),
+        |h AS (
+        |  SELECT event_type,
+        |    ((((tsn - ((tsn % 3600000000000 + 3600000000000) % 3600000000000))
+        |        // 3600000000000) % 24) + 24) % 24 AS hour,
         |    count(*) AS n
-        |  FROM events GROUP BY 1, 2),
+        |  FROM e GROUP BY 1, 2),
         |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS type_n
         |      FROM h GROUP BY 1)
         |SELECT event_type, hour, n, n / type_n AS share
@@ -961,10 +975,15 @@ object TimeSeries {
         |  CAST(sum(converted) AS BIGINT) AS n_converting,
         |  sum(converted) / count(*) AS conversion_rate
         |FROM per GROUP BY 1""".stripMargin,
+    // exact floor week on any sign (see the q170 oracle note: DuckDB's
+    // integer `//` truncates, so the floor is stated via pmod subtraction)
     "q164_retention_cohorts" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_ns(ts) // 604800000000000 AS week
-        |  FROM events),
+      """WITH e0 AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events),
+        |e AS (
+        |  SELECT user_id,
+        |    (tsn - ((tsn % 604800000000000 + 604800000000000) % 604800000000000))
+        |      // 604800000000000 AS week
+        |  FROM e0),
         |c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
         |cells AS (
         |  SELECT DISTINCT cohort_week, week - cohort_week AS week_offset,
@@ -997,10 +1016,13 @@ object TimeSeries {
         |    AS stage_reached
         |FROM s4""".stripMargin,
     "q166_burst_days" ->
-      """WITH d AS (
-        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+      """WITH d0 AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events),
+        |d AS (
+        |  SELECT user_id,
+        |    (tsn - ((tsn % 86400000000000 + 86400000000000) % 86400000000000))
+        |      // 86400000000000 AS day,
         |    count(*) AS k
-        |  FROM events GROUP BY 1, 2),
+        |  FROM d0 GROUP BY 1, 2),
         |t AS (
         |  SELECT user_id, count(*) AS d_days,
         |    CAST(sum(k) AS BIGINT) AS t_events

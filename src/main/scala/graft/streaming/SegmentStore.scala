@@ -70,6 +70,18 @@ private[streaming] object SegmentStore {
     val inputs = compactSeg.map(_._2).toSeq ++ live
     merge(spark.read.parquet(inputs: _*))
       .write.mode("overwrite").parquet(s"$path/compact_$hi")
+    // Sweep ONLY once the new compact is provably the served segment:
+    // readers require `_SUCCESS` (the crashed-partial guard), and a
+    // cluster running with mapreduce.fileoutputcommitter.marksuccessfuljobs
+    // =false writes none — deleting the covered batches then would be
+    // silent data loss (readers ignore the unmarked compact AND the
+    // batches are gone). Re-running segments() is the authoritative
+    // check: it applies the exact visibility rule readers apply.
+    if (!segments(spark, path)._1.exists(_._1 == hi)) {
+      graft.Telemetry.record(s"segmentstore compact_$hi not served " +
+        "(no _SUCCESS marker?) - sweep aborted, covered batches retained")
+      return
+    }
     // best-effort sweep (never load-bearing — readers exclude by name):
     // the covered batch dirs, the superseded compact, and any crashed
     // partial compact_<i> the _SUCCESS guard in segments() was masking

@@ -15,10 +15,13 @@ import org.apache.spark.sql.types.StructType
   * Scale: the rules are a pure per-row projection over the split arrays
   * (no state, no watermark — a verdict is a function of the row), so the
   * stream's only cost is the two appends; `foreachBatch` fans one
-  * computed batch to both sinks without re-verdicting. Composes with
-  * [[StreamingQuality]] (repetition) ahead of [[StreamingDedup]] in an
-  * ingest pipeline — all the stateless gates run first, the stateful
-  * dedup sees only survivors.
+  * computed batch to both sinks without re-verdicting. The sinks carry
+  * the FULL document row (text/lang/source/n_chars) plus the verdict
+  * columns — [[TextAnalysis.gopherScored]], the StreamingQuality
+  * keep-the-row convention — so the gate genuinely composes ahead of
+  * [[StreamingQuality]] and [[StreamingDedup]] in an ingest pipeline:
+  * all the stateless gates run first, the stateful dedup sees only
+  * survivors, with their payload intact.
   */
 object StreamingGopherGate {
 
@@ -28,7 +31,7 @@ object StreamingGopherGate {
     val docs = spark.readStream
       .schema(docSchema)
       .parquet(docDir)
-    TextAnalysis.gopherVerdicts(docs.toDF())
+    TextAnalysis.gopherScored(docs.toDF())
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         // idempotent restart: each micro-batch OVERWRITES its own

@@ -189,9 +189,11 @@ class EventAnalyticsSpec extends SparkSpec {
   test("epoch grids FLOOR: a pre-epoch ts lands in the earlier bucket") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("evneg").toString
-    // 1 ms before the epoch (ts = -1e6 ns): floor puts it in week/day/
-    // hour -1; a truncating `div` (the pre-r14 shape) put it in bucket 0
-    // while the DuckDB oracle's `//` floors — the divergence this pins.
+    // 1 ms before the epoch (ts = -1e6 ns): floor puts it in week/day
+    // -1 (a truncating `div` — the pre-r14 shape — put it in bucket 0).
+    // Both engines now state the floor explicitly via pmod subtraction:
+    // DuckDB's integer `//` TRUNCATES (measured on 1.0.0), so neither
+    // engine's bare division operator can carry the grid.
     val ev = Seq(
       (1L, new java.sql.Timestamp(-1L), 10L, "signup"),
       (2L, new java.sql.Timestamp(604800000L), 10L, "view")) // exactly week 1
@@ -206,8 +208,11 @@ class EventAnalyticsSpec extends SparkSpec {
     val hours = TimeSeries.queries("q170_hourly_profile")(spark, tmp)
       .collect().map(r => r.getAs[String]("event_type") ->
         r.getAs[Long]("hour")).toMap
-    // floor(-1e6 / 3.6e12) = -1; Spark's and DuckDB's % both follow the
-    // dividend's sign, so the engines agree at -1 (trunc-div gave 0)
-    assert(hours("signup") == -1L, s"pre-epoch hour must floor to -1: $hours")
+    // floor(-1e6 / 3.6e12) = -1, then pmod 24 = 23: the wall-clock hour
+    // of 1969-12-31 23:59:59.999 UTC. The pre-r15 `%` put it at -1 —
+    // outside the documented [0,24) domain (and the `%`-vs-pmod choice
+    // is exactly where a trunc-div engine would silently diverge).
+    assert(hours("signup") == 23L,
+      s"pre-epoch hour must land in its wall-clock bucket 23: $hours")
   }
 }

@@ -29,17 +29,24 @@ class GopherRulesSpec extends SparkSpec {
       (5L, good.replace(" ", " 123 ")),                  // alpha fraction ~0.5 < 0.8
       (6L, (1 to 12).map(i => s"the line $i goes on...").mkString("\n") +
         "\nthe closing line stays here and more words follow " + good), // 12/14 lines ellipsis > 0.3
-      (7L, ("data table row " * 20).trim)                // zero stopwords
+      (7L, ("data table row " * 20).trim),               // zero stopwords
+      // ONE distinct stopword repeated 30 times: the paper's rule is
+      // "contain at least two of the following words" — two of the
+      // WORDS, not two occurrences of one (the pre-r15 occurrence count
+      // passed this doc)
+      (8L, ("apple the " * 30).trim)
     )
     docs.map { case (i, t) => (i, t, "en", "src1", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val got = run(tmp)
     assert(got(1L)._1, s"control doc must pass: ${got(1L)}")
-    Seq(2L, 3L, 4L, 5L, 6L, 7L).foreach { id =>
+    Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L).foreach { id =>
       assert(!got(id)._1, s"doc $id must fail its rule: ${got(id)}")
     }
     assert(got(7L)._2 == 0L, "stopword count must be 0 for the jargon doc")
+    assert(got(8L)._2 == 1L,
+      s"stop_hits counts DISTINCT stopwords: 30x 'the' is 1, got ${got(8L)}")
   }
 
   test("verdict boundaries are integer-exact (no rounding flips)") {
@@ -67,7 +74,16 @@ class GopherRulesSpec extends SparkSpec {
   test("streaming gate: verdict parity with batch q176, sinks partition the input") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("gopherstream").toString
-    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val fixture = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // the fixture corpus all-rejects under the distinct-stopword rule
+    // (see the census test), so splice in two natural-language docs that
+    // PASS — the pass-sink payload assertions below must not be vacuous
+    val prose = (("the quick brown fox and the lazy dog went to of " * 6).trim
+      + " end")
+    val d = fixture.unionByName(
+      Seq((900001L, prose, "en", "srcx", prose.length.toLong),
+        (900002L, prose + " indeed", "en", "srcx", prose.length.toLong + 7))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
     // two arrivals -> two micro-batches through the gate
     d.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(s"$tmp/in")
     graft.streaming.StreamingGopherGate.run(spark, s"$tmp/in", d.schema,
@@ -80,11 +96,27 @@ class GopherRulesSpec extends SparkSpec {
       else spark.read.parquet(path).select("doc_id").collect()
         .map(_.getLong(0)).toSet
     val (passed, rejected) = (ids(s"$tmp/pass"), ids(s"$tmp/reject"))
+    // the pass sink must carry the DOCUMENT PAYLOAD (the gate composes
+    // ahead of dedup/quality — survivors need their text), not just ids
+    val passCols = spark.read.parquet(s"$tmp/pass").columns.toSet
+    Seq("doc_id", "text", "lang", "source", "n_chars", "passes",
+      "stop_hits", "word_count").foreach { c =>
+      assert(passCols.contains(c), s"pass sink missing payload column $c")
+    }
+    val sinkTexts = spark.read.parquet(s"$tmp/pass")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val srcTexts = d.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    sinkTexts.foreach { case (id, t) =>
+      assert(srcTexts(id) == t, s"doc $id text mutated through the gate")
+    }
     val batch = graft.CacheScope.run {
-      TextAnalysis.queries("q176_gopher_rules")(spark, "/root/testdata/sf0.001")
+      TextAnalysis.gopherVerdicts(d.toDF())
         .collect().map(r => r.getAs[Long]("doc_id") ->
           r.getAs[Boolean]("passes")).toMap
     }
+    assert(passed.nonEmpty, "spliced prose docs must reach the pass sink")
     assert(passed == batch.filter(_._2).keySet,
       "streamed pass sink diverged from batch verdicts")
     assert(rejected == batch.filterNot(_._2).keySet,
@@ -105,9 +137,19 @@ class GopherRulesSpec extends SparkSpec {
       assert(r.getAs[Double]("symbol_ratio") >= 0.0)
       assert(r.getAs[Double]("mean_word_len") > 0.0)
     }
-    // the fixture text is clean lowercase prose: a healthy majority of
-    // the long-enough docs should pass
-    val passed = rows.count(_.getAs[Boolean]("passes"))
-    assert(passed > 0, "no fixture doc passes - thresholds miscalibrated")
+    // The fixture corpus is machine-generated keyword soup whose 31-token
+    // vocab carries exactly ONE Gopher stopword ("the") — under the
+    // paper's "at least two of the following words" rule (distinct
+    // words), the battery correctly rejects EVERY fixture doc, and for
+    // exactly that reason. That is the rule working as designed: the
+    // stopword test exists to reject non-natural-language text. Pin the
+    // attribution so a vocab change that adds a second stopword (or a
+    // kernel regression back to occurrence counting) surfaces here.
+    rows.foreach { r =>
+      assert(r.getAs[Long]("stop_hits") <= 1L,
+        s"fixture vocab grew a second stopword - recalibrate this census: $r")
+    }
+    assert(rows.forall(!_.getAs[Boolean]("passes")),
+      "keyword-soup fixture docs must all fail the distinct-stopword rule")
   }
 }

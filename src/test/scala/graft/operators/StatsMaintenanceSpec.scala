@@ -106,4 +106,41 @@ class StatsMaintenanceSpec extends SparkSpec {
     assert(!new java.io.File(s"$tmp/stats/batch_0").exists(),
       "recovery compaction must sweep covered batch dirs")
   }
+
+  test("compactor sweep aborts when the new compact is not served (no _SUCCESS)") {
+    // marksuccessfuljobs=false is a common cluster setting: the compact
+    // write then produces NO _SUCCESS marker, readers (which require it)
+    // keep serving the batch dirs — so the sweep MUST NOT delete them,
+    // or the data is silently gone. The compactor verifies the compact
+    // is actually served (segments() — the readers' own rule) before
+    // sweeping.
+    val tmp = java.nio.file.Files.createTempDirectory("statsnomark").toString
+    val d = graft.Tables.load(spark, dir, "documents")
+    TextAnalysis.statsPartials(d.filter(col("doc_id") % 2 === 0))
+      .write.mode("overwrite").parquet(s"$tmp/stats/batch_0")
+    TextAnalysis.statsPartials(d.filter(col("doc_id") % 2 === 1))
+      .write.mode("overwrite").parquet(s"$tmp/stats/batch_1")
+    val direct = collectStats(TextAnalysis.finalizeStats(
+      TextAnalysis.statsPartials(d)))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val prev = conf.get(key)
+    conf.setBoolean(key, false)
+    try graft.streaming.StreamingStats.compactStats(spark, s"$tmp/stats")
+    finally {
+      if (prev == null) conf.unset(key) else conf.set(key, prev)
+    }
+    assert(new java.io.File(s"$tmp/stats/batch_0").exists() &&
+      new java.io.File(s"$tmp/stats/batch_1").exists(),
+      "sweep deleted batches behind an unserved (_SUCCESS-less) compact")
+    assert(collectStats(graft.streaming.StreamingStats
+      .readStats(spark, s"$tmp/stats")) == direct,
+      "view drifted after an aborted-sweep compaction")
+    // a re-run under the normal committer completes the fold and sweeps
+    graft.streaming.StreamingStats.compactStats(spark, s"$tmp/stats")
+    assert(collectStats(graft.streaming.StreamingStats
+      .readStats(spark, s"$tmp/stats")) == direct, "recovery drifted")
+    assert(!new java.io.File(s"$tmp/stats/batch_0").exists(),
+      "normal-committer recompaction must sweep covered batches")
+  }
 }
