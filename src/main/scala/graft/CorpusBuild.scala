@@ -30,20 +30,21 @@ object CorpusBuild {
   private[graft] final case class BuildFrames(
       verdicts: DataFrame, scrubbed: DataFrame, curated: DataFrame)
 
-  /** The shared frame chain. Each stage ends in an EAGER localCheckpoint
-    * (not a cache): the composed analyzed tree had grown so large that
-    * driver-side planning — canonicalization for cache lookup, AQE
-    * re-walks per query stage — dominated q104's wall (measured at sf0.1:
-    * 12-18 s of "execute" against ~3 s of actual job time). Truncating
-    * lineage between stages makes every downstream plan a few nodes over
-    * LogicalRDD leaves, so planning is milliseconds and each stage's wall
-    * is its OWN execution — which is also what makes [[q104StageProbe]]'s
+  /** The shared frame chain. Each stage ends in an EAGER materialization
+    * through [[GraftCheckpoint.stage]] (not a cache): the composed
+    * analyzed tree had grown so large that driver-side planning —
+    * canonicalization for cache lookup, AQE re-walks per query stage —
+    * dominated q104's wall (measured at sf0.1: 12-18 s of "execute"
+    * against ~3 s of actual job time). Truncating lineage between stages
+    * makes every downstream plan a few nodes over LogicalRDD leaves, so
+    * planning is milliseconds and each stage's wall is its OWN
+    * execution — which is also what makes [[q104StageProbe]]'s
     * attribution exact by construction. Same lineage discipline as
-    * q155's rank loop; on a real cluster the build would stage through
-    * reliable checkpoints or the `materialize` parquet output instead
-    * (localCheckpoint blocks die with their executor), but the
-    * shape — materialize each stage once, plan only one stage deep — is
-    * the 100 TB shape.
+    * q155's rank loop. The seam picks localCheckpoint locally and
+    * reliable checkpoint on a cluster (`spark.graft.checkpoint.mode` —
+    * localCheckpoint blocks die with their executor), and records
+    * wall/run/cpu per barrier; the shape — materialize each stage once,
+    * plan only one stage deep — is the 100 TB shape either way.
     *
     * Remaining caches register in the CALLER's scope (the q79
     * convention; `materialize` and the driver harness both wrap the
@@ -62,29 +63,32 @@ object CorpusBuild {
   // EXACT frames the builder runs (one definition, no probe drift) ----
 
   private[graft] def ingestStage(spark: SparkSession, sfDir: String): DataFrame =
-    operators.CorpusOps.q100IngestPipeline(spark, sfDir).localCheckpoint(true)
+    GraftCheckpoint.stage(
+      operators.CorpusOps.q100IngestPipeline(spark, sfDir), "q104_ingest")
 
   /** Survivors of the ingest pipeline, with their metadata. */
   private[graft] def survivorsStage(spark: SparkSession, sfDir: String,
                              verdicts: DataFrame): DataFrame = {
     val corpus = Tables.load(spark, sfDir, "documents")
       .filter(col("source") =!= "src0")
-    corpus.select(col("doc_id"), col("text"), col("lang"), col("source"))
-      .join(verdicts.filter(col("kept")).select(col("doc_id")), Seq("doc_id"))
-      .localCheckpoint(true)
+    GraftCheckpoint.stage(
+      corpus.select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .join(verdicts.filter(col("kept")).select(col("doc_id")), Seq("doc_id")),
+      "q104_survivors")
   }
 
   /** q103's scrub, materializing the TEXT (same kernels: block explode,
     * shared first-occurrence keep rule, in-row reassembly).
     */
   private[graft] def scrubStage(survivors: DataFrame): DataFrame =
-    operators.CorpusOps.firstOccurrenceKeep(
-      operators.CorpusOps.scrubBlocks(survivors))
-      .groupBy(col("doc_id"))
-      .agg(operators.CorpusOps.scrubAssembled.as("text"),
-        count(lit(1)).as("n_blocks"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
-      .localCheckpoint(true)
+    GraftCheckpoint.stage(
+      operators.CorpusOps.firstOccurrenceKeep(
+        operators.CorpusOps.scrubBlocks(survivors))
+        .groupBy(col("doc_id"))
+        .agg(operators.CorpusOps.scrubAssembled.as("text"),
+          count(lit(1)).as("n_blocks"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed")),
+      "q104_scrub")
 
   /** q80's content-hash split over the CURATED text + q89's shared
     * two-pass shard ordinal over the curated ids (fully-scrubbed docs are

@@ -1585,8 +1585,10 @@ object CorpusOps {
     // driver-synchronized actions, and with a cache each one re-pays
     // plan canonicalization over the whole upstream LSH tree just to
     // look the cache up (the q104 lesson). A LogicalRDD root makes
-    // every downstream plan a few nodes.
-    val pairs = pairFrame.localCheckpoint(true)
+    // every downstream plan a few nodes. The seam records wall/run/cpu
+    // per barrier and flips to reliable checkpoint under
+    // spark.graft.checkpoint.mode on a cluster.
+    val pairs = graft.GraftCheckpoint.stage(pairFrame, "q155_pairs")
     val bi = graft.CacheScope.cache(
       pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
@@ -1643,7 +1645,8 @@ object CorpusOps {
       // boundParts sizes each barrier's task count by the subgraph.
       r = if (i % PR_CHECKPOINT_EVERY == 0 || i == PR_ITERS) {
         prBarriersLastRun.set(prBarriersLastRun.get + 1)
-        boundParts(next, col("id")).localCheckpoint(true)
+        graft.GraftCheckpoint.stage(
+          boundParts(next, col("id")), s"q155_round$i")
       } else next
     }
     // the loop's wall is attributable from the artifact (the q66/q104

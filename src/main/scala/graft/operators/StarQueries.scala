@@ -117,8 +117,8 @@ object StarQueries {
     // star-build + descriptor tree when this was a cache (the q155/q104
     // lesson; measured ~1.4 s of driver-idle wall here at sf0.1)
     val sf = new StarsFilter(descriptors, Seq(new LDADec(), new QDADec()))
-    val coords = sf.spaceCoordinates(starsFromEvents(spark, dir).toDF())
-      .localCheckpoint(true)
+    val coords = graft.GraftCheckpoint.stage(
+      sf.spaceCoordinates(starsFromEvents(spark, dir).toDF()), "q71_coords")
     val sCoords = coords.filter(col("starClass") === "searched")
     val oCoords = coords.filter(col("starClass") =!= "searched")
     val model = sf.learnOnCoords(sCoords, oCoords)
