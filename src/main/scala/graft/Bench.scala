@@ -55,16 +55,25 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Quiet-box reference spins (SCALE.md envelope: the best start-of-run
-    * calibs observed across rounds on an otherwise-idle box). The
-    * published `value_normalized` scales the raw total by
-    * quiet/observed so a driver reading taken under co-tenant steal
-    * self-adjudicates instead of reading as a regression — r13's driver
-    * artifact (233 s raw) against the same-code clean run (150 s) is the
-    * motivating case.
+  /** Quiet-box reference spins (SCALE.md envelope: the best calibs
+    * observed across rounds on an otherwise-idle box), pinned PER
+    * POSITION because the two probes run in different JIT regimes: the
+    * start spin is cold (3.45-3.68 s quiet across the r14 runs), the end
+    * spin is warm (2.89-2.97 s quiet) — r14's single mixed ref compared
+    * a warm observation against a cold reference, so the normalizer
+    * clamped to a no-op on its first real test. `value_normalized` is a
+    * CPU-STEAL ESTIMATE ONLY (clamped one-sided so it can never inflate
+    * the headline): a spin cannot see I/O- or memory-bandwidth-shaped
+    * interference — r14's stalled driver artifact read QUIET spins under
+    * 5-7x query-median corruption. The steal-robust HEADLINE is
+    * `total_min_envelope` (Σ per-query min): with interleaved repeats, a
+    * transient that corrupts a median leaves each query's min intact
+    * (the r14 stalled artifact's Σmin = 176.4 s vs 162.0 s clean vs
+    * 263.3 s raw — within 9% where the raw total read +62%).
     */
   val Spin1QuietRef = 3.24
-  val Spin32QuietRef = 3.67
+  val Spin32QuietRefStart = 3.45
+  val Spin32QuietRefEnd = 2.89
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -352,19 +361,30 @@ object Bench {
     // this line is the driver-parsed artifact
     val notes = s"medians of $repeat interleaved samples per query; run-to-run drift " +
       "on this host is box-level (co-tenant steal) -- compare the calib spins across " +
-      "runs before reading a per-query delta as a regression. value_normalized = " +
-      "value * quiet_ref/observed spin32 (observed = mean of start/end spins): the " +
-      "load-adjudicated headline per SCALE.md's lower-envelope rule."
+      "runs before reading a per-query delta as a regression. total_min_envelope = " +
+      "sum of per-query MIN samples: the steal-robust headline (a transient that " +
+      "corrupts a median leaves the min intact). value_normalized is a CPU-steal " +
+      "estimate only (per-position quiet refs, one-sided clamp); a spin cannot see " +
+      "I/O- or memory-shaped interference, so prefer the min envelope."
     val total = meds.collect { case (_, v) if v >= 0 => v }.sum
-    // load-normalized headline: scale by how much slower the fixed-work
-    // spin ran than the quiet reference. spin32 is the normalizer (the
-    // bench saturates 32 threads, so steal shows there); the mean of the
-    // start/end observations stands in for the run-long average. Clamped
-    // below at the raw total's own floor sense: a spin FASTER than the
-    // quiet ref (ratio > 1) would inflate the headline, so cap at 1.
-    val spin32Observed = (calib32Start + calib32) / 2
-    val totalNormalized =
-      total * math.min(1.0, Spin32QuietRef / math.max(spin32Observed, 1e-9))
+    // steal-robust headline: the sum of per-query minima. The repeat
+    // samples are interleaved round-robin, so a stall window taxes one
+    // sample of many queries — each query's OTHER samples carry its
+    // clean min (r14's stalled driver artifact: Σmin within 9% of the
+    // clean-box run while the median total read +62%).
+    val totalMinEnvelope = timings.map { case (_, ts) =>
+      val good = ts.filter(_ >= 0)
+      if (good.isEmpty) 0.0 else good.min
+    }.sum
+    // CPU-steal estimate: scale by how much slower each fixed-work spin
+    // ran than ITS OWN position's quiet reference (start = cold JIT,
+    // end = warm — mixing regimes was the r14 no-op). spin32 is the
+    // normalizer (the bench saturates 32 threads, so CPU steal shows
+    // there). One-sided: a spin FASTER than quiet must not inflate the
+    // headline, so each ratio caps at 1.
+    val steal = (math.min(1.0, Spin32QuietRefStart / math.max(calib32Start, 1e-9))
+      + math.min(1.0, Spin32QuietRefEnd / math.max(calib32, 1e-9))) / 2
+    val totalNormalized = total * steal
     // The driver archives only the TAIL of stdout (~4 KB) and parses its
     // last line — round 7's single all-in-one line grew past that window
     // and the artifact lost every early-query median. Split the output:
@@ -392,9 +412,9 @@ object Bench {
     val violationsJson =
       recallViolations.map(v => "\"" + esc(v) + "\"").mkString("[", ",", "]")
     val calibJson =
-      s"""{"spin1":${d3(calib1)},"spin32":${d3(calib32)},"spin1_start":${d3(calib1Start)},"spin32_start":${d3(calib32Start)},"spin1_quiet_ref":${d3(Spin1QuietRef)},"spin32_quiet_ref":${d3(Spin32QuietRef)}}"""
+      s"""{"spin1":${d3(calib1)},"spin32":${d3(calib32)},"spin1_start":${d3(calib1Start)},"spin32_start":${d3(calib32Start)},"spin1_quiet_ref":${d3(Spin1QuietRef)},"spin32_quiet_ref_start":${d3(Spin32QuietRefStart)},"spin32_quiet_ref_end":${d3(Spin32QuietRefEnd)}}"""
     val fullJson =
-      s"""{"metric":"total","value":${d3(total)},"value_normalized":${d3(totalNormalized)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","repeat":$repeat,"spread":$spread,"telemetry":$tele,"recall":$recallJson,"recall_violations":$violationsJson,"calib":$calibJson,"notes":"${esc(notes)}"}"""
+      s"""{"metric":"total","value":${d3(total)},"total_min_envelope":${d3(totalMinEnvelope)},"value_normalized":${d3(totalNormalized)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","repeat":$repeat,"spread":$spread,"telemetry":$tele,"recall":$recallJson,"recall_violations":$violationsJson,"calib":$calibJson,"notes":"${esc(notes)}"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
@@ -416,11 +436,12 @@ object Bench {
           .mkString("{", ",", "}")
       else qs
     val sfShort = new java.io.File(sfDir).getName
-    // compact line: value_normalized plus just the two numbers needed to
-    // recompute it (observed vs quiet spin32) — the full calib record
-    // lives in the file artifact; every extra byte here evicts a query
-    // median from the driver's stdout tail window
-    println(s"""{"metric":"total","value":${d3(total)},"value_normalized":${d3(totalNormalized)},"spin32":${d3(spin32Observed)},"spin32_quiet_ref":${d3(Spin32QuietRef)},"unit":"sec","queries":$qsCompact,"sf":"${esc(sfShort)}","repeat":$repeat}""")
+    // compact line: the steal-robust min envelope rides next to the raw
+    // total (the two headlines); value_normalized (the CPU-steal
+    // estimate) and the full calib record live in the file artifact —
+    // every extra byte here evicts a query median from the driver's
+    // stdout tail window
+    println(s"""{"metric":"total","value":${d3(total)},"total_min_envelope":${d3(totalMinEnvelope)},"value_normalized":${d3(totalNormalized)},"unit":"sec","queries":$qsCompact,"sf":"${esc(sfShort)}","repeat":$repeat}""")
     spark.stop()
   }
 }
