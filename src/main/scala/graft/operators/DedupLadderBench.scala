@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Capacity ladder for the dedup/CC family (dev tool, run on demand;
+  * results recorded in SCALE.md): the gated corpora stop at sf0.1
+  * (5k docs), so this prices q44/q46/q58/q66/q77/q131 at 10×/100×/1000×
+  * that size on a synthetic corpus matching the fixture's generative
+  * shape — 31-token vocab, 10-100 tokens/doc, ~5% of docs carrying a
+  * planted near-dup twin (2 token edits) and ~0.3% an exact twin (the
+  * sf0.1 regime: 477 near-dup subgraph nodes / 5k docs, 8 exact pairs).
+  *
+  * What the ladder must prove (the r14 verdict's ask): the two-tier
+  * connected-components boundary — driver union-find below
+  * [[Dedup.CC_BOUNDARY_MAX_EDGES]] boundary edges, distributed min-label
+  * propagation above — hands over at the measured crossover, by the
+  * operator's OWN runtime decision (telemetry), not by assertion.
+  * Tier decisions and boundary-edge counts ride each row of the output.
+  *
+  * Generation is deterministic (xxhash64 per (doc, slot) — no RNG
+  * state), entirely distributed, and writes ordinary
+  * `documents.parquet` dirs the production queries read unmodified.
+  *
+  * Usage: runMain graft.operators.DedupLadderBench [nDocs ...]
+  */
+object DedupLadderBench {
+
+  /** The fixture vocabulary (31 tokens — TESTDATA.md's documents shape). */
+  private val Vocab = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window")
+
+  /** nBase base docs + planted twins, as a documents-schema frame. */
+  private[graft] def synthDocs(spark: SparkSession, nBase: Long): DataFrame = {
+    val vocabCol = typedlit(Vocab)
+    // doc d: len = 10 + hash(d)%91 tokens; token j = vocab[hash(d,j)%31]
+    val base = spark.range(0, nBase)
+      .select(col("id").as("doc_id"),
+        transform(
+          sequence(lit(0), pmod(xxhash64(col("id")), lit(91)).cast("int") + lit(9)),
+          j => element_at(vocabCol, pmod(xxhash64(col("id"), j), lit(31)).cast("int") + 1))
+          .as("toks"))
+    // near-dup twin for ~5% of docs: replace the first two tokens (a
+    // 2-token edit on a 10-100-token doc stays inside the q46 jaccard
+    // verify threshold for most lengths — the planted pair regime)
+    val near = base.filter(pmod(col("doc_id"), lit(20)) === 7)
+      .select((col("doc_id") + nBase).as("doc_id"),
+        concat(
+          transform(slice(col("toks"), 1, 2),
+            t => element_at(vocabCol,
+              pmod(xxhash64(t, col("doc_id")), lit(31)).cast("int") + 1)),
+          slice(col("toks"), 3, 1000000)).as("toks"))
+    // exact twin for ~0.3% of docs
+    val exact = base.filter(pmod(col("doc_id"), lit(333)) === 11)
+      .select((col("doc_id") + 2 * nBase).as("doc_id"), col("toks"))
+    base.unionByName(near).unionByName(exact)
+      .select(col("doc_id"), concat_ws(" ", col("toks")).as("text"),
+        element_at(typedlit(Seq("en", "zh", "es", "fr", "de")),
+          pmod(xxhash64(col("doc_id"), lit(7)), lit(5)).cast("int") + 1).as("lang"),
+        concat(lit("src"), pmod(col("doc_id"), lit(20))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  private def time[A](work: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val out = work
+    (out, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private val LadderQueries =
+    Seq("q44_dedup_exact", "q46_minhash_lsh", "q58_dedup_clusters",
+      "q66_dedup_pipeline", "q77_canonical_best", "q131_dedup_sensitivity")
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
+      else Seq(50000L, 500000L, 5000000L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = java.nio.file.Files.createTempDirectory("dedup_ladder").toString
+    // warmup at fixture scale: codegen/JIT for every ladder query
+    Seq(5000L).foreach { n =>
+      synthDocs(spark, n).write.mode("overwrite")
+        .parquet(s"$root/warm/documents.parquet")
+      LadderQueries.foreach { q =>
+        graft.CacheScope.run {
+          graft.SparkEntry.queries(q)(spark, s"$root/warm")
+            .write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache()
+      }
+      graft.Telemetry.drain()
+      ()
+    }
+
+    println("n_docs,query,secs,out_rows,telemetry")
+    sizes.foreach { n =>
+      val dir = s"$root/n$n"
+      val (_, genSecs) = time {
+        synthDocs(spark, n).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+      }
+      println(f"$n,generate,$genSecs%.1f,,")
+      LadderQueries.foreach { q =>
+        graft.Telemetry.drain()
+        val (rows, secs) = time {
+          graft.CacheScope.run {
+            val d = graft.SparkEntry.queries(q)(spark, dir)
+            d.write.format("noop").mode("overwrite").save()
+            d.count()
+          }
+        }
+        spark.catalog.clearCache()
+        val tele = graft.Telemetry.drain()
+          .filter(e => e.contains("boundary") || e.contains("tier")
+            || e.contains("cc "))
+          .mkString("; ").replace(",", " ")
+        println(f"$n,$q,$secs%.1f,$rows,$tele")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -284,6 +284,25 @@ object TimeSeries {
   def q137PeriodSearch(spark: SparkSession, dir: String): DataFrame =
     bestPeriods(ev(spark, dir))
 
+  /** q177's grid size: the realistic sweep density (a production
+    * Dworetsky/Lomb-Scargle run is 10³-10⁴ points; PeriodSearchSpec pins
+    * off-grid recovery within one step at this n). Gated separately from
+    * q137 so the 8-point didactic grid AND the dense production shape
+    * are both hash-verified.
+    */
+  val DENSE_GRID_N = 512
+
+  /** Dense-grid period search (q177): q137's exact kernel over the
+    * [[periodGrid]] ladder at [[DENSE_GRID_N]] points — the shape a real
+    * survey sweep runs. Same single per-user exchange; the grid only
+    * scales in-row CPU (measured ~8 ms/grid-point/sf0.1 in SCALE.md).
+    * Grid doubles are embedded in the oracle via their shortest
+    * round-trip decimal form, so both engines fold at bit-identical
+    * trial periods.
+    */
+  def q177PeriodSearchDense(spark: SparkSession, dir: String): DataFrame =
+    bestPeriods(ev(spark, dir), periodGrid(DENSE_GRID_N))
+
   /** Log-spaced trial grid over [[TRIAL_PERIODS]]' span — the dial a
     * production sweep turns: real string-length/Lomb–Scargle searches
     * run 10³–10⁴ trial periods. The in-row kernel scales linearly in
@@ -831,6 +850,7 @@ object TimeSeries {
     "q166_burst_days" -> q166BurstDays,
     "q136_robust_outliers" -> q136RobustOutliers,
     "q137_period_search" -> q137PeriodSearch,
+    "q177_period_search_dense" -> q177PeriodSearchDense,
     "q138_outlier_index" -> q138OutlierIndex,
     "q139_cusum_alerts" -> q139CusumAlerts,
     "q140_fold_template" -> q140FoldTemplate,
@@ -866,16 +886,17 @@ object TimeSeries {
       |GROUP BY 1""".stripMargin
 
   /** q137's CTE chain up to the per-(user, period) argmin — q140 folds
-    * the same winner, so both oracles state it ONCE.
+    * the same winner, so both oracles state it ONCE; q177 re-instantiates
+    * it over the dense grid.
     */
-  private lazy val periodCtes: String =
+  private def periodCtesFor(periods: Seq[Double]): String =
     s"""e AS (
       |  SELECT user_id, event_id, epoch_ns(ts)/86400e9 AS t, value AS v
       |  FROM events),
       |n AS (
       |  SELECT user_id, count(*) AS n_points FROM e
       |  GROUP BY 1 HAVING count(*) > 10),
-      |p AS (SELECT unnest([${TRIAL_PERIODS.mkString(", ")}]) AS period),
+      |p AS (SELECT unnest([${periods.mkString(", ")}]) AS period),
       |f AS (
       |  SELECT e.user_id, p.period, e.event_id, e.v,
       |    (e.t % p.period) AS phase
@@ -893,6 +914,8 @@ object TimeSeries {
       |  SELECT user_id, period, su,
       |    row_number() OVER (PARTITION BY user_id ORDER BY su, period) AS rn
       |  FROM sl)""".stripMargin
+
+  private lazy val periodCtes: String = periodCtesFor(TRIAL_PERIODS)
 
   val oracleSql: Map[String, String] = Map(
     "q169_sequence_likelihood" ->
@@ -1084,6 +1107,14 @@ object TimeSeries {
     },
     "q137_period_search" ->
       s"""WITH $periodCtes
+        |SELECT b.user_id, n.n_points, b.period AS best_period,
+        |  CAST(b.su AS DOUBLE) / 1e6 AS best_sl
+        |FROM best b JOIN n USING (user_id) WHERE rn = 1""".stripMargin,
+    // q177: the identical argmin statement over the DENSE log-spaced
+    // grid (512 shortest-round-trip double literals — both engines parse
+    // them to the bit-identical trial periods the Spark kernel folds at)
+    "q177_period_search_dense" ->
+      s"""WITH ${periodCtesFor(periodGrid(DENSE_GRID_N).toSeq)}
         |SELECT b.user_id, n.n_points, b.period AS best_period,
         |  CAST(b.su AS DOUBLE) / 1e6 AS best_sl
         |FROM best b JOIN n USING (user_id) WHERE rn = 1""".stripMargin,

@@ -221,4 +221,29 @@ class Bm25Spec extends SparkSpec {
       Bm25.bm25TopKForTerms(spark, s"$tmp/index", Nil)
     }
   }
+
+  test("compaction preserves the user-term serve AND its pushdown pruning") {
+    import org.apache.spark.sql.functions.col
+    val d = Tables.load(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25cmp").toString
+    val idx = s"$tmp/index"
+    // fragmented state: base + delta = two segments
+    Bm25.writeBm25Index(d.filter(col("doc_id") % 2 === 0), idx)
+    Bm25.appendBm25Delta(d.filter(col("doc_id") % 2 === 1), idx)
+    val (_, dfT, _, _) = Bm25.loadBm25Index(spark, idx)
+    val terms = dfT.orderBy(col("df").asc, col("token")).limit(3)
+      .collect().map(_.getString(0)).toSeq
+    def serve() = Bm25.bm25TopKForTerms(spark, idx, terms)
+    val before = serve().collect().map(_.toSeq).toSeq
+    Bm25.compactBm25(spark, idx)
+    val served = serve()
+    // the compacted (token-sorted) segment must still take the isin at
+    // the scan — compaction exists to RESTORE row-group pruning, so a
+    // lost PushedFilters here defeats its purpose at 10^8 terms
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"),
+      "compacted postings scan lost the token pushdown:\n" + plan)
+    assert(served.collect().map(_.toSeq).toSeq == before,
+      "compaction moved the user-term serve")
+  }
 }
