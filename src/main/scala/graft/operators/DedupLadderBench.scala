@@ -70,9 +70,38 @@ object DedupLadderBench {
     (out, (System.nanoTime() - t0) / 1e9)
   }
 
-  private val LadderQueries =
-    Seq("q44_dedup_exact", "q46_minhash_lsh", "q58_dedup_clusters",
-      "q66_dedup_pipeline", "q77_canonical_best", "q131_dedup_sensitivity")
+  /** (name, per-rung cap, frame builder). The 16-BIT simhash family
+    * (q58/q77/q131 at the fixture dial) is capped at 50k docs: 2^16
+    * signatures saturate there (~8 docs/signature at 500k), the
+    * hamming-≤3 band join goes quadratic in bucket occupancy, and the
+    * first ladder run measured q58\@500k as a >13-minute runaway — the
+    * measured form of SCALE.md's "at corpus scale the ladder runs on
+    * wider simhash_bits". The `cc_simhash48` rung IS that fix, run at
+    * every size: the same pipeline at 48 bits, where the signature
+    * space never saturates. `cc_minhash` prices the CC tier crossover
+    * on the minhash pair graph (boundary edges grow with planted
+    * twins; past CC_BOUNDARY_MAX_EDGES the operator itself switches to
+    * distributed propagation — the telemetry records its decision).
+    */
+  private def ladder(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(String, Long, () => DataFrame)] = {
+    def q(name: String) = () => graft.SparkEntry.queries(name)(spark, dir)
+    def docsDf = graft.Tables.load(spark, dir, "documents")
+    Seq(
+      ("q44_dedup_exact", Long.MaxValue, q("q44_dedup_exact")),
+      ("q46_minhash_lsh", Long.MaxValue, q("q46_minhash_lsh")),
+      ("q66_dedup_pipeline", Long.MaxValue, q("q66_dedup_pipeline")),
+      ("q58_dedup_clusters_sim16", 50000L, q("q58_dedup_clusters")),
+      ("q77_canonical_best_sim16", 50000L, q("q77_canonical_best")),
+      ("q131_dedup_sensitivity_sim16", 50000L, q("q131_dedup_sensitivity")),
+      ("cc_simhash48", Long.MaxValue, () => Dedup.connectedComponents(
+        Dedup.simhashNearDupPairs(docsDf, bits = 48, maxHamming = 3)
+          .select(col("a_id"), col("b_id")),
+        docsDf.select(col("doc_id").as("id")))),
+      ("cc_minhash", Long.MaxValue, () => Dedup.connectedComponents(
+        Dedup.minhashNearDupPairs(docsDf).select(col("a_id"), col("b_id")),
+        docsDf.select(col("doc_id").as("id")))))
+  }
 
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
@@ -88,14 +117,14 @@ object DedupLadderBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val root = java.nio.file.Files.createTempDirectory("dedup_ladder").toString
-    // warmup at fixture scale: codegen/JIT for every ladder query
-    Seq(5000L).foreach { n =>
-      synthDocs(spark, n).write.mode("overwrite")
-        .parquet(s"$root/warm/documents.parquet")
-      LadderQueries.foreach { q =>
+    // warmup at fixture scale: codegen/JIT for every ladder entry
+    locally {
+      val warmDir = s"$root/warm"
+      synthDocs(spark, 5000L).write.mode("overwrite")
+        .parquet(s"$warmDir/documents.parquet")
+      ladder(spark, warmDir).foreach { case (_, _, mk) =>
         graft.CacheScope.run {
-          graft.SparkEntry.queries(q)(spark, s"$root/warm")
-            .write.format("noop").mode("overwrite").save()
+          mk().write.format("noop").mode("overwrite").save()
         }
         spark.catalog.clearCache()
       }
@@ -111,21 +140,23 @@ object DedupLadderBench {
           .parquet(s"$dir/documents.parquet")
       }
       println(f"$n,generate,$genSecs%.1f,,")
-      LadderQueries.foreach { q =>
-        graft.Telemetry.drain()
-        val (rows, secs) = time {
-          graft.CacheScope.run {
-            val d = graft.SparkEntry.queries(q)(spark, dir)
-            d.write.format("noop").mode("overwrite").save()
-            d.count()
+      ladder(spark, dir).foreach { case (name, cap, mk) =>
+        if (n <= cap) {
+          graft.Telemetry.drain()
+          val (rows, secs) = time {
+            graft.CacheScope.run {
+              val d = mk()
+              d.write.format("noop").mode("overwrite").save()
+              d.count()
+            }
           }
-        }
-        spark.catalog.clearCache()
-        val tele = graft.Telemetry.drain()
-          .filter(e => e.contains("boundary") || e.contains("tier")
-            || e.contains("cc "))
-          .mkString("; ").replace(",", " ")
-        println(f"$n,$q,$secs%.1f,$rows,$tele")
+          spark.catalog.clearCache()
+          val tele = graft.Telemetry.drain()
+            .filter(e => e.contains("boundary") || e.contains("tier")
+              || e.contains("cc "))
+            .mkString("; ").replace(",", " ")
+          println(f"$n,$name,$secs%.1f,$rows,$tele")
+        } else println(f"$n,$name,SKIPPED(16-bit signature saturation - see scaladoc),,")
       }
     }
     spark.stop()
