@@ -26,7 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object DedupLadderBench {
 
-  /** The fixture vocabulary (31 tokens — TESTDATA.md's documents shape). */
+  /** The fixture CORE vocabulary (31 tokens — TESTDATA.md's documents
+    * shape); ~30% of slots draw from it, the rest from a content
+    * vocabulary that GROWS with the corpus (Heaps-law-ish,
+    * max(1000, n/5) hashed ids). The growth matters: the first ladder
+    * run generated pure 31-token soup, under which every document's
+    * simhash collapses toward the same signature (a majority vote over
+    * the same 31 token hashes) and the pair graph goes quadratic at ANY
+    * signature width — a corpus-realism artifact, not a scale property.
+    * Real corpora differentiate documents by content tokens; this
+    * generator does too, while keeping the core-token statistics the
+    * fixture queries expect.
+    */
   private val Vocab = Seq(
     "a", "agg", "batch", "big", "column", "customer", "data", "dup",
     "fast", "filter", "group", "hash", "join", "key", "line", "merge",
@@ -36,13 +47,18 @@ object DedupLadderBench {
   /** nBase base docs + planted twins, as a documents-schema frame. */
   private[graft] def synthDocs(spark: SparkSession, nBase: Long): DataFrame = {
     val vocabCol = typedlit(Vocab)
-    // doc d: len = 10 + hash(d)%91 tokens; token j = vocab[hash(d,j)%31]
+    val contentVocab = math.max(1000L, nBase / 5)
+    // doc d: len = 10 + hash(d)%91 tokens; slot j is a core token with
+    // ~30% probability, else a content token from the growing space
+    def tok(d: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      when(pmod(xxhash64(d, j, lit(1)), lit(10)) < 3,
+        element_at(vocabCol, pmod(xxhash64(d, j), lit(31)).cast("int") + 1))
+        .otherwise(concat(lit("w"), pmod(xxhash64(d, j), lit(contentVocab))))
     val base = spark.range(0, nBase)
       .select(col("id").as("doc_id"),
         transform(
           sequence(lit(0), pmod(xxhash64(col("id")), lit(91)).cast("int") + lit(9)),
-          j => element_at(vocabCol, pmod(xxhash64(col("id"), j), lit(31)).cast("int") + 1))
-          .as("toks"))
+          j => tok(col("id"), j)).as("toks"))
     // near-dup twin for ~5% of docs: replace the first two tokens (a
     // 2-token edit on a 10-100-token doc stays inside the q46 jaccard
     // verify threshold for most lengths — the planted pair regime)
