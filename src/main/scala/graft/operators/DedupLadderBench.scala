@@ -110,8 +110,18 @@ object DedupLadderBench {
       ("q58_dedup_clusters_sim16", 50000L, q("q58_dedup_clusters")),
       ("q77_canonical_best_sim16", 50000L, q("q77_canonical_best")),
       ("q131_dedup_sensitivity_sim16", 50000L, q("q131_dedup_sensitivity")),
-      ("cc_simhash48", Long.MaxValue, () => Dedup.connectedComponents(
+      // pigeonhole banding has its OWN capacity law: hamming ≤ h over b
+      // bits means h+1 bands of b/(h+1) bits, and bucket occupancy is
+      // n / 2^(b/(h+1)) — at 5M docs, 12-bit bands (48/h3) hold ~1220
+      // docs each and the candidate join goes ~12B pairs (measured: the
+      // first 5M run filled the disk). Scaling the corpus means scaling
+      // BAND WIDTH: either wider signatures or a tighter hamming dial.
+      ("cc_simhash48_h3", 500000L, () => Dedup.connectedComponents(
         Dedup.simhashNearDupPairs(docsDf, bits = 48, maxHamming = 3)
+          .select(col("a_id"), col("b_id")),
+        docsDf.select(col("doc_id").as("id")))),
+      ("cc_simhash48_h1", Long.MaxValue, () => Dedup.connectedComponents(
+        Dedup.simhashNearDupPairs(docsDf, bits = 48, maxHamming = 1)
           .select(col("a_id"), col("b_id")),
         docsDf.select(col("doc_id").as("id")))),
       ("cc_minhash", Long.MaxValue, () => Dedup.connectedComponents(
