@@ -182,7 +182,7 @@ object DedupLadderBench {
               || e.contains("cc "))
             .mkString("; ").replace(",", " ")
           println(f"$n,$name,$secs%.1f,$rows,$tele")
-        } else println(f"$n,$name,SKIPPED(16-bit signature saturation - see scaladoc),,")
+        } else println(f"$n,$name,SKIPPED(capacity cap - see scaladoc),,")
       }
     }
     spark.stop()
