@@ -488,6 +488,24 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** q58's cluster assignment at the deployment dial the capacity ladder
+    * measured as the corpus-scale configuration (SCALE.md r15 ladder):
+    * 48-bit simhash — the 16-bit space saturates by pigeonhole at ~10×
+    * the fixture corpus (~8 docs per signature at 500k docs, measured as
+    * a >13-minute runaway) — with hamming ≤ 1, i.e. two 24-bit pigeonhole
+    * bands, the band-occupancy law that kept the ladder's 5M rung at 31 s
+    * where h≤3's 12-bit bands went ~12B candidate pairs. Gating this dial
+    * hash-verifies the at-scale configuration itself, not only the
+    * fixture dial next to a ladder that prices it.
+    */
+  def q178DedupClusters48(spark: SparkSession, dir: String): DataFrame = {
+    val edges = simhashNearDupPairs(docs(spark, dir), bits = 48, maxHamming = 1)
+      .select(col("a_id"), col("b_id"))
+    val nodes = docs(spark, dir).select(col("doc_id").as("id"))
+    connectedComponents(edges, nodes)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Widest threshold on the q131 sensitivity ladder. */
   val LADDER_MAX_HAMMING = 3
 
@@ -1077,6 +1095,7 @@ object Dedup {
     "q46_minhash_lsh" -> q46MinhashLsh,
     "q47_simhash" -> q47Simhash,
     "q58_dedup_clusters" -> q58DedupClusters,
+    "q178_dedup_clusters48" -> q178DedupClusters48,
     "q129_cluster_spectrum" -> q129ClusterSpectrum,
     "q131_dedup_sensitivity" -> q131DedupSensitivity,
     "q66_dedup_pipeline" -> q66DedupPipeline,
@@ -1091,35 +1110,49 @@ object Dedup {
     * `WITH RECURSIVE $ccReachCtes, ...`). `reach`'s min-label per id IS
     * the connected-component label the tiered CC kernel computes.
     */
-  /** The 16-bit simhash signature CTEs (th → sim) — shared by
-    * [[ccReachCtes]] and the q131 ladder oracle.
+  /** The simhash signature CTEs (th → sim) at a caller-chosen bit width
+    * — shared by [[ccReachCtesAt]] and the q131 ladder oracle. The md5
+    * 15-hex-char hash carries 60 usable bits, the same construction
+    * [[graft.functions.PortableHash.md5Int60]] computes kernel-side, so
+    * any width ≤ 60 stays engine-portable.
     */
-  private val simhashSigCtes =
-    """th AS (
+  private def simhashSigCtesAt(bits: Int) =
+    s"""th AS (
       |  SELECT doc_id, lang,
       |    ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 15))::BIGINT AS h
       |  FROM documents),
       |bits AS (
       |  SELECT doc_id, lang, j, sum(((h // CAST(pow(2, j) AS BIGINT)) % 2) * 2 - 1) AS vote
-      |  FROM th, generate_series(0, 15) g(j)
+      |  FROM th, generate_series(0, ${bits - 1}) g(j)
       |  GROUP BY doc_id, lang, j),
       |sim AS (
       |  SELECT doc_id, lang,
       |    CAST(sum(CASE WHEN vote > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM bits GROUP BY doc_id, lang)""".stripMargin
 
-  private val ccReachCtes =
-    s"""$simhashSigCtes,
+  /** The 16-bit reference-dial instance (q47/q58/q77/q129/q131 oracles). */
+  private val simhashSigCtes = simhashSigCtesAt(16)
+
+  /** Simhash-edge + min-label reachability at caller-chosen dials; the
+    * oracle twin of `simhashNearDupPairs(bits, maxHamming)` →
+    * `connectedComponents` (the oracle's edge set is the brute-force
+    * same-lang pair join, which the pigeonhole band join equals exactly
+    * — banding at h+1 bands cannot miss a pair within hamming h).
+    */
+  private def ccReachCtesAt(bits: Int, maxHamming: Int) =
+    s"""${simhashSigCtesAt(bits)},
       |edges AS (
       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id
       |  FROM sim x JOIN sim y ON x.lang = y.lang AND x.doc_id < y.doc_id
-      |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 2),
+      |  WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming),
       |bi AS (SELECT a_id AS src, b_id AS dst FROM edges
       |       UNION ALL SELECT b_id, a_id FROM edges),
       |reach(id, label) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT bi.src, reach.label FROM reach JOIN bi ON bi.dst = reach.id)""".stripMargin
+
+  private val ccReachCtes = ccReachCtesAt(16, 2)
 
   private val shingleCte =
     """t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS tok FROM documents),
@@ -1324,6 +1357,9 @@ object Dedup {
         |FROM lab GROUP BY 1, 2""".stripMargin,
     "q58_dedup_clusters" ->
       s"""WITH RECURSIVE $ccReachCtes
+        |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
+    "q178_dedup_clusters48" ->
+      s"""WITH RECURSIVE ${ccReachCtesAt(48, 1)}
         |SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
     "q131_dedup_sensitivity" ->
       s"""WITH $simhashSigCtes,

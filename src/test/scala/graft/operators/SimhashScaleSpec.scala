@@ -65,4 +65,44 @@ class SimhashScaleSpec extends SparkSpec {
         s"planted pair $k lost at 48 bits")
     }
   }
+
+  test("q178 dial (48 bits, hamming<=1): banded CC equals brute-force union-find") {
+    val d = corpus.cache()
+    graft.functions.expressions.SignatureExprs.register(spark)
+    // brute-force edge set: same-lang all-pairs within hamming 1 over the
+    // full 48-bit signatures — what the two 24-bit pigeonhole bands must
+    // reproduce exactly (a pair within hamming 1 agrees on >=1 band)
+    val sim = d.select(col("doc_id"),
+      expr("simhash_bits(split(text, ' '), 48)").as("simhash"))
+    val bruteEdges = sim.alias("x").join(sim.alias("y"),
+        col("x.doc_id") < col("y.doc_id") &&
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= 1)
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // driver union-find over doc ids (ids are 0..399 and 1000..1009)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      r
+    }
+    d.select("doc_id").collect().map(_.getLong(0)).foreach(id => parent(id) = id)
+    bruteEdges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(id => id -> find(id)).toMap
+    val got = Dedup.connectedComponents(
+      Dedup.simhashNearDupPairs(d, bits = 48, maxHamming = 1)
+        .select(col("a_id"), col("b_id")),
+      d.select(col("doc_id").as("id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      "48-bit h<=1 banded CC diverges from brute-force union-find")
+    // the planted verbatim twins (hamming 0) must share a cluster
+    (0 until 5).foreach { k =>
+      assert(got(1000L + 2 * k) == got(1001L + 2 * k),
+        s"planted twin pair $k split at the q178 dial")
+    }
+  }
 }
