@@ -68,21 +68,49 @@ object AnnLadderBench {
   }
 
   /** (name, per-rung cap, frame builder). Gated-query entries run the
-    * production paths verbatim via SparkEntry; `ivf_scaled` is the same
-    * q57 chain at the √N dial the IVF_K scaladoc prescribes.
+    * production paths verbatim via SparkEntry and time TRAIN+SERVE in
+    * one number (the inline shape); the `*_build` / `*_serve` pairs
+    * split the two through the materialized-index paths — the 100 TB
+    * shape is index-once / serve-many, so a scaled quantizer's N·k·d
+    * training cost must be priced as amortized build, not as serve tax.
+    * `*_build` rows return an empty probe frame (no recall); `*_serve`
+    * rows read ONLY the stored index (corpus work per batch is zero).
     */
   private def ladder(spark: SparkSession, dir: String)
       : Seq[(String, Long, () => DataFrame)] = {
     def q(name: String) = () => graft.SparkEntry.queries(name)(spark, dir)
     def embDf = graft.Tables.load(spark, dir, "embeddings")
+    def probes = embDf.filter(col("vec_id") < 20)
+    def sqrtK = math.ceil(math.sqrt(embDf.count().toDouble)).toInt
+    def empty = spark.range(0).select(col("id").as("p_id"),
+      col("id").as("c_id"), lit(0).as("rn"))
     Seq(
       ("q48_exact_knn", Long.MaxValue, q("q48_cosine_knn")),
       ("q49_lsh_16x12", Long.MaxValue, q("q49_ann_lsh")),
-      ("q57_ivf_k16_np4", Long.MaxValue, q("q57_ann_ivf")),
-      ("ivf_scaled_sqrtN_np8", Long.MaxValue, () => {
-        val n = embDf.count()
-        Similarity.ivfTopK(embDf, math.ceil(math.sqrt(n.toDouble)).toInt, 8)
+      ("lsh_build_16x12", Long.MaxValue, () => {
+        Similarity.writeAnnIndex(embDf, s"$dir/lsh12"); empty
       }),
+      ("lsh_serve_16x12", Long.MaxValue,
+        () => Similarity.annAgainstIndex(probes, s"$dir/lsh12")),
+      // the LSH scale dial: wider band signatures split the buckets
+      // (2^16 per band), trading per-band match probability for
+      // occupancy — the clustered-corpus stress case
+      ("lsh_build_16x16", Long.MaxValue, () => {
+        Similarity.writeAnnIndex(embDf, s"$dir/lsh16", bits = 16); empty
+      }),
+      ("lsh_serve_16x16", Long.MaxValue,
+        () => Similarity.annAgainstIndex(probes, s"$dir/lsh16")),
+      ("q57_ivf_k16_np4", Long.MaxValue, q("q57_ann_ivf")),
+      ("ivf_build_k16", Long.MaxValue, () => {
+        Similarity.writeIvfIndex(embDf, s"$dir/ivf16"); empty
+      }),
+      ("ivf_serve_k16_np4", Long.MaxValue,
+        () => Similarity.ivfSearchAgainstIndex(probes, s"$dir/ivf16")),
+      ("ivf_build_sqrtN", Long.MaxValue, () => {
+        Similarity.writeIvfIndex(embDf, s"$dir/ivfsq", k = sqrtK); empty
+      }),
+      ("ivf_serve_sqrtN_np8", Long.MaxValue,
+        () => Similarity.ivfSearchAgainstIndex(probes, s"$dir/ivfsq", nprobe = 8)),
       ("q90_sq8_scan", Long.MaxValue, q("q90_ann_sq8")),
       ("q92_pq_adc", Long.MaxValue, q("q92_ann_pq")),
       ("q94_pq_refine50", Long.MaxValue, q("q94_pq_refine")),
@@ -148,13 +176,16 @@ object AnnLadderBench {
       var exact: Option[Map[Long, Set[Long]]] = None
       ladder(spark, dir).foreach { case (name, cap, mk) =>
         if (n <= cap) {
-          // timed: the noop-sink materialization (the Bench.scala
-          // protocol); the probe-sized output is then collected once,
-          // untimed, for the row count and the recall sets
+          // timed: plan construction (which for the index/quantizer
+          // entries includes the build/training work) + the noop-sink
+          // materialization (the Bench.scala protocol); the probe-sized
+          // output is then collected once, untimed, for the row count
+          // and the recall sets
           val (res, secs) = graft.CacheScope.run {
-            val d = mk()
-            val (_, s) = time {
-              d.write.format("noop").mode("overwrite").save()
+            val (d, s) = time {
+              val d0 = mk()
+              d0.write.format("noop").mode("overwrite").save()
+              d0
             }
             val collected = d.collect()
             ((collected.length.toLong, top3(collected, d)), s)
@@ -162,7 +193,8 @@ object AnnLadderBench {
           spark.catalog.clearCache()
           val (rows, t3) = res
           if (name == "q48_exact_knn") exact = Some(t3)
-          val rec = exact.filter(_ => name != "q48_exact_knn")
+          val rec = exact
+            .filter(_ => name != "q48_exact_knn" && !name.contains("_build"))
             .map(e => f"${recallVs(e, t3)}%.3f").getOrElse("")
           println(f"$n,$name,$secs%.1f,$rows,$rec")
         } else println(f"$n,$name,SKIPPED(capacity cap - see scaladoc),,")

@@ -560,7 +560,8 @@ object Similarity {
     * quantizer trains ONCE here; serving never touches corpus embeddings
     * except through the probed lists.
     */
-  def writeIvfIndex(corpusEmb: DataFrame, path: String): Unit = {
+  def writeIvfIndex(corpusEmb: DataFrame, path: String,
+                    k: Int = IVF_K): Unit = {
     // list count recorded like every materialized index's dials — a reader
     // of a foreign/incomplete index fails loudly instead of serving it;
     // meta written last (completeness marker, rebuild-race-safe) and
@@ -570,7 +571,7 @@ object Similarity {
       val spark = corpusEmb.sparkSession
       import spark.implicits._
       val e = graft.CacheScope.cache(withNorm(corpusEmb))
-      val cents = trainCentroids(e)
+      val cents = trainCentroids(e, k)
       cents.toSeq.map { case (cid, m, nc) => (cid, m.toSeq, nc) }
         .toDF("cent_id", "centroid", "norm")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -581,7 +582,7 @@ object Similarity {
         .write.mode("overwrite").parquet(s"$path/vectors")
     }
     IndexMeta.write(corpusEmb.sparkSession, path, "graft IVF index dials",
-      "ivf_k" -> IVF_K.toString)
+      "ivf_k" -> k.toString)
   }
 
   /** [[q57AnnIvf]]'s semantics against a PREBUILT index
@@ -608,10 +609,11 @@ object Similarity {
         .select(col("vec_id").as("c_id"), col("embedding").as("ce2"), col("nn").as("nc2")))
   }
 
-  def ivfSearch(probes: DataFrame, idx: LoadedIvfIndex): DataFrame = {
+  def ivfSearch(probes: DataFrame, idx: LoadedIvfIndex,
+                nprobe: Int = NPROBE): DataFrame = {
     val p = graft.CacheScope.cache(withNorm(probes))
     val probeLists = p.select(col("vec_id").as("p_id"),
-      explode(topListsUdf(idx.cents)(col("embedding"))).as("list_id"))
+      explode(topListsUdf(idx.cents, nprobe)(col("embedding"))).as("list_id"))
     val cand = probeLists
       .join(idx.lists, Seq("list_id"))
       .filter(col("p_id") =!= col("c_id"))
@@ -621,8 +623,9 @@ object Similarity {
       idx.vecs)
   }
 
-  def ivfSearchAgainstIndex(probes: DataFrame, indexPath: String): DataFrame =
-    ivfSearch(probes, loadIvfIndex(probes.sparkSession, indexPath))
+  def ivfSearchAgainstIndex(probes: DataFrame, indexPath: String,
+                            nprobe: Int = NPROBE): DataFrame =
+    ivfSearch(probes, loadIvfIndex(probes.sparkSession, indexPath), nprobe)
 
   /** q57 through the materialized IVF index (build-once per sf dir, like
     * q81/q82): identical output contract, so it shares q57's oracle.
