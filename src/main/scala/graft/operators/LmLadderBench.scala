@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Capacity ladder for the language-model-statistics family (dev tool,
+  * run on demand; results recorded in SCALE.md): the gated corpora stop
+  * at sf0.1 (5k docs), so this prices the type-table operators at
+  * 10×/100×/1000× that size on [[DedupLadderBench.synthDocs]] — the same
+  * Heaps-law corpus the dedup ladder runs (content vocabulary grows as
+  * max(1000, n/5)), which is the property that matters here: every
+  * operator in this family exchanges TYPE tables (distinct n-grams),
+  * not token streams, so the claim under test is that their shuffles
+  * grow with the VOCABULARY (sublinear in corpus size per Heaps) while
+  * the token-side work stays one map pass.
+  *
+  * What each rung must show:
+  * - q162 zipf / q128 vocab-growth / q117 ngram-diversity: unigram /
+  *   per-prefix type tables — exchanges ∝ types.
+  * - q149 Good–Turing: count-of-counts — two tiers of map-side partials
+  *   (tokens → types → frequencies-of-frequencies), the smallest
+  *   possible second exchange.
+  * - q151 Kneser–Ney: bigram + continuation type tables — the family's
+  *   expensive tail; its scale dial is the skew-salt gate on head
+  *   tokens (telemetried), which a growing corpus must eventually trip.
+  * - q152 collocations (PMI): bigram type table joined to two unigram
+  *   tables — broadcast-ability of the unigram side is the thing that
+  *   dies at scale; the measurement prices when.
+  * - q150 / q133: the sketch tier (linear-count registers, Misra–Gries)
+  *   whose state is CONSTANT regardless of rung — the at-scale
+  *   alternative the exact tiers are priced against.
+  *
+  * Usage: runMain graft.operators.LmLadderBench [nDocs ...]
+  */
+object LmLadderBench {
+
+  private def time[A](work: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val out = work
+    (out, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def ladder(spark: SparkSession, dir: String)
+      : Seq[(String, Long, () => DataFrame)] = {
+    def q(name: String) = () => graft.SparkEntry.queries(name)(spark, dir)
+    Seq(
+      ("q162_zipf_slope", Long.MaxValue, q("q162_zipf_slope")),
+      ("q128_vocab_growth", Long.MaxValue, q("q128_vocab_growth")),
+      ("q117_ngram_diversity", Long.MaxValue, q("q117_ngram_diversity")),
+      ("q149_good_turing", Long.MaxValue, q("q149_good_turing")),
+      ("q151_kneser_ney", Long.MaxValue, q("q151_kneser_ney")),
+      ("q152_collocations", Long.MaxValue, q("q152_collocations")),
+      ("q150_distinct_sketch", Long.MaxValue, q("q150_distinct_sketch")),
+      ("q133_heavy_hitters", Long.MaxValue, q("q133_heavy_hitters")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
+      else Seq(50000L, 500000L, 5000000L)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = java.nio.file.Files.createTempDirectory("lm_ladder").toString
+    // warmup at fixture scale: codegen/JIT for every ladder entry
+    locally {
+      val warmDir = s"$root/warm"
+      DedupLadderBench.synthDocs(spark, 5000L).write.mode("overwrite")
+        .parquet(s"$warmDir/documents.parquet")
+      ladder(spark, warmDir).foreach { case (_, _, mk) =>
+        graft.CacheScope.run {
+          mk().write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache()
+      }
+      graft.Telemetry.drain()
+      ()
+    }
+
+    println("n_docs,query,secs,out_rows,telemetry")
+    sizes.foreach { n =>
+      val dir = s"$root/n$n"
+      val (_, genSecs) = time {
+        DedupLadderBench.synthDocs(spark, n).write.mode("overwrite")
+          .parquet(s"$dir/documents.parquet")
+      }
+      println(f"$n,generate,$genSecs%.1f,,")
+      ladder(spark, dir).foreach { case (name, cap, mk) =>
+        if (n <= cap) {
+          graft.Telemetry.drain()
+          val (rows, secs) = time {
+            graft.CacheScope.run {
+              val d = mk()
+              d.write.format("noop").mode("overwrite").save()
+              d.count()
+            }
+          }
+          spark.catalog.clearCache()
+          val tele = graft.Telemetry.drain()
+            .filter(e => e.contains("salt") || e.contains("skew")
+              || e.contains("tier") || e.contains("kn "))
+            .mkString("; ").replace(",", " ")
+          println(f"$n,$name,$secs%.1f,$rows,$tele")
+        } else println(f"$n,$name,SKIPPED(capacity cap - see scaladoc),,")
+      }
+    }
+    spark.stop()
+  }
+}
