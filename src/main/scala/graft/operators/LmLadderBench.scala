@@ -58,8 +58,12 @@ object LmLadderBench {
       else Seq(50000L, 500000L, 5000000L)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      // shuffle width is its own dial: reduce-side partition COUNT must
+      // scale with the type-table size or partitions spill — the 5M
+      // rung's superlinearity test (override independently of CPUS)
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
