@@ -39,6 +39,32 @@ object LmLadderBench {
     (out, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Zipf-headed corpus: a single head token carries ~10% of ALL token
+    * occurrences (the "the" regime English actually has — ~7% per
+    * Zipf), the rest draws from a BOUNDED 100k content vocabulary (the
+    * realistic Heaps tail the n/5 corpus deliberately breaks). This is
+    * the corpus the skew-salt gate exists for: at 5M docs the head
+    * key's probe load crosses `Skew.saltedJoinAdaptive`'s threshold and
+    * the gate must CHOOSE the salted path — every fixture/ladder corpus
+    * so far has read `plain`, so this rung is the first observed firing
+    * of the salted join at scale.
+    */
+  private[graft] def zipfDocs(spark: SparkSession, nBase: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def tok(d: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      when(pmod(xxhash64(d, j, lit(21)), lit(10)) < 1, lit("zz_the"))
+        .otherwise(concat(lit("w"), pmod(xxhash64(d, j, lit(22)), lit(100000L))))
+    spark.range(0, nBase)
+      .select(col("id").as("doc_id"),
+        transform(
+          sequence(lit(0), pmod(xxhash64(col("id")), lit(91)).cast("int") + lit(9)),
+          j => tok(col("id"), j)).as("toks"))
+      .select(col("doc_id"), concat_ws(" ", col("toks")).as("text"),
+        lit("en").as("lang"),
+        concat(lit("src"), pmod(col("doc_id"), lit(20))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
   private def ladder(spark: SparkSession, dir: String)
       : Seq[(String, Long, () => DataFrame)] = {
     def q(name: String) = () => graft.SparkEntry.queries(name)(spark, dir)
@@ -54,7 +80,11 @@ object LmLadderBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
+    val zipf = args.headOption.contains("zipf")
+    val sizeArgs = if (zipf) args.drop(1) else args
+    val gen: (SparkSession, Long) => DataFrame =
+      if (zipf) zipfDocs else DedupLadderBench.synthDocs
+    val sizes = if (sizeArgs.nonEmpty) sizeArgs.map(_.toLong).toSeq
       else Seq(50000L, 500000L, 5000000L)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -74,7 +104,7 @@ object LmLadderBench {
     // warmup at fixture scale: codegen/JIT for every ladder entry
     locally {
       val warmDir = s"$root/warm"
-      DedupLadderBench.synthDocs(spark, 5000L).write.mode("overwrite")
+      gen(spark, 5000L).write.mode("overwrite")
         .parquet(s"$warmDir/documents.parquet")
       ladder(spark, warmDir).foreach { case (_, _, mk) =>
         graft.CacheScope.run {
@@ -90,7 +120,7 @@ object LmLadderBench {
     sizes.foreach { n =>
       val dir = s"$root/n$n"
       val (_, genSecs) = time {
-        DedupLadderBench.synthDocs(spark, n).write.mode("overwrite")
+        gen(spark, n).write.mode("overwrite")
           .parquet(s"$dir/documents.parquet")
       }
       println(f"$n,generate,$genSecs%.1f,,")
