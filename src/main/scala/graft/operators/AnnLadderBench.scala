@@ -81,7 +81,10 @@ object AnnLadderBench {
     def q(name: String) = () => graft.SparkEntry.queries(name)(spark, dir)
     def embDf = graft.Tables.load(spark, dir, "embeddings")
     def probes = embDf.filter(col("vec_id") < 20)
-    def sqrtK = math.ceil(math.sqrt(embDf.count().toDouble)).toInt
+    // resolved ONCE at ladder construction, outside every timed thunk — a
+    // def here would bill a full corpus count (plus a second Tables.load)
+    // to whichever build row first dereferences it
+    val sqrtK = math.ceil(math.sqrt(embDf.count().toDouble)).toInt
     def empty = spark.range(0).select(col("id").as("p_id"),
       col("id").as("c_id"), lit(0).as("rn"))
     Seq(
@@ -114,7 +117,32 @@ object AnnLadderBench {
       ("q90_sq8_scan", Long.MaxValue, q("q90_ann_sq8")),
       ("q92_pq_adc", Long.MaxValue, q("q92_ann_pq")),
       ("q94_pq_refine50", Long.MaxValue, q("q94_pq_refine")),
-      ("q95_ivfpq", Long.MaxValue, q("q95_ivfpq")))
+      // the PQ code-RESOLUTION dials: the r15 ladder measured the shipped
+      // m=8 × 4-bit dial collapse to 0.00 recall at occupancy (same-cluster
+      // vectors quantize to identical 32-bit codes); these rungs measure
+      // which resolution growth recovers it — more subspaces (m=16/32 at
+      // k=16: 64/128-bit codes) vs deeper codebooks (k=256 at m=8: 64-bit
+      // codes in the same 8 bytes) — on the production pqAdcTopK /
+      // pqRefineTopK paths the fixture gates hash-verify at m=8×k=16
+      ("pq_adc_m16", Long.MaxValue,
+        () => Similarity.pqAdcTopK(embDf, 16, Similarity.PQ_K)),
+      ("pq_refine50_m16", Long.MaxValue,
+        () => Similarity.pqRefineTopK(embDf, 16, Similarity.PQ_K)),
+      ("pq_adc_m32", Long.MaxValue,
+        () => Similarity.pqAdcTopK(embDf, 32, Similarity.PQ_K)),
+      ("pq_refine50_m32", Long.MaxValue,
+        () => Similarity.pqRefineTopK(embDf, 32, Similarity.PQ_K)),
+      ("pq_adc_m8_k256", Long.MaxValue,
+        () => Similarity.pqAdcTopK(embDf, 8, 256)),
+      ("pq_refine50_m8_k256", Long.MaxValue,
+        () => Similarity.pqRefineTopK(embDf, 8, 256)),
+      ("q95_ivfpq", Long.MaxValue, q("q95_ivfpq")),
+      // the at-occupancy serving composition: √N-list IVF prune + scaled
+      // 128-bit ADC rank + exact refine — what the measured PQ law says
+      // a 5M+ clustered corpus must run (flat PQ saturates below target
+      // recall at ~20k docs/cluster even at m=32)
+      ("ivfpq_scaled_sqrtN_m32", Long.MaxValue,
+        () => Similarity.ivfPqTopK(embDf, sqrtK, 8, 32, Similarity.PQ_K)))
   }
 
   /** exact/approx top-3 sets per probe → mean recall@3 (the Bench.scala

@@ -436,6 +436,68 @@ object CorpusOps {
       .drop("_nms")
   }
 
+  /** Token class for the class-based LM surface (q180): tokens of ≤ 5
+    * characters collapse into a shared `<short>` class symbol — the
+    * class-based-LM / OOV-bucketing normalization (Brown et al. 1992
+    * class LMs; the `<unk>`-style bucketing every production tokenizer
+    * front-end applies) — and longer tokens stay themselves, so the
+    * vocabulary remains corpus-sized. The bucketing CONCENTRATES the
+    * Zipfian head: on the fixture corpora the `<short>` class holds ~80%
+    * of all token occurrences at every sf, past the straggler budget
+    * ([[Skew.StragglerFactor]] × mean per-reducer load — 50% of rows at
+    * the 4-partition Verify dial, 6.25% at Bench's 32) at ANY parallelism
+    * ≥ 3, so q180 is the query whose salted join path runs — and is
+    * hash-verified — end to end in every harness, where q73/q151's
+    * natural heads (~3.5%) stay under the gate at local scale.
+    */
+  private def tokenClass(c: org.apache.spark.sql.Column) =
+    when(length(c) <= 5, lit("<short>")).otherwise(c)
+
+  /** Class-bucketed add-1 bigram LM perplexity — q73's exact scoring
+    * pipeline over [[tokenClass]]-normalized tokens. Semantically the
+    * class-based LM a curation pipeline scores morphology-poor text with;
+    * operationally the END-TO-END exercise of the skew machinery: the
+    * probe stream's class key is deliberately head-heavy, the gate in
+    * [[Skew.saltedJoinAdaptive]] measures it from the class-count table
+    * the query builds anyway, and the salted path (hot-key broadcast tag,
+    * ×[[SKEW_SALTS]] replicated build, plain cold union) produces the
+    * hash-gated result. Telemetry records `path=salted` — SkewSpec forces
+    * the path at unit level; this query proves it under the oracle.
+    *
+    * Scale shape: q73's — both count tables are class-vocabulary-sized
+    * and distributed, the doc-bigram stream reaches them via equi-joins,
+    * and the head class rides [[SKEW_SALTS]] reducers instead of one.
+    */
+  def q180SkewedPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.CacheScope.cache(docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens")))
+    val uni = graft.CacheScope.cache(toks
+      .select(explode(col("tokens")).as("w"))
+      .select(tokenClass(col("w")).as("cls1"))
+      .groupBy(col("cls1")).agg(count(lit(1)).as("c1")))
+    val vocab = uni.select(count(lit(1)).as("v"))
+    val docBigrams = toks
+      .filter(size(col("tokens")) > 1)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, size(tokens) - 1),
+          |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))""".stripMargin)).as(Seq("pos", "b")))
+      .select(col("doc_id"), col("pos"),
+        tokenClass(col("b.w1")).as("cls1"), tokenClass(col("b.w2")).as("cls2"))
+    val big = docBigrams.groupBy(col("cls1"), col("cls2")).agg(count(lit(1)).as("c12"))
+    val scored = Skew.saltedJoinAdaptive(
+      docBigrams.join(big, Seq("cls1", "cls2"))
+        .withColumn("_uid", concat_ws(":", col("doc_id"), col("pos"))),
+      uni, "cls1", SKEW_SALTS, "_uid", keyCounts = uni, cntCol = "c1")
+    scored
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", -log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
+      .withColumn("_nm", round(col("nll") * 1e6, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_nm")).as("_nms"))
+      .withColumn("avg_nll", round(col("_nms") / col("n_bigrams") / 1e6, 6))
+      .drop("_nms")
+  }
+
   /** Good–Turing count-of-counts (the SRILM/KenLM smoothing front-end):
     * bigram type counts r (q73's exact tokenization), the frequency-of-
     * frequencies table N_r, and the adjusted count r* = (r+1)·N_{r+1}/N_r
@@ -2021,6 +2083,7 @@ object CorpusOps {
     "q69_repetition" -> q69Repetition,
     "q70_pack_sequences" -> q70PackSequences,
     "q73_lm_perplexity" -> q73LmPerplexity,
+    "q180_skewed_perplexity" -> q180SkewedPerplexity,
     "q149_good_turing" -> q149GoodTuring,
     "q151_kneser_ney" -> q151KneserNey,
     "q155_pair_rank" -> q155PairRank,
@@ -2237,6 +2300,34 @@ object CorpusOps {
         |  round(sum(CAST(round(-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v.v))
         |    * 1e6, 0) AS BIGINT)) / count(*) / 1e6, 6) AS avg_nll
         |FROM db JOIN big USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        |GROUP BY doc_id""".stripMargin,
+    // q73's oracle with the tokenClass bucketing applied on both the
+    // unigram and bigram streams — the class expression is stated twice
+    // (Spark when/concat vs SQL CASE/||) and must stay in lockstep
+    "q180_skewed_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |uni AS (
+        |  SELECT cls1, count(*) AS c1 FROM (
+        |    SELECT CASE WHEN length(w) <= 5 THEN '<short>'
+        |                ELSE w END AS cls1
+        |    FROM (SELECT unnest(toks) AS w FROM t)) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |db AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(b.w1) <= 5 THEN '<short>'
+        |         ELSE b.w1 END AS cls1,
+        |    CASE WHEN length(b.w2) <= 5 THEN '<short>'
+        |         ELSE b.w2 END AS cls2
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |    FROM t WHERE len(toks) > 1)),
+        |big AS (SELECT cls1, cls2, count(*) AS c12 FROM db GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(CAST(round(-ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v.v))
+        |    * 1e6, 0) AS BIGINT)) / count(*) / 1e6, 6) AS avg_nll
+        |FROM db JOIN big USING (cls1, cls2) JOIN uni USING (cls1) CROSS JOIN v
         |GROUP BY doc_id""".stripMargin,
     // 8 unrolled integer-arithmetic rounds over the shared minhash pair
     // CTEs — the iteration count and both mass dials interpolate

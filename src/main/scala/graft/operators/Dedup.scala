@@ -413,7 +413,44 @@ object Dedup {
     }
   }
 
-  /** Band-equi-join candidate pairs for a (doc_id, lang, simhash) frame. */
+  /** Hard ceiling on the candidate pairs a banded dedup run may expand,
+    * read from `spark.graft.dedup.candidatePairBudget` (≤ 0 disables).
+    * The r15 capacity ladder measured the failure mode this guards: a
+    * bits dial too narrow for the corpus (N >> 2^bits) turns every band
+    * bucket into a dense collision set and the equi-join goes QUADRATIC —
+    * 500k token-soup docs at 16 bits ran >13 minutes before being killed,
+    * and h≤3 over 48 bits at 5M docs priced at ~12B pairs of shuffle
+    * spill. The default bounds the expansion at ~16 GB of pair shuffle;
+    * jobs that genuinely need more raise the conf deliberately instead of
+    * discovering the regime as a disk-filling straggler.
+    */
+  val CANDIDATE_PAIR_BUDGET_CONF = "spark.graft.dedup.candidatePairBudget"
+  val DEFAULT_CANDIDATE_PAIR_BUDGET = 1000000000L
+
+  /** Estimated candidate-pair volume of the band equi-join: Σ n·(n−1)/2
+    * over (lang, band, bits-value) buckets — exact for the self-join
+    * BEFORE the a<b halving and pair `distinct()`, i.e. a safe upper
+    * bound on what the join must materialize. Double arithmetic: at
+    * guard-worthy magnitudes (10^9+) the estimate's low bits are
+    * irrelevant and n·(n−1) overflows long for the bucket sizes a 100 TB
+    * corpus can produce.
+    */
+  private[operators] def estimatedBandPairs(bands: DataFrame): Double =
+    bands.groupBy(col("lang"), col("band"), col("bits"))
+      .agg(count(lit(1)).cast("double").as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) / 2")), lit(0.0)).as("p"))
+      .head().getDouble(0)
+
+  /** Band-equi-join candidate pairs for a (doc_id, lang, simhash) frame.
+    *
+    * Before expanding the join, ONE cheap aggregate over the band frame
+    * (map-side combined on the same key the join shuffles on) prices the
+    * expansion; past the configured budget the operator REFUSES with the
+    * measured-law remedy — widen `bits` (more bucket values per band) or
+    * tighten `maxHamming` (fewer, wider bands) — instead of silently
+    * filling the shuffle disks. SimhashBudgetSpec pins the refusal on the
+    * token-soup corpus shape the r15 ladder measured the runaway on.
+    */
   private[operators] def simhashCandidates(sim: DataFrame, bits: Int,
                                            maxHamming: Int): DataFrame = {
     val bands = sim.select(col("doc_id"), col("lang"),
@@ -421,6 +458,18 @@ object Dedup {
         case (b, off, mask) => struct(lit(b).as("band"),
           shiftright(col("simhash"), off).bitwiseAND(lit(mask)).as("bits"))
       }: _*)).as("bd")).select(col("doc_id"), col("lang"), col("bd.*"))
+    val budget = sim.sparkSession.conf
+      .getOption(CANDIDATE_PAIR_BUDGET_CONF).map(_.toLong)
+      .getOrElse(DEFAULT_CANDIDATE_PAIR_BUDGET)
+    if (budget > 0) {
+      val est = estimatedBandPairs(bands)
+      graft.Telemetry.record(
+        s"dedup bits=$bits h=$maxHamming est_pairs=${est.toLong} budget=$budget")
+      if (est > budget.toDouble) throw new IllegalStateException(
+        f"banded simhash dedup (bits=$bits, maxHamming=$maxHamming) would expand ~${est}%.3g candidate pairs, over the $CANDIDATE_PAIR_BUDGET_CONF=$budget ceiling: " +
+          "the band buckets are saturated for this corpus size (N >> 2^bits goes quadratic — the r15 capacity-ladder law). " +
+          "Widen bits (e.g. 48 for 10^6+ docs), tighten maxHamming (fewer, wider pigeonhole bands), or raise the budget deliberately.")
+    }
     bands.alias("x").join(bands.alias("y"),
       col("x.lang") === col("y.lang") && col("x.band") === col("y.band") &&
         col("x.bits") === col("y.bits") && col("x.doc_id") < col("y.doc_id"))

@@ -519,7 +519,6 @@ object Similarity {
     * [[IVF_K]] scaladoc prescribes at corpus scale — not a fork of it.
     */
   private[graft] def ivfTopK(e0: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val spark = e0.sparkSession
     val e = graft.CacheScope.cache(withNorm(e0))
     val cents = trainCentroids(e, k)
     // --- assign + probe: pure map over the closure-broadcast centroids ---
@@ -554,14 +553,48 @@ object Similarity {
       .select(col("p_id"), col("c_id"), col("cosine"), col("rn"))
   }
 
+  /** Centroid-training budget: at most this many vectors per centroid
+    * are TRAINED on (the standard k-means training cap — FAISS ships
+    * max_points_per_centroid = 256). The full corpus is still ASSIGNED
+    * exactly once (the inverted-lists write — unavoidable and the part
+    * that is the index), but the training pass's N·k·d distance work
+    * shrinks to ~(256·k)·k·d: at the r15 ladder's 5M/√N rung that is a
+    * ~9× cut of the measured 140.5 s build bottleneck. Sampling is
+    * deterministic (xxhash64 of vec_id — content- and partitioning-
+    * independent) and DISABLED below the cap, so every fixture corpus
+    * (≤ 4096 = 256·IVF_K vectors) trains on all rows and the gated
+    * hashes are untouched; IvfSampleSpec measures the recall delta at
+    * sampled scale.
+    */
+  val IVF_TRAIN_PER_CENTROID = 256
+
+  private def trainCentroidsSampled(e: DataFrame, k: Int, perCentroid: Int)
+      : Array[(Long, Array[Double], Double)] = {
+    val cap = perCentroid.toLong * k
+    val n = e.count() // callers pass the cached corpus frame
+    if (n <= cap) {
+      graft.Telemetry.record(s"ivf train=full n=$n cap=$cap")
+      trainCentroids(e, k)
+    } else {
+      val ratio = math.ceil(n.toDouble / cap).toLong
+      graft.Telemetry.record(s"ivf train=sampled n=$n cap=$cap ratio=$ratio")
+      trainCentroids(graft.CacheScope.cache(
+        e.filter(pmod(xxhash64(col("vec_id")), lit(ratio)) === 0)), k)
+    }
+  }
+
   /** Materialize the IVF index — [[q57AnnIvf]]'s corpus artifacts: the
     * trained quantizer (centroids + norms), the inverted lists (vec →
     * list assignment), and the vectors+norms for the exact re-rank. The
-    * quantizer trains ONCE here; serving never touches corpus embeddings
-    * except through the probed lists.
+    * quantizer trains ONCE here — on the [[IVF_TRAIN_PER_CENTROID]]-
+    * capped deterministic sample at corpus scale — and serving never
+    * touches corpus embeddings except through the probed lists.
+    * `trainPerCentroid` exists for specs to force full-corpus training
+    * (`Int.MaxValue`) when measuring the sampling delta.
     */
   def writeIvfIndex(corpusEmb: DataFrame, path: String,
-                    k: Int = IVF_K): Unit = {
+                    k: Int = IVF_K,
+                    trainPerCentroid: Int = IVF_TRAIN_PER_CENTROID): Unit = {
     // list count recorded like every materialized index's dials — a reader
     // of a foreign/incomplete index fails loudly instead of serving it;
     // meta written last (completeness marker, rebuild-race-safe) and
@@ -571,7 +604,7 @@ object Similarity {
       val spark = corpusEmb.sparkSession
       import spark.implicits._
       val e = graft.CacheScope.cache(withNorm(corpusEmb))
-      val cents = trainCentroids(e, k)
+      val cents = trainCentroidsSampled(e, k, trainPerCentroid)
       cents.toSeq.map { case (cid, m, nc) => (cid, m.toSeq, nc) }
         .toDF("cent_id", "centroid", "norm")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -591,17 +624,23 @@ object Similarity {
     * pure map, candidates come from the STORED inverted lists, and the
     * re-rank reads stored vectors — per-batch corpus work is zero.
     */
-  /** A resolved IVF index — quantizer collected (≤ IVF_K rows, bounded)
-    * and the list/vector frames resolved ONCE; streaming callers hoist
-    * this outside `foreachBatch` like [[LoadedSq8Index]].
+  /** A resolved IVF index — quantizer collected (bounded by the index's
+    * recorded `ivf_k`: [[IVF_K]] rows for the fixture indexes, ≈√N for a
+    * [[writeIvfIndex]] built at the corpus-scale dial) and the list/vector
+    * frames resolved ONCE; streaming callers hoist this outside
+    * `foreachBatch` like [[LoadedSq8Index]].
     */
   final case class LoadedIvfIndex private[operators] (
       cents: Array[(Long, Array[Double], Double)], lists: DataFrame, vecs: DataFrame)
 
   def loadIvfIndex(spark: SparkSession, indexPath: String): LoadedIvfIndex = {
-    IndexMeta.read(spark, indexPath, "writeIvfIndex") // strict: no foreign indexes
+    val meta = IndexMeta.read(spark, indexPath, "writeIvfIndex") // strict: no foreign indexes
+    val ivfK = meta.getProperty("ivf_k").toInt
+    val cents0 = spark.read.parquet(s"$indexPath/centroids").collect()
+    require(cents0.length <= ivfK,
+      s"IVF index at $indexPath holds ${cents0.length} centroids but records ivf_k=$ivfK — corrupt or mixed-write index")
     LoadedIvfIndex(
-      spark.read.parquet(s"$indexPath/centroids").collect()
+      cents0
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
         .sortBy(_._1),
       spark.read.parquet(s"$indexPath/lists"),
@@ -854,19 +893,19 @@ object Similarity {
     * A code whose step-0 cluster is empty simply has no centroid and is
     * never assigned — both engines derive the same surviving-code set.
     */
-  private def trainPqCents(e: DataFrame,
-                           seeds: Array[(Long, Array[Double])]): Array[Array[Array[Double]]] = {
+  private def trainPqCents(e: DataFrame, seeds: Array[(Long, Array[Double])],
+                           m: Int): Array[Array[Array[Double]]] = {
     val dim = seeds.head._2.length
-    val dsub = dim / PQ_M
+    val dsub = dim / m
     val rows = e
-      .withColumn("c0", pqAssign0Udf(seeds.map(_._2), dsub)(col("embedding")))
+      .withColumn("c0", pqAssign0Udf(seeds.map(_._2), dsub, m)(col("embedding")))
       .select(col("c0"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("s", expr(s"cast(pos div $dsub as int)")) // div yields long
       .withColumn("j", expr(s"pos % $dsub"))
       .withColumn("code", col("c0").getItem(col("s")))
       .groupBy("s", "code", "j").agg(avg(col("v")).as("cv"))
-      .collect() // ≤ PQ_M × PQ_K × dsub rows — bounded driver state
-    val cents = Array.fill(PQ_M, PQ_K)(null: Array[Double])
+      .collect() // ≤ m × k × dsub rows — bounded driver state
+    val cents = Array.fill(m, seeds.length)(null: Array[Double])
     rows.foreach { r =>
       val (s, c, j) = (r.getInt(0), r.getInt(1), r.getInt(2))
       if (cents(s)(c) == null) cents(s)(c) = new Array[Double](dsub)
@@ -880,9 +919,9 @@ object Similarity {
     * seed ordinal (= lower seed vec_id), mirroring the oracle's
     * `ORDER BY d, code`. One kernel pass per vector.
     */
-  private def pqAssign0Udf(seeds: Array[Array[Double]], dsub: Int) =
+  private def pqAssign0Udf(seeds: Array[Array[Double]], dsub: Int, m: Int) =
     udf { (v: Array[Float]) =>
-      Array.tabulate(PQ_M) { s =>
+      Array.tabulate(m) { s =>
         var best = -1
         var bestD = Double.MaxValue
         var c = 0
@@ -908,14 +947,17 @@ object Similarity {
     */
   private def pqEncodeUdf(cents: Array[Array[Array[Double]]], dsub: Int) =
     udf { (v: Array[Float]) =>
-      val codes = new Array[Byte](PQ_M)
+      // dials read off the codebook shape — [m][k][dsub] — so every dial
+      // a caller trained with is served without a second parameter path
+      val m = cents.length
+      val codes = new Array[Byte](m)
       var nq = 0.0
       var s = 0
-      while (s < PQ_M) {
+      while (s < m) {
         var best = -1
         var bestD = Double.MaxValue
         var c = 0
-        while (c < PQ_K) {
+        while (c < cents(s).length) {
           val cv = cents(s)(c)
           if (cv != null) {
             var d = 0.0
@@ -945,8 +987,8 @@ object Similarity {
     udf { (pe: Array[Float], codes: Array[Byte]) =>
       var dot = 0.0
       var s = 0
-      while (s < PQ_M) {
-        val cv = cents(s)(codes(s).toInt)
+      while (s < cents.length) {
+        val cv = cents(s)(codes(s) & 0xFF) // unsigned: code bytes cover k ≤ 256
         var j = 0
         while (j < dsub) { dot += pe(s * dsub + j).toDouble * cv(j); j += 1 }
         s += 1
@@ -963,13 +1005,15 @@ object Similarity {
     * producing zero-norm reconstructions (dim < PQ_M) would rank wrong
     * with no error.
     */
-  private def pqModel(e: DataFrame): (Array[Array[Array[Double]]], Int, DataFrame) = {
-    val seeds = lowestIdSeeds(e, PQ_K)
+  private def pqModel(e: DataFrame, m: Int = PQ_M, k: Int = PQ_K)
+      : (Array[Array[Array[Double]]], Int, DataFrame) = {
+    val seeds = lowestIdSeeds(e, k)
     val dim = seeds.head._2.length
-    require(dim % PQ_M == 0 && dim >= PQ_M,
-      s"PQ needs dim to be a positive multiple of PQ_M=$PQ_M; got dim=$dim")
-    val dsub = dim / PQ_M
-    val cents = trainPqCents(e, seeds)
+    require(dim % m == 0 && dim >= m,
+      s"PQ needs dim to be a positive multiple of m=$m; got dim=$dim")
+    require(k <= 256, s"PQ codes are one byte; k=$k exceeds 256")
+    val dsub = dim / m
+    val cents = trainPqCents(e, seeds, m)
     val q = pqEncodeUdf(cents, dsub)(col("embedding"))
     val codes = e.select(col("vec_id").as("c_id"), q.getField("_1").as("codes"),
       q.getField("_2").as("nq"))
@@ -987,9 +1031,16 @@ object Similarity {
     * probe, not corpus size). Probes keep full precision — quantization
     * error enters once.
     */
-  def q92AnnPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = graft.CacheScope.cache(withNorm(emb(spark, dir)))
-    val (cents, dsub, codes) = pqModel(e)
+  def q92AnnPq(spark: SparkSession, dir: String): DataFrame =
+    pqAdcTopK(emb(spark, dir), PQ_M, PQ_K)
+
+  /** q92's train→encode→ADC-rank chain with the code-resolution dials
+    * exposed (q92 IS this at the fixture dials, so the ladder prices the
+    * production path, not a fork).
+    */
+  private[graft] def pqAdcTopK(e0: DataFrame, m: Int, k: Int): DataFrame = {
+    val e = graft.CacheScope.cache(withNorm(e0))
+    val (cents, dsub, codes) = pqModel(e, m, k)
     codesRerank(
       e.filter(col("vec_id") < 20).select(col("vec_id").as("p_id"),
         col("embedding").as("pe"), col("nn").as("np")),
@@ -1013,18 +1064,52 @@ object Similarity {
     * vs pure ADC's 0.30 — AnnRecallSpec). Output contract and exact-tail
     * arithmetic are q57's ([[ivfRerank]] — literally the same kernel).
     */
-  def q94PqRefine(spark: SparkSession, dir: String): DataFrame = {
-    val e = graft.CacheScope.cache(withNorm(emb(spark, dir)))
-    val (cents, dsub, codes) = pqModel(e)
+  def q94PqRefine(spark: SparkSession, dir: String): DataFrame =
+    pqRefineTopK(emb(spark, dir), PQ_M, PQ_K)
+
+  /** q94's ADC-prune → exact-refine chain with the code-resolution dials
+    * exposed — the entry point behind both the fixture gate (q94 = this
+    * at PQ_M×PQ_K) and the corpus-scale gate (q179 = this at
+    * [[PQ_M_SCALE]]×PQ_K), so the at-scale configuration is the SAME
+    * code path the fixture hash-verifies, one dial over.
+    */
+  private[graft] def pqRefineTopK(e0: DataFrame, m: Int, k: Int,
+                                  refine: Int = PQ_REFINE): DataFrame = {
+    val e = graft.CacheScope.cache(withNorm(e0))
+    val (cents, dsub, codes) = pqModel(e, m, k)
     val cand = codesRerank(
       e.filter(col("vec_id") < 20).select(col("vec_id").as("p_id"),
         col("embedding").as("pe"), col("nn").as("np")),
-      codes, (pe, cs) => pqDotUdf(cents, dsub)(pe, cs), k = PQ_REFINE)
+      codes, (pe, cs) => pqDotUdf(cents, dsub)(pe, cs), k = refine)
       .select(col("p_id"), col("c_id"))
     ivfRerank(cand,
       e.select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("nn").as("np")),
       e.select(col("vec_id").as("c_id"), col("embedding").as("ce2"), col("nn").as("nc2")))
   }
+
+  /** The corpus-scale PQ code-resolution dial. The r15/r16 capacity
+    * ladders MEASURED the shipped [[PQ_M]]=8 × 4-bit dial collapsing at
+    * cluster occupancy (clustered corpora, 50k→5M vectors: ADC recall@3
+    * 0.03→0.00, refine-50 0.65→0.00 — same-cluster vectors quantize to
+    * identical 32-bit codes and the refine re-ranks a random sample),
+    * while growing code RESOLUTION recovers it on the same production
+    * path: at 50k, refine-50 recall is 0.65 (m=8, 32-bit) → 0.80 (m=16,
+    * 64-bit) → 0.98 (m=32, 128-bit ≈ SQ8's 0.98 at twice the bytes).
+    * q179 hash-gates THIS dial the way q178 gated the dedup dial — the
+    * at-scale configuration verified end to end, not prose next to a
+    * fixture gate. Code bytes stay 8× under float32 (32 B vs 256 B).
+    */
+  val PQ_M_SCALE = 32
+
+  /** q94's ADC-prune → exact-refine composition at the corpus-scale code
+    * resolution ([[PQ_M_SCALE]] subspaces × [[PQ_K]] codes): the PQ
+    * configuration a 5M+-vector clustered corpus needs (measured — see
+    * [[PQ_M_SCALE]]), hash-verified on the same [[pqRefineTopK]] path the
+    * fixture dial gates as q94. Scale shape unchanged: codes are scanned
+    * at 32 B/vector, floats touched ∝ PQ_REFINE·|probes|.
+    */
+  def q179PqScaled(spark: SparkSession, dir: String): DataFrame =
+    pqRefineTopK(emb(spark, dir), PQ_M_SCALE, PQ_K)
 
   /** IVF-PQ with exact refine (q95) — the composition every
     * billion-vector serving system runs, assembled from this library's
@@ -1037,21 +1122,36 @@ object Similarity {
     * kernels of q57, q92 and q94, so this query cannot drift from the
     * tiers it composes; the oracle unrolls the same three stages in SQL.
     */
-  def q95IvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = graft.CacheScope.cache(withNorm(emb(spark, dir)))
+  def q95IvfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopK(emb(spark, dir), IVF_K, NPROBE, PQ_M, PQ_K)
+
+  /** q95's three-stage composition with every deployment dial exposed
+    * (q95 IS this at the fixture dials): `ivfK`/`nprobe` size the prune,
+    * `m`/`pqK` the code resolution of the ADC rank. The IVF quantizer
+    * trains through the [[IVF_TRAIN_PER_CENTROID]]-capped sample —
+    * identity below the cap, so the gated fixture hash is untouched,
+    * and the √N-list scale dial doesn't pay full-corpus training. The
+    * r16 ladder measured WHY this composition is the 5M+ serving answer:
+    * at 19.5k docs/cluster occupancy no fixed-budget flat PQ holds
+    * (m=32 refine-50 reaches only 0.52) while IVF pruning + the scaled
+    * codes + exact refine restores recall at list-fraction cost.
+    */
+  private[graft] def ivfPqTopK(e0: DataFrame, ivfK: Int, nprobe: Int,
+                               m: Int, pqK: Int): DataFrame = {
+    val e = graft.CacheScope.cache(withNorm(e0))
     // IVF stage: same trained quantizer + pure-map assignment as q57
-    val ivfCents = trainCentroids(e)
+    val ivfCents = trainCentroidsSampled(e, ivfK, IVF_TRAIN_PER_CENTROID)
     val assign = e.select(col("vec_id").as("c_id"),
       listAssignUdf(ivfCents)(col("embedding")).as("list_id"))
     val probeLists = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("p_id"),
-        explode(topListsUdf(ivfCents)(col("embedding"))).as("list_id"))
+        explode(topListsUdf(ivfCents, nprobe)(col("embedding"))).as("list_id"))
     val cand = probeLists
       .join(assign, Seq("list_id"))
       .filter(col("p_id") =!= col("c_id"))
       .select(col("p_id"), col("c_id"))
-    // PQ stage: ADC rank of the pruned candidates through 8-byte codes
-    val (pqCents, dsub, codes) = pqModel(e)
+    // PQ stage: ADC rank of the pruned candidates through the code bytes
+    val (pqCents, dsub, codes) = pqModel(e, m, pqK)
     val adc = cand
       .join(broadcast(e.filter(col("vec_id") < 20).select(col("vec_id").as("p_id"),
         col("embedding").as("pe"), col("nn").as("np"))), Seq("p_id"))
@@ -1670,7 +1770,8 @@ object Similarity {
     "q92_ann_pq" -> q92AnnPq,
     "q93_pq_index" -> q93PqIndex,
     "q94_pq_refine" -> q94PqRefine,
-    "q95_ivfpq" -> q95IvfPq)
+    "q95_ivfpq" -> q95IvfPq,
+    "q179_pq_scaled" -> q179PqScaled)
 
   private val longFormCte =
     """e2 AS (
@@ -1815,15 +1916,15 @@ object Similarity {
     * reconstruction dot. Every distance and the averaged centroids are
     * round6'd on BOTH engines before any argmin/compare.
     */
-  private val pqCtes: String = {
-    val dsub = 64 / PQ_M // oracle mirrors the fixture's dim like the plane CTEs
+  private def pqCtesFor(m: Int, k: Int): String = {
+    val dsub = 64 / m // oracle mirrors the fixture's dim like the plane CTEs
     s"""$longFormCte,
       |sub AS (SELECT vec_id, pos, v,
       |  (pos - 1) // $dsub AS s, (pos - 1) % $dsub AS j FROM ex),
       |sd0 AS (
       |  SELECT a.vec_id, a.s, b.vec_id AS seed,
       |    round(sum((a.v - b.v) * (a.v - b.v)), 6) AS d
-      |  FROM sub a JOIN sub b ON b.pos = a.pos AND b.vec_id < $PQ_K
+      |  FROM sub a JOIN sub b ON b.pos = a.pos AND b.vec_id < $k
       |  GROUP BY 1, 2, 3),
       |a0 AS (SELECT vec_id, s, seed AS code FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, seed) AS rn
@@ -1855,17 +1956,22 @@ object Similarity {
       |  FROM dots JOIN norms np ON np.vec_id = p_id JOIN nq nc ON nc.vec_id = c_id)""".stripMargin
   }
 
+  private val pqCtes: String = pqCtesFor(PQ_M, PQ_K)
+
   private val pqSql: String =
     s"""WITH $pqCtes
       |SELECT p_id, c_id, cosine, CAST(rn AS INT) AS rn FROM (
       |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
       |  FROM cos) WHERE rn <= 3""".stripMargin
 
-  /** q94's SQL — the pqSql CTE chain with the ADC rank cut at PQ_REFINE
-    * and q57's exact-cosine tail re-ranking just those candidates.
+  /** q94's SQL — the pq CTE chain with the ADC rank cut at PQ_REFINE and
+    * q57's exact-cosine tail re-ranking just those candidates. Dial-
+    * parameterized: q94 interpolates the fixture dials, q179 the
+    * corpus-scale [[PQ_M_SCALE]] — the oracle chain and the Scala path
+    * scale together, so the at-scale config can never drift ungated.
     */
-  private val pqRefineSql: String =
-    s"""WITH $pqCtes,
+  private def pqRefineSqlFor(m: Int, k: Int): String =
+    s"""WITH ${pqCtesFor(m, k)},
       |adc AS (
       |  SELECT p_id, c_id FROM (
       |    SELECT p_id, c_id,
@@ -1883,6 +1989,8 @@ object Similarity {
       |SELECT p_id, c_id, cosine, CAST(rn AS INT) AS rn FROM (
       |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
       |  FROM xcos) WHERE rn <= 3""".stripMargin
+
+  private val pqRefineSql: String = pqRefineSqlFor(PQ_M, PQ_K)
 
   /** q95's SQL — q57's IVF assignment CTEs (renamed i*) + q92's PQ CTEs,
     * composed exactly as the Scala composes the kernels: candidates from
@@ -2044,6 +2152,7 @@ object Similarity {
     "q92_ann_pq" -> pqSql,
     "q93_pq_index" -> pqSql,
     "q94_pq_refine" -> pqRefineSql,
+    "q179_pq_scaled" -> pqRefineSqlFor(PQ_M_SCALE, PQ_K),
     "q95_ivfpq" -> ivfPqSql,
     "q112_hard_negatives" ->
       s"""WITH $longFormCte,
@@ -2428,7 +2537,11 @@ object Similarity {
     "q90_ann_sq8"   -> Map("sf0.001" -> 0.9, "sf0.1" -> 0.9),
     "q92_ann_pq"    -> Map("sf0.001" -> 0.2, "sf0.1" -> 0.1),
     "q94_pq_refine" -> Map("sf0.001" -> 0.6, "sf0.1" -> 0.5),
-    "q95_ivfpq"     -> Map("sf0.001" -> 0.5, "sf0.1" -> 0.5))
+    "q95_ivfpq"     -> Map("sf0.001" -> 0.5, "sf0.1" -> 0.5),
+    // the corpus-scale resolution dial: measured 1.000 at both fixture
+    // sfs (128-bit codes are near-exact at fixture occupancy; the floor
+    // the dial exists for is the 5M-occupancy one — SCALE.md r16 ladder)
+    "q179_pq_scaled" -> Map("sf0.001" -> 0.9, "sf0.1" -> 0.9))
 
   /** The floor for `query` at the sf named by `sfDir`'s basename. */
   def recallFloor(query: String, sfDir: String): Double = {

@@ -115,6 +115,51 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= Similarity.recallFloor("q95_ivfpq", dir), f"IVF-PQ recall collapsed to $recall%.3f — stage regression")
   }
 
+  test("q179 corpus-scale PQ dial keeps near-exact recall; resolution is the lever") {
+    // the gated at-scale dial on the fixture: 128-bit codes are
+    // near-exact here (floor 0.9; measured 1.000)
+    val scaled = Similarity.queries("q179_pq_scaled")(spark, dir)
+      .select("p_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val probes = exactTop3.keySet
+    val recall = probes.toSeq.map { p =>
+      (exactTop3(p) & scaled.getOrElse(p, Set.empty)).size.toDouble / exactTop3(p).size
+    }.sum / probes.size
+    info(f"q179 (m=${Similarity.PQ_M_SCALE}) recall@3 = $recall%.3f")
+    assert(recall >= Similarity.recallFloor("q179_pq_scaled", dir),
+      f"corpus-scale PQ recall collapsed to $recall%.3f")
+  }
+
+  test("PQ code resolution recovers recall at cluster occupancy (the ladder law in miniature)") {
+    // the r15 weak item's mechanism, reproduced at the ladder's smallest
+    // rung on its clustered-corpus shape (256 latent clusters, 50k
+    // vectors ≈ 195 docs/cluster): the fixture dial's 32-bit codes alias
+    // same-cluster vectors and refine-50 re-ranks noise (ladder: 0.65),
+    // while the q179 dial's 128-bit codes keep discriminating (ladder:
+    // 0.98) — the measured justification for PQ_M_SCALE
+    val tmp = java.nio.file.Files.createTempDirectory("pq_occupancy").toString
+    AnnLadderBench.synthEmb(spark, 50000L).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    def top3(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.filter(org.apache.spark.sql.functions.col("rn") <= 3)
+        .select("p_id", "c_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = top3(Similarity.queries("q48_cosine_knn")(spark, tmp))
+    def recallOf(m: Int): Double = {
+      val got = top3(Similarity.pqRefineTopK(
+        graft.Tables.load(spark, tmp, "embeddings"), m, Similarity.PQ_K))
+      exact.keySet.toSeq.map { p =>
+        (exact(p) & got.getOrElse(p, Set.empty)).size.toDouble / exact(p).size
+      }.sum / exact.size
+    }
+    val rFixture = recallOf(Similarity.PQ_M)
+    val rScaled = recallOf(Similarity.PQ_M_SCALE)
+    info(f"refine-50 recall@3 at 50k clustered: m=8 $rFixture%.3f, m=32 $rScaled%.3f")
+    assert(rScaled >= 0.9, f"scaled dial must hold ≥0.9 at occupancy, got $rScaled%.3f")
+    assert(rScaled >= rFixture + 0.15,
+      f"resolution must be the measured lever: m=32 $rScaled%.3f vs m=8 $rFixture%.3f")
+  }
+
   test("IVF-Flat keeps recall@3 against brute force") {
     val ivf = Similarity.queries("q57_ann_ivf")(spark, dir)
       .select("p_id", "c_id").as[(Long, Long)].collect()

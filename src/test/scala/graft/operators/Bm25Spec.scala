@@ -97,6 +97,48 @@ class Bm25Spec extends SparkSpec {
     assert(topF.sameElements(topI), "served top-k diverged after append")
   }
 
+  test("auto-compaction fires at the segment threshold, under the no-marker committer") {
+    // the policy must behave on a cluster whose committer writes no
+    // _SUCCESS markers (the StatsMaintenanceSpec discipline) — segment
+    // listing and the compact sweep key off the df-last write order,
+    // never the marker
+    val d = Tables.load(spark, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25auto").toString
+    val prevMark = spark.conf.getOption("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs")
+    spark.conf.set("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    spark.conf.set(Bm25.COMPACT_AT_SEGMENTS_CONF, "3")
+    try {
+      graft.Telemetry.drain()
+      Bm25.writeBm25Index(d.filter(pmod(col("doc_id"), lit(3)) === 0), s"$tmp/inc")
+      Bm25.appendBm25Delta(d.filter(pmod(col("doc_id"), lit(3)) === 1), s"$tmp/inc")
+      // 2 segments < 3: the policy must have declined
+      val after2 = graft.Telemetry.drain()
+      assert(after2.exists(e => e.contains("bm25 maintain segments=2") && e.contains("action=none")),
+        s"policy must decline below threshold: $after2")
+      Bm25.appendBm25Delta(d.filter(pmod(col("doc_id"), lit(3)) === 2), s"$tmp/inc")
+      val after3 = graft.Telemetry.drain()
+      assert(after3.exists(e => e.contains("bm25 maintain segments=3") && e.contains("action=compact")),
+        s"policy must compact at threshold: $after3")
+      // the folded index serves bit-identically to a from-scratch build
+      Bm25.writeBm25Index(d, s"$tmp/full")
+      val (postF, dfF, nF, sF) = Bm25.loadBm25Index(spark, s"$tmp/full")
+      val (postI, dfI, nI, sI) = Bm25.loadBm25Index(spark, s"$tmp/inc")
+      assert((nF, sF) == (nI, sI), "corpus stats diverged after auto-compaction")
+      val topF = Bm25.topKAgainstLoaded(postF, dfF, nF, sF).collect().map(_.toSeq)
+      val topI = Bm25.topKAgainstLoaded(postI, dfI, nI, sI).collect().map(_.toSeq)
+      assert(topF.sameElements(topI), "served top-k diverged after auto-compaction")
+      // and the fold is physical: one live segment remains
+      assert(Bm25.liveSegmentCount(spark, s"$tmp/inc") == 1,
+        "auto-compaction must fold to one live segment")
+    } finally {
+      spark.conf.unset(Bm25.COMPACT_AT_SEGMENTS_CONF)
+      prevMark match {
+        case Some(v) => spark.conf.set("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", v)
+        case None => spark.conf.unset("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs")
+      }
+    }
+  }
+
   test("compaction folds segments exactly; covered leftovers are excluded; appends continue") {
     val d = Tables.load(spark, dir, "documents")
     val tmp = java.nio.file.Files.createTempDirectory("bm25cmp").toString

@@ -72,10 +72,14 @@ class SimhashScaleSpec extends SparkSpec {
     // brute-force edge set: same-lang all-pairs within hamming 1 over the
     // full 48-bit signatures — what the two 24-bit pigeonhole bands must
     // reproduce exactly (a pair within hamming 1 agrees on >=1 band)
-    val sim = d.select(col("doc_id"),
+    val sim = d.select(col("doc_id"), col("lang"),
       expr("simhash_bits(split(text, ' '), 48)").as("simhash"))
+    // same-lang constraint mirrors the production edge definition — the
+    // fixture is single-lang so it is vacuous here, but omitting it would
+    // make a future multi-lang fixture fail for a non-banding reason
     val bruteEdges = sim.alias("x").join(sim.alias("y"),
-        col("x.doc_id") < col("y.doc_id") &&
+        col("x.lang") === col("y.lang") &&
+          col("x.doc_id") < col("y.doc_id") &&
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= 1)
       .select(col("x.doc_id"), col("y.doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

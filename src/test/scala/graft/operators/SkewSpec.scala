@@ -172,4 +172,21 @@ class SkewSpec extends SparkSpec {
       s"q73 must consult the adaptive gate: $evs")
     assert(df.columns.contains("avg_nll"))
   }
+
+  test("q180's class-bucketed head FIRES the salted path on the fixture corpus") {
+    // q180's <short> class holds ~80% of token occurrences — past the
+    // 50%-of-rows straggler budget at this suite's 4 shuffle partitions
+    // (and the 6.25% budget at Bench's 32) — so this is the hash-gated
+    // query whose SALTED branch executes end to end on real data, not
+    // only under the forced-skew toys above
+    graft.Telemetry.drain()
+    val df = CorpusOps.queries("q180_skewed_perplexity")(spark, "/root/testdata/sf0.001")
+    val evs = graft.Telemetry.drain()
+    assert(evs.exists(e => e.contains("skew key=cls1") && e.contains("path=salted")),
+      s"q180 must take the salted path on the fixture corpus: $evs")
+    // and the salted result is the oracle-shaped frame (hash equality vs
+    // DuckDB is the driver gate; row count + schema pin it here)
+    assert(df.columns.sorted.sameElements(Array("avg_nll", "doc_id", "n_bigrams")))
+    assert(df.count() == 500)
+  }
 }
