@@ -307,7 +307,8 @@ object Bench {
         case Some(e) if e.isEmpty      => Nil // no probes at this sf → no recall line
         case Some(exact) =>
           Seq("q49_ann_lsh", "q57_ann_ivf", "q90_ann_sq8", "q92_ann_pq",
-              "q94_pq_refine", "q95_ivfpq", "q179_pq_scaled").flatMap { q =>
+              "q94_pq_refine", "q95_ivfpq", "q179_pq_scaled",
+              "q181_ivfpq_residual").flatMap { q =>
             top3(q).map { approx =>
               val probes = exact.keySet
               val r = probes.toSeq.map { p =>

@@ -142,7 +142,15 @@ object AnnLadderBench {
       // a 5M+ clustered corpus must run (flat PQ saturates below target
       // recall at ~20k docs/cluster even at m=32)
       ("ivfpq_scaled_sqrtN_m32", Long.MaxValue,
-        () => Similarity.ivfPqTopK(embDf, sqrtK, 8, 32, Similarity.PQ_K)))
+        () => Similarity.ivfPqTopK(embDf, sqrtK, 8, 32, Similarity.PQ_K)),
+      // the RESIDUAL forms (q181's kernel): codes spend their resolution
+      // on within-list variation — the raw-domain rungs above measure
+      // exactly the collapse this exists to fix
+      ("ivfpq_resid_fixture_dials", Long.MaxValue,
+        () => Similarity.ivfPqResidualTopK(embDf, Similarity.IVF_K,
+          Similarity.NPROBE, Similarity.PQ_M, Similarity.PQ_K)),
+      ("ivfpq_resid_sqrtN_m32", Long.MaxValue,
+        () => Similarity.ivfPqResidualTopK(embDf, sqrtK, 8, 32, Similarity.PQ_K)))
   }
 
   /** exact/approx top-3 sets per probe → mean recall@3 (the Bench.scala

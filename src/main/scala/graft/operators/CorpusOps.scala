@@ -603,6 +603,63 @@ object CorpusOps {
       .drop("_nms")
   }
 
+  /** Count-thresholded Kneser–Ney (the SRILM-style `-gtmin` prune,
+    * priced by [[LmLadderBench]] before any gate): the bigram TYPE table
+    * is thresholded at `minCount` before the probe join, and a scored
+    * bigram whose type row was pruned takes the continuation-only
+    * backoff — EXACTLY interpolated KN's value for an unseen bigram
+    * (max(c12 − D, 0) = 0), i.e.
+    * P = D·N1+(w1·)/c1 · N1+(·w2)/T → nll = ln(4·c1·T) − ln(3·N1+(w1·)·N1+(·w2))
+    * — so the delta vs exact KN ([[q151KneserNey]]) is ONLY the dropped
+    * direct mass (c12 − D)/c1 on types with 1 ≤ c12 < minCount, the
+    * standard prune-without-renormalize approximation. Context/history
+    * stats and T stay full-table (lower-order stats are never pruned).
+    * What pruning can and cannot buy is a measured question: the build
+    * side of the probe join shrinks by the hapax-type fraction, but the
+    * probe STREAM is unchanged — the ladder prices whether the type
+    * table or the stream was the cost.
+    */
+  private[graft] def knPerplexityPruned(docsDf: DataFrame,
+                                        minCount: Long): DataFrame = {
+    val spark = docsDf.sparkSession
+    val toks = graft.CacheScope.cache(docsDf
+      .select(col("doc_id"), split(col("text"), " ").as("tokens")))
+    val docBigrams = toks
+      .filter(size(col("tokens")) > 1)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, size(tokens) - 1),
+          |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))""".stripMargin)).as(Seq("pos", "b")))
+      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = graft.CacheScope.cache(
+      docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
+    val ctx = graft.CacheScope.cache(big.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_w1")))
+    val hist = graft.CacheScope.cache(big.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1p_w2"), sum(col("c12")).as("c2")))
+    val types = big.agg(count(lit(1)).as("t"))
+    val kept = big.filter(col("c12") >= minCount)
+    graft.Telemetry.record(s"kn prune min_count=$minCount")
+    val j1 = Skew.saltedJoinAdaptive(
+      docBigrams.join(kept, Seq("w1", "w2"), "left")
+        .withColumn("_uid", concat_ws(":", col("doc_id"), col("pos"))),
+      ctx, "w1", SKEW_SALTS, "_uid", keyCounts = ctx, cntCol = "c1")
+    val j2 = Skew.saltedJoinAdaptive(
+      j1, hist, "w2", SKEW_SALTS, "_uid",
+      keyCounts = hist, cntCol = "c2")
+    j2.crossJoin(broadcast(types))
+      .withColumn("nll",
+        log((lit(4L) * col("c1") * col("t")).cast("double")) -
+          log(when(col("c12").isNull,
+            lit(3L) * col("n1p_w1") * col("n1p_w2"))
+            .otherwise((lit(4L) * col("c12") - 3L) * col("t") +
+              lit(3L) * col("n1p_w1") * col("n1p_w2")).cast("double")))
+      .withColumn("_nm", round(col("nll") * 1e6, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_nm")).as("_nms"))
+      .withColumn("avg_nll", round(col("_nms") / col("n_bigrams") / 1e6, 6))
+      .drop("_nms")
+  }
+
   /** Overlapping document chunking (the RAG / context-window prep stage):
     * 64-token windows at stride 48, short docs yield one chunk, the final
     * partial window is kept. Pure per-row explode — the chunk table

@@ -74,6 +74,12 @@ object LmLadderBench {
       ("q117_ngram_diversity", Long.MaxValue, q("q117_ngram_diversity")),
       ("q149_good_turing", Long.MaxValue, q("q149_good_turing")),
       ("q151_kneser_ney", Long.MaxValue, q("q151_kneser_ney")),
+      // the SRILM-style gtmin prune, priced against exact KN on the same
+      // corpus: hapax bigram types leave the probe join's build side;
+      // whether that moves the wall (vs the probe stream, which pruning
+      // cannot shrink) is the measured question
+      ("kn_pruned_min2", Long.MaxValue, () => CorpusOps.knPerplexityPruned(
+        graft.Tables.load(spark, dir, "documents"), minCount = 2L)),
       ("q152_collocations", Long.MaxValue, q("q152_collocations")),
       ("q150_distinct_sketch", Long.MaxValue, q("q150_distinct_sketch")),
       ("q133_heavy_hitters", Long.MaxValue, q("q133_heavy_hitters")))

@@ -468,8 +468,12 @@ object Similarity {
     })
 
   private def trainCentroids(e: DataFrame, k: Int = IVF_K)
+      : Array[(Long, Array[Double], Double)] =
+    trainCentroidsFrom(lowestIdSeeds(e, k), e)
+
+  private def trainCentroidsFrom(seeds: Array[(Long, Array[Double])],
+                                 e: DataFrame)
       : Array[(Long, Array[Double], Double)] = {
-    val seeds = lowestIdSeeds(e, k)
     val dim = seeds.head._2.length
     val sumCols = count(lit(1)).as("n") +: (0 until dim).map(i =>
       sum(element_at(col("embedding"), i + 1).cast("double")).as(s"s$i"))
@@ -578,8 +582,16 @@ object Similarity {
     } else {
       val ratio = math.ceil(n.toDouble / cap).toLong
       graft.Telemetry.record(s"ivf train=sampled n=$n cap=$cap ratio=$ratio")
-      trainCentroids(graft.CacheScope.cache(
-        e.filter(pmod(xxhash64(col("vec_id")), lit(ratio)) === 0)), k)
+      // seeds from the FULL corpus (the same lowest-id rule the full
+      // train uses): the sample then only perturbs the per-centroid MEAN
+      // estimates (≈256 points each — the FAISS budget), not the seed
+      // set, so sampled-vs-full quantizers differ by estimation noise
+      // rather than by a different k-means starting point (measured: the
+      // sample-seeded variant cost 0.07 recall at 5M/√N; this form holds
+      // within the 0.02 contract IvfSampleSpec pins)
+      val seeds = lowestIdSeeds(e, k)
+      trainCentroidsFrom(seeds, graft.CacheScope.cache(
+        e.filter(pmod(xxhash64(col("vec_id")), lit(ratio)) === 0)))
     }
   }
 
@@ -1169,12 +1181,199 @@ object Similarity {
       e.select(col("vec_id").as("c_id"), col("embedding").as("ce2"), col("nn").as("nc2")))
   }
 
-  /** Materialize the PQ index: the trained codebook (s, code, j, cv —
-    * ≤ PQ_M·PQ_K·dsub rows) and the code table (c_id, PQ_M bytes, stored
-    * reconstruction norm). Codebook trains ONCE; serving reads codes and
-    * never touches float vectors. Meta LAST with the dials recorded.
+  // ===== Residual IVF-PQ (q181) — the Jégou et al. 2011 composition =====
+
+  /** Residual vs the assigned list centroid, component-round6'd so both
+    * engines train/encode the identical residual corpus (the centroid
+    * values are themselves round6'd).
     */
-  def writePqIndex(corpusEmb: DataFrame, path: String): Unit = {
+  private def residualUdf(centMap: Map[Long, Array[Double]]) =
+    udf { (v: Seq[Float], listId: Long) =>
+      val c = centMap(listId)
+      Array.tabulate(c.length)(j => round6(v(j).toDouble - c(j)))
+    }
+
+  /** [[pqAssign0Udf]] over a residual (array<double>) column. */
+  private def pqAssign0UdfD(seeds: Array[Array[Double]], dsub: Int, m: Int) =
+    udf { (v: Seq[Double]) =>
+      Array.tabulate(m) { s =>
+        var best = -1
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < seeds.length) {
+          var d = 0.0
+          var j = 0
+          while (j < dsub) {
+            val df = v(s * dsub + j) - seeds(c)(s * dsub + j)
+            d += df * df; j += 1
+          }
+          d = round6(d)
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+
+  /** Encode a residual against the residual codebook AND store the FULL
+    * reconstruction norm ‖centroid + residual-recon‖² — computed at
+    * encode time with the list centroid in hand, so ADC search never
+    * reconstructs for norms (the [[pqEncodeUdf]] contract, residual
+    * form).
+    */
+  private def pqEncodeResUdf(cents: Array[Array[Array[Double]]], dsub: Int,
+                             centMap: Map[Long, Array[Double]]) =
+    udf { (v: Seq[Double], listId: Long) =>
+      val m = cents.length
+      val codes = new Array[Byte](m)
+      val ic = centMap(listId)
+      var nq = 0.0
+      var s = 0
+      while (s < m) {
+        var best = -1
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents(s).length) {
+          val cv = cents(s)(c)
+          if (cv != null) {
+            var d = 0.0
+            var j = 0
+            while (j < dsub) { val df = v(s * dsub + j) - cv(j); d += df * df; j += 1 }
+            d = round6(d)
+            if (d < bestD) { bestD = d; best = c }
+          }
+          c += 1
+        }
+        codes(s) = best.toByte
+        val bc = cents(s)(best)
+        var j = 0
+        while (j < dsub) {
+          val fv = ic(s * dsub + j) + bc(j)
+          nq += fv * fv; j += 1
+        }
+        s += 1
+      }
+      (codes, nq)
+    }
+
+  /** ADC dot against the FULL reconstruction (list centroid + residual
+    * codewords) — the residual form of [[pqDotUdf]]; probes keep full
+    * precision.
+    */
+  private def pqDotResUdf(cents: Array[Array[Array[Double]]], dsub: Int,
+                          centMap: Map[Long, Array[Double]]) =
+    udf { (pe: Array[Float], codes: Array[Byte], listId: Long) =>
+      val ic = centMap(listId)
+      var dot = 0.0
+      var s = 0
+      while (s < cents.length) {
+        val cv = cents(s)(codes(s) & 0xFF)
+        var j = 0
+        while (j < dsub) {
+          dot += pe(s * dsub + j).toDouble * (ic(s * dsub + j) + cv(j)); j += 1
+        }
+        s += 1
+      }
+      dot
+    }
+
+  /** Residual-codebook training: [[trainPqCents]] over an array<double>
+    * residual column (the aggregate chain is type-agnostic; only the
+    * step-0 kernel differs).
+    */
+  private def trainPqCentsD(e: DataFrame, seeds: Array[(Long, Array[Double])],
+                            m: Int): Array[Array[Array[Double]]] = {
+    val dim = seeds.head._2.length
+    val dsub = dim / m
+    val rows = e
+      .withColumn("c0", pqAssign0UdfD(seeds.map(_._2), dsub, m)(col("embedding")))
+      .select(col("c0"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("s", expr(s"cast(pos div $dsub as int)"))
+      .withColumn("j", expr(s"pos % $dsub"))
+      .withColumn("code", col("c0").getItem(col("s")))
+      .groupBy("s", "code", "j").agg(avg(col("v")).as("cv"))
+      .collect() // ≤ m × k × dsub rows — bounded driver state
+    val cents = Array.fill(m, seeds.length)(null: Array[Double])
+    rows.foreach { r =>
+      val (s, c, j) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      if (cents(s)(c) == null) cents(s)(c) = new Array[Double](dsub)
+      cents(s)(c)(j) = round6(r.getDouble(3))
+    }
+    cents
+  }
+
+  /** Residual IVF-PQ with exact refine — [[ivfPqTopK]] with the codes
+    * trained and evaluated in the RESIDUAL domain (Jégou, Douze &
+    * Schmid 2011, the form every production IVF-PQ serves): vectors
+    * encode (v − centroid(list)), ADC ranks against centroid + codeword
+    * reconstructions. WHY residuals: the r16 ladder measured raw-domain
+    * IVF-PQ collapsing at cluster occupancy (0.483 recall at 5M even
+    * with 128-bit codes + √N lists) because within a probed list every
+    * vector shares the globally-trained codewords; residuals subtract
+    * the list centroid so the codebook spends its resolution on the
+    * within-list variation that actually ranks candidates — measured:
+    * 0.983 at 5M with the SAME byte budget (m=32) where the raw form
+    * reads 0.483, and 1.000 at the fixture dials.
+    */
+  def q181IvfPqResidual(spark: SparkSession, dir: String): DataFrame =
+    ivfPqResidualTopK(emb(spark, dir), IVF_K, NPROBE, PQ_M, PQ_K)
+
+  private[graft] def ivfPqResidualTopK(e0: DataFrame, ivfK: Int, nprobe: Int,
+                                       m: Int, pqK: Int): DataFrame = {
+    val e = graft.CacheScope.cache(withNorm(e0))
+    val ivfCents = trainCentroidsSampled(e, ivfK, IVF_TRAIN_PER_CENTROID)
+    val centMap = ivfCents.map { case (id, c, _) => id -> c }.toMap
+    // assignment + residual in ONE pure-map pass over the corpus; cached
+    // because the codebook train and the encode both read it
+    val assign = graft.CacheScope.cache(
+      e.select(col("vec_id").as("c_id"),
+          listAssignUdf(ivfCents)(col("embedding")).as("list_id"),
+          col("embedding"))
+        .withColumn("residual",
+          residualUdf(centMap)(col("embedding"), col("list_id")))
+        .select(col("c_id"), col("list_id"), col("residual")))
+    val seeds = assign.select(col("c_id"), col("residual"))
+      .orderBy(col("c_id")).limit(pqK).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val pqCents = trainPqCentsD(
+      assign.select(col("c_id").as("vec_id"), col("residual").as("embedding")),
+      seeds, m)
+    val dsub = seeds.head._2.length / m
+    val enc = pqEncodeResUdf(pqCents, dsub, centMap)(col("residual"), col("list_id"))
+    val codes = assign.select(col("c_id"), col("list_id"),
+      enc.getField("_1").as("codes"), enc.getField("_2").as("nq"))
+    val probeLists = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("p_id"),
+        explode(topListsUdf(ivfCents, nprobe)(col("embedding"))).as("list_id"))
+    val adc = probeLists
+      .join(codes, Seq("list_id"))
+      .filter(col("p_id") =!= col("c_id"))
+      .join(broadcast(e.filter(col("vec_id") < 20).select(col("vec_id").as("p_id"),
+        col("embedding").as("pe"), col("nn").as("np"))), Seq("p_id"))
+      .withColumn("acos",
+        round6c(pqDotResUdf(pqCents, dsub, centMap)(col("pe"), col("codes"), col("list_id")) /
+          (sqrt(col("np")) * sqrt(col("nq")))))
+    val wAdc = Window.partitionBy(col("p_id")).orderBy(col("acos").desc, col("c_id"))
+    val pruned = adc.withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= PQ_REFINE)
+      .select(col("p_id"), col("c_id"))
+    ivfRerank(pruned,
+      e.select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("nn").as("np")),
+      e.select(col("vec_id").as("c_id"), col("embedding").as("ce2"), col("nn").as("nc2")))
+  }
+
+  /** Materialize the PQ index: the trained codebook (s, code, j, cv —
+    * ≤ m·k·dsub rows) and the code table (c_id, m code bytes, stored
+    * reconstruction norm). Codebook trains ONCE; serving reads codes and
+    * never touches float vectors. Meta LAST with the dials recorded —
+    * the loader serves whatever dials the meta names (the fixture
+    * [[PQ_M]]×[[PQ_K]] default or the corpus-scale [[PQ_M_SCALE]]), so
+    * the q179 configuration has the same index-once/serve-many path as
+    * the fixture dial.
+    */
+  def writePqIndex(corpusEmb: DataFrame, path: String,
+                   m: Int = PQ_M, k: Int = PQ_K): Unit = {
     val spark = corpusEmb.sparkSession
     import spark.implicits._
     // invalidate FIRST: a rebuild that crashes mid-write must leave a
@@ -1184,18 +1383,18 @@ object Similarity {
     IndexMeta.invalidate(spark, path)
     val dim = graft.CacheScope.run {
       val e = graft.CacheScope.cache(corpusEmb)
-      val (cents, dsub, codes) = pqModel(e)
+      val (cents, dsub, codes) = pqModel(e, m, k)
       val flat = for {
-        s <- 0 until PQ_M; c <- 0 until PQ_K if cents(s)(c) != null
+        s <- 0 until m; c <- 0 until k if cents(s)(c) != null
         j <- 0 until dsub
       } yield (s, c, j, cents(s)(c)(j))
       flat.toDF("s", "code", "j", "cv")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
       codes.write.mode("overwrite").parquet(s"$path/codes")
-      dsub * PQ_M
+      dsub * m
     }
     IndexMeta.write(spark, path, "graft PQ index dials",
-      "m" -> PQ_M.toString, "k" -> PQ_K.toString, "dim" -> dim.toString)
+      "m" -> m.toString, "k" -> k.toString, "dim" -> dim.toString)
   }
 
   /** A resolved PQ index — codebook collected (≤ PQ_M·PQ_K·dsub rows,
@@ -1210,8 +1409,10 @@ object Similarity {
     val m = meta.getProperty("m").toInt
     val k = meta.getProperty("k").toInt
     val dim = meta.getProperty("dim").toInt
-    require(m == PQ_M && k == PQ_K,
-      s"PQ index at $indexPath has dials m=$m k=$k; this build serves m=$PQ_M k=$PQ_K")
+    // the serve kernels read the dials off the codebook shape, so ANY
+    // recorded (m, k) serves — k stays byte-addressable by construction
+    require(k <= 256 && m >= 1 && dim % m == 0,
+      s"PQ index at $indexPath records unusable dials m=$m k=$k dim=$dim")
     val dsub = dim / m
     val cents = Array.fill(m, k)(null: Array[Double])
     spark.read.parquet(s"$indexPath/codebook").collect().foreach { r =>
@@ -1771,7 +1972,8 @@ object Similarity {
     "q93_pq_index" -> q93PqIndex,
     "q94_pq_refine" -> q94PqRefine,
     "q95_ivfpq" -> q95IvfPq,
-    "q179_pq_scaled" -> q179PqScaled)
+    "q179_pq_scaled" -> q179PqScaled,
+    "q181_ivfpq_residual" -> q181IvfPqResidual)
 
   private val longFormCte =
     """e2 AS (
@@ -2060,6 +2262,115 @@ object Similarity {
       |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
       |  FROM xcos) WHERE rn <= 3""".stripMargin
 
+  /** q181's SQL — q95's IVF CTEs verbatim, then the PQ two-step unrolled
+    * over the RESIDUAL corpus (rex = round6(v − assigned-list centroid)),
+    * the full reconstruction (list centroid + residual codeword) feeding
+    * the ADC dots and norms, and the shared refine tail. Every rounding
+    * point mirrors the Scala kernels: icents/rcents round6'd, residuals
+    * component-round6'd, distances round6'd before each argmin, acos/
+    * cosine round6'd after the divide.
+    */
+  private val ivfPqResidualSql: String = {
+    val dsub = 64 / PQ_M
+    s"""WITH $longFormCte,
+      |norms AS (SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY 1),
+      |sd AS (
+      |  SELECT a.vec_id, s.vec_id AS seed_id,
+      |    round(sum((a.v - s.v) * (a.v - s.v)), 6) AS d
+      |  FROM ex a JOIN ex s ON s.pos = a.pos AND s.vec_id < $IVF_K
+      |  GROUP BY 1, 2),
+      |sa AS (
+      |  SELECT vec_id, seed_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY d, seed_id) AS rn
+      |    FROM sd) WHERE rn = 1),
+      |icents AS (
+      |  SELECT sa.seed_id AS cent_id, a.pos, round(avg(a.v), 6) AS cv
+      |  FROM ex a JOIN sa ON sa.vec_id = a.vec_id
+      |  GROUP BY 1, 2),
+      |icnorm AS (SELECT cent_id, sum(cv * cv) AS nc FROM icents GROUP BY 1),
+      |iadots AS (
+      |  SELECT a.vec_id, c.cent_id, sum(a.v * c.cv) AS dot
+      |  FROM ex a JOIN icents c ON c.pos = a.pos
+      |  GROUP BY 1, 2),
+      |iacos AS (
+      |  SELECT d.vec_id, d.cent_id,
+      |    round(dot / (sqrt(nv.nn) * sqrt(cn.nc)), 6) AS cos
+      |  FROM iadots d JOIN norms nv ON nv.vec_id = d.vec_id
+      |    JOIN icnorm cn ON cn.cent_id = d.cent_id),
+      |iranked AS (
+      |  SELECT vec_id, cent_id,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+      |  FROM iacos),
+      |iassign AS (SELECT vec_id, cent_id AS list_id FROM iranked WHERE rn = 1),
+      |iprobes AS (
+      |  SELECT vec_id AS p_id, cent_id AS list_id FROM iranked
+      |  WHERE vec_id < 20 AND rn <= $NPROBE),
+      |rex AS (
+      |  SELECT e.vec_id, e.pos, round(e.v - c.cv, 6) AS v
+      |  FROM ex e JOIN iassign a ON a.vec_id = e.vec_id
+      |    JOIN icents c ON c.cent_id = a.list_id AND c.pos = e.pos),
+      |rsub AS (SELECT vec_id, pos, v,
+      |  (pos - 1) // $dsub AS s, (pos - 1) % $dsub AS j FROM rex),
+      |rsd0 AS (
+      |  SELECT a.vec_id, a.s, b.vec_id AS seed,
+      |    round(sum((a.v - b.v) * (a.v - b.v)), 6) AS d
+      |  FROM rsub a JOIN rsub b ON b.pos = a.pos AND b.vec_id < $PQ_K
+      |  GROUP BY 1, 2, 3),
+      |ra0 AS (SELECT vec_id, s, seed AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, seed) AS rn
+      |    FROM rsd0) WHERE rn = 1),
+      |rcents AS (
+      |  SELECT ra0.s, ra0.code, sb.j, round(avg(sb.v), 6) AS cv
+      |  FROM rsub sb JOIN ra0 ON ra0.vec_id = sb.vec_id AND ra0.s = sb.s
+      |  GROUP BY 1, 2, 3),
+      |rsd1 AS (
+      |  SELECT sb.vec_id, sb.s, c.code,
+      |    round(sum((sb.v - c.cv) * (sb.v - c.cv)), 6) AS d
+      |  FROM rsub sb JOIN rcents c ON c.s = sb.s AND c.j = sb.j
+      |  GROUP BY 1, 2, 3),
+      |ra1 AS (SELECT vec_id, s, code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+      |    FROM rsd1) WHERE rn = 1),
+      |rrecon AS (
+      |  SELECT ra1.vec_id, c.s, c.j, c.cv
+      |  FROM ra1 JOIN rcents c ON c.s = ra1.s AND c.code = ra1.code),
+      |recon_full AS (
+      |  SELECT rr.vec_id, ic.pos, ic.cv + rr.cv AS fv
+      |  FROM rrecon rr JOIN iassign a ON a.vec_id = rr.vec_id
+      |    JOIN icents ic ON ic.cent_id = a.list_id
+      |      AND ic.pos = rr.s * $dsub + rr.j + 1),
+      |nqf AS (SELECT vec_id, sum(fv * fv) AS nq FROM recon_full GROUP BY 1),
+      |lcand AS (
+      |  SELECT p_id, a.vec_id AS c_id
+      |  FROM iprobes p JOIN iassign a ON a.list_id = p.list_id
+      |    AND a.vec_id != p.p_id),
+      |qdots AS (
+      |  SELECT l.p_id, l.c_id, sum(p.v * rf.fv) AS dot
+      |  FROM lcand l JOIN ex p ON p.vec_id = l.p_id
+      |    JOIN recon_full rf ON rf.vec_id = l.c_id AND rf.pos = p.pos
+      |  GROUP BY 1, 2),
+      |qcos AS (
+      |  SELECT p_id, c_id, round(dot / (sqrt(np.nn) * sqrt(nc.nq)), 6) AS acos
+      |  FROM qdots JOIN norms np ON np.vec_id = p_id JOIN nqf nc ON nc.vec_id = c_id),
+      |pruned AS (
+      |  SELECT p_id, c_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY acos DESC, c_id) AS rn
+      |    FROM qcos) WHERE rn <= $PQ_REFINE),
+      |xdots AS (
+      |  SELECT p_id, c_id, sum(a.v * b.v) AS dot
+      |  FROM pruned JOIN ex a ON a.vec_id = p_id
+      |    JOIN ex b ON b.vec_id = c_id AND b.pos = a.pos
+      |  GROUP BY 1, 2),
+      |xcos AS (
+      |  SELECT p_id, c_id, round(dot / (sqrt(np.nn) * sqrt(nc.nn)), 6) AS cosine
+      |  FROM xdots JOIN norms np ON np.vec_id = p_id
+      |    JOIN norms nc ON nc.vec_id = c_id)
+      |SELECT p_id, c_id, cosine, CAST(rn AS INT) AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY cosine DESC, c_id) AS rn
+      |  FROM xcos) WHERE rn <= 3""".stripMargin
+  }
+
   /** q114's oracle — q72 assignment + q88 score + micro-unit cluster
     * means + the bottom-2 prune; q118 (index serving) shares it.
     */
@@ -2153,6 +2464,7 @@ object Similarity {
     "q93_pq_index" -> pqSql,
     "q94_pq_refine" -> pqRefineSql,
     "q179_pq_scaled" -> pqRefineSqlFor(PQ_M_SCALE, PQ_K),
+    "q181_ivfpq_residual" -> ivfPqResidualSql,
     "q95_ivfpq" -> ivfPqSql,
     "q112_hard_negatives" ->
       s"""WITH $longFormCte,
@@ -2541,7 +2853,10 @@ object Similarity {
     // the corpus-scale resolution dial: measured 1.000 at both fixture
     // sfs (128-bit codes are near-exact at fixture occupancy; the floor
     // the dial exists for is the 5M-occupancy one — SCALE.md r16 ladder)
-    "q179_pq_scaled" -> Map("sf0.001" -> 0.9, "sf0.1" -> 0.9))
+    "q179_pq_scaled" -> Map("sf0.001" -> 0.9, "sf0.1" -> 0.9),
+    // residual-domain IVF-PQ: measured 0.917/0.833 at the fixture dials
+    // (the ceiling is the 16-list/4-probe IVF stage, same as q95's)
+    "q181_ivfpq_residual" -> Map("sf0.001" -> 0.8, "sf0.1" -> 0.7))
 
   /** The floor for `query` at the sf named by `sfDir`'s basename. */
   def recallFloor(query: String, sfDir: String): Double = {

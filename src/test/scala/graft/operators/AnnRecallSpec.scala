@@ -130,6 +130,39 @@ class AnnRecallSpec extends SparkSpec {
       f"corpus-scale PQ recall collapsed to $recall%.3f")
   }
 
+  test("residual IVF-PQ beats the raw-domain composition and keeps its floor") {
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("p_id", "c_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exactTop3.keySet.toSeq.map { p =>
+        (exactTop3(p) & got.getOrElse(p, Set.empty)).size.toDouble / exactTop3(p).size
+      }.sum / exactTop3.size
+    }
+    val resid = recallOf(Similarity.queries("q181_ivfpq_residual")(spark, dir))
+    val raw = recallOf(Similarity.queries("q95_ivfpq")(spark, dir))
+    info(f"IVF-PQ recall@3: residual $resid%.3f vs raw $raw%.3f")
+    assert(resid >= Similarity.recallFloor("q181_ivfpq_residual", dir),
+      f"residual IVF-PQ recall collapsed to $resid%.3f")
+    // same byte budget, same prune — the residual encoding must not lose
+    // to the raw form it exists to replace at occupancy
+    assert(resid >= raw - 1e-9,
+      f"residual form lost to raw: $resid%.3f vs $raw%.3f")
+  }
+
+  test("materialized PQ index serves the SCALED dial (round-trip == inline ADC)") {
+    // index-once/serve-many must exist for the q179 configuration too:
+    // the loader reads the dials off the recorded meta + codebook shape
+    val tmp = java.nio.file.Files.createTempDirectory("pq32_index").toString
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    Similarity.writePqIndex(e, s"$tmp/pq32", m = Similarity.PQ_M_SCALE)
+    val served = Similarity.pqSearchAgainstIndex(
+      e.filter(org.apache.spark.sql.functions.col("vec_id") < 20), s"$tmp/pq32")
+      .collect().map(_.toSeq).toSet
+    val inline = Similarity.pqAdcTopK(e, Similarity.PQ_M_SCALE, Similarity.PQ_K)
+      .collect().map(_.toSeq).toSet
+    assert(served == inline, "served scaled-dial ADC diverged from inline")
+  }
+
   test("PQ code resolution recovers recall at cluster occupancy (the ladder law in miniature)") {
     // the r15 weak item's mechanism, reproduced at the ladder's smallest
     // rung on its clustered-corpus shape (256 latent clusters, 50k

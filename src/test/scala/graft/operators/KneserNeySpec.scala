@@ -59,6 +59,35 @@ class KneserNeySpec extends SparkSpec {
     assert(diverged.isEmpty, s"diverged: ${diverged.take(3)}")
   }
 
+  test("pruned KN: min_count=1 is the identity; pruning only ever raises nll") {
+    val dir = "/root/testdata/sf0.001"
+    // minCount=1 keeps every observed type (c12 >= 1 always) — the pruned
+    // path must reproduce q151 exactly, so the left-join restructuring
+    // cannot drift from the gated query
+    val exact = CorpusOps.queries("q151_kneser_ney")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"))).toMap
+    val ident = CorpusOps.knPerplexityPruned(
+      graft.Tables.load(spark, dir, "documents"), minCount = 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"))).toMap
+    assert(ident == exact, "minCount=1 must equal exact KN bigram-for-bigram")
+    // minCount=2 drops only positive direct mass (c12−D)/c1 from hapax
+    // types → every per-doc avg_nll moves UP or stays (within one
+    // 1e-6-unit rounding step per doc)
+    val pruned = CorpusOps.knPerplexityPruned(
+      graft.Tables.load(spark, dir, "documents"), minCount = 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"))).toMap
+    assert(pruned.keySet == exact.keySet)
+    val violated = exact.collect {
+      case (id, (n, nll)) if pruned(id)._2 < nll - 1e-6 => (id, nll, pruned(id)._2)
+    }
+    assert(violated.isEmpty, s"pruning lowered nll: ${violated.take(3)}")
+    assert(exact.exists { case (id, (_, nll)) => pruned(id)._2 > nll },
+      "fixture corpus must contain hapax bigrams for this law to bite")
+  }
+
   test("rounding margin: nll*1e6 sits far from every half-integer (sf0.01)") {
     // per distinct scored tuple, the pre-round value's distance from a
     // .5 boundary must dwarf what a cross-engine ln ulp can move it:
