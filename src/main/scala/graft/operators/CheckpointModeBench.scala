@@ -31,7 +31,12 @@ object CheckpointModeBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = args.headOption.filterNot(_ == "reverse")
+      .getOrElse("/root/testdata/sf0.1")
+    // "reverse" flips mode order — run BOTH orders to bracket the
+    // JIT/page-cache advantage the second mode inherits
+    val modes = if (args.contains("reverse")) Seq("reliable", "local")
+      else Seq("local", "reliable")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -46,7 +51,7 @@ object CheckpointModeBench {
     // mode-major order with a warmup pass per mode: JIT/codegen and the
     // parquet footer cache warm once per mode, so the local-vs-reliable
     // delta is the durability work, not first-run noise
-    for (mode <- Seq("local", "reliable"); pass <- Seq("warm", "timed")) {
+    for (mode <- modes; pass <- Seq("warm", "timed")) {
       spark.conf.set(graft.GraftCheckpoint.ModeKey, mode)
       Queries.foreach { q =>
         graft.Telemetry.drain()

@@ -660,6 +660,16 @@ object CorpusOps {
       .drop("_nms")
   }
 
+  /** The gated prune dial: [[knPerplexityPruned]] at min_count = 2 (drop
+    * hapax bigram types), hash-verified like q151. Measured on the zipf
+    * ladder: 13.6 → 8.9 s at 50k docs, 39.0 → 29.8 s at 500k (−25–35%
+    * — the probe join's build side loses the hapax-type majority; the
+    * probe stream itself is untouched, which bounds what pruning can
+    * ever buy).
+    */
+  def q182KnPruned(spark: SparkSession, dir: String): DataFrame =
+    knPerplexityPruned(docs(spark, dir), minCount = 2L)
+
   /** Overlapping document chunking (the RAG / context-window prep stage):
     * 64-token windows at stride 48, short docs yield one chunk, the final
     * partial window is kept. Pure per-row explode — the chunk table
@@ -2143,6 +2153,7 @@ object CorpusOps {
     "q180_skewed_perplexity" -> q180SkewedPerplexity,
     "q149_good_turing" -> q149GoodTuring,
     "q151_kneser_ney" -> q151KneserNey,
+    "q182_kn_pruned" -> q182KnPruned,
     "q155_pair_rank" -> q155PairRank,
     "q157_temperature_mix" -> q157TemperatureMix,
     "q161_source_confusion" -> q161SourceConfusion,
@@ -2548,6 +2559,32 @@ object CorpusOps {
         |      - ln(CAST((4 * c12 - 3) * ty.t + 3 * n1p_w1 * n1p_w2 AS DOUBLE)))
         |    * 1e6, 0) AS BIGINT)) / count(*) / 1e6, 6) AS avg_nll
         |FROM db JOIN big USING (w1, w2) JOIN ctx USING (w1)
+        |  JOIN hist USING (w2) CROSS JOIN ty
+        |GROUP BY doc_id""".stripMargin,
+    // q151's oracle with the type table thresholded at min_count=2 and
+    // the continuation-only backoff for pruned bigrams (the max() term
+    // clips to 0, so the numerator loses its (4c12-3)T part exactly)
+    "q182_kn_pruned" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |db AS (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |    FROM t WHERE len(toks) > 1)),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM db GROUP BY 1, 2),
+        |kept AS (SELECT w1, w2, c12 FROM big WHERE c12 >= 2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    count(*) AS n1p_w1 FROM big GROUP BY 1),
+        |hist AS (SELECT w2, count(*) AS n1p_w2 FROM big GROUP BY 1),
+        |ty AS (SELECT count(*) AS t FROM big)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(CAST(round((ln(CAST(4 * c1 * ty.t AS DOUBLE))
+        |      - ln(CAST(CASE WHEN k.c12 IS NULL
+        |            THEN 3 * n1p_w1 * n1p_w2
+        |            ELSE (4 * k.c12 - 3) * ty.t + 3 * n1p_w1 * n1p_w2 END AS DOUBLE)))
+        |    * 1e6, 0) AS BIGINT)) / count(*) / 1e6, 6) AS avg_nll
+        |FROM db LEFT JOIN kept k USING (w1, w2) JOIN ctx USING (w1)
         |  JOIN hist USING (w2) CROSS JOIN ty
         |GROUP BY doc_id""".stripMargin,
     "q149_good_turing" ->
