@@ -308,7 +308,7 @@ object Bench {
         case Some(exact) =>
           Seq("q49_ann_lsh", "q57_ann_ivf", "q90_ann_sq8", "q92_ann_pq",
               "q94_pq_refine", "q95_ivfpq", "q179_pq_scaled",
-              "q181_ivfpq_residual").flatMap { q =>
+              "q181_ivfpq_residual", "q183_ivfpq_index").flatMap { q =>
             top3(q).map { approx =>
               val probes = exact.keySet
               val r = probes.toSeq.map { p =>

@@ -1318,9 +1318,13 @@ object Similarity {
   def q181IvfPqResidual(spark: SparkSession, dir: String): DataFrame =
     ivfPqResidualTopK(emb(spark, dir), IVF_K, NPROBE, PQ_M, PQ_K)
 
-  private[graft] def ivfPqResidualTopK(e0: DataFrame, ivfK: Int, nprobe: Int,
-                                       m: Int, pqK: Int): DataFrame = {
-    val e = graft.CacheScope.cache(withNorm(e0))
+  /** The residual model build every q181 surface shares (inline, index
+    * write): quantizer → one pure-map assignment+residual pass →
+    * residual codebook → encoded code frame (c_id, list_id, codes, nq).
+    */
+  private def ivfPqResidualModel(e: DataFrame, ivfK: Int, m: Int, pqK: Int)
+      : (Array[(Long, Array[Double], Double)], Array[Array[Array[Double]]],
+         Int, DataFrame) = {
     val ivfCents = trainCentroidsSampled(e, ivfK, IVF_TRAIN_PER_CENTROID)
     val centMap = ivfCents.map { case (id, c, _) => id -> c }.toMap
     // assignment + residual in ONE pure-map pass over the corpus; cached
@@ -1341,15 +1345,27 @@ object Similarity {
       seeds, m)
     val dsub = seeds.head._2.length / m
     val enc = pqEncodeResUdf(pqCents, dsub, centMap)(col("residual"), col("list_id"))
-    val codes = assign.select(col("c_id"), col("list_id"),
-      enc.getField("_1").as("codes"), enc.getField("_2").as("nq"))
-    val probeLists = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("p_id"),
-        explode(topListsUdf(ivfCents, nprobe)(col("embedding"))).as("list_id"))
+    (ivfCents, pqCents, dsub, assign.select(col("c_id"), col("list_id"),
+      enc.getField("_1").as("codes"), enc.getField("_2").as("nq")))
+  }
+
+  /** The serve tail every q181 surface shares: probes pick their lists,
+    * ADC ranks the stored codes against centroid+codeword
+    * reconstructions, exact refine over the PQ_REFINE survivors.
+    */
+  private def ivfPqResidualServe(probes: DataFrame,
+                                 ivfCents: Array[(Long, Array[Double], Double)],
+                                 pqCents: Array[Array[Array[Double]]],
+                                 dsub: Int, codes: DataFrame,
+                                 corpusVecs: DataFrame, nprobe: Int): DataFrame = {
+    val centMap = ivfCents.map { case (id, c, _) => id -> c }.toMap
+    val p = graft.CacheScope.cache(withNorm(probes))
+    val probeLists = p.select(col("vec_id").as("p_id"),
+      explode(topListsUdf(ivfCents, nprobe)(col("embedding"))).as("list_id"))
     val adc = probeLists
       .join(codes, Seq("list_id"))
       .filter(col("p_id") =!= col("c_id"))
-      .join(broadcast(e.filter(col("vec_id") < 20).select(col("vec_id").as("p_id"),
+      .join(broadcast(p.select(col("vec_id").as("p_id"),
         col("embedding").as("pe"), col("nn").as("np"))), Seq("p_id"))
       .withColumn("acos",
         round6c(pqDotResUdf(pqCents, dsub, centMap)(col("pe"), col("codes"), col("list_id")) /
@@ -1359,8 +1375,110 @@ object Similarity {
       .filter(col("arn") <= PQ_REFINE)
       .select(col("p_id"), col("c_id"))
     ivfRerank(pruned,
-      e.select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("nn").as("np")),
-      e.select(col("vec_id").as("c_id"), col("embedding").as("ce2"), col("nn").as("nc2")))
+      p.select(col("vec_id").as("p_id"), col("embedding").as("pe"), col("nn").as("np")),
+      corpusVecs)
+  }
+
+  private[graft] def ivfPqResidualTopK(e0: DataFrame, ivfK: Int, nprobe: Int,
+                                       m: Int, pqK: Int): DataFrame = {
+    val e = graft.CacheScope.cache(withNorm(e0))
+    val (ivfCents, pqCents, dsub, codes) = ivfPqResidualModel(e, ivfK, m, pqK)
+    ivfPqResidualServe(e.filter(col("vec_id") < 20), ivfCents, pqCents, dsub,
+      codes,
+      e.select(col("vec_id").as("c_id"), col("embedding").as("ce2"), col("nn").as("nc2")),
+      nprobe)
+  }
+
+  /** Materialize the residual IVF-PQ index — the index-once/serve-many
+    * shape for q181 (what a billion-vector deployment actually runs):
+    * quantizer centroids, residual codebook, code table
+    * (c_id, list_id, m bytes, full-reconstruction norm), and the
+    * vectors+norms for the exact refine. Meta LAST with all dials.
+    */
+  def writeIvfPqIndex(corpusEmb: DataFrame, path: String,
+                      ivfK: Int = IVF_K, m: Int = PQ_M,
+                      pqK: Int = PQ_K): Unit = {
+    val spark = corpusEmb.sparkSession
+    import spark.implicits._
+    IndexMeta.invalidate(spark, path)
+    val dim = graft.CacheScope.run {
+      val e = graft.CacheScope.cache(withNorm(corpusEmb))
+      val (ivfCents, pqCents, dsub, codes) = ivfPqResidualModel(e, ivfK, m, pqK)
+      ivfCents.toSeq.map { case (cid, c, nc) => (cid, c.toSeq, nc) }
+        .toDF("cent_id", "centroid", "norm")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      val flat = for {
+        s <- 0 until m; c <- 0 until pqK if pqCents(s)(c) != null
+        j <- 0 until dsub
+      } yield (s, c, j, pqCents(s)(c)(j))
+      flat.toDF("s", "code", "j", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+      e.select(col("vec_id"), col("embedding"), col("nn"))
+        .write.mode("overwrite").parquet(s"$path/vectors")
+      dsub * m
+    }
+    IndexMeta.write(spark, path, "graft residual IVF-PQ index dials",
+      "ivf_k" -> ivfK.toString, "m" -> m.toString, "k" -> pqK.toString,
+      "dim" -> dim.toString)
+  }
+
+  /** A resolved residual IVF-PQ index — both bounded model tables
+    * collected (quantizer ≤ recorded ivf_k rows, codebook ≤ m·k·dsub),
+    * code/vector frames resolved ONCE.
+    */
+  final case class LoadedIvfPqIndex private[operators] (
+      ivfCents: Array[(Long, Array[Double], Double)],
+      pqCents: Array[Array[Array[Double]]], dsub: Int,
+      codes: DataFrame, vecs: DataFrame)
+
+  def loadIvfPqIndex(spark: SparkSession, indexPath: String): LoadedIvfPqIndex = {
+    val meta = IndexMeta.read(spark, indexPath, "writeIvfPqIndex")
+    val ivfK = meta.getProperty("ivf_k").toInt
+    val m = meta.getProperty("m").toInt
+    val k = meta.getProperty("k").toInt
+    val dim = meta.getProperty("dim").toInt
+    require(k <= 256 && m >= 1 && dim % m == 0,
+      s"residual IVF-PQ index at $indexPath records unusable dials m=$m k=$k dim=$dim")
+    val cents0 = spark.read.parquet(s"$indexPath/centroids").collect()
+    require(cents0.length <= ivfK,
+      s"index at $indexPath holds ${cents0.length} centroids but records ivf_k=$ivfK")
+    val dsub = dim / m
+    val pqCents = Array.fill(m, k)(null: Array[Double])
+    spark.read.parquet(s"$indexPath/codebook").collect().foreach { r =>
+      val (s, c, j) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      if (pqCents(s)(c) == null) pqCents(s)(c) = new Array[Double](dsub)
+      pqCents(s)(c)(j) = r.getDouble(3)
+    }
+    LoadedIvfPqIndex(
+      cents0.map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+        .sortBy(_._1),
+      pqCents, dsub,
+      spark.read.parquet(s"$indexPath/codes"),
+      spark.read.parquet(s"$indexPath/vectors")
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce2"), col("nn").as("nc2")))
+  }
+
+  def ivfPqSearchAgainstIndex(probes: DataFrame, indexPath: String,
+                              nprobe: Int = NPROBE): DataFrame = {
+    val idx = loadIvfPqIndex(probes.sparkSession, indexPath)
+    ivfPqResidualServe(probes, idx.ivfCents, idx.pqCents, idx.dsub,
+      idx.codes, idx.vecs, nprobe)
+  }
+
+  /** q181 through the materialized residual IVF-PQ index (build-once per
+    * sf dir, like q83/q91/q93): identical output contract, so it shares
+    * q181's oracle. Serving retrains nothing — probes pick lists with a
+    * pure map over the stored quantizer, ADC reads stored codes, the
+    * refine reads stored vectors.
+    */
+  def q183IvfPqIndex(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val indexPath = graft.Tables.derivedIndexPath("graft_ivfpq_index", dir, "embeddings")
+    if (!new java.io.File(s"$indexPath/vectors/_SUCCESS").exists() ||
+        !new java.io.File(s"$indexPath/meta.properties").exists())
+      writeIvfPqIndex(e, indexPath)
+    ivfPqSearchAgainstIndex(e.filter(col("vec_id") < 20), indexPath)
   }
 
   /** Materialize the PQ index: the trained codebook (s, code, j, cv —
@@ -1973,7 +2091,8 @@ object Similarity {
     "q94_pq_refine" -> q94PqRefine,
     "q95_ivfpq" -> q95IvfPq,
     "q179_pq_scaled" -> q179PqScaled,
-    "q181_ivfpq_residual" -> q181IvfPqResidual)
+    "q181_ivfpq_residual" -> q181IvfPqResidual,
+    "q183_ivfpq_index" -> q183IvfPqIndex)
 
   private val longFormCte =
     """e2 AS (
@@ -2465,6 +2584,7 @@ object Similarity {
     "q94_pq_refine" -> pqRefineSql,
     "q179_pq_scaled" -> pqRefineSqlFor(PQ_M_SCALE, PQ_K),
     "q181_ivfpq_residual" -> ivfPqResidualSql,
+    "q183_ivfpq_index" -> ivfPqResidualSql,
     "q95_ivfpq" -> ivfPqSql,
     "q112_hard_negatives" ->
       s"""WITH $longFormCte,
@@ -2855,8 +2975,10 @@ object Similarity {
     // the dial exists for is the 5M-occupancy one — SCALE.md r16 ladder)
     "q179_pq_scaled" -> Map("sf0.001" -> 0.9, "sf0.1" -> 0.9),
     // residual-domain IVF-PQ: measured 0.917/0.833 at the fixture dials
-    // (the ceiling is the 16-list/4-probe IVF stage, same as q95's)
-    "q181_ivfpq_residual" -> Map("sf0.001" -> 0.8, "sf0.1" -> 0.7))
+    // (the ceiling is the 16-list/4-probe IVF stage, same as q95's);
+    // q183 is the same computation served from the materialized index
+    "q181_ivfpq_residual" -> Map("sf0.001" -> 0.8, "sf0.1" -> 0.7),
+    "q183_ivfpq_index" -> Map("sf0.001" -> 0.8, "sf0.1" -> 0.7))
 
   /** The floor for `query` at the sf named by `sfDir`'s basename. */
   def recallFloor(query: String, sfDir: String): Double = {

@@ -163,6 +163,27 @@ class PlanAuditSpec extends SparkSpec {
       "serving plan reads corpus float vectors:\n" + p)
   }
 
+  test("q183: residual IVF-PQ serves from the stored model — no retrain, ADC reads stored codes") {
+    val p = plan(Similarity.queries("q183_ivfpq_index")(spark, dir))
+    assert(p.contains("graft_ivfpq_index"),
+      "ADC and refine must scan the materialized residual IVF-PQ index:\n" + p)
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      "candidate generation must stay a list_id equi-join:\n" + p)
+    // neither model trains at serve time: the quantizer aggregation keys
+    // on cent_id and the codebook train posexplodes residuals — neither
+    // may appear in the serving plan
+    assert(!p.contains("cent_id"),
+      "serving plan re-trains the IVF quantizer:\n" + p)
+    assert(!p.contains("posexplode") && !p.contains("PosExplode"),
+      "serving plan re-trains the residual codebook:\n" + p)
+    // corpus floats are touched only through the index's stored vectors
+    // (the refine side); the raw embeddings table appears once, for the
+    // probe filter's own scan
+    assert(!p.contains("embeddings.parquet") ||
+      p.split('\n').count(_.contains("embeddings.parquet")) <= 1,
+      "serving plan reads corpus float vectors outside the index:\n" + p)
+  }
+
   test("q89: global ordinal is two-pass — corpus ranking keyed by bucket, offsets broadcast") {
     val p = plan(CorpusOps.queries("q89_shard_export")(spark, dir))
     // the corpus-side row_number must be PARTITIONED (by the hash-prefix
