@@ -388,13 +388,16 @@ object Bench {
     val totalNormalized = total * steal
     // The driver archives only the TAIL of stdout (~4 KB) and parses its
     // last line — round 7's single all-in-one line grew past that window
-    // and the artifact lost every early-query median. Split the output:
+    // and the artifact lost every early-query median; round 16's window
+    // cut the compact line itself at 152/172 queries because later stdout
+    // chatter shared it. Split the output:
     //   1. the FULL record (medians + spread + per-sample telemetry +
     //      recall + calib + notes) goes to a file (committed in the repo,
     //      so the complete artifact is always readable), and to stderr;
-    //   2. stdout's LAST line is the compact driver-contract record only —
-    //      metric/value/unit/queries/sf/repeat — which stays ~2 KB at 70
-    //      queries and fits any tail window.
+    //   2. stdout carries EXACTLY ONE line — the compact driver-contract
+    //      record (metric/value/unit/queries/sf/repeat, ~2.5 KB at 172
+    //      queries) — printed below and followed by a System.out redirect
+    //      to stderr, so no shutdown chatter can evict it.
     // JSON string escape for free-form content (telemetry events carry
     // operator-interpolated text; sfDir is a path): an unescaped quote or
     // backslash would corrupt the committed artifact undetectably
@@ -416,6 +419,32 @@ object Bench {
       s"""{"spin1":${d3(calib1)},"spin32":${d3(calib32)},"spin1_start":${d3(calib1Start)},"spin32_start":${d3(calib32Start)},"spin1_quiet_ref":${d3(Spin1QuietRef)},"spin32_quiet_ref_start":${d3(Spin32QuietRefStart)},"spin32_quiet_ref_end":${d3(Spin32QuietRefEnd)}}"""
     val fullJson =
       s"""{"metric":"total","value":${d3(total)},"total_min_envelope":${d3(totalMinEnvelope)},"value_normalized":${d3(totalNormalized)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","repeat":$repeat,"spread":$spread,"telemetry":$tele,"recall":$recallJson,"recall_violations":$violationsJson,"calib":$calibJson,"notes":"${esc(notes)}"}"""
+    // Compact contract line: the ~4 KB stdout tail window prices every
+    // byte, and at ~85 full-length query keys the line would overflow it
+    // again. Keys shrink to their qNN prefix (unique by construction;
+    // guarded below — a collision falls back to full names), per-query
+    // medians to 2 decimals (the driver reads trends, the file artifact
+    // carries the 3-decimal record), and sf to its basename.
+    val shortNames = meds.map { case (k, _) => "^(q\\d+).*".r.replaceAllIn(k, "$1") }
+    def d2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qsCompact =
+      if (shortNames.distinct.length == shortNames.length)
+        meds.zip(shortNames).map { case ((_, v), s) => "\"" + s + "\":" + d2(v) }
+          .mkString("{", ",", "}")
+      else qs
+    val sfShort = new java.io.File(sfDir).getName
+    // The compact line is the FIRST (and only) stdout output of the
+    // summary, and stdout is then redirected into stderr for the rest of
+    // the run: the r16 driver artifact truncated mid-line (parsed:null)
+    // because post-summary stdout chatter (Spark shutdown) shared the
+    // driver's capture window with it — with nothing allowed onto stdout
+    // after this line, the window always holds one complete JSON record.
+    println(s"""{"metric":"total","value":${d3(total)},"total_min_envelope":${d3(totalMinEnvelope)},"value_normalized":${d3(totalNormalized)},"unit":"sec","queries":$qsCompact,"sf":"${esc(sfShort)}","repeat":$repeat}""")
+    Console.out.flush()
+    System.out.flush()
+    System.setOut(new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.err), true))
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
@@ -425,24 +454,6 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     System.err.println(s"[bench-full] $fullJson")
-    // Compact contract line: the ~4 KB stdout tail window prices every
-    // byte, and at ~85 full-length query keys the line would overflow it
-    // again. Keys shrink to their qNN prefix (unique by construction;
-    // guarded below — a collision falls back to full names) and sf to its
-    // basename; the full-name record lives in the file/stderr artifact.
-    val shortNames = meds.map { case (k, _) => "^(q\\d+).*".r.replaceAllIn(k, "$1") }
-    val qsCompact =
-      if (shortNames.distinct.length == shortNames.length)
-        meds.zip(shortNames).map { case ((_, v), s) => "\"" + s + "\":" + d3(v) }
-          .mkString("{", ",", "}")
-      else qs
-    val sfShort = new java.io.File(sfDir).getName
-    // compact line: the steal-robust min envelope rides next to the raw
-    // total (the two headlines); value_normalized (the CPU-steal
-    // estimate) and the full calib record live in the file artifact —
-    // every extra byte here evicts a query median from the driver's
-    // stdout tail window
-    println(s"""{"metric":"total","value":${d3(total)},"total_min_envelope":${d3(totalMinEnvelope)},"value_normalized":${d3(totalNormalized)},"unit":"sec","queries":$qsCompact,"sf":"${esc(sfShort)}","repeat":$repeat}""")
     spark.stop()
   }
 }

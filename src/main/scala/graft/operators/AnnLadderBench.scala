@@ -185,13 +185,21 @@ object AnnLadderBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Dev convenience (the Bench.scala convention): SPARK_GRAFT_ONLY=
+    // comma-separated rung-name prefixes restricts the run. q48_exact_knn
+    // is always kept when present in the ladder — it is the recall
+    // baseline every other rung scores against.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    def rungs(dir: String) = ladder(spark, dir).filter(e =>
+      e._1 == "q48_exact_knn" || only.forall(_.exists(e._1.startsWith)))
+
     val root = java.nio.file.Files.createTempDirectory("ann_ladder").toString
     // warmup at fixture scale: codegen/JIT for every ladder entry
     locally {
       val warmDir = s"$root/warm"
       synthEmb(spark, 2000L).write.mode("overwrite")
         .parquet(s"$warmDir/embeddings.parquet")
-      ladder(spark, warmDir).foreach { case (_, _, mk) =>
+      rungs(warmDir).foreach { case (_, _, mk) =>
         graft.CacheScope.run {
           mk().write.format("noop").mode("overwrite").save()
         }
@@ -210,7 +218,7 @@ object AnnLadderBench {
       }
       println(f"$n,generate,$genSecs%.1f,,")
       var exact: Option[Map[Long, Set[Long]]] = None
-      ladder(spark, dir).foreach { case (name, cap, mk) =>
+      rungs(dir).foreach { case (name, cap, mk) =>
         if (n <= cap) {
           // timed: plan construction (which for the index/quantizer
           // entries includes the build/training work) + the noop-sink

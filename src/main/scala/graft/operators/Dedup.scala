@@ -428,9 +428,10 @@ object Dedup {
   val DEFAULT_CANDIDATE_PAIR_BUDGET = 1000000000L
 
   /** Estimated candidate-pair volume of the band equi-join: Σ n·(n−1)/2
-    * over (lang, band, bits-value) buckets — exact for the self-join
-    * BEFORE the a<b halving and pair `distinct()`, i.e. a safe upper
-    * bound on what the join must materialize. Double arithmetic: at
+    * over (lang, band, bits-value) buckets — exact for the a<b self-join
+    * output BEFORE the pair `distinct()` (SimhashBudgetSpec pins the
+    * equality), i.e. a safe upper bound on what the join must
+    * materialize. Double arithmetic: at
     * guard-worthy magnitudes (10^9+) the estimate's low bits are
     * irrelevant and n·(n−1) overflows long for the bucket sizes a 100 TB
     * corpus can produce.
@@ -453,7 +454,7 @@ object Dedup {
     */
   private[operators] def simhashCandidates(sim: DataFrame, bits: Int,
                                            maxHamming: Int): DataFrame = {
-    val bands = sim.select(col("doc_id"), col("lang"),
+    val bands0 = sim.select(col("doc_id"), col("lang"),
       explode(array(simhashBandDefs(bits, maxHamming).map {
         case (b, off, mask) => struct(lit(b).as("band"),
           shiftright(col("simhash"), off).bitwiseAND(lit(mask)).as("bits"))
@@ -461,6 +462,11 @@ object Dedup {
     val budget = sim.sparkSession.conf
       .getOption(CANDIDATE_PAIR_BUDGET_CONF).map(_.toLong)
       .getOrElse(DEFAULT_CANDIDATE_PAIR_BUDGET)
+    // the guard's estimate is an EXTRA pass over the band frame, and the
+    // self-join reads it twice more (one scan per alias) — cache it when
+    // the guard runs so the corpus simhash+band work happens once, not
+    // three times (CacheScope-registered: freed by the caller's scope)
+    val bands = if (budget > 0) graft.CacheScope.cache(bands0) else bands0
     if (budget > 0) {
       val est = estimatedBandPairs(bands)
       graft.Telemetry.record(

@@ -1307,13 +1307,14 @@ object Similarity {
     * Schmid 2011, the form every production IVF-PQ serves): vectors
     * encode (v − centroid(list)), ADC ranks against centroid + codeword
     * reconstructions. WHY residuals: the r16 ladder measured raw-domain
-    * IVF-PQ collapsing at cluster occupancy (0.483 recall at 5M even
-    * with 128-bit codes + √N lists) because within a probed list every
-    * vector shares the globally-trained codewords; residuals subtract
-    * the list centroid so the codebook spends its resolution on the
-    * within-list variation that actually ranks candidates — measured:
-    * 0.983 at 5M with the SAME byte budget (m=32) where the raw form
-    * reads 0.483, and 1.000 at the fixture dials.
+    * IVF-PQ collapsing at cluster occupancy (0.550 recall at 5M even
+    * with 128-bit codes + √N lists — SCALE.md's canonical r16 rung)
+    * because within a probed list every vector shares the
+    * globally-trained codewords; residuals subtract the list centroid so
+    * the codebook spends its resolution on the within-list variation
+    * that actually ranks candidates — measured: 0.967 at 5M with the
+    * SAME byte budget (m=32) where the raw form reads 0.550, and 1.000
+    * at the fixture dials.
     */
   def q181IvfPqResidual(spark: SparkSession, dir: String): DataFrame =
     ivfPqResidualTopK(emb(spark, dir), IVF_K, NPROBE, PQ_M, PQ_K)
@@ -1407,8 +1408,11 @@ object Similarity {
       ivfCents.toSeq.map { case (cid, c, nc) => (cid, c.toSeq, nc) }
         .toDF("cent_id", "centroid", "norm")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      // iterate the codebook's OWN code axis, not 0 until pqK: the trainer
+      // sizes it to the seed count, which undercuts pqK when the corpus has
+      // fewer than pqK vectors — indexing by pqK would throw on the guard
       val flat = for {
-        s <- 0 until m; c <- 0 until pqK if pqCents(s)(c) != null
+        s <- 0 until m; c <- pqCents(s).indices if pqCents(s)(c) != null
         j <- 0 until dsub
       } yield (s, c, j, pqCents(s)(c)(j))
       flat.toDF("s", "code", "j", "cv")
@@ -1459,12 +1463,19 @@ object Similarity {
         .select(col("vec_id").as("c_id"), col("embedding").as("ce2"), col("nn").as("nc2")))
   }
 
-  def ivfPqSearchAgainstIndex(probes: DataFrame, indexPath: String,
-                              nprobe: Int = NPROBE): DataFrame = {
-    val idx = loadIvfPqIndex(probes.sparkSession, indexPath)
+  /** Serve against an ALREADY-RESOLVED residual IVF-PQ index — the form
+    * streaming callers need: [[StreamingIvfPq]] hoists the load outside
+    * `foreachBatch` (one meta read + two bounded collects per query
+    * start, zero per batch), exactly like [[ivfSearch]]/[[sq8Search]].
+    */
+  def ivfPqSearch(probes: DataFrame, idx: LoadedIvfPqIndex,
+                  nprobe: Int = NPROBE): DataFrame =
     ivfPqResidualServe(probes, idx.ivfCents, idx.pqCents, idx.dsub,
       idx.codes, idx.vecs, nprobe)
-  }
+
+  def ivfPqSearchAgainstIndex(probes: DataFrame, indexPath: String,
+                              nprobe: Int = NPROBE): DataFrame =
+    ivfPqSearch(probes, loadIvfPqIndex(probes.sparkSession, indexPath), nprobe)
 
   /** q181 through the materialized residual IVF-PQ index (build-once per
     * sf dir, like q83/q91/q93): identical output contract, so it shares
@@ -1502,8 +1513,10 @@ object Similarity {
     val dim = graft.CacheScope.run {
       val e = graft.CacheScope.cache(corpusEmb)
       val (cents, dsub, codes) = pqModel(e, m, k)
+      // codebook's own code axis (sized to the seed count, ≤ k on corpora
+      // smaller than k) — indexing by k would throw on the null guard
       val flat = for {
-        s <- 0 until m; c <- 0 until k if cents(s)(c) != null
+        s <- 0 until m; c <- cents(s).indices if cents(s)(c) != null
         j <- 0 until dsub
       } yield (s, c, j, cents(s)(c)(j))
       flat.toDF("s", "code", "j", "cv")

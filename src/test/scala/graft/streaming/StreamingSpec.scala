@@ -226,6 +226,63 @@ class StreamingSpec extends SparkSpec {
     assert(out1.count() > 0, "probe must find neighbors in its probed lists")
   }
 
+  test("streaming residual IVF-PQ probes match the batch search against a stored index") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpqstream").toString
+    // 8-dim corpus (dim must be a multiple of PQ_M = 8) with ≥ 16 vectors
+    // for both seed tables (IVF_K and PQ_K); two separated clusters so the
+    // inverted lists and residual codes have real structure
+    def vf(xs: Double*) = xs.map(_.toFloat)
+    val corpus = (0L until 24L).map { i =>
+      val base = if (i % 2 == 0) vf(1.0, 0.1, 0.0, 0.0, 0.2, 0.0, 0.0, 0.0)
+                 else vf(0.0, 0.1, 1.0, 0.0, 0.0, 0.2, 0.0, 0.0)
+      (i, base.updated(1, (0.1 + i * 0.01).toFloat))
+    }.toDF("vec_id", "embedding")
+    graft.operators.Similarity.writeIvfPqIndex(corpus, s"$tmp/index")
+
+    val probes1 = Seq((100L, vf(0.95, 0.11, 0.0, 0.0, 0.19, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    probes1.write.mode("append").parquet(s"$tmp/in")
+    StreamingIvfPq.runAgainstIndex(spark, s"$tmp/in", probes1.schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val out1 = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+    val batch1 = graft.operators.Similarity.ivfPqSearchAgainstIndex(probes1, s"$tmp/index")
+    assert(out1.collect().map(_.toSeq).toSet == batch1.collect().map(_.toSeq).toSet,
+      "streamed and batch residual IVF-PQ neighbors diverged")
+    assert(out1.count() > 0, "probe must find neighbors in its probed lists")
+
+    // second batch resumes from the checkpoint
+    Seq((101L, vf(0.0, 0.05, 0.95, 0.0, 0.0, 0.21, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+      .write.mode("append").parquet(s"$tmp/in")
+    StreamingIvfPq.runAgainstIndex(spark, s"$tmp/in", probes1.schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+    val out2 = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+    assert(out2.filter(col("p_id") === 101L).count() > 0, "new probe served")
+    assert(out2.filter(col("p_id") === 100L).count() == out1.count(),
+      "restart must not re-serve processed probes")
+  }
+
+  test("residual IVF-PQ serving fails the running query when the index is rebuilt") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpqr").toString
+    def vf(xs: Double*) = xs.map(_.toFloat)
+    val corpus = (0L until 24L).map { i =>
+      val base = if (i % 2 == 0) vf(1.0, 0.1, 0.0, 0.0, 0.2, 0.0, 0.0, 0.0)
+                 else vf(0.0, 0.1, 1.0, 0.0, 0.0, 0.2, 0.0, 0.0)
+      (i, base.updated(1, (0.1 + i * 0.01).toFloat))
+    }.toDF("vec_id", "embedding")
+    graft.operators.Similarity.writeIvfPqIndex(corpus, s"$tmp/index")
+    val probes = Seq((100L, vf(0.95, 0.11, 0.0, 0.0, 0.19, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    probes.write.mode("append").parquet(s"$tmp/in")
+    val q = StreamingIvfPq.runAgainstIndex(spark, s"$tmp/in", probes.schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt",
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    assertDiesOnRebuild(q, s"$tmp/out/batch_0") {
+      graft.operators.Similarity.writeIvfPqIndex(corpus, s"$tmp/index")
+      probes.write.mode("append").parquet(s"$tmp/in")
+    }
+  }
+
   test("SQ8 serving fails the running query when the index is rebuilt") {
     val tmp = java.nio.file.Files.createTempDirectory("sq8r").toString
     def vf(xs: Double*) = xs.map(_.toFloat)
