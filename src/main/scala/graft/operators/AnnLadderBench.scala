@@ -109,11 +109,24 @@ object AnnLadderBench {
       }),
       ("ivf_serve_k16_np4", Long.MaxValue,
         () => Similarity.ivfSearchAgainstIndex(probes, s"$dir/ivf16")),
+      // √N lists: the DEFAULT path (two-level assignment above the
+      // IVF_TWOLEVEL_MIN_K gate at every real rung) vs the exact
+      // single-level assignment forced via conf — the A/B that prices
+      // the r17 assignment fix and measures its recall cost in the same
+      // artifact (the paired *_serve rows read each build's own lists)
       ("ivf_build_sqrtN", Long.MaxValue, () => {
         Similarity.writeIvfIndex(embDf, s"$dir/ivfsq", k = sqrtK); empty
       }),
       ("ivf_serve_sqrtN_np8", Long.MaxValue,
         () => Similarity.ivfSearchAgainstIndex(probes, s"$dir/ivfsq", nprobe = 8)),
+      ("ivf_build_sqrtN_exact", Long.MaxValue, () => {
+        spark.conf.set(Similarity.TWOLEVEL_MIN_K_CONF, Int.MaxValue.toString)
+        try Similarity.writeIvfIndex(embDf, s"$dir/ivfsqx", k = sqrtK)
+        finally spark.conf.unset(Similarity.TWOLEVEL_MIN_K_CONF)
+        empty
+      }),
+      ("ivf_serve_sqrtN_exact_np8", Long.MaxValue,
+        () => Similarity.ivfSearchAgainstIndex(probes, s"$dir/ivfsqx", nprobe = 8)),
       ("q90_sq8_scan", Long.MaxValue, q("q90_ann_sq8")),
       ("q92_pq_adc", Long.MaxValue, q("q92_ann_pq")),
       ("q94_pq_refine50", Long.MaxValue, q("q94_pq_refine")),

@@ -527,7 +527,7 @@ object Similarity {
     val cents = trainCentroids(e, k)
     // --- assign + probe: pure map over the closure-broadcast centroids ---
     val assign = e.select(col("vec_id").as("c_id"),
-      listAssignUdf(cents)(col("embedding")).as("list_id"))
+      corpusAssignUdf(e0.sparkSession, cents)(col("embedding")).as("list_id"))
     val probes = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("p_id"),
         explode(topListsUdf(cents, nprobe)(col("embedding"))).as("list_id"))
@@ -595,6 +595,172 @@ object Similarity {
     }
   }
 
+  /** Two-level (coarse-then-fine) assignment gate. Sampled training
+    * ([[IVF_TRAIN_PER_CENTROID]]) cut the 5M/√N index build's TRAINING
+    * pass ~9×, which left the full-corpus assignment pass — N·k·d
+    * distances against every fine centroid — as the measured build
+    * bottleneck (SCALE.md r16: 117.6 s of the sampled build at 5M; the
+    * 100 TB index-build wall). The standard IMI/two-level fix: group the
+    * k fine centroids into ~√k coarse cells (a driver-side spherical
+    * k-means over the ≤ k-row centroid table — microseconds), rank the
+    * cells per vector, and run the EXACT fine argmax (same round6 cosine,
+    * same lower-id tie rule) only over the [[IVF_COARSE_W]] best cells'
+    * members: per-vector cost drops from k·d to ~(√k + w·k/√k)·d — ~6×
+    * at k≈2236 — and whenever the true argmax centroid lives in a probed
+    * cell the assignment is IDENTICAL to exact. Below this list count
+    * the exact single-level argmax runs (every fixture dial: k=16, and
+    * the 2k-vector ladder fixture's √N=45 — gated hashes untouched).
+    * Both dials are conf-overridable for specs and ladder A/B runs:
+    * `spark.graft.ivf.twoLevelMinK`, `spark.graft.ivf.coarseProbes`
+    * (w ≥ nCoarse degenerates to exact THROUGH the two-level path,
+    * which is how IvfTwoLevelSpec pins path equivalence).
+    */
+  val IVF_TWOLEVEL_MIN_K = 128
+  val TWOLEVEL_MIN_K_CONF = "spark.graft.ivf.twoLevelMinK"
+  val IVF_COARSE_W = 4
+  val COARSE_W_CONF = "spark.graft.ivf.coarseProbes"
+
+  /** The coarse quantizer over the FINE centroid table: cell centroids,
+    * their squared norms, and each cell's member indices into the fine
+    * array. Empty cells are dropped, so every cell ranks with ≥ 1 member.
+    */
+  private[operators] final case class CoarseCells(
+      cents: Array[Array[Double]], norms: Array[Double],
+      members: Array[Array[Int]])
+
+  /** Driver-side spherical k-means over the fine centroids (≤ k rows —
+    * the table already rides the closure, so this costs iters·k·√k·d
+    * flops on the driver, microseconds at any real k). Seeds = the
+    * nCoarse lowest-cent_id fine centroids (the [[lowestIdSeeds]] rule);
+    * assignment by cosine with ties to the lower cell ordinal; a cell
+    * that empties keeps its previous centroid and is dropped at the end
+    * if still empty.
+    */
+  private[operators] def buildCoarseCells(
+      fine: Array[(Long, Array[Double], Double)], nCoarse0: Int,
+      iters: Int = 5): CoarseCells = {
+    val nCoarse = math.min(math.max(nCoarse0, 1), fine.length)
+    val dim = fine.head._2.length
+    val cents = Array.tabulate(nCoarse)(c => fine(c)._2.clone())
+    val norms = cents.map(_.map(x => x * x).sum)
+    def assignAll(): Array[Int] = fine.map { case (_, f, nf) =>
+      var best = 0
+      var bestCos = Double.NegativeInfinity
+      var c = 0
+      while (c < nCoarse) {
+        var dot = 0.0
+        var j = 0
+        while (j < dim) { dot += f(j) * cents(c)(j); j += 1 }
+        val cos = dot / math.sqrt(math.max(nf * norms(c), 1e-300))
+        if (cos > bestCos) { bestCos = cos; best = c }
+        c += 1
+      }
+      best
+    }
+    var asg = assignAll()
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(nCoarse, dim)(0.0)
+      val n = new Array[Int](nCoarse)
+      var i = 0
+      while (i < fine.length) {
+        val c = asg(i)
+        n(c) += 1
+        val f = fine(i)._2
+        var j = 0
+        while (j < dim) { sums(c)(j) += f(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < nCoarse) {
+        if (n(c) > 0) {
+          var j = 0
+          var nn = 0.0
+          while (j < dim) {
+            val v = sums(c)(j) / n(c)
+            cents(c)(j) = v; nn += v * v; j += 1
+          }
+          norms(c) = nn
+        }
+        c += 1
+      }
+      asg = assignAll()
+      it += 1
+    }
+    val byCell = asg.zipWithIndex.groupBy(_._1)
+    val kept = (0 until nCoarse).filter(byCell.contains)
+    CoarseCells(
+      kept.map(cents).toArray, kept.map(norms).toArray,
+      kept.map(c => byCell(c).map(_._2).sorted.toArray).toArray)
+  }
+
+  /** [[listAssignUdf]]'s semantics restricted to the w best coarse cells:
+    * cells rank by unrounded cosine (the vector norm is common, so by
+    * dot/‖cell‖, ties to the lower cell ordinal), then the fine argmax
+    * runs the EXACT kernel — round6'd cosine, ties to the lower cent_id —
+    * over the probed cells' members only.
+    */
+  private def listAssignTwoLevelUdf(fine: Array[(Long, Array[Double], Double)],
+                                    cells: CoarseCells, w: Int) =
+    udf((v0: Seq[Float]) => {
+      val v = v0.toArray
+      var nn = 0.0
+      var i = 0
+      while (i < v.length) { nn += v(i).toDouble * v(i); i += 1 }
+      val nv = math.sqrt(nn)
+      val nC = cells.cents.length
+      val scores = new Array[Double](nC)
+      var c = 0
+      while (c < nC) {
+        val cc = cells.cents(c)
+        var dot = 0.0
+        var j = 0
+        while (j < cc.length) { dot += v(j).toDouble * cc(j); j += 1 }
+        scores(c) = dot / math.sqrt(math.max(cells.norms(c), 1e-300))
+        c += 1
+      }
+      val probed = (0 until nC).sortBy(c => (-scores(c), c)).take(w)
+      var bestId = Long.MaxValue
+      var bestCos = Double.NegativeInfinity
+      probed.foreach { pc =>
+        cells.members(pc).foreach { fi =>
+          val (cid, fc, nc) = fine(fi)
+          var dot = 0.0
+          var j = 0
+          while (j < fc.length) { dot += v(j).toDouble * fc(j); j += 1 }
+          val cos = round6(dot / (nv * math.sqrt(nc)))
+          if (cos > bestCos || (cos == bestCos && cid < bestId)) {
+            bestCos = cos; bestId = cid
+          }
+        }
+      }
+      bestId
+    })
+
+  /** The corpus-assignment udf every IVF build shares (inline q57/q95/
+    * q181 shapes, [[writeIvfIndex]], [[writeIvfPqIndex]]): exact argmax
+    * below [[IVF_TWOLEVEL_MIN_K]] lists, coarse-then-fine above — see
+    * the gate scaladoc. Telemetried like the training gate so every
+    * artifact records which path assigned.
+    */
+  private def corpusAssignUdf(spark: SparkSession,
+                              cents: Array[(Long, Array[Double], Double)]) = {
+    val minK = spark.conf.getOption(TWOLEVEL_MIN_K_CONF).map(_.toInt)
+      .getOrElse(IVF_TWOLEVEL_MIN_K)
+    if (cents.length < minK) {
+      graft.Telemetry.record(s"ivf assign=exact k=${cents.length}")
+      listAssignUdf(cents)
+    } else {
+      val w = spark.conf.getOption(COARSE_W_CONF).map(_.toInt)
+        .getOrElse(IVF_COARSE_W)
+      val cells = buildCoarseCells(cents,
+        math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+      graft.Telemetry.record(s"ivf assign=twolevel k=${cents.length} " +
+        s"coarse=${cells.cents.length} w=$w")
+      listAssignTwoLevelUdf(cents, cells, w)
+    }
+  }
+
   /** Materialize the IVF index — [[q57AnnIvf]]'s corpus artifacts: the
     * trained quantizer (centroids + norms), the inverted lists (vec →
     * list assignment), and the vectors+norms for the exact re-rank. The
@@ -621,7 +787,7 @@ object Similarity {
         .toDF("cent_id", "centroid", "norm")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
       e.select(col("vec_id").as("c_id"),
-        listAssignUdf(cents)(col("embedding")).as("list_id"))
+        corpusAssignUdf(spark, cents)(col("embedding")).as("list_id"))
         .write.mode("overwrite").parquet(s"$path/lists")
       e.select(col("vec_id"), col("embedding"), col("nn"))
         .write.mode("overwrite").parquet(s"$path/vectors")
@@ -1154,7 +1320,7 @@ object Similarity {
     // IVF stage: same trained quantizer + pure-map assignment as q57
     val ivfCents = trainCentroidsSampled(e, ivfK, IVF_TRAIN_PER_CENTROID)
     val assign = e.select(col("vec_id").as("c_id"),
-      listAssignUdf(ivfCents)(col("embedding")).as("list_id"))
+      corpusAssignUdf(e0.sparkSession, ivfCents)(col("embedding")).as("list_id"))
     val probeLists = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("p_id"),
         explode(topListsUdf(ivfCents, nprobe)(col("embedding"))).as("list_id"))
@@ -1332,7 +1498,7 @@ object Similarity {
     // because the codebook train and the encode both read it
     val assign = graft.CacheScope.cache(
       e.select(col("vec_id").as("c_id"),
-          listAssignUdf(ivfCents)(col("embedding")).as("list_id"),
+          corpusAssignUdf(e.sparkSession, ivfCents)(col("embedding")).as("list_id"),
           col("embedding"))
         .withColumn("residual",
           residualUdf(centMap)(col("embedding"), col("list_id")))
@@ -1390,21 +1556,70 @@ object Similarity {
       nprobe)
   }
 
+  /** Sentinel `m` for [[writeIvfPqIndex]]: derive the code resolution
+    * from the measured occupancy law at build time instead of taking a
+    * caller guess.
+    */
+  val PQ_M_AUTO = 0
+
+  /** Anchor of the occupancy law: docs-per-list at the hash-verified
+    * fixture point where [[PQ_M]]=8 holds recall (2000 vectors / 16
+    * lists = 125 — q181/q183 measure 1.000 there).
+    */
+  val PQ_OCC_BASE = 125.0
+
+  /** The occupancy-derived PQ code resolution (the r15/r16 ladder law
+    * promoted from prose to the default dial): at the fixture occupancy
+    * m=8 holds recall (1.000), and each DOUBLING of m buys roughly one
+    * 10× occupancy rung — measured at 50k clustered (refine-50: m=8
+    * 0.65 → m=16 0.80 → m=32 0.98) and at the 5M/√N rung (occupancy
+    * ≈2236 ≈ 1.25 decades over base → 2 doublings → m=32, the dial that
+    * measures 0.967 residual recall where m=8 reads 0.000 flat). So:
+    * rungs = ⌈log10(occupancy / [[PQ_OCC_BASE]])⌉, m = 8·2^rungs,
+    * clamped to the embedding dim and halved until it divides it (PQ
+    * needs dim % m == 0). Explicit dials always override — this only
+    * fills the [[PQ_M_AUTO]] default.
+    */
+  private[operators] def derivedPqM(nVecs: Long, ivfK: Int, dim: Int): Int = {
+    val occ = nVecs.toDouble / math.max(ivfK, 1)
+    val rungs =
+      if (occ <= PQ_OCC_BASE) 0
+      else math.min(math.ceil(math.log10(occ / PQ_OCC_BASE)).toInt, 16)
+    var m = math.min(PQ_M.toLong << rungs, dim.toLong).toInt
+    while (m > 1 && dim % m != 0) m /= 2
+    m
+  }
+
   /** Materialize the residual IVF-PQ index — the index-once/serve-many
     * shape for q181 (what a billion-vector deployment actually runs):
     * quantizer centroids, residual codebook, code table
     * (c_id, list_id, m bytes, full-reconstruction norm), and the
-    * vectors+norms for the exact refine. Meta LAST with all dials.
+    * vectors+norms for the exact refine. Meta LAST with all dials AND
+    * the m decision: by default (`m = PQ_M_AUTO`) the code resolution
+    * comes from [[derivedPqM]]'s measured occupancy law — the fixture
+    * corpora derive the law's anchor m=8, so every gated hash is
+    * untouched — and an explicit m is served verbatim.
     */
   def writeIvfPqIndex(corpusEmb: DataFrame, path: String,
-                      ivfK: Int = IVF_K, m: Int = PQ_M,
+                      ivfK: Int = IVF_K, m: Int = PQ_M_AUTO,
                       pqK: Int = PQ_K): Unit = {
     val spark = corpusEmb.sparkSession
     import spark.implicits._
     IndexMeta.invalidate(spark, path)
+    var mDecision = "explicit"
+    var mUsed = m
     val dim = graft.CacheScope.run {
       val e = graft.CacheScope.cache(withNorm(corpusEmb))
-      val (ivfCents, pqCents, dsub, codes) = ivfPqResidualModel(e, ivfK, m, pqK)
+      if (m == PQ_M_AUTO) {
+        // n is re-read from cache by the trainer's own count; dim is a
+        // limit-1 probe — the dial costs no extra corpus pass
+        val n = e.count()
+        val d = e.select(col("embedding")).head().getSeq[Float](0).length
+        mUsed = derivedPqM(n, ivfK, d)
+        mDecision = s"auto(n=$n,ivf_k=$ivfK,occ_base=$PQ_OCC_BASE)"
+        graft.Telemetry.record(s"ivfpq m=$mUsed decision=$mDecision")
+      }
+      val (ivfCents, pqCents, dsub, codes) = ivfPqResidualModel(e, ivfK, mUsed, pqK)
       ivfCents.toSeq.map { case (cid, c, nc) => (cid, c.toSeq, nc) }
         .toDF("cent_id", "centroid", "norm")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -1412,7 +1627,7 @@ object Similarity {
       // sizes it to the seed count, which undercuts pqK when the corpus has
       // fewer than pqK vectors — indexing by pqK would throw on the guard
       val flat = for {
-        s <- 0 until m; c <- pqCents(s).indices if pqCents(s)(c) != null
+        s <- 0 until mUsed; c <- pqCents(s).indices if pqCents(s)(c) != null
         j <- 0 until dsub
       } yield (s, c, j, pqCents(s)(c)(j))
       flat.toDF("s", "code", "j", "cv")
@@ -1420,11 +1635,11 @@ object Similarity {
       codes.write.mode("overwrite").parquet(s"$path/codes")
       e.select(col("vec_id"), col("embedding"), col("nn"))
         .write.mode("overwrite").parquet(s"$path/vectors")
-      dsub * m
+      dsub * mUsed
     }
     IndexMeta.write(spark, path, "graft residual IVF-PQ index dials",
-      "ivf_k" -> ivfK.toString, "m" -> m.toString, "k" -> pqK.toString,
-      "dim" -> dim.toString)
+      "ivf_k" -> ivfK.toString, "m" -> mUsed.toString, "k" -> pqK.toString,
+      "dim" -> dim.toString, "m_decision" -> mDecision)
   }
 
   /** A resolved residual IVF-PQ index — both bounded model tables
