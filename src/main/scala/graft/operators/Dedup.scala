@@ -427,6 +427,27 @@ object Dedup {
   val CANDIDATE_PAIR_BUDGET_CONF = "spark.graft.dedup.candidatePairBudget"
   val DEFAULT_CANDIDATE_PAIR_BUDGET = 1000000000L
 
+  /** The budget refusal as a dedicated type, so the opt-in auto-widen
+    * path can catch exactly this condition and nothing else (still an
+    * IllegalStateException — existing callers and specs see the same
+    * contract).
+    */
+  final class CandidatePairBudgetExceeded(msg: String)
+      extends IllegalStateException(msg)
+
+  /** Opt-in self-healing for the budget refusal
+    * (`spark.graft.dedup.autoWiden=true`): instead of throwing,
+    * [[simhashNearDupPairs]] re-signs the corpus at the measured-remedy
+    * width ([[AUTO_WIDEN_BITS]] — the dial the r15 ladder measured
+    * collapsing the collision sets) and retries ONCE. Off by default:
+    * widening changes which pairs count as near-dups (wider hashes
+    * discriminate more), so silently switching dials is a decision a
+    * job must make explicitly; a widened run that still busts the
+    * budget refuses as usual.
+    */
+  val AUTO_WIDEN_CONF = "spark.graft.dedup.autoWiden"
+  val AUTO_WIDEN_BITS = 48
+
   /** Estimated candidate-pair volume of the band equi-join: Σ n·(n−1)/2
     * over (lang, band, bits-value) buckets — exact for the a<b self-join
     * output BEFORE the pair `distinct()` (SimhashBudgetSpec pins the
@@ -471,7 +492,7 @@ object Dedup {
       val est = estimatedBandPairs(bands)
       graft.Telemetry.record(
         s"dedup bits=$bits h=$maxHamming est_pairs=${est.toLong} budget=$budget")
-      if (est > budget.toDouble) throw new IllegalStateException(
+      if (est > budget.toDouble) throw new CandidatePairBudgetExceeded(
         f"banded simhash dedup (bits=$bits, maxHamming=$maxHamming) would expand ~${est}%.3g candidate pairs, over the $CANDIDATE_PAIR_BUDGET_CONF=$budget ceiling: " +
           "the band buckets are saturated for this corpus size (N >> 2^bits goes quadratic — the r15 capacity-ladder law). " +
           "Widen bits (e.g. 48 for 10^6+ docs), tighten maxHamming (fewer, wider pigeonhole bands), or raise the budget deliberately.")
@@ -502,15 +523,31 @@ object Dedup {
     // one kernel pass per doc over its tokens (with multiplicity, matching
     // the oracle's unnest) — the native codegen'd SimhashBitsExpr replaces
     // the earlier (doc × token × bit) explode and the ScalaUDF after it
-    val sim = graft.CacheScope.cache(docsDf
-      .select(col("doc_id"), col("lang"),
-        expr(s"simhash_bits(split(text, ' '), $bits)").as("simhash")))
-    simhashCandidates(sim, bits, maxHamming)
-      .join(sim.select(col("doc_id").as("a_id"), col("simhash").as("ha")), Seq("a_id"))
-      .join(sim.select(col("doc_id").as("b_id"), col("simhash").as("hb")), Seq("b_id"))
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a_id"), col("b_id"), col("ha"), col("hb"), col("hamming"))
+    def attempt(b: Int): DataFrame = {
+      val sim = graft.CacheScope.cache(docsDf
+        .select(col("doc_id"), col("lang"),
+          expr(s"simhash_bits(split(text, ' '), $b)").as("simhash")))
+      simhashCandidates(sim, b, maxHamming)
+        .join(sim.select(col("doc_id").as("a_id"), col("simhash").as("ha")), Seq("a_id"))
+        .join(sim.select(col("doc_id").as("b_id"), col("simhash").as("hb")), Seq("b_id"))
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("a_id"), col("b_id"), col("ha"), col("hb"), col("hamming"))
+    }
+    val autoWiden = docsDf.sparkSession.conf
+      .getOption(AUTO_WIDEN_CONF).exists(_.toBoolean)
+    if (!autoWiden || bits >= AUTO_WIDEN_BITS) attempt(bits)
+    else
+      try attempt(bits)
+      catch {
+        case _: CandidatePairBudgetExceeded =>
+          // the budget guard fires at construction time (the estimate is
+          // an eager aggregate), so the retry happens before any join
+          // expands; a widened run that still busts the budget refuses
+          graft.Telemetry.record(
+            s"dedup autowiden bits=$bits->$AUTO_WIDEN_BITS h=$maxHamming")
+          attempt(AUTO_WIDEN_BITS)
+      }
   }
 
   /** SimHash near-dup pairs at the 16-bit reference dial (hamming ≤ 2,

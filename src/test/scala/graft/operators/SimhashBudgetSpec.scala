@@ -54,6 +54,43 @@ class SimhashBudgetSpec extends SparkSpec {
     }
   }
 
+  test("opt-in autoWiden re-signs at 48 bits instead of refusing; default refuses") {
+    val d = soup.cache()
+    // budget between the two widths' estimates on this corpus: 16-bit
+    // expands ~80k pairs (refused), 48-bit/h=2 ~6.1k (passes) — so the
+    // widen is exercised against a budget BOTH attempts are priced on
+    val budget = 8000L
+    // default: the refusal contract is unchanged (the first test pins it
+    // too — this re-states it right next to the opt-in that bends it)
+    withBudget(Some(budget)) {
+      intercept[IllegalStateException] {
+        Dedup.simhashNearDupPairs(d, bits = 16, maxHamming = 2)
+      }
+    }
+    // ground truth: the measured remedy applied by hand
+    val expected = withBudget(Some(budget)) {
+      graft.CacheScope.run {
+        Dedup.simhashNearDupPairs(d, bits = Dedup.AUTO_WIDEN_BITS, maxHamming = 2)
+          .collect().map(_.toSeq).toSet
+      }
+    }
+    spark.conf.set(Dedup.AUTO_WIDEN_CONF, "true")
+    try {
+      graft.Telemetry.drain()
+      val got = withBudget(Some(budget)) {
+        graft.CacheScope.run {
+          Dedup.simhashNearDupPairs(d, bits = 16, maxHamming = 2)
+            .collect().map(_.toSeq).toSet
+        }
+      }
+      val evs = graft.Telemetry.drain()
+      assert(evs.exists(_.contains("dedup autowiden bits=16->48")),
+        s"the widen decision must be telemetried: $evs")
+      assert(got == expected,
+        "autoWiden output must equal the hand-applied 48-bit remedy")
+    } finally spark.conf.unset(Dedup.AUTO_WIDEN_CONF)
+  }
+
   test("estimate equals the pre-distinct volume of the band self-join") {
     val d = soup.cache()
     graft.functions.expressions.SignatureExprs.register(spark)
