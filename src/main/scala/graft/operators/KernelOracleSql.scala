@@ -27,12 +27,21 @@ object KernelOracleSql {
   /** Shared CTE block: per-user curves (`pts`/`u`), abbe via ekvi-PAA(50)
     * (`eabbe`), curve density via the ekvi-PAA(n) x-grid (`dens`), and the
     * variogram slope (`vslope`). Callers prepend WITH RECURSIVE.
+    * [[kernelCtesFrom]] parameterizes the events source so the q184
+    * planted-10× fixture can feed the SAME chain an amplified CTE.
     */
-  val kernelCtes: String =
-    """pts AS (
+  def kernelCtesFrom(src: String): String =
+    s"""pts AS (
       |  SELECT user_id, epoch_ns(ts)/86400e9 AS t, value AS v,
       |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)/86400e9, value) AS pos
-      |  FROM events),
+      |  FROM $src),""".stripMargin + kernelCtesTail
+
+  val kernelCtes: String = kernelCtesFrom("events")
+
+  // lazy: kernelCtes's initializer above runs kernelCtesFrom during object
+  // init, BEFORE this later-declared val would be assigned
+  private lazy val kernelCtesTail: String =
+    """
       |u AS (
       |  SELECT user_id, count(*) AS n, min(t) AS tmin, max(t) AS tmax
       |  FROM pts GROUP BY 1 HAVING count(*) > 10),
@@ -488,12 +497,12 @@ object KernelOracleSql {
     * DuckDB would otherwise re-inline (and re-run) the whole kernel chain
     * on every iteration.
     */
-  private val discriminantCtes: String = {
+  private def discriminantCtesFrom(src: String, prelude: String): String = {
     val means = (for { c <- Seq(0, 1); i <- dims }
       yield s"m${c}s$i/m${c}n AS mm${c}_$i").mkString(",\n    ")
     val chol = (cholLines(qdaCov(0), "q0l") ++ cholLines(qdaCov(1), "q1l") ++
       cholLines(ldaCov, "pl")).mkString(",\n    ")
-    s"""WITH RECURSIVE $kernelCtes,
+    s"""WITH RECURSIVE $prelude${kernelCtesFrom(src)},
        |$skkCte,
        |fv AS MATERIALIZED (
        |  SELECT u.user_id,
@@ -521,6 +530,8 @@ object KernelOracleSql {
        |  FROM fv, mdl)""".stripMargin
   }
 
+  private val discriminantCtes: String = discriminantCtesFrom("events", "")
+
   /** q51 (`getAllPredictions` over LDA/QDA): per-star probabilities (4 dp)
     * and threshold flags at 0.5 — thresholds apply to the RAW probability,
     * as predictOnCoords does.
@@ -532,6 +543,32 @@ object KernelOracleSql {
        |  p_lda >= 0.5 AS passed_LDADec, p_qda >= 0.5 AS passed_QDADec,
        |  (p_lda >= 0.5 AND p_qda >= 0.5) AS passed
        |FROM sc""".stripMargin
+
+  /** q184: q51's whole train-and-score chain over a PLANTED 10× star
+    * fixture — the StarLadderBench 10× rung's conclusion (classify cost
+    * ∝ stars, collects stay class-statistics-sized) promoted to a
+    * hash-verified gate the way q178/q179 promoted the dedup/PQ dials.
+    * The amplification is part of the query in BOTH engines: 10
+    * deterministic copies per event row, copy c offsetting user_id by
+    * c·1,000,000 (parity — and therefore the class label — preserved)
+    * and perturbing value by c/1024 (an exact binary fraction, so the
+    * two engines' doubles are bit-identical; CAST keeps DuckDB from
+    * parsing the divisor as DECIMAL).
+    */
+  val q184Sql: String = {
+    val amp =
+      """events_amp AS (
+        |  SELECT e.user_id + 1000000 * c.copy AS user_id, e.ts,
+        |    e.value + (c.copy / CAST(1024 AS DOUBLE)) AS value
+        |  FROM events e, LATERAL (SELECT unnest(generate_series(0, 9)) AS copy) c),
+        |""".stripMargin
+    s"""${discriminantCtesFrom("events_amp", amp)}
+       |SELECT 'user_' || user_id AS starId,
+       |  round(p_lda, 4) AS prob_lda, round(p_qda, 4) AS prob_qda,
+       |  p_lda >= 0.5 AS passed_LDADec, p_qda >= 0.5 AS passed_QDADec,
+       |  (p_lda >= 0.5 AND p_qda >= 0.5) AS passed
+       |FROM sc""".stripMargin
+  }
 
   /** q52 (`getStatistic`): confusion metrics per decider + the mean row,
     * mirroring getStatisticOnCoords — tp counts ≥-threshold on searched,

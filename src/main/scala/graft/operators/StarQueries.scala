@@ -21,9 +21,15 @@ object StarQueries {
   /** events → Dataset[Star]: one star per user, time in days, deterministic
     * class label from the user's dominant event type parity.
     */
-  def starsFromEvents(spark: SparkSession, dir: String): Dataset[Star] = {
+  def starsFromEvents(spark: SparkSession, dir: String): Dataset[Star] =
+    starsFromEventsDf(spark, Tables.load(spark, dir, "events"))
+
+  /** [[starsFromEvents]] over a caller-supplied events frame (needs
+    * user_id, ts, value) — the seam the q184 planted-10× fixture feeds.
+    */
+  def starsFromEventsDf(spark: SparkSession, events: DataFrame): Dataset[Star] = {
     import spark.implicits._
-    Tables.load(spark, dir, "events")
+    events
       .withColumn("t_days", col("ts") / lit(86400e9))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("t_days").as("t"), col("value").as("v"))))
@@ -66,6 +72,40 @@ object StarQueries {
     // (learnOnCoords / predictOnCoords instead of three feature passes)
     val sf = new StarsFilter(descriptors, Seq(new LDADec(), new QDADec()))
     val coords = graft.CacheScope.cache(sf.spaceCoordinates(starsFromEvents(spark, dir).toDF()))
+    val model = sf.learnOnCoords(
+      coords.filter(col("starClass") === "searched"),
+      coords.filter(col("starClass") === "other"))
+    model.predictOnCoords(coords)
+      .select(col("starId"),
+        round(col("prob_LDADec"), 4).as("prob_lda"),
+        round(col("prob_QDADec"), 4).as("prob_qda"),
+        col("passed_LDADec"), col("passed_QDADec"), col("passed"))
+  }
+
+  /** The q184 planted 10× star fixture: 10 deterministic copies of every
+    * event row — copy c offsets user_id by c·1,000,000 (even, so the
+    * parity-derived class label is preserved) and perturbs value by
+    * c/1024 (an exact binary fraction: both engines' doubles are
+    * bit-identical). The amplification is PART OF THE QUERY, mirrored in
+    * the oracle's events_amp CTE, so the gate certifies the classify
+    * chain at 10× the fixture's stars — the StarLadderBench 10× rung
+    * promoted to a hash gate the way q178/q179 promoted their dials.
+    */
+  private def amplifiedEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .crossJoin(spark.range(0, 10).select(col("id").as("copy")))
+      .select(
+        (col("user_id") + lit(1000000L) * col("copy")).as("user_id"),
+        col("ts"),
+        (col("value") + col("copy") / lit(1024.0)).as("value"))
+
+  /** q51's full train-and-score chain at the planted 10× star fixture
+    * (see [[amplifiedEvents]]); output contract identical to q51.
+    */
+  def q184StarClassify10x(spark: SparkSession, dir: String): DataFrame = {
+    val sf = new StarsFilter(descriptors, Seq(new LDADec(), new QDADec()))
+    val coords = graft.CacheScope.cache(sf.spaceCoordinates(
+      starsFromEventsDf(spark, amplifiedEvents(spark, dir)).toDF()))
     val model = sf.learnOnCoords(
       coords.filter(col("starClass") === "searched"),
       coords.filter(col("starClass") === "other"))
@@ -134,7 +174,8 @@ object StarQueries {
     "q51_star_classify" -> q51StarClassify,
     "q52_star_statistic" -> q52StarStatistic,
     "q53_star_comparative" -> q53StarComparative,
-    "q71_star_probspace" -> q71StarProbspace)
+    "q71_star_probspace" -> q71StarProbspace,
+    "q184_star_classify_10x" -> q184StarClassify10x)
 
   /** EVERY star query is hard-oracled ([[KernelOracleSql]]): q50 features,
     * q53 comparative SAX, the q51/q52 LDA/QDA train-and-score pipeline
@@ -148,5 +189,6 @@ object StarQueries {
     "q51_star_classify" -> KernelOracleSql.q51Sql,
     "q52_star_statistic" -> KernelOracleSql.q52Sql,
     "q53_star_comparative" -> KernelOracleSql.q53Sql,
-    "q71_star_probspace" -> KernelOracleSql.q71Sql)
+    "q71_star_probspace" -> KernelOracleSql.q71Sql,
+    "q184_star_classify_10x" -> KernelOracleSql.q184Sql)
 }
