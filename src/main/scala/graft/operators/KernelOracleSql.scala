@@ -29,9 +29,20 @@ object KernelOracleSql {
     * variogram slope (`vslope`). Callers prepend WITH RECURSIVE.
     * [[kernelCtesFrom]] parameterizes the events source so the q184
     * planted-10× fixture can feed the SAME chain an amplified CTE.
+    *
+    * `ekvif` is a MATERIALIZED evaluation boundary between the RECURSIVE
+    * gap-fill (`efill`) and its three consumers inside `eabbe`: inside a
+    * WITH RECURSIVE block DuckDB re-inlines CTEs per reference (no
+    * auto-materialization — measured), so three concurrent recursions
+    * over the q184 10× fixture exhausted a 100 GB memory limit. The
+    * explicit MATERIALIZED hints here (`pts`/`u`/`erep`/`ekvif` — the
+    * multiply-referenced stages) evaluate each once: measured at
+    * sf0.1×10, eabbe 84→22 s and the full q184 oracle OOM@100GB →
+    * completes in 92 s under a 40 GB limit. Same rows, same values —
+    * materialization is a pure plan hint.
     */
   def kernelCtesFrom(src: String): String =
-    s"""pts AS (
+    s"""pts AS MATERIALIZED (
       |  SELECT user_id, epoch_ns(ts)/86400e9 AS t, value AS v,
       |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)/86400e9, value) AS pos
       |  FROM $src),""".stripMargin + kernelCtesTail
@@ -42,7 +53,7 @@ object KernelOracleSql {
   // init, BEFORE this later-declared val would be assigned
   private lazy val kernelCtesTail: String =
     """
-      |u AS (
+      |u AS MATERIALIZED (
       |  SELECT user_id, count(*) AS n, min(t) AS tmin, max(t) AS tmax
       |  FROM pts GROUP BY 1 HAVING count(*) > 10),
       |eb AS (
@@ -64,7 +75,7 @@ object KernelOracleSql {
       |  FROM ebins eb2 LEFT JOIN pts p
       |    ON p.user_id = eb2.user_id AND p.t >= eb2.b_lo AND p.t < eb2.b_hi
       |  GROUP BY eb2.user_id, eb2.i, eb2.b_lo, eb2.b_hi),
-      |erep AS (
+      |erep AS MATERIALIZED (
       |  SELECT user_id, i, xa,
       |    CASE WHEN ya IS NOT NULL THEN ya
       |         WHEN i < fv THEN yfv WHEN i > lv THEN ylv END AS ya
@@ -92,6 +103,8 @@ object KernelOracleSql {
       |    ((g.xa - p.xa) / ((g.xa - p.xa) + (g.xr - g.xa))) * p.ya
       |      + ((g.xr - g.xa) / ((g.xa - p.xa) + (g.xr - g.xa))) * g.yb
       |  FROM efill p JOIN egap g ON g.user_id = p.user_id AND g.i = p.i + 1),
+      |ekvif AS MATERIALIZED (
+      |  SELECT user_id, i, xa, ya FROM efill),
       |eabbe AS (
       |  SELECT d.user_id,
       |    u.n / (2.0 * (u.n - 1.0)) * d.sum1 / c.sum2 AS abbe
@@ -99,12 +112,12 @@ object KernelOracleSql {
       |          list_sum(list((ya - yp) * (ya - yp) ORDER BY i)) AS sum1
       |        FROM (SELECT user_id, i, ya,
       |                lag(ya) OVER (PARTITION BY user_id ORDER BY i) AS yp
-      |              FROM efill) GROUP BY 1) d
+      |              FROM ekvif) GROUP BY 1) d
       |  JOIN (SELECT f.user_id,
       |          list_sum(list((f.ya - a.mn) * (f.ya - a.mn) ORDER BY f.i)) AS sum2
-      |        FROM efill f
+      |        FROM ekvif f
       |        JOIN (SELECT user_id, list_sum(list(ya ORDER BY i)) / count(*) AS mn
-      |              FROM efill GROUP BY 1) a USING (user_id)
+      |              FROM ekvif GROUP BY 1) a USING (user_id)
       |        GROUP BY 1) c USING (user_id)
       |  JOIN u USING (user_id)),
       |dbins AS (
@@ -250,7 +263,7 @@ object KernelOracleSql {
       |  SELECT user_id, epoch_ns(ts)/86400e9 AS t, value AS v,
       |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)/86400e9, value) AS pos
       |  FROM events),
-      |u AS (
+      |u AS MATERIALIZED (
       |  SELECT user_id, count(*) AS n, min(t) AS tmin, max(t) AS tmax
       |  FROM pts GROUP BY 1 HAVING count(*) > 10),
       |hbins AS (
@@ -556,8 +569,11 @@ object KernelOracleSql {
     * parsing the divisor as DECIMAL).
     */
   val q184Sql: String = {
+    // MATERIALIZED: the kernel chain references pts (and through it this
+    // CTE) from many branches; without it DuckDB re-inlines the 10×
+    // cross-join per reference and the sf0.1 oracle run exhausts memory
     val amp =
-      """events_amp AS (
+      """events_amp AS MATERIALIZED (
         |  SELECT e.user_id + 1000000 * c.copy AS user_id, e.ts,
         |    e.value + (c.copy / CAST(1024 AS DOUBLE)) AS value
         |  FROM events e, LATERAL (SELECT unnest(generate_series(0, 9)) AS copy) c),

@@ -38,17 +38,72 @@ def cell_eq(a, b) -> bool:
     return str(a) == str(b)
 
 
+# Each oracle runs in its OWN pandas-free subprocess that writes the
+# result to parquet (DuckDB COPY); the parent only reads parquet. Why so
+# defensive (all measured on the q184 10x kernel chain at sf0.1):
+#  - a heavy recursive oracle's buffer-pool peak plus pandas/numpy's
+#    baseline mappings cross the kernel's vm.max_map_count (65530) —
+#    allocations of 2 KB then fail "Out of Memory" with 118 GB free, and
+#    the exhaustion poisons the PROCESS (fresh connections included), so
+#    every oracle sorted after the heavy one fails too;
+#  - the same query in a pandas-free process completes in ~50 s under a
+#    24 GB limit;
+#  - the explicit memory limit matters as well: DuckDB sizes its default
+#    from memory AVAILABLE at connect time, and this tool habitually
+#    runs seconds after a large Spark JVM exits;
+#  - in-memory connections have NO temp directory — without one a
+#    peak-over-limit query OOMs instead of spilling.
+_CHILD = r"""
+import json, sys
+import duckdb
+sf_dir, sql_path, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
+con = duckdb.connect()
+con.execute("SET memory_limit='60GB'")
+con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+for t in %r:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+with open(sql_path) as f:
+    sql = f.read()
+con.execute(f"COPY ({sql}) TO '{out_path}' (FORMAT PARQUET)")
+""" % (TABLES,)
+
+
+def run_oracle(sf_dir: str, name: str, sql: str) -> pd.DataFrame:
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="oracle_") as td:
+        sql_path = f"{td}/q.sql"
+        out_path = f"{td}/out.parquet"
+        with open(sql_path, "w") as f:
+            f.write(sql)
+        r = subprocess.run(
+            [sys.executable, "-c", _CHILD, sf_dir, sql_path, out_path],
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            tail = (r.stderr or "").strip().splitlines()
+            raise RuntimeError(tail[-1] if tail else f"exit {r.returncode}")
+        df = pd.read_parquet(out_path)
+        # fetchdf used to widen DECIMAL to float64; the COPY->parquet path
+        # preserves it and pandas yields Decimal objects whose str() form
+        # (trailing zeros) breaks the fallback comparison — re-widen
+        import decimal
+        for c in df.columns:
+            if df[c].dtype == object:
+                nn = df[c].dropna()
+                if len(nn) and isinstance(nn.iloc[0], decimal.Decimal):
+                    df[c] = df[c].astype(float)
+        return df
+
+
 def main(sf_dir: str, out_dir: str) -> int:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failures = 0
     for name, sql in sorted(oracles.items()):
         try:
-            oracle = canon(con.execute(sql).fetchdf())
+            oracle = canon(run_oracle(sf_dir, name, sql))
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
