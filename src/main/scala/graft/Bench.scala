@@ -443,17 +443,29 @@ object Bench {
     println(s"""{"metric":"total","value":${d3(total)},"total_min_envelope":${d3(totalMinEnvelope)},"value_normalized":${d3(totalNormalized)},"unit":"sec","queries":$qsCompact,"sf":"${esc(sfShort)}","repeat":$repeat}""")
     Console.out.flush()
     System.out.flush()
-    System.setOut(new java.io.PrintStream(
-      new java.io.FileOutputStream(java.io.FileDescriptor.err), true))
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try {
-      val w = new java.io.PrintWriter(outPath, "UTF-8")
-      try w.println(fullJson) finally w.close()
-      System.err.println(s"[bench] full artifact written to $outPath")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    // Redirect BOTH stdout capture points: System.setOut only reaches
+    // writers that resolve System.out dynamically at call time, while
+    // scala.Console captured the original stream at init (2.13 removed
+    // Console.setOut, so the remainder of the run — including
+    // spark.stop(), the main shutdown-chatter source — executes under
+    // Console.withOut on this thread). log4j ConsoleAppenders
+    // (follow=false) holding the original FD and sbt's own `[success]`
+    // epilogue are outside the JVM's reach — tools/bench.sh handles that
+    // layer by filtering stdout to the contract line.
+    val errStream = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.err), true)
+    System.setOut(errStream)
+    Console.withOut(errStream) {
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+      try {
+        val w = new java.io.PrintWriter(outPath, "UTF-8")
+        try w.println(fullJson) finally w.close()
+        System.err.println(s"[bench] full artifact written to $outPath")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      }
+      System.err.println(s"[bench-full] $fullJson")
+      spark.stop()
     }
-    System.err.println(s"[bench-full] $fullJson")
-    spark.stop()
   }
 }

@@ -35,6 +35,29 @@ object CacheScope {
     cached
   }
 
+  /** Run `body` in a fresh scope whose caches SURVIVE on success — they
+    * re-register with the enclosing scope (or stay plain-cached with
+    * none), exactly as if [[cache]] had been called without the wrapper —
+    * but are unpersisted immediately when `body` throws. The shape a
+    * guard-then-retry operator needs: a refused attempt's cached frames
+    * must not stay pinned alongside the retry's (the leak fires exactly
+    * when the corpus is large enough to bust the guard's budget).
+    */
+  def attempt[A](body: => A): A = {
+    val buf = scala.collection.mutable.ListBuffer.empty[Dataset[_]]
+    active.set(buf :: active.get)
+    var ok = false
+    try { val r = body; ok = true; r }
+    finally {
+      active.set(active.get.tail)
+      if (ok) active.get.headOption.foreach(_ ++= buf)
+      else buf.foreach { ds =>
+        try ds.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
+    }
+  }
+
   /** Run `body` in a fresh scope; unpersist every cache registered inside
     * it afterwards, even on failure.
     */

@@ -201,10 +201,25 @@ object AnnLadderBench {
     // Dev convenience (the Bench.scala convention): SPARK_GRAFT_ONLY=
     // comma-separated rung-name prefixes restricts the run. q48_exact_knn
     // is always kept when present in the ladder — it is the recall
-    // baseline every other rung scores against.
+    // baseline every other rung scores against. A selected `*_serve` rung
+    // auto-includes its paired `*_build` rung (the serve reads the index
+    // directory that ONLY its build writes — selecting the serve alone
+    // would fail mid-run on a missing index).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    def rungs(dir: String) = ladder(spark, dir).filter(e =>
-      e._1 == "q48_exact_knn" || only.forall(_.exists(e._1.startsWith)))
+    def rungs(dir: String) = {
+      val all = ladder(spark, dir)
+      def selected(name: String) =
+        name == "q48_exact_knn" || only.forall(_.exists(name.startsWith))
+      val buildsNeeded = all.map(_._1).filter(n =>
+        n.contains("_serve") && selected(n)).map(_.replace("_serve", "_build"))
+        // a serve rung's name carries serve-only dial suffixes (e.g.
+        // ivf_serve_sqrtN_np8 pairs with ivf_build_sqrtN) — pair by the
+        // longest build-rung name that prefixes the rewritten serve name
+        .flatMap(s => all.map(_._1).filter(b =>
+          b.contains("_build") && s.startsWith(b)).sortBy(-_.length).headOption)
+        .toSet
+      all.filter(e => selected(e._1) || buildsNeeded(e._1))
+    }
 
     val root = java.nio.file.Files.createTempDirectory("ann_ladder").toString
     // warmup at fixture scale: codegen/JIT for every ladder entry

@@ -538,7 +538,11 @@ object Dedup {
       .getOption(AUTO_WIDEN_CONF).exists(_.toBoolean)
     if (!autoWiden || bits >= AUTO_WIDEN_BITS) attempt(bits)
     else
-      try attempt(bits)
+      // CacheScope.attempt: a refused first attempt's cached sim/band
+      // frames are unpersisted BEFORE the retry registers its own — the
+      // two widths' caches were otherwise held simultaneously exactly
+      // when the corpus is large enough to bust the budget
+      try graft.CacheScope.attempt(attempt(bits))
       catch {
         case _: CandidatePairBudgetExceeded =>
           // the budget guard fires at construction time (the estimate is

@@ -530,7 +530,7 @@ object Similarity {
       corpusAssignUdf(e0.sparkSession, cents)(col("embedding")).as("list_id"))
     val probes = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("p_id"),
-        explode(topListsUdf(cents, nprobe)(col("embedding"))).as("list_id"))
+        explode(probeListsUdf(e0.sparkSession, cents, nprobe)(col("embedding"))).as("list_id"))
     val cand = probes
       .join(assign, Seq("list_id"))
       .filter(col("p_id") =!= col("c_id"))
@@ -737,6 +737,84 @@ object Similarity {
       bestId
     })
 
+  /** [[topListsUdf]]'s semantics restricted to the best coarse cells —
+    * the SERVE-side analogue of [[listAssignTwoLevelUdf]] (the r17
+    * verdict's "what's missing #3": `topListsUdf` ranked all k lists per
+    * probe, k·d per probe — benign at ladder probe counts but a per-query
+    * tax for a production QPS tier at √N ≈ 10⁴ lists). Cells rank by
+    * unrounded cosine (vector norm common → by dot/‖cell‖, ties to the
+    * lower ordinal) and are walked in that order until the probed
+    * members cover ≥ nprobe lists AND ≥ w cells (the floor that keeps
+    * the probe set multi-cell even when the first cell alone holds
+    * nprobe members); the probed members then rank by the EXACT kernel —
+    * round6'd cosine desc, ties to the lower cent_id — and the top
+    * nprobe are the probed lists. w ≥ nCoarse probes every member and is
+    * therefore IDENTICAL to exact (IvfTwoLevelSpec pins it).
+    */
+  private def topListsTwoLevelUdf(fine: Array[(Long, Array[Double], Double)],
+                                  cells: CoarseCells, w: Int, nprobe: Int) =
+    udf((v0: Seq[Float]) => {
+      val v = v0.toArray
+      var nn = 0.0
+      var i = 0
+      while (i < v.length) { nn += v(i).toDouble * v(i); i += 1 }
+      val nv = math.sqrt(nn)
+      val nC = cells.cents.length
+      val scores = new Array[Double](nC)
+      var c = 0
+      while (c < nC) {
+        val cc = cells.cents(c)
+        var dot = 0.0
+        var j = 0
+        while (j < cc.length) { dot += v(j).toDouble * cc(j); j += 1 }
+        scores(c) = dot / math.sqrt(math.max(cells.norms(c), 1e-300))
+        c += 1
+      }
+      val order = (0 until nC).sortBy(c => (-scores(c), c))
+      val probed = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var taken = 0
+      var covered = 0
+      while (taken < nC && (covered < nprobe || taken < w)) {
+        val members = cells.members(order(taken))
+        probed ++= members
+        covered += members.length
+        taken += 1
+      }
+      probed.toSeq.map { fi =>
+        val (cid, fc, nc) = fine(fi)
+        var dot = 0.0
+        var j = 0
+        while (j < fc.length) { dot += v(j).toDouble * fc(j); j += 1 }
+        (cid, round6(dot / (nv * math.sqrt(nc))))
+      }.sortBy { case (cid, cos) => (-cos, cid) }.take(nprobe).map(_._1)
+    })
+
+  /** The probe-side list ranking every IVF serve path shares
+    * ([[ivfTopK]], [[ivfSearch]], [[ivfPqResidualServe]]): exact
+    * [[topListsUdf]] below [[IVF_TWOLEVEL_MIN_K]] lists (every fixture
+    * dial — gated hashes untouched), coarse-then-fine above, reusing the
+    * same [[buildCoarseCells]] table and conf dials as the assignment
+    * gate. Telemetried so artifacts record which path ranked.
+    */
+  private def probeListsUdf(spark: SparkSession,
+                            cents: Array[(Long, Array[Double], Double)],
+                            nprobe: Int) = {
+    val minK = spark.conf.getOption(TWOLEVEL_MIN_K_CONF).map(_.toInt)
+      .getOrElse(IVF_TWOLEVEL_MIN_K)
+    if (cents.length < minK) {
+      graft.Telemetry.record(s"ivf probe=exact k=${cents.length}")
+      topListsUdf(cents, nprobe)
+    } else {
+      val w = spark.conf.getOption(COARSE_W_CONF).map(_.toInt)
+        .getOrElse(IVF_COARSE_W)
+      val cells = buildCoarseCells(cents,
+        math.ceil(math.sqrt(cents.length.toDouble)).toInt)
+      graft.Telemetry.record(s"ivf probe=twolevel k=${cents.length} " +
+        s"coarse=${cells.cents.length} w=$w")
+      topListsTwoLevelUdf(cents, cells, w, nprobe)
+    }
+  }
+
   /** The corpus-assignment udf every IVF build shares (inline q57/q95/
     * q181 shapes, [[writeIvfIndex]], [[writeIvfPqIndex]]): exact argmax
     * below [[IVF_TWOLEVEL_MIN_K]] lists, coarse-then-fine above — see
@@ -830,7 +908,7 @@ object Similarity {
                 nprobe: Int = NPROBE): DataFrame = {
     val p = graft.CacheScope.cache(withNorm(probes))
     val probeLists = p.select(col("vec_id").as("p_id"),
-      explode(topListsUdf(idx.cents, nprobe)(col("embedding"))).as("list_id"))
+      explode(probeListsUdf(probes.sparkSession, idx.cents, nprobe)(col("embedding"))).as("list_id"))
     val cand = probeLists
       .join(idx.lists, Seq("list_id"))
       .filter(col("p_id") =!= col("c_id"))
@@ -1323,7 +1401,7 @@ object Similarity {
       corpusAssignUdf(e0.sparkSession, ivfCents)(col("embedding")).as("list_id"))
     val probeLists = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("p_id"),
-        explode(topListsUdf(ivfCents, nprobe)(col("embedding"))).as("list_id"))
+        explode(probeListsUdf(e0.sparkSession, ivfCents, nprobe)(col("embedding"))).as("list_id"))
     val cand = probeLists
       .join(assign, Seq("list_id"))
       .filter(col("p_id") =!= col("c_id"))
@@ -1528,7 +1606,7 @@ object Similarity {
     val centMap = ivfCents.map { case (id, c, _) => id -> c }.toMap
     val p = graft.CacheScope.cache(withNorm(probes))
     val probeLists = p.select(col("vec_id").as("p_id"),
-      explode(topListsUdf(ivfCents, nprobe)(col("embedding"))).as("list_id"))
+      explode(probeListsUdf(probes.sparkSession, ivfCents, nprobe)(col("embedding"))).as("list_id"))
     val adc = probeLists
       .join(codes, Seq("list_id"))
       .filter(col("p_id") =!= col("c_id"))
@@ -1614,8 +1692,18 @@ object Similarity {
         // n is re-read from cache by the trainer's own count; dim is a
         // limit-1 probe — the dial costs no extra corpus pass
         val n = e.count()
+        // explicit refusal instead of head()'s opaque NoSuchElementException
+        require(n > 0, s"writeIvfPqIndex: empty corpus at $path — nothing to " +
+          "derive the PQ resolution from (and nothing to index)")
         val d = e.select(col("embedding")).head().getSeq[Float](0).length
         mUsed = derivedPqM(n, ivfK, d)
+        // an odd/prime dim has no power-of-two divisor above 1; m=1 is a
+        // single subquantizer (PQ degenerated to plain VQ over the whole
+        // vector) — legal but almost never what the caller wants, so the
+        // degradation is telemetried rather than silent
+        if (mUsed < PQ_M) graft.Telemetry.record(
+          s"ivfpq m=$mUsed DEGRADED below PQ_M=$PQ_M (dim=$d has no larger " +
+            "divisor) — consider an explicit m or a padded embedding dim")
         mDecision = s"auto(n=$n,ivf_k=$ivfK,occ_base=$PQ_OCC_BASE)"
         graft.Telemetry.record(s"ivfpq m=$mUsed decision=$mDecision")
       }

@@ -110,4 +110,70 @@ class IvfTwoLevelSpec extends SparkSpec {
     assert(rTwo >= rEx - 0.02,
       f"two-level assignment lost more than 0.02 recall: $rTwo%.3f vs $rEx%.3f")
   }
+
+  // ---- serve-side two-level list ranking (r17 what's-missing #3) ----
+
+  test("serve with w >= nCoarse equals exact probe ranking, row for row") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_2l_serve_eq").toString
+    val corpus = AnnLadderBench.synthEmb(spark, 2000L)
+    corpus.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val e = graft.Tables.load(spark, tmp, "embeddings")
+    val probes = e.filter(col("vec_id") < 20)
+    // one index (assignment held constant) served through both probe paths
+    Similarity.writeIvfIndex(e, s"$tmp/ivf", k = 64)
+
+    def serveRows(conf: (String, String)*): Set[(Long, Long, Double, Int)] =
+      withConf(conf: _*) {
+        Similarity.ivfSearchAgainstIndex(probes, s"$tmp/ivf", nprobe = 8)
+          .select("p_id", "c_id", "cosine", "rn")
+          .as[(Long, Long, Double, Int)].collect().toSet
+      }
+    graft.Telemetry.drain()
+    val two = serveRows(Similarity.TWOLEVEL_MIN_K_CONF -> "1",
+      Similarity.COARSE_W_CONF -> "9999")
+    assert(graft.Telemetry.drain().exists(_.contains("ivf probe=twolevel k=64")),
+      "forced gate must take the two-level probe path")
+    val ex = serveRows(Similarity.TWOLEVEL_MIN_K_CONF -> Int.MaxValue.toString)
+    assert(two == ex,
+      s"w >= nCoarse probes every cell — served rows must equal exact " +
+        s"(${(two diff ex).size} extra, ${(ex diff two).size} missing)")
+  }
+
+  test("fixture-sized list counts serve through the exact probe path") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_probe_gate").toString
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    Similarity.writeIvfIndex(e, s"$tmp/ivf")
+    graft.Telemetry.drain()
+    Similarity.ivfSearchAgainstIndex(e.filter(col("vec_id") < 20), s"$tmp/ivf")
+      .write.format("noop").mode("overwrite").save()
+    val evs = graft.Telemetry.drain()
+    assert(evs.exists(_.contains("ivf probe=exact k=16")),
+      s"IVF_K=16 sits under the two-level gate — probe ranking must be exact: $evs")
+  }
+
+  test("default-w two-level serve recall within 0.02 of exact probe ranking") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_2l_serve_rec").toString
+    val corpus = AnnLadderBench.synthEmb(spark, 20000L)
+    corpus.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val e = graft.Tables.load(spark, tmp, "embeddings")
+    val probes = e.filter(col("vec_id") < 20)
+    val k = math.ceil(math.sqrt(20000.0)).toInt // 142 >= gate → auto two-level
+    Similarity.writeIvfIndex(e, s"$tmp/ivf", k = k)
+
+    val exact = top3(Similarity.queries("q48_cosine_knn")(spark, tmp))
+    def recallOf(conf: (String, String)*): Double = withConf(conf: _*) {
+      val got = top3(Similarity.ivfSearchAgainstIndex(probes, s"$tmp/ivf", nprobe = 8))
+      exact.keySet.toSeq.map { p =>
+        (exact(p) & got.getOrElse(p, Set.empty)).size.toDouble / exact(p).size
+      }.sum / exact.size
+    }
+    graft.Telemetry.drain()
+    val rTwo = recallOf() // k=142 >= gate → two-level probe ranking by default
+    assert(graft.Telemetry.drain().exists(_.contains("ivf probe=twolevel")),
+      "sqrt-N list count must auto-select two-level probe ranking")
+    val rEx = recallOf(Similarity.TWOLEVEL_MIN_K_CONF -> Int.MaxValue.toString)
+    info(f"serve recall@3 at 20k/k=$k/np=8: exact-probe $rEx%.3f, two-level $rTwo%.3f")
+    assert(rTwo >= rEx - 0.02,
+      f"two-level probe ranking lost more than 0.02 recall: $rTwo%.3f vs $rEx%.3f")
+  }
 }

@@ -54,11 +54,25 @@ def cell_eq(a, b) -> bool:
 #  - in-memory connections have NO temp directory — without one a
 #    peak-over-limit query OOMs instead of spilling.
 _CHILD = r"""
-import json, sys
+import json, os, sys
 import duckdb
 sf_dir, sql_path, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
 con = duckdb.connect()
-con.execute("SET memory_limit='60GB'")
+# Limit sized to the HOST, not hardcoded: 0.8x MemAvailable capped at
+# 60GB (the measured-sufficient ceiling for the heaviest oracle) — a
+# fixed 60GB on a smaller box overcommits and gets OOM-killed instead
+# of spilling to the temp directory. GRAFT_ORACLE_MEM overrides.
+def _limit_gb():
+    if os.environ.get("GRAFT_ORACLE_MEM"):
+        return os.environ["GRAFT_ORACLE_MEM"]
+    try:
+        with open("/proc/meminfo") as f:
+            kb = {l.split(":")[0]: int(l.split()[1]) for l in f}
+        avail_gb = kb.get("MemAvailable", kb.get("MemFree", 0)) / (1024 * 1024)
+        return "%%dGB" %% max(1, min(60, int(avail_gb * 0.8)))
+    except Exception:
+        return "60GB"
+con.execute("SET memory_limit='%%s'" %% _limit_gb())
 con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
 for t in %r:
     con.execute(
