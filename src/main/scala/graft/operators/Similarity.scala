@@ -1566,10 +1566,14 @@ object Similarity {
   /** The residual model build every q181 surface shares (inline, index
     * write): quantizer → one pure-map assignment+residual pass →
     * residual codebook → encoded code frame (c_id, list_id, codes, nq).
+    * Also returns the CACHED assign frame (c_id, list_id, residual) so
+    * [[writeIvfPqIndex]] can derive the base drift statistic the
+    * incremental-maintenance policy compares appends against, without a
+    * second assignment pass.
     */
   private def ivfPqResidualModel(e: DataFrame, ivfK: Int, m: Int, pqK: Int)
       : (Array[(Long, Array[Double], Double)], Array[Array[Array[Double]]],
-         Int, DataFrame) = {
+         Int, DataFrame, DataFrame) = {
     val ivfCents = trainCentroidsSampled(e, ivfK, IVF_TRAIN_PER_CENTROID)
     val centMap = ivfCents.map { case (id, c, _) => id -> c }.toMap
     // assignment + residual in ONE pure-map pass over the corpus; cached
@@ -1591,8 +1595,18 @@ object Similarity {
     val dsub = seeds.head._2.length / m
     val enc = pqEncodeResUdf(pqCents, dsub, centMap)(col("residual"), col("list_id"))
     (ivfCents, pqCents, dsub, assign.select(col("c_id"), col("list_id"),
-      enc.getField("_1").as("codes"), enc.getField("_2").as("nq")))
+      enc.getField("_1").as("codes"), enc.getField("_2").as("nq")), assign)
   }
+
+  /** Mean squared residual norm of an assigned frame — the quantizer-
+    * staleness statistic the incremental-maintenance policy uses: how far
+    * (squared L2) vectors land from their assigned centroid, on average.
+    * One map-side-combined aggregate over a frame the caller already has.
+    */
+  private def meanResid2(assign: DataFrame): Double =
+    assign.select(expr(
+        "aggregate(residual, 0d, (acc, x) -> acc + x * x)").as("r2"))
+      .agg(coalesce(avg(col("r2")), lit(0.0))).head().getDouble(0)
 
   /** The serve tail every q181 surface shares: probes pick their lists,
     * ADC ranks the stored codes against centroid+codeword
@@ -1627,7 +1641,7 @@ object Similarity {
   private[graft] def ivfPqResidualTopK(e0: DataFrame, ivfK: Int, nprobe: Int,
                                        m: Int, pqK: Int): DataFrame = {
     val e = graft.CacheScope.cache(withNorm(e0))
-    val (ivfCents, pqCents, dsub, codes) = ivfPqResidualModel(e, ivfK, m, pqK)
+    val (ivfCents, pqCents, dsub, codes, _) = ivfPqResidualModel(e, ivfK, m, pqK)
     ivfPqResidualServe(e.filter(col("vec_id") < 20), ivfCents, pqCents, dsub,
       codes,
       e.select(col("vec_id").as("c_id"), col("embedding").as("ce2"), col("nn").as("nc2")),
@@ -1680,21 +1694,22 @@ object Similarity {
     */
   def writeIvfPqIndex(corpusEmb: DataFrame, path: String,
                       ivfK: Int = IVF_K, m: Int = PQ_M_AUTO,
-                      pqK: Int = PQ_K): Unit = {
+                      pqK: Int = PQ_K,
+                      note: Seq[(String, String)] = Nil): Unit = {
     val spark = corpusEmb.sparkSession
     import spark.implicits._
     IndexMeta.invalidate(spark, path)
     var mDecision = "explicit"
     var mUsed = m
-    val dim = graft.CacheScope.run {
+    val (dim, nBase, baseResid2) = graft.CacheScope.run {
       val e = graft.CacheScope.cache(withNorm(corpusEmb))
+      // n also feeds the maintenance policy's delta-fraction baseline; the
+      // trainer re-reads it from cache so the stat costs no extra pass
+      val n = e.count()
+      // explicit refusal instead of head()'s opaque NoSuchElementException
+      require(n > 0, s"writeIvfPqIndex: empty corpus at $path — nothing to " +
+        "index (and nothing to derive the PQ resolution from)")
       if (m == PQ_M_AUTO) {
-        // n is re-read from cache by the trainer's own count; dim is a
-        // limit-1 probe — the dial costs no extra corpus pass
-        val n = e.count()
-        // explicit refusal instead of head()'s opaque NoSuchElementException
-        require(n > 0, s"writeIvfPqIndex: empty corpus at $path — nothing to " +
-          "derive the PQ resolution from (and nothing to index)")
         val d = e.select(col("embedding")).head().getSeq[Float](0).length
         mUsed = derivedPqM(n, ivfK, d)
         // an odd/prime dim has no power-of-two divisor above 1; m=1 is a
@@ -1707,7 +1722,8 @@ object Similarity {
         mDecision = s"auto(n=$n,ivf_k=$ivfK,occ_base=$PQ_OCC_BASE)"
         graft.Telemetry.record(s"ivfpq m=$mUsed decision=$mDecision")
       }
-      val (ivfCents, pqCents, dsub, codes) = ivfPqResidualModel(e, ivfK, mUsed, pqK)
+      val (ivfCents, pqCents, dsub, codes, assign) =
+        ivfPqResidualModel(e, ivfK, mUsed, pqK)
       ivfCents.toSeq.map { case (cid, c, nc) => (cid, c.toSeq, nc) }
         .toDF("cent_id", "centroid", "norm")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
@@ -1723,21 +1739,37 @@ object Similarity {
       codes.write.mode("overwrite").parquet(s"$path/codes")
       e.select(col("vec_id"), col("embedding"), col("nn"))
         .write.mode("overwrite").parquet(s"$path/vectors")
-      dsub * mUsed
+      // the base drift statistic appends compare against — one aggregate
+      // over the assign frame the model build cached anyway
+      (dsub * mUsed, n, meanResid2(assign))
     }
     IndexMeta.write(spark, path, "graft residual IVF-PQ index dials",
-      "ivf_k" -> ivfK.toString, "m" -> mUsed.toString, "k" -> pqK.toString,
-      "dim" -> dim.toString, "m_decision" -> mDecision)
+      (Seq("ivf_k" -> ivfK.toString, "m" -> mUsed.toString, "k" -> pqK.toString,
+        "dim" -> dim.toString, "m_decision" -> mDecision,
+        "n_base" -> nBase.toString, "base_resid2" -> f"$baseResid2%.6f",
+        "deltas" -> "0") ++ note): _*)
   }
 
   /** A resolved residual IVF-PQ index — both bounded model tables
     * collected (quantizer ≤ recorded ivf_k rows, codebook ≤ m·k·dsub),
-    * code/vector frames resolved ONCE.
+    * code/vector frames resolved ONCE (base ∪ live delta segments — the
+    * serve kernel is one union-read away from incremental, exactly like
+    * BM25's segment load).
     */
   final case class LoadedIvfPqIndex private[operators] (
       ivfCents: Array[(Long, Array[Double], Double)],
       pqCents: Array[Array[Array[Double]]], dsub: Int,
       codes: DataFrame, vecs: DataFrame)
+
+  /** Live delta segment names from the meta's `deltas` count — the meta
+    * is the single source of segment topology (a crashed append leaves a
+    * meta-less dir refused everywhere; orphan `delta_*` dirs above the
+    * recorded count are never listed).
+    */
+  private def deltaNames(meta: java.util.Properties): Seq[String] = {
+    val n = Option(meta.getProperty("deltas")).map(_.toInt).getOrElse(0)
+    (0 until n).map(i => s"delta_$i")
+  }
 
   def loadIvfPqIndex(spark: SparkSession, indexPath: String): LoadedIvfPqIndex = {
     val meta = IndexMeta.read(spark, indexPath, "writeIvfPqIndex")
@@ -1761,8 +1793,10 @@ object Similarity {
       cents0.map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
         .sortBy(_._1),
       pqCents, dsub,
-      spark.read.parquet(s"$indexPath/codes"),
-      spark.read.parquet(s"$indexPath/vectors")
+      spark.read.parquet(
+        (s"$indexPath/codes" +: deltaNames(meta).map(d => s"$indexPath/$d/codes")): _*),
+      spark.read.parquet(
+        (s"$indexPath/vectors" +: deltaNames(meta).map(d => s"$indexPath/$d/vectors")): _*)
         .select(col("vec_id").as("c_id"), col("embedding").as("ce2"), col("nn").as("nc2")))
   }
 
@@ -1779,6 +1813,172 @@ object Similarity {
   def ivfPqSearchAgainstIndex(probes: DataFrame, indexPath: String,
                               nprobe: Int = NPROBE): DataFrame =
     ivfPqSearch(probes, loadIvfPqIndex(probes.sparkSession, indexPath), nprobe)
+
+  /** Incremental-maintenance dials for the residual IVF-PQ index (the
+    * BM25 `compactAtSegments` pattern at the vector tier): a re-train
+    * fires when appended vectors reach this fraction of the base corpus
+    * (occupancy trigger — the quantizer's √N list-count dial and the
+    * occupancy-derived m both assume the corpus size it was trained at),
+    * or when the latest delta's mean squared residual (distance to its
+    * assigned FROZEN centroid) reaches this multiple of the base build's
+    * (drift trigger — new vectors landing far from every centroid mean
+    * the quantizer no longer tessellates the data). ≤ 0 disables either
+    * trigger; callers then schedule [[retrainIvfPq]] themselves.
+    * Defaults: 0.25 (at +25% the delta lists' occupancy skew starts
+    * paying serve cost on every probe) and 2.0 (IvfPqDeltaSpec's planted
+    * drift fixture measures in-distribution deltas at ~1.0× and a
+    * shifted cluster well above 2×, so 2.0 separates the regimes).
+    */
+  val RETRAIN_FRACTION_CONF = "spark.graft.ivfpq.retrainDeltaFraction"
+  val DEFAULT_RETRAIN_FRACTION = 0.25
+  val RETRAIN_DRIFT_CONF = "spark.graft.ivfpq.retrainDriftRatio"
+  val DEFAULT_RETRAIN_DRIFT = 2.0
+
+  /** Append NEW vectors to a materialized residual IVF-PQ index at
+    * delta-sized cost — the incremental story BM25 already had
+    * ([[Bm25.appendBm25Delta]]), closing the r17 "what's missing #1":
+    * without it, daily ingest at 100 TB forces re-training and
+    * re-assigning ALL N vectors to serve ANY new ones. The delta is
+    * assigned against the FROZEN quantizer (through [[corpusAssignUdf]]
+    * — two-level above the gate, so assignment is ~(√k+wk/√k)·d per
+    * vector) and encoded with the FROZEN codebook, then lands as one
+    * `delta_<i>` code+vector segment; serving reads base ∪ deltas
+    * through the same ADC kernel (the segments hold DISJOINT vec_ids, so
+    * no merge logic exists anywhere). The new-ids-only contract is
+    * ENFORCED (an overlapping delta would double-serve a vector from two
+    * segments); refusal happens BEFORE the meta invalidate, so a
+    * rejected append leaves the index serving. Meta-last with the delta
+    * count as the single topology source: a crashed append leaves a
+    * meta-less dir (refused loudly), orphan `delta_*` dirs are never
+    * listed, and the meta rewrite flips the fingerprint so running
+    * serving streams restart rather than serve a frame mix.
+    * Maintenance rides the append ([[maintainIvfPq]] — the appender is
+    * the maintenance window); returns whether it re-trained.
+    */
+  def appendIvfPqDelta(delta: DataFrame, path: String): Boolean = {
+    val spark = delta.sparkSession
+    val meta = IndexMeta.read(spark, path, "writeIvfPqIndex") // append extends, never creates
+    val idx = loadIvfPqIndex(spark, path)
+    val dup = idx.vecs.select(col("c_id").as("vec_id"))
+      .join(delta.select(col("vec_id")).distinct(), Seq("vec_id"))
+      .limit(5).collect().map(_.getLong(0))
+    require(dup.isEmpty,
+      s"appendIvfPqDelta: delta re-submits stored vec_ids (e.g. ${dup.mkString(", ")}) — " +
+        "deltas must carry NEW vectors only; updates are a rebuild")
+    val centMap = idx.ivfCents.map { case (id, c, _) => id -> c }.toMap
+    val prevDeltas = Option(meta.getProperty("deltas")).map(_.toInt).getOrElse(0)
+    val segName = s"delta_$prevDeltas"
+    val (nDelta, deltaResid2) = graft.CacheScope.run {
+      val e = graft.CacheScope.cache(withNorm(delta))
+      val n = e.count()
+      require(n > 0, "appendIvfPqDelta: empty delta — nothing to append")
+      val assign = graft.CacheScope.cache(
+        e.select(col("vec_id").as("c_id"),
+            corpusAssignUdf(spark, idx.ivfCents)(col("embedding")).as("list_id"),
+            col("embedding"))
+          .withColumn("residual",
+            residualUdf(centMap)(col("embedding"), col("list_id")))
+          .select(col("c_id"), col("list_id"), col("residual")))
+      // drift statistic computed eagerly BEFORE the invalidate: everything
+      // that can refuse has refused by the time the meta comes down
+      val r2 = meanResid2(assign)
+      IndexMeta.invalidate(spark, path)
+      val enc = pqEncodeResUdf(idx.pqCents, idx.dsub, centMap)(
+        col("residual"), col("list_id"))
+      assign.select(col("c_id"), col("list_id"),
+          enc.getField("_1").as("codes"), enc.getField("_2").as("nq"))
+        .write.mode("overwrite").parquet(s"$path/$segName/codes")
+      e.select(col("vec_id"), col("embedding"), col("nn"))
+        .write.mode("overwrite").parquet(s"$path/$segName/vectors")
+      (n, r2)
+    }
+    val nDeltaTotal =
+      Option(meta.getProperty("n_delta")).map(_.toLong).getOrElse(0L) + nDelta
+    graft.Telemetry.record(
+      f"ivfpq append seg=$segName n=$nDelta resid2=$deltaResid2%.4f")
+    IndexMeta.write(spark, path, "graft residual IVF-PQ index dials",
+      (Seq("ivf_k", "m", "k", "dim", "m_decision", "n_base", "base_resid2")
+        .flatMap(k => Option(meta.getProperty(k)).map(k -> _)) ++ Seq(
+        "deltas" -> (prevDeltas + 1).toString,
+        "n_delta" -> nDeltaTotal.toString,
+        "delta_resid2" -> f"$deltaResid2%.6f")): _*)
+    maintainIvfPq(spark, path)
+  }
+
+  /** The re-train policy (BM25's [[Bm25.maintainBm25]] at the vector
+    * tier): re-trains iff the delta fraction or the drift ratio crossed
+    * its configured trigger — decision telemetried either way, and on
+    * re-train recorded in the rebuilt index's meta. Called by
+    * [[appendIvfPqDelta]] after every successful append (one-writer
+    * contract); also safe on any maintenance schedule. Returns whether
+    * it re-trained.
+    */
+  def maintainIvfPq(spark: SparkSession, path: String): Boolean = {
+    val meta = IndexMeta.read(spark, path, "writeIvfPqIndex")
+    // pre-delta-format indexes carry no n_base: fall back to a metadata-
+    // only count of the stored base vectors rather than refusing
+    val nBase = Option(meta.getProperty("n_base")).map(_.toLong)
+      .getOrElse(spark.read.parquet(s"$path/vectors").count())
+    val nDelta = Option(meta.getProperty("n_delta")).map(_.toLong).getOrElse(0L)
+    val baseR2 = Option(meta.getProperty("base_resid2")).map(_.toDouble)
+    val deltaR2 = Option(meta.getProperty("delta_resid2")).map(_.toDouble)
+    val fracAt = spark.conf.getOption(RETRAIN_FRACTION_CONF).map(_.toDouble)
+      .getOrElse(DEFAULT_RETRAIN_FRACTION)
+    val driftAt = spark.conf.getOption(RETRAIN_DRIFT_CONF).map(_.toDouble)
+      .getOrElse(DEFAULT_RETRAIN_DRIFT)
+    val frac = if (nBase > 0) nDelta.toDouble / nBase else 0.0
+    val drift = (for (b <- baseR2; d <- deltaR2 if b > 0) yield d / b)
+    val fracHit = fracAt > 0 && frac >= fracAt
+    val driftHit = driftAt > 0 && drift.exists(_ >= driftAt)
+    val decision =
+      f"fraction=$frac%.4f/at=$fracAt%.2f drift=${drift.fold("na")(d => f"$d%.3f")}/at=$driftAt%.2f"
+    if (fracHit || driftHit) {
+      graft.Telemetry.record(s"ivfpq maintain $decision action=retrain")
+      retrainIvfPq(spark, path,
+        s"retrain(${if (fracHit) "fraction" else "drift"};$decision)")
+      true
+    } else {
+      graft.Telemetry.record(s"ivfpq maintain $decision action=none")
+      false
+    }
+  }
+
+  /** Fold base + every delta segment into a freshly trained index — the
+    * compaction that restores the trained-at-N assumptions (quantizer
+    * tessellation, occupancy-derived m). Vectors are STAGED to a side
+    * dir first: [[writeIvfPqIndex]] overwrites `vectors/` while a naive
+    * rebuild would still be reading it (the classic self-overwrite
+    * hazard). The recorded m decision is honored — an auto-m index
+    * re-derives m at the NEW corpus size (the occupancy law moving is
+    * half the point of re-training); an explicit m stays explicit.
+    * Covered delta dirs (and any orphans) are deleted after the new
+    * meta lands — a crash mid-delete leaves unlisted orphans, deleted by
+    * the next re-train.
+    */
+  def retrainIvfPq(spark: SparkSession, path: String,
+                   decision: String = "manual"): Unit = {
+    val meta = IndexMeta.read(spark, path, "writeIvfPqIndex")
+    val ivfK = meta.getProperty("ivf_k").toInt
+    val pqK = meta.getProperty("k").toInt
+    val mPass =
+      if (Option(meta.getProperty("m_decision")).forall(_.startsWith("auto")))
+        PQ_M_AUTO
+      else meta.getProperty("m").toInt
+    val stage = s"$path/_retrain_stage"
+    spark.read.parquet(
+        (s"$path/vectors" +: deltaNames(meta).map(d => s"$path/$d/vectors")): _*)
+      .select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(stage)
+    writeIvfPqIndex(spark.read.parquet(stage), path, ivfK, mPass, pqK,
+      note = Seq("maintain_decision" -> decision))
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    fs.listStatus(fsPath).foreach { st =>
+      if (st.getPath.getName.matches("delta_\\d+"))
+        fs.delete(st.getPath, true)
+    }
+  }
 
   /** q181 through the materialized residual IVF-PQ index (build-once per
     * sf dir, like q83/q91/q93): identical output contract, so it shares

@@ -283,6 +283,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("an appended IVF-PQ delta restarts serving, then serves base ∪ delta") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpqdelta").toString
+    def vf(xs: Double*) = xs.map(_.toFloat)
+    val corpus = (0L until 24L).map { i =>
+      val base = if (i % 2 == 0) vf(1.0, 0.1, 0.0, 0.0, 0.2, 0.0, 0.0, 0.0)
+                 else vf(0.0, 0.1, 1.0, 0.0, 0.0, 0.2, 0.0, 0.0)
+      (i, base.updated(1, (0.1 + i * 0.01).toFloat))
+    }.toDF("vec_id", "embedding")
+    graft.operators.Similarity.writeIvfPqIndex(corpus, s"$tmp/index")
+    // a delta in a THIRD direction: its ids can only come from the segment
+    val delta = (50L until 56L).map { i =>
+      (i, vf(0.0, 0.1, 0.0, 1.0, 0.0, 0.0, 0.25 + i * 0.001, 0.0))
+    }.toDF("vec_id", "embedding")
+    val probes = Seq((100L, vf(0.95, 0.11, 0.0, 0.0, 0.19, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    probes.write.mode("append").parquet(s"$tmp/in")
+    val q = StreamingIvfPq.runAgainstIndex(spark, s"$tmp/in", probes.schema,
+      s"$tmp/index", s"$tmp/out", s"$tmp/ckpt",
+      trigger = Trigger.ProcessingTime("50 milliseconds"))
+    // an append flips the meta fingerprint exactly like a rebuild: the
+    // running query must restart rather than serve a base/delta frame mix
+    spark.conf.set(graft.operators.Similarity.RETRAIN_FRACTION_CONF, "0")
+    spark.conf.set(graft.operators.Similarity.RETRAIN_DRIFT_CONF, "0")
+    try {
+      assertDiesOnRebuild(q, s"$tmp/out/batch_0") {
+        graft.operators.Similarity.appendIvfPqDelta(delta, s"$tmp/index")
+        probes.write.mode("append").parquet(s"$tmp/in")
+      }
+      // a restarted query resolves base ∪ delta: a probe in the delta's
+      // direction returns delta ids
+      val deltaProbe = Seq((101L, vf(0.0, 0.1, 0.0, 0.98, 0.0, 0.0, 0.26, 0.0)))
+        .toDF("vec_id", "embedding")
+      deltaProbe.write.mode("append").parquet(s"$tmp/in")
+      StreamingIvfPq.runAgainstIndex(spark, s"$tmp/in", probes.schema,
+        s"$tmp/index", s"$tmp/out", s"$tmp/ckpt").awaitTermination()
+      val out = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+      val served = out.filter(col("p_id") === 101L && col("c_id") >= 50L).count()
+      assert(served > 0, "the delta segment must be served after restart")
+      val batch = graft.operators.Similarity.ivfPqSearchAgainstIndex(
+        deltaProbe, s"$tmp/index")
+      assert(out.filter(col("p_id") === 101L).collect().map(_.toSeq).toSet ==
+        batch.collect().map(_.toSeq).toSet,
+        "streamed and batch results over base ∪ delta diverged")
+    } finally {
+      spark.conf.unset(graft.operators.Similarity.RETRAIN_FRACTION_CONF)
+      spark.conf.unset(graft.operators.Similarity.RETRAIN_DRIFT_CONF)
+    }
+  }
+
   test("SQ8 serving fails the running query when the index is rebuilt") {
     val tmp = java.nio.file.Files.createTempDirectory("sq8r").toString
     def vf(xs: Double*) = xs.map(_.toFloat)
