@@ -670,6 +670,136 @@ object CorpusOps {
   def q182KnPruned(spark: SparkSession, dir: String): DataFrame =
     knPerplexityPruned(docs(spark, dir), minCount = 2L)
 
+  /** Interpolated Kneser–Ney TRIGRAM LM perplexity with the SRILM-style
+    * `-gtmin` prune at the top order — the order real LM-stats pipelines
+    * actually run (3–5), where the type-table explosion the prune
+    * attacks is strictly worse than at order 2 (the r16/r17 ladder law:
+    * hapax share of the type table GROWS with corpus size — −70% at 5M
+    * bigrams; the trigram type table is bigger and more hapax-heavy
+    * still). Standard KN hierarchy (Kneser & Ney 1995; Chen & Goodman
+    * 1999): raw counts at the top order, continuation TYPE counts below,
+    * D = 3/4 at both orders:
+    *
+    *   P₂(w3|w2) = (N1+(·w2w3) − D)/N1+(·w2·)
+    *               + D·N1+(w2·)/N1+(·w2·) · N1+(·w3)/T
+    *   P₃(w3|w1w2) = max(c123 − D, 0)/c12 + D·N1+(w1w2·)/c12 · P₂(w3|w2)
+    *
+    * where c12 = Σ_w3 c123 (the trigram-context count), N1+(w1w2·) the
+    * distinct-continuation count, N1+(·w2w3)/N1+(·w2·)/N1+(w2·)/N1+(·w3)
+    * the continuation/middle/following/history type counts over the
+    * trigram type table, and T the total continuation-bigram types.
+    * Scoring the corpus against its own model means every scored trigram
+    * is observed (c123 ≥ 1 and N1+(·w2w3) ≥ 1 > D), so neither max()
+    * clips and the probability has an EXACT integer form:
+    *
+    *   P₃ = ((4·c123 − 3)·4·f·T + 3·n₃·((4·e − 3)·T + 3·g·h)) / (16·c12·f·T)
+    *
+    * (e = N1+(·w2w3), f = N1+(·w2·), g = N1+(w2·), h = N1+(·w3),
+    * n₃ = N1+(w1w2·)). Per-trigram nll = ln(16·c12·f·T) − ln(num) over
+    * exact 64-bit integers (the only libm exposure is ln of an integer —
+    * the q73/q151 class); per-doc means sum 1e-6-unit longs. The
+    * numerator stays in range while c123·f·T < 2^57; at corpora where
+    * that bound breaks the integer form degrades to the float
+    * expression — the fixture corpora sit orders below it.
+    *
+    * A scored trigram whose TYPE row was pruned (1 ≤ c123 < minCount)
+    * takes the continuation-only backoff — exactly interpolated KN's
+    * value for an unseen trigram (the max() term is 0):
+    * num = 3·n₃·((4·e − 3)·T + 3·g·h). Lower-order stats are NEVER
+    * pruned (the SRILM rule the bigram prune already follows).
+    *
+    * Scale shape: the trigram TYPE table is the only corpus-sized
+    * exchange (map-side combined on (w1,w2,w3)); every stat table is ONE
+    * aggregate over it, vocabulary-sized and distributed. The doc-
+    * trigram probe stream reaches them via equi-joins — the Zipfian
+    * heads on all four join keys (context (w1,w2), continuation
+    * (w2,w3), middle w2, last w3) each through
+    * [[Skew.saltedJoinAdaptive]], gated on the occurrence count each
+    * stat table carries anyway (composite keys pre-concatenated so the
+    * salt gate sees ONE key column, like q180's class key).
+    */
+  private[graft] def knTrigramPerplexity(docsDf: DataFrame,
+                                         minCount: Long): DataFrame = {
+    val sep = "\u0001" // never appears in whitespace-split tokens
+    val toks = graft.CacheScope.cache(docsDf
+      .select(col("doc_id"), split(col("text"), " ").as("tokens")))
+    val docTri = toks
+      .filter(size(col("tokens")) > 2)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(1, size(tokens) - 2),
+          |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2,
+          |              tokens[i + 1] AS w3))""".stripMargin)).as(Seq("pos", "b")))
+      .select(col("doc_id"), col("pos"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"), col("b.w3").as("w3"))
+    val tri = graft.CacheScope.cache(
+      docTri.groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("c123")))
+    // context stats (c12, N1+(w1w2·)) — key pre-concatenated for the gate
+    val ctx = graft.CacheScope.cache(tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("c12"), count(lit(1)).as("n1p_ctx"))
+      .select(concat_ws(sep, col("w1"), col("w2")).as("_ctx"),
+        col("c12"), col("n1p_ctx")))
+    // continuation-bigram types (the middle order's "counts"); c23 is the
+    // probe-load measure its salt gate reads
+    val cont = graft.CacheScope.cache(tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n1p_w2w3"), sum(col("c123")).as("c23")))
+    val w2stats = graft.CacheScope.cache(
+      tri.groupBy(col("w2"))
+        .agg(count(lit(1)).as("n1p_mid"), sum(col("c123")).as("c2mid"))
+        .join(cont.groupBy(col("w2")).agg(count(lit(1)).as("n1p_fol")),
+          Seq("w2")))
+    val w3stats = graft.CacheScope.cache(
+      cont.groupBy(col("w3")).agg(count(lit(1)).as("n1p_w3"))
+        .join(tri.groupBy(col("w3")).agg(sum(col("c123")).as("c3")), Seq("w3")))
+    val t3 = cont.agg(count(lit(1)).as("t"))
+    val kept = tri.filter(col("c123") >= minCount)
+    graft.Telemetry.record(s"kn3 prune min_count=$minCount")
+    val probe = docTri
+      .join(kept, Seq("w1", "w2", "w3"), "left")
+      .withColumn("_uid", concat_ws(":", col("doc_id"), col("pos")))
+      .withColumn("_ctx", concat_ws(sep, col("w1"), col("w2")))
+      .withColumn("_cont", concat_ws(sep, col("w2"), col("w3")))
+    val contK = cont.select(concat_ws(sep, col("w2"), col("w3")).as("_cont"),
+      col("n1p_w2w3"), col("c23"))
+    val j1 = Skew.saltedJoinAdaptive(probe, contK, "_cont", SKEW_SALTS, "_uid",
+      keyCounts = contK, cntCol = "c23")
+    val j2 = Skew.saltedJoinAdaptive(j1, ctx, "_ctx", SKEW_SALTS, "_uid",
+      keyCounts = ctx, cntCol = "c12")
+    val j3 = Skew.saltedJoinAdaptive(j2, w2stats, "w2", SKEW_SALTS, "_uid",
+      keyCounts = w2stats, cntCol = "c2mid")
+    val j4 = Skew.saltedJoinAdaptive(j3, w3stats, "w3", SKEW_SALTS, "_uid",
+      keyCounts = w3stats, cntCol = "c3")
+    j4.crossJoin(broadcast(t3))
+      .withColumn("p2num",
+        (lit(4L) * col("n1p_w2w3") - 3L) * col("t") +
+          lit(3L) * col("n1p_fol") * col("n1p_w3"))
+      .withColumn("nll",
+        log((lit(16L) * col("c12") * col("n1p_mid") * col("t")).cast("double")) -
+          log(when(col("c123").isNull,
+            lit(3L) * col("n1p_ctx") * col("p2num"))
+            .otherwise(
+              (lit(4L) * col("c123") - 3L) * lit(4L) * col("n1p_mid") * col("t") +
+                lit(3L) * col("n1p_ctx") * col("p2num")).cast("double")))
+      .withColumn("_nm", round(col("nll") * 1e6, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("_nm")).as("_nms"))
+      .withColumn("avg_nll", round(col("_nms") / col("n_trigrams") / 1e6, 6))
+      .drop("_nms")
+  }
+
+  /** Exact interpolated trigram KN (minCount = 1 keeps every observed
+    * type, so the backoff branch never fires), hash-verified like q151.
+    */
+  def q185KnTrigram(spark: SparkSession, dir: String): DataFrame =
+    knTrigramPerplexity(docs(spark, dir), minCount = 1L)
+
+  /** The gated trigram prune dial: hapax trigram types dropped
+    * (min_count = 2), hash-verified like q182. The 500k-doc ladder rung
+    * prices what the prune buys at order 3 (SCALE.md r18).
+    */
+  def q186Kn3Pruned(spark: SparkSession, dir: String): DataFrame =
+    knTrigramPerplexity(docs(spark, dir), minCount = 2L)
+
   /** Overlapping document chunking (the RAG / context-window prep stage):
     * 64-token windows at stride 48, short docs yield one chunk, the final
     * partial window is kept. Pure per-row explode — the chunk table
@@ -2154,6 +2284,8 @@ object CorpusOps {
     "q149_good_turing" -> q149GoodTuring,
     "q151_kneser_ney" -> q151KneserNey,
     "q182_kn_pruned" -> q182KnPruned,
+    "q185_kn_trigram" -> q185KnTrigram,
+    "q186_kn3_pruned" -> q186Kn3Pruned,
     "q155_pair_rank" -> q155PairRank,
     "q157_temperature_mix" -> q157TemperatureMix,
     "q161_source_confusion" -> q161SourceConfusion,
@@ -2586,6 +2718,78 @@ object CorpusOps {
         |    * 1e6, 0) AS BIGINT)) / count(*) / 1e6, 6) AS avg_nll
         |FROM db LEFT JOIN kept k USING (w1, w2) JOIN ctx USING (w1)
         |  JOIN hist USING (w2) CROSS JOIN ty
+        |GROUP BY doc_id""".stripMargin,
+    // trigram KN: raw counts at the top order, continuation TYPE counts
+    // below (cont/mid/fol/low all derive from the trigram type table),
+    // the same exact-integer numerator/denominator as the Scala kernel.
+    // Every CTE MATERIALIZED (the q184 lesson): DuckDB inlines CTEs by
+    // default, and re-expanding tri/cont under a 6-way join turns a
+    // 1.3 s oracle into a >10-minute planner blowup
+    "q185_kn_trigram" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dt AS MATERIALIZED (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2, b.w3 AS w3 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> {'w1': toks[i], 'w2': toks[i+1], 'w3': toks[i+2]})) AS b
+        |    FROM t WHERE len(toks) > 2)),
+        |tri AS MATERIALIZED (
+        |  SELECT w1, w2, w3, count(*) AS c123 FROM dt GROUP BY 1, 2, 3),
+        |ctx AS MATERIALIZED (
+        |  SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+        |    count(*) AS n1p_ctx FROM tri GROUP BY 1, 2),
+        |cont AS MATERIALIZED (
+        |  SELECT w2, w3, count(*) AS n1p_w2w3 FROM tri GROUP BY 1, 2),
+        |mid AS MATERIALIZED (SELECT w2, count(*) AS n1p_mid FROM tri GROUP BY 1),
+        |fol AS MATERIALIZED (SELECT w2, count(*) AS n1p_fol FROM cont GROUP BY 1),
+        |low AS MATERIALIZED (SELECT w3, count(*) AS n1p_w3 FROM cont GROUP BY 1),
+        |ty AS MATERIALIZED (SELECT count(*) AS t FROM cont)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  round(sum(CAST(round((ln(CAST(16 * c12 * n1p_mid * ty.t AS DOUBLE))
+        |      - ln(CAST((4 * c123 - 3) * 4 * n1p_mid * ty.t
+        |          + 3 * n1p_ctx * ((4 * n1p_w2w3 - 3) * ty.t
+        |            + 3 * n1p_fol * n1p_w3) AS DOUBLE)))
+        |    * 1e6, 0) AS BIGINT)) / count(*) / 1e6, 6) AS avg_nll
+        |FROM dt JOIN tri USING (w1, w2, w3) JOIN ctx USING (w1, w2)
+        |  JOIN cont USING (w2, w3) JOIN mid USING (w2) JOIN fol USING (w2)
+        |  JOIN low USING (w3) CROSS JOIN ty
+        |GROUP BY doc_id""".stripMargin,
+    // q185's oracle with the TOP-ORDER type table thresholded at
+    // min_count=2 and the continuation-only backoff for pruned trigrams
+    // (lower-order stats never pruned — the SRILM rule)
+    "q186_kn3_pruned" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |dt AS MATERIALIZED (
+        |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2, b.w3 AS w3 FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> {'w1': toks[i], 'w2': toks[i+1], 'w3': toks[i+2]})) AS b
+        |    FROM t WHERE len(toks) > 2)),
+        |tri AS MATERIALIZED (
+        |  SELECT w1, w2, w3, count(*) AS c123 FROM dt GROUP BY 1, 2, 3),
+        |kept AS MATERIALIZED (
+        |  SELECT w1, w2, w3, c123 FROM tri WHERE c123 >= 2),
+        |ctx AS MATERIALIZED (
+        |  SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+        |    count(*) AS n1p_ctx FROM tri GROUP BY 1, 2),
+        |cont AS MATERIALIZED (
+        |  SELECT w2, w3, count(*) AS n1p_w2w3 FROM tri GROUP BY 1, 2),
+        |mid AS MATERIALIZED (SELECT w2, count(*) AS n1p_mid FROM tri GROUP BY 1),
+        |fol AS MATERIALIZED (SELECT w2, count(*) AS n1p_fol FROM cont GROUP BY 1),
+        |low AS MATERIALIZED (SELECT w3, count(*) AS n1p_w3 FROM cont GROUP BY 1),
+        |ty AS MATERIALIZED (SELECT count(*) AS t FROM cont)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  round(sum(CAST(round((ln(CAST(16 * c12 * n1p_mid * ty.t AS DOUBLE))
+        |      - ln(CAST(CASE WHEN k.c123 IS NULL
+        |            THEN 3 * n1p_ctx * ((4 * n1p_w2w3 - 3) * ty.t
+        |              + 3 * n1p_fol * n1p_w3)
+        |            ELSE (4 * k.c123 - 3) * 4 * n1p_mid * ty.t
+        |              + 3 * n1p_ctx * ((4 * n1p_w2w3 - 3) * ty.t
+        |                + 3 * n1p_fol * n1p_w3) END AS DOUBLE)))
+        |    * 1e6, 0) AS BIGINT)) / count(*) / 1e6, 6) AS avg_nll
+        |FROM dt LEFT JOIN kept k USING (w1, w2, w3) JOIN ctx USING (w1, w2)
+        |  JOIN cont USING (w2, w3) JOIN mid USING (w2) JOIN fol USING (w2)
+        |  JOIN low USING (w3) CROSS JOIN ty
         |GROUP BY doc_id""".stripMargin,
     "q149_good_turing" ->
       """WITH t AS (
