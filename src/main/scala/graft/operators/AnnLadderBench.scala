@@ -119,6 +119,15 @@ object AnnLadderBench {
       }),
       ("ivf_serve_sqrtN_np8", Long.MaxValue,
         () => Similarity.ivfSearchAgainstIndex(probes, s"$dir/ivfsq", nprobe = 8)),
+      // serve-side probe-ranking A/B on the SAME index (r18: probeListsUdf
+      // gates list ranking two-level above the k-gate, like assignment):
+      // this rung forces the exact ranking so the pair prices the serve
+      // tax and recall delta of the two-level probe path in one artifact
+      ("ivf_serve_sqrtN_np8_exactprobe", Long.MaxValue, () => {
+        spark.conf.set(Similarity.TWOLEVEL_MIN_K_CONF, Int.MaxValue.toString)
+        try Similarity.ivfSearchAgainstIndex(probes, s"$dir/ivfsq", nprobe = 8)
+        finally spark.conf.unset(Similarity.TWOLEVEL_MIN_K_CONF)
+      }),
       ("ivf_build_sqrtN_exact", Long.MaxValue, () => {
         spark.conf.set(Similarity.TWOLEVEL_MIN_K_CONF, Int.MaxValue.toString)
         try Similarity.writeIvfIndex(embDf, s"$dir/ivfsqx", k = sqrtK)

@@ -80,6 +80,13 @@ object LmLadderBench {
       // cannot shrink) is the measured question
       ("kn_pruned_min2", Long.MaxValue, () => CorpusOps.knPerplexityPruned(
         graft.Tables.load(spark, dir, "documents"), minCount = 2L)),
+      // order-3 KN (q185/q186's kernel): the trigram type table is bigger
+      // and more hapax-heavy than the bigram one, so the gtmin law should
+      // AMPLIFY again — exact vs pruned priced on the same corpus
+      ("kn3_exact", Long.MaxValue, () => CorpusOps.knTrigramPerplexity(
+        graft.Tables.load(spark, dir, "documents"), minCount = 1L)),
+      ("kn3_pruned_min2", Long.MaxValue, () => CorpusOps.knTrigramPerplexity(
+        graft.Tables.load(spark, dir, "documents"), minCount = 2L)),
       ("q152_collocations", Long.MaxValue, q("q152_collocations")),
       ("q150_distinct_sketch", Long.MaxValue, q("q150_distinct_sketch")),
       ("q133_heavy_hitters", Long.MaxValue, q("q133_heavy_hitters")))
@@ -161,7 +168,7 @@ object LmLadderBench {
           spark.catalog.clearCache()
           val tele = graft.Telemetry.drain()
             .filter(e => e.contains("salt") || e.contains("skew")
-              || e.contains("tier") || e.contains("kn "))
+              || e.contains("tier") || e.contains("kn ") || e.contains("kn3 "))
             .mkString("; ").replace(",", " ")
           println(f"$n,$name,$secs%.1f,$rows,$tele")
         } else println(f"$n,$name,SKIPPED(capacity cap - see scaladoc),,")
