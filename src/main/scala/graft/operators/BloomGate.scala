@@ -157,7 +157,7 @@ object BloomGate {
       CorpusOps.tokenGrams(d.filter(col("source") === "src0"), GRAM_N)
         .select(col("gram")).distinct())
     val bloom = buildBloom(evalGrams)
-    val corpus = d.filter(col("source") =!= "src0")
+    val corpus = Spread.scan(d.filter(col("source") =!= "src0"))
     val survivors = bloomGate(CorpusOps.tokenGrams(corpus, GRAM_N), bloom)
     verifyAndCount(corpus.select(col("doc_id")), survivors, evalGrams)
   }

@@ -46,7 +46,7 @@ object CorpusOps {
     def grams(df: DataFrame): DataFrame = tokenGrams(df, 8)
     val evalGrams = grams(d.filter(col("source") === "src0"))
       .select(col("gram")).distinct()
-    val hits = grams(d.filter(col("source") =!= "src0"))
+    val hits = grams(Spread.scan(d.filter(col("source") =!= "src0")))
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
     d.filter(col("source") =!= "src0")
@@ -116,7 +116,7 @@ object CorpusOps {
     // cached: the boilerplate-frequency aggregate and the coverage join
     // both read the gram stream — uncached, the explode runs twice
     val grams = graft.CacheScope.cache(
-      tokenGrams(d, BOILER_GRAM_N)
+      tokenGrams(Spread.scan(d), BOILER_GRAM_N)
         .join(d.select(col("doc_id"), col("source")), Seq("doc_id")))
     val boiler = grams.groupBy(col("gram"))
       .agg(countDistinct(col("source")).as("n_sources"))
@@ -156,7 +156,7 @@ object CorpusOps {
     val d = docs(spark, dir)
     def grams(df: DataFrame): DataFrame = tokenGrams(df, 8)
     val ev = d.filter(col("source") === "src0")
-    val hits = grams(d.filter(col("source") =!= "src0"))
+    val hits = grams(Spread.scan(d.filter(col("source") =!= "src0")))
       .withColumnRenamed("doc_id", "train_id")
       .join(broadcast(grams(ev).withColumnRenamed("doc_id", "eval_id")),
         Seq("gram"))
@@ -291,9 +291,18 @@ object CorpusOps {
   private[graft] def repetitionScored(df: DataFrame): DataFrame =
     df.withColumn("tokens", split(col("text"), " "))
       .withColumn("n_tok", size(col("tokens")))
-      .withColumn("top_tok_frac", round(
-        array_max(transform(array_distinct(col("tokens")),
-          t => size(filter(col("tokens"), x => x === t)))).cast("double")
+      // max token multiplicity = longest run in the SORTED token array:
+      // O(n log n) per row where the previous distinct×filter form was
+      // O(distinct·n) string comparisons (quadratic on diverse docs —
+      // the dominant per-row cost of q69/q100/q104/q122). Identical
+      // integer result, so top_tok_frac is bit-identical.
+      .withColumn("top_tok_frac", round(expr(
+        """aggregate(array_sort(tokens),
+          |  struct(CAST(NULL AS STRING) AS prev, 0 AS run, 0 AS best),
+          |  (acc, t) -> struct(t,
+          |    IF(acc.prev <=> t, acc.run + 1, 1),
+          |    GREATEST(acc.best, IF(acc.prev <=> t, acc.run + 1, 1))),
+          |  acc -> acc.best)""".stripMargin).cast("double")
           / col("n_tok"), 6))
       // sequence(1, 0) is DESCENDING [1, 0], not empty — guard 1-token docs
       .withColumn("bigrams", expr(
@@ -401,7 +410,18 @@ object CorpusOps {
     */
   val SKEW_SALTS = 8
 
+  /** Separator for pre-concatenated composite join keys in the LM-scoring
+    * family (q73/q151/q180/q182/q185/q186) — never appears inside
+    * whitespace-split tokens, so the concatenation is injective.
+    */
+  private[graft] val KN_SEP = "\u0001"
+
   def q73LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    // NO Spread.scan here (measured −0.7 s to +0.2 s at sf0.1): the
+    // tokenize kernel is cheap and the downstream type-table partial
+    // aggregation dedups best over few large partitions — the respread
+    // traded that for an exchange. The KN family's CPU lives in the
+    // type joins, already distributed.
     val toks = graft.CacheScope.cache(docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("tokens")))
     // cached: consumed by the vocab count, the gated join's hot-key
@@ -417,19 +437,29 @@ object CorpusOps {
           |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))""".stripMargin)).as(Seq("pos", "b")))
       .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val big = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val scored = Skew.saltedJoinAdaptive(
-      docBigrams.join(big, Seq("w1", "w2"))
-        .withColumn("_uid", concat_ws(":", col("doc_id"), col("pos"))),
-      uni, "w1", SKEW_SALTS, "_uid", keyCounts = uni, cntCol = "c1")
-    scored
+    // r18 restructure (guide §2.3/§8: move the heavy stream once, decide
+    // on the light proxy): per-bigram nll depends ONLY on the type's
+    // (c12, c1, v), so it is computed ONCE on the TYPE table — the
+    // unigram join and the vocab crossJoin now run over type-sized
+    // frames — and the occurrence stream pays a SINGLE (skew-gated)
+    // join instead of a type join plus a salted unigram join. The
+    // per-occurrence _nm long is bit-identical (same expression over the
+    // same type-level integers; the DSIR/CCNet micro-unit discipline —
+    // 1e-6-unit longs summed exactly — makes the per-doc sum
+    // order-independent, which q116 relies on).
+    val typeNll = graft.CacheScope.cache(big.join(uni, Seq("w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("nll", -log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
-      // the DSIR/CCNet micro-unit discipline (r12): per-bigram nll rounds
-      // once to 1e-6-unit longs, the per-doc sum is exact 64-bit integer
-      // arithmetic — avg_nll is independent of partitioning and summation
-      // order, which q116 relies on when it folds these scores into its
-      // per-source means
       .withColumn("_nm", round(col("nll") * 1e6, 0).cast("long"))
+      .select(concat_ws(KN_SEP, col("w1"), col("w2")).as("_k"),
+        col("c12"), col("_nm")))
+    val probe = docBigrams
+      .withColumn("_uid", concat_ws(":", col("doc_id"), col("pos")))
+      .select(col("doc_id"), col("_uid"),
+        concat_ws(KN_SEP, col("w1"), col("w2")).as("_k"))
+    // gate load measure: c12 IS the probe-occurrence count per type key
+    Skew.saltedJoinAdaptive(probe, typeNll, "_k", SKEW_SALTS, "_uid",
+      keyCounts = typeNll, cntCol = "c12")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("_nm")).as("_nms"))
       .withColumn("avg_nll", round(col("_nms") / col("n_bigrams") / 1e6, 6))
@@ -469,6 +499,11 @@ object CorpusOps {
     * and the head class rides [[SKEW_SALTS]] reducers instead of one.
     */
   def q180SkewedPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    // NO Spread.scan here (measured −0.7 s to +0.2 s at sf0.1): the
+    // tokenize kernel is cheap and the downstream type-table partial
+    // aggregation dedups best over few large partitions — the respread
+    // traded that for an exchange. The KN family's CPU lives in the
+    // type joins, already distributed.
     val toks = graft.CacheScope.cache(docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("tokens")))
     val uni = graft.CacheScope.cache(toks
@@ -484,14 +519,21 @@ object CorpusOps {
       .select(col("doc_id"), col("pos"),
         tokenClass(col("b.w1")).as("cls1"), tokenClass(col("b.w2")).as("cls2"))
     val big = docBigrams.groupBy(col("cls1"), col("cls2")).agg(count(lit(1)).as("c12"))
-    val scored = Skew.saltedJoinAdaptive(
-      docBigrams.join(big, Seq("cls1", "cls2"))
-        .withColumn("_uid", concat_ws(":", col("doc_id"), col("pos"))),
-      uni, "cls1", SKEW_SALTS, "_uid", keyCounts = uni, cntCol = "c1")
-    scored
+    // q73's r18 type-table restructure; the salt gate now reads the
+    // composite class-bigram key, whose head (<short>-<short>, ~64% of
+    // occurrences) still fires the salted path on the fixture corpora
+    val typeNll = graft.CacheScope.cache(big.join(uni, Seq("cls1"))
       .crossJoin(broadcast(vocab))
       .withColumn("nll", -log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
       .withColumn("_nm", round(col("nll") * 1e6, 0).cast("long"))
+      .select(concat_ws(KN_SEP, col("cls1"), col("cls2")).as("_k"),
+        col("c12"), col("_nm")))
+    val probe = docBigrams
+      .withColumn("_uid", concat_ws(":", col("doc_id"), col("pos")))
+      .select(col("doc_id"), col("_uid"),
+        concat_ws(KN_SEP, col("cls1"), col("cls2")).as("_k"))
+    Skew.saltedJoinAdaptive(probe, typeNll, "_k", SKEW_SALTS, "_uid",
+      keyCounts = typeNll, cntCol = "c12")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("_nm")).as("_nms"))
       .withColumn("avg_nll", round(col("_nms") / col("n_bigrams") / 1e6, 6))
@@ -566,6 +608,11 @@ object CorpusOps {
   def q151KneserNey(spark: SparkSession, dir: String): DataFrame = {
     // cached (q73's discipline): the bigram TYPE aggregate and the
     // doc-bigram probe stream both re-run the scan + tokenize otherwise
+    // NO Spread.scan here (measured −0.7 s to +0.2 s at sf0.1): the
+    // tokenize kernel is cheap and the downstream type-table partial
+    // aggregation dedups best over few large partitions — the respread
+    // traded that for an exchange. The KN family's CPU lives in the
+    // type joins, already distributed.
     val toks = graft.CacheScope.cache(docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("tokens")))
     val docBigrams = toks
@@ -576,27 +623,33 @@ object CorpusOps {
       .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val big = graft.CacheScope.cache(
       docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
-    val ctx = graft.CacheScope.cache(big.groupBy(col("w1"))
-      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_w1")))
-    // c2 (occurrence count) is the skew gate's measure of PROBE load per
-    // w2 key — n1p_w2 (the type count the formula needs) would understate
-    // a Zipfian head whose occurrences dwarf its distinct predecessors
-    val hist = graft.CacheScope.cache(big.groupBy(col("w2"))
-      .agg(count(lit(1)).as("n1p_w2"), sum(col("c12")).as("c2")))
+    val ctx = big.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_w1"))
+    val hist = big.groupBy(col("w2")).agg(count(lit(1)).as("n1p_w2"))
     val types = big.agg(count(lit(1)).as("t"))
-    val j1 = Skew.saltedJoinAdaptive(
-      docBigrams.join(big, Seq("w1", "w2"))
-        .withColumn("_uid", concat_ws(":", col("doc_id"), col("pos"))),
-      ctx, "w1", SKEW_SALTS, "_uid", keyCounts = ctx, cntCol = "c1")
-    val j2 = Skew.saltedJoinAdaptive(
-      j1, hist, "w2", SKEW_SALTS, "_uid",
-      keyCounts = hist, cntCol = "c2")
-    j2.crossJoin(broadcast(types))
+    // r18 type-table restructure (q73's move): P_KN depends only on the
+    // type's (c12, c1, n1p_w1, n1p_w2, t), so nll is assembled on the
+    // TYPE table — the ctx/hist joins now move type-sized frames (at
+    // 100 TB a Zipfian w1/w2 head skews those joins by types-per-token,
+    // which AQE's skew-join splits at runtime) — and the occurrence
+    // stream pays ONE skew-gated join instead of a type join plus two
+    // salted stat joins. Identical _nm longs, identical per-doc sums.
+    val typeNll = graft.CacheScope.cache(big
+      .join(ctx, Seq("w1")).join(hist, Seq("w2"))
+      .crossJoin(broadcast(types))
       .withColumn("nll",
         log((lit(4L) * col("c1") * col("t")).cast("double")) -
           log(((lit(4L) * col("c12") - 3L) * col("t") +
             lit(3L) * col("n1p_w1") * col("n1p_w2")).cast("double")))
       .withColumn("_nm", round(col("nll") * 1e6, 0).cast("long"))
+      .select(concat_ws(KN_SEP, col("w1"), col("w2")).as("_k"),
+        col("c12"), col("_nm")))
+    val probe = docBigrams
+      .withColumn("_uid", concat_ws(":", col("doc_id"), col("pos")))
+      .select(col("doc_id"), col("_uid"),
+        concat_ws(KN_SEP, col("w1"), col("w2")).as("_k"))
+    Skew.saltedJoinAdaptive(probe, typeNll, "_k", SKEW_SALTS, "_uid",
+      keyCounts = typeNll, cntCol = "c12")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("_nm")).as("_nms"))
       .withColumn("avg_nll", round(col("_nms") / col("n_bigrams") / 1e6, 6))
@@ -632,28 +685,33 @@ object CorpusOps {
       .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val big = graft.CacheScope.cache(
       docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
-    val ctx = graft.CacheScope.cache(big.groupBy(col("w1"))
-      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_w1")))
-    val hist = graft.CacheScope.cache(big.groupBy(col("w2"))
-      .agg(count(lit(1)).as("n1p_w2"), sum(col("c12")).as("c2")))
+    val ctx = big.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_w1"))
+    val hist = big.groupBy(col("w2")).agg(count(lit(1)).as("n1p_w2"))
     val types = big.agg(count(lit(1)).as("t"))
-    val kept = big.filter(col("c12") >= minCount)
     graft.Telemetry.record(s"kn prune min_count=$minCount")
-    val j1 = Skew.saltedJoinAdaptive(
-      docBigrams.join(kept, Seq("w1", "w2"), "left")
-        .withColumn("_uid", concat_ws(":", col("doc_id"), col("pos"))),
-      ctx, "w1", SKEW_SALTS, "_uid", keyCounts = ctx, cntCol = "c1")
-    val j2 = Skew.saltedJoinAdaptive(
-      j1, hist, "w2", SKEW_SALTS, "_uid",
-      keyCounts = hist, cntCol = "c2")
-    j2.crossJoin(broadcast(types))
+    // q151's r18 type-table restructure; the prune becomes a per-TYPE
+    // when() (1 ≤ c12 < minCount → the continuation-only backoff — the
+    // exact value the old kept-left-join produced for a pruned type),
+    // so the probe stream no longer pays the kept join at all
+    val typeNll = graft.CacheScope.cache(big
+      .join(ctx, Seq("w1")).join(hist, Seq("w2"))
+      .crossJoin(broadcast(types))
       .withColumn("nll",
         log((lit(4L) * col("c1") * col("t")).cast("double")) -
-          log(when(col("c12").isNull,
+          log(when(col("c12") < minCount,
             lit(3L) * col("n1p_w1") * col("n1p_w2"))
             .otherwise((lit(4L) * col("c12") - 3L) * col("t") +
               lit(3L) * col("n1p_w1") * col("n1p_w2")).cast("double")))
       .withColumn("_nm", round(col("nll") * 1e6, 0).cast("long"))
+      .select(concat_ws(KN_SEP, col("w1"), col("w2")).as("_k"),
+        col("c12"), col("_nm")))
+    val probe = docBigrams
+      .withColumn("_uid", concat_ws(":", col("doc_id"), col("pos")))
+      .select(col("doc_id"), col("_uid"),
+        concat_ws(KN_SEP, col("w1"), col("w2")).as("_k"))
+    Skew.saltedJoinAdaptive(probe, typeNll, "_k", SKEW_SALTS, "_uid",
+      keyCounts = typeNll, cntCol = "c12")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("_nm")).as("_nms"))
       .withColumn("avg_nll", round(col("_nms") / col("n_bigrams") / 1e6, 6))
@@ -711,16 +769,15 @@ object CorpusOps {
     * Scale shape: the trigram TYPE table is the only corpus-sized
     * exchange (map-side combined on (w1,w2,w3)); every stat table is ONE
     * aggregate over it, vocabulary-sized and distributed. The doc-
-    * trigram probe stream reaches them via equi-joins — the Zipfian
-    * heads on all four join keys (context (w1,w2), continuation
-    * (w2,w3), middle w2, last w3) each through
-    * [[Skew.saltedJoinAdaptive]], gated on the occurrence count each
-    * stat table carries anyway (composite keys pre-concatenated so the
-    * salt gate sees ONE key column, like q180's class key).
+    * trigram probe stream reaches them via ONE equi-join against the
+    * pre-assembled per-type nll table (r18 restructure — see the body
+    * comment), its Zipfian type-key head through
+    * [[Skew.saltedJoinAdaptive]] gated on c123 (exactly the probe
+    * occurrences per type key).
     */
   private[graft] def knTrigramPerplexity(docsDf: DataFrame,
                                          minCount: Long): DataFrame = {
-    val sep = "\u0001" // never appears in whitespace-split tokens
+    
     val toks = graft.CacheScope.cache(docsDf
       .select(col("doc_id"), split(col("text"), " ").as("tokens")))
     val docTri = toks
@@ -734,53 +791,53 @@ object CorpusOps {
     val tri = graft.CacheScope.cache(
       docTri.groupBy(col("w1"), col("w2"), col("w3"))
         .agg(count(lit(1)).as("c123")))
-    // context stats (c12, N1+(w1w2·)) — key pre-concatenated for the gate
-    val ctx = graft.CacheScope.cache(tri.groupBy(col("w1"), col("w2"))
+    // context stats (c12, N1+(w1w2·))
+    val ctx = tri.groupBy(col("w1"), col("w2"))
       .agg(sum(col("c123")).as("c12"), count(lit(1)).as("n1p_ctx"))
-      .select(concat_ws(sep, col("w1"), col("w2")).as("_ctx"),
-        col("c12"), col("n1p_ctx")))
-    // continuation-bigram types (the middle order's "counts"); c23 is the
-    // probe-load measure its salt gate reads
+    // continuation-bigram types (the middle order's "counts")
     val cont = graft.CacheScope.cache(tri.groupBy(col("w2"), col("w3"))
-      .agg(count(lit(1)).as("n1p_w2w3"), sum(col("c123")).as("c23")))
-    val w2stats = graft.CacheScope.cache(
-      tri.groupBy(col("w2"))
-        .agg(count(lit(1)).as("n1p_mid"), sum(col("c123")).as("c2mid"))
-        .join(cont.groupBy(col("w2")).agg(count(lit(1)).as("n1p_fol")),
-          Seq("w2")))
-    val w3stats = graft.CacheScope.cache(
-      cont.groupBy(col("w3")).agg(count(lit(1)).as("n1p_w3"))
-        .join(tri.groupBy(col("w3")).agg(sum(col("c123")).as("c3")), Seq("w3")))
+      .agg(count(lit(1)).as("n1p_w2w3")))
+    val w2stats = tri.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1p_mid"))
+      .join(cont.groupBy(col("w2")).agg(count(lit(1)).as("n1p_fol")),
+        Seq("w2"))
+    val w3stats = cont.groupBy(col("w3")).agg(count(lit(1)).as("n1p_w3"))
     val t3 = cont.agg(count(lit(1)).as("t"))
-    val kept = tri.filter(col("c123") >= minCount)
     graft.Telemetry.record(s"kn3 prune min_count=$minCount")
-    val probe = docTri
-      .join(kept, Seq("w1", "w2", "w3"), "left")
-      .withColumn("_uid", concat_ws(":", col("doc_id"), col("pos")))
-      .withColumn("_ctx", concat_ws(sep, col("w1"), col("w2")))
-      .withColumn("_cont", concat_ws(sep, col("w2"), col("w3")))
-    val contK = cont.select(concat_ws(sep, col("w2"), col("w3")).as("_cont"),
-      col("n1p_w2w3"), col("c23"))
-    val j1 = Skew.saltedJoinAdaptive(probe, contK, "_cont", SKEW_SALTS, "_uid",
-      keyCounts = contK, cntCol = "c23")
-    val j2 = Skew.saltedJoinAdaptive(j1, ctx, "_ctx", SKEW_SALTS, "_uid",
-      keyCounts = ctx, cntCol = "c12")
-    val j3 = Skew.saltedJoinAdaptive(j2, w2stats, "w2", SKEW_SALTS, "_uid",
-      keyCounts = w2stats, cntCol = "c2mid")
-    val j4 = Skew.saltedJoinAdaptive(j3, w3stats, "w3", SKEW_SALTS, "_uid",
-      keyCounts = w3stats, cntCol = "c3")
-    j4.crossJoin(broadcast(t3))
+    // r18 type-table restructure (q151's move, biggest at order 3): every
+    // per-trigram quantity is a function of the TYPE, so the whole KN
+    // hierarchy assembles on the trigram type table — four type-sized
+    // joins (Zipfian per-w2/per-context heads there skew by TYPES, which
+    // AQE's skew-join splits at runtime) — and the occurrence stream pays
+    // ONE skew-gated join instead of a kept join plus FOUR salted stat
+    // joins. The prune is a per-type when() (the old left-join's NULL
+    // branch, value-identical); _nm longs and per-doc sums are
+    // bit-identical to the r17 shape.
+    val typeNll = graft.CacheScope.cache(tri
+      .join(ctx, Seq("w1", "w2"))
+      .join(cont, Seq("w2", "w3"))
+      .join(w2stats, Seq("w2"))
+      .join(w3stats, Seq("w3"))
+      .crossJoin(broadcast(t3))
       .withColumn("p2num",
         (lit(4L) * col("n1p_w2w3") - 3L) * col("t") +
           lit(3L) * col("n1p_fol") * col("n1p_w3"))
       .withColumn("nll",
         log((lit(16L) * col("c12") * col("n1p_mid") * col("t")).cast("double")) -
-          log(when(col("c123").isNull,
+          log(when(col("c123") < minCount,
             lit(3L) * col("n1p_ctx") * col("p2num"))
             .otherwise(
               (lit(4L) * col("c123") - 3L) * lit(4L) * col("n1p_mid") * col("t") +
                 lit(3L) * col("n1p_ctx") * col("p2num")).cast("double")))
       .withColumn("_nm", round(col("nll") * 1e6, 0).cast("long"))
+      .select(concat_ws(KN_SEP, col("w1"), col("w2"), col("w3")).as("_k"),
+        col("c123"), col("_nm")))
+    val probe = docTri
+      .withColumn("_uid", concat_ws(":", col("doc_id"), col("pos")))
+      .select(col("doc_id"), col("_uid"),
+        concat_ws(KN_SEP, col("w1"), col("w2"), col("w3")).as("_k"))
+    Skew.saltedJoinAdaptive(probe, typeNll, "_k", SKEW_SALTS, "_uid",
+      keyCounts = typeNll, cntCol = "c123")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_trigrams"), sum(col("_nm")).as("_nms"))
       .withColumn("avg_nll", round(col("_nms") / col("n_trigrams") / 1e6, 6))
@@ -958,7 +1015,7 @@ object CorpusOps {
     * (spec-pinned via md5).
     */
   def q103DedupScrub(spark: SparkSession, dir: String): DataFrame =
-    scrubVerdicts(firstOccurrenceKeep(scrubBlocks(docs(spark, dir))))
+    scrubVerdicts(firstOccurrenceKeep(scrubBlocks(Spread.scan(docs(spark, dir)))))
 
   /** Occurrence count at which a block is "hot" and dropped EVERYWHERE. */
   val HOT_BLOCK_MIN = 3
@@ -984,7 +1041,7 @@ object CorpusOps {
     // cached: the frequency aggregate and the join back both read the
     // exploded block stream
     val blocks = graft.CacheScope.cache(
-      scrubBlocks(docs(spark, dir)).withColumn("h", md5(col("btxt"))))
+      scrubBlocks(Spread.scan(docs(spark, dir))).withColumn("h", md5(col("btxt"))))
     val hot = blocks.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= HOT_BLOCK_MIN)
@@ -1017,7 +1074,7 @@ object CorpusOps {
     // stage 1: repetition quality over the corpus (shared q69 kernel);
     // cached — feeds the stage-2 gram pass, the dedup hash, and assembly
     val q1 = graft.CacheScope.cache(
-      repetitionScored(d.filter(col("source") =!= "src0"))
+      repetitionScored(Spread.scan(d.filter(col("source") =!= "src0")))
         .select(col("doc_id"), col("text"), col("flagged").as("quality_flagged")))
     // stage 2: bloom-gated decontamination of quality survivors
     // (shared q96 kernels: distributed sketch, map-side gate, exact verify)
@@ -1483,7 +1540,7 @@ object CorpusOps {
   val MAX_CONFUSION_SOURCES = 64L
 
   def q161SourceConfusion(spark: SparkSession, dir: String): DataFrame = {
-    val counts = graft.CacheScope.cache(docs(spark, dir)
+    val counts = graft.CacheScope.cache(Spread.scan(docs(spark, dir))
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
     val totals = graft.CacheScope.cache(counts.groupBy(col("source"))
@@ -2088,7 +2145,7 @@ object CorpusOps {
     */
   def q122FilterAblation(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val raw = graft.CacheScope.cache(d.filter(col("source") =!= "src0")
+    val raw = graft.CacheScope.cache(Spread.scan(d.filter(col("source") =!= "src0"))
       .select(col("doc_id"), col("text")))
     val quality = repetitionScored(raw)
       .select(col("doc_id"), col("flagged").as("quality_flagged"))

@@ -269,7 +269,9 @@ object Dedup {
         wordShingles(col("tok")).as("shingles"): _*)
 
   private[operators] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
-    shingleArraysOf(docs(spark, dir), Seq("lang", "source"))
+    // Spread.scan: the in-row shingle build is a CPU-dense kernel pass;
+    // a single-split scan otherwise runs it on one core (see Spread)
+    shingleArraysOf(Spread.scan(docs(spark, dir)), Seq("lang", "source"))
 
   /** MinHash + LSH banding: 4 bands × 4 rows; candidates share a band;
     * estimated similarity = matching minhashes / 16; threshold 0.5.
@@ -340,7 +342,8 @@ object Dedup {
     require(k >= 1 && k <= maxK, s"k must be 1..$maxK")
     require(bands >= 1 && k % bands == 0, "bands must divide k")
     graft.functions.expressions.SignatureExprs.register(docsDf.sparkSession)
-    val sig = graft.CacheScope.cache(minhashSigs(shingleArraysOf(docsDf), k))
+    val sig = graft.CacheScope.cache(
+      minhashSigs(shingleArraysOf(Spread.scan(docsDf)), k))
     val cand = bandPairs(sig, k, bands)
     val joined = cand
       .join(sig.toDF("a_id", "sig_a"), Seq("a_id"))
@@ -524,7 +527,9 @@ object Dedup {
     // the oracle's unnest) — the native codegen'd SimhashBitsExpr replaces
     // the earlier (doc × token × bit) explode and the ScalaUDF after it
     def attempt(b: Int): DataFrame = {
-      val sim = graft.CacheScope.cache(docsDf
+      // Spread.scan: the simhash kernel pass is otherwise bounded by the
+      // scan's split count (one core on a single-split fixture table)
+      val sim = graft.CacheScope.cache(Spread.scan(docsDf)
         .select(col("doc_id"), col("lang"),
           expr(s"simhash_bits(split(text, ' '), $b)").as("simhash")))
       simhashCandidates(sim, b, maxHamming)
@@ -932,7 +937,7 @@ object Dedup {
     graft.functions.expressions.SignatureExprs.register(spark)
     // cached: the self-join reads fps on BOTH sides — without this the
     // per-character digest pipeline (the query's dominant cost) runs twice
-    val fps = graft.CacheScope.cache(docs(spark, dir)
+    val fps = graft.CacheScope.cache(Spread.scan(docs(spark, dir))
       .select(col("doc_id"), explode(expr("winnow_fps(text)")).as("fp")))
     fps.select(col("doc_id").as("a_id"), col("fp"))
       .join(fps.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
@@ -1004,7 +1009,8 @@ object Dedup {
     // meta-less (refused) dir, never new sigs under the old meta
     IndexMeta.invalidate(spark, path)
     graft.CacheScope.run {
-      val sig = graft.CacheScope.cache(minhashSigs(shingleArraysOf(corpusDocs), k))
+      val sig = graft.CacheScope.cache(
+        minhashSigs(shingleArraysOf(Spread.scan(corpusDocs)), k))
       sig.write.mode("overwrite").parquet(s"$path/sigs")
       bandKeys(sig, k, bands).write.mode("overwrite").parquet(s"$path/bands")
     }
@@ -1054,7 +1060,8 @@ object Dedup {
     val (k, bands) = (idx.k, idx.bands)
     val corpusSigs = idx.corpusSigs
     val corpusBands = idx.corpusBands
-    val dSig = graft.CacheScope.cache(minhashSigs(shingleArraysOf(deltaDocs), k))
+    val dSig = graft.CacheScope.cache(
+      minhashSigs(shingleArraysOf(Spread.scan(deltaDocs)), k))
     val cand = bandKeys(dSig, k, bands).withColumnRenamed("doc_id", "a_id")
       .join(corpusBands, Seq("band", "bk"))
       .filter(col("a_id") =!= col("b_id"))

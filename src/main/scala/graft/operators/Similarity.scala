@@ -2562,7 +2562,7 @@ object Similarity {
     val assigned = assignClusters(emb(spark, dir), PRUNE_K)
       .select(col("vec_id").as("doc_id"), col("cluster"))
     val tf = graft.CacheScope.cache(
-      Tables.load(spark, dir, "documents")
+      Spread.scan(Tables.load(spark, dir, "documents"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .join(assigned, Seq("doc_id"))
         .groupBy(col("cluster"), col("w")).agg(count(lit(1)).as("tf")))

@@ -97,13 +97,31 @@ object Skew {
   def saltedJoinAdaptive(probe: DataFrame, build: DataFrame, key: String,
                          salts: Int, uniqueKey: String,
                          keyCounts: DataFrame, cntCol: String): DataFrame = {
+    val stats = keyStats(keyCounts, cntCol).head()
+    saltedJoinAdaptiveWith(probe, build, key, salts, uniqueKey, keyCounts,
+      cntCol, stats.getLong(0), stats.getLong(1))
+  }
+
+  /** The (total, max) aggregate [[saltedJoinAdaptive]] decides from,
+    * exposed unexecuted: a query with SEVERAL gated joins unions the
+    * per-table stats frames and collects them in ONE driver-synchronized
+    * job (the trigram-KN shape runs four gates — four sequential
+    * construction-time jobs otherwise), then feeds each pair back
+    * through [[saltedJoinAdaptiveWith]].
+    */
+  def keyStats(keyCounts: DataFrame, cntCol: String): DataFrame =
+    keyCounts.agg(coalesce(sum(col(cntCol)), lit(0L)).as("total"),
+      coalesce(max(col(cntCol)), lit(0L)).as("mx"))
+
+  /** [[saltedJoinAdaptive]] with the decision statistics supplied by the
+    * caller (from a batched [[keyStats]] collect) — no job runs here.
+    */
+  def saltedJoinAdaptiveWith(probe: DataFrame, build: DataFrame, key: String,
+                             salts: Int, uniqueKey: String,
+                             keyCounts: DataFrame, cntCol: String,
+                             total: Long, maxCnt: Long): DataFrame = {
     val spark = probe.sparkSession
     val parallelism = spark.sessionState.conf.numShufflePartitions.max(1)
-    val stats = keyCounts
-      .agg(coalesce(sum(col(cntCol)), lit(0L)).as("total"),
-        coalesce(max(col(cntCol)), lit(0L)).as("mx")).head()
-    val total = stats.getLong(0)
-    val maxCnt = stats.getLong(1)
     val threshold = math.max(1L, (StragglerFactor * total / parallelism).toLong)
     if (maxCnt < threshold) {
       graft.Telemetry.record(

@@ -29,8 +29,12 @@ object StarQueries {
     */
   def starsFromEventsDf(spark: SparkSession, events: DataFrame): Dataset[Star] = {
     import spark.implicits._
-    events
-      .withColumn("t_days", col("ts") / lit(86400e9))
+    // Spread.byKey: everything downstream of this aggregate (Star build,
+    // descriptor kernels, decider scoring) is CPU-dense Scala over
+    // in-row curves — pin the exchange width or AQE's byte-based
+    // coalescing runs it on 1-3 cores at bench scale (see Spread)
+    Spread.byKey(events.withColumn("t_days", col("ts") / lit(86400e9)),
+        col("user_id"))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("t_days").as("t"), col("value").as("v"))))
         .as("pts"))

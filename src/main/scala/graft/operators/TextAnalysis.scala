@@ -691,7 +691,7 @@ object TextAnalysis {
   /** The (source, trigram-occurrence) stream — ONE definition for both
     * cardinality sketches (q150 linear counting, q153/q154 HLL).
     */
-  private[graft] def triStream(df: DataFrame): DataFrame = df
+  private[graft] def triStream(df: DataFrame): DataFrame = Spread.scan(df)
     .select(col("source"), split(col("text"), " ").as("toks"))
     .filter(size(col("toks")) > 2)
     .select(col("source"), explode(expr(
@@ -931,7 +931,7 @@ object TextAnalysis {
     * vocabulary² frame.
     */
   def q152Collocations(spark: SparkSession, dir: String): DataFrame = {
-    val big = graft.CacheScope.cache(docs(spark, dir)
+    val big = graft.CacheScope.cache(Spread.scan(docs(spark, dir))
       .select(split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) > 1)
       .select(explode(expr(

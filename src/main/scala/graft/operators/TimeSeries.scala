@@ -176,8 +176,11 @@ object TimeSeries {
     // stays inside one generated stage
     graft.functions.expressions.CurveAbbeExpr.register(spark)
     graft.functions.expressions.CurveKernelExprs.register(spark)
-    ev(spark, dir)
-      .withColumn("t_days", col("ts") / lit(86400e9)) // days since epoch
+    // Spread.byKey: the four curve kernels below are CPU-dense per-row
+    // work — pin the exchange width against AQE byte-coalescing (Spread)
+    Spread.byKey(
+        ev(spark, dir).withColumn("t_days", col("ts") / lit(86400e9)),
+        col("user_id"))
       .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("t_days").as("t"), col("value").as("v"))))
         .as("pts"))
@@ -333,11 +336,43 @@ object TimeSeries {
       val ids = idsS.toArray
       val n = ts.length
       val phase = new Array[Double](n)
-      val idx = Array.tabulate(n)(Integer.valueOf) // boxed once per user
-      val cmp = new java.util.Comparator[Integer] {
-        def compare(a: Integer, b: Integer): Int = {
-          val c = java.lang.Double.compare(phase(a), phase(b))
-          if (c != 0) c else java.lang.Long.compare(ids(a), ids(b))
+      val idx = Array.tabulate(n)(identity)
+      val tmp = new Array[Int](n)
+      // primitive int mergesort over indices. (phase, id) is a STRICT
+      // total order (event ids are distinct), so the sorted permutation
+      // is unique — any correct sort reproduces the previous boxed
+      // TimSort's output exactly. This replaces an Integer[] sort whose
+      // per-comparison cost (boxing + megamorphic comparator dispatch)
+      // dominated the suite's hottest loop (periods × users × n log n).
+      def lt(a: Int, b: Int): Boolean = {
+        val c = java.lang.Double.compare(phase(a), phase(b))
+        if (c != 0) c < 0 else ids(a) < ids(b)
+      }
+      def insertion(lo: Int, hi: Int): Unit = {
+        var i = lo + 1
+        while (i < hi) {
+          val v = idx(i)
+          var j = i - 1
+          while (j >= lo && lt(v, idx(j))) { idx(j + 1) = idx(j); j -= 1 }
+          idx(j + 1) = v
+          i += 1
+        }
+      }
+      def msort(lo: Int, hi: Int): Unit = {
+        if (hi - lo <= 16) { insertion(lo, hi); return }
+        val mid = (lo + hi) >>> 1
+        msort(lo, mid); msort(mid, hi)
+        if (lt(idx(mid), idx(mid - 1))) { // already ordered → skip merge
+          System.arraycopy(idx, lo, tmp, lo, mid - lo)
+          var i = lo
+          var j = mid
+          var k = lo
+          while (i < mid && j < hi) {
+            if (lt(idx(j), tmp(i))) { idx(k) = idx(j); j += 1 }
+            else { idx(k) = tmp(i); i += 1 }
+            k += 1
+          }
+          while (i < mid) { idx(k) = tmp(i); i += 1; k += 1 }
         }
       }
       var bestP = 0.0
@@ -345,7 +380,7 @@ object TimeSeries {
       periods.foreach { p =>
         var i = 0
         while (i < n) { phase(i) = ts(i) % p; i += 1 }
-        java.util.Arrays.sort(idx, cmp) // (phase, id) total order: stateless across rounds
+        msort(0, n) // (phase, id) total order: stateless across rounds
         var sl = 0L
         var j = 1
         while (j < n) {
@@ -357,8 +392,12 @@ object TimeSeries {
       }
       (bestP, bestSl.toDouble / 1e6)
     })
-    events
-      .withColumn("t_days", col("ts") / lit(86400e9))
+    // Spread.byKey: the grid search below is the suite's most CPU-dense
+    // kernel stage — without the pin, AQE's byte-based coalescing packs
+    // the per-user frame into 1-3 tasks at bench scale (guide §2: make
+    // partitioning scale-adaptive; the Spread scaladoc has the numbers)
+    Spread.byKey(events.withColumn("t_days", col("ts") / lit(86400e9)),
+        col("user_id"))
       .groupBy(col("user_id"))
       .agg(collect_list(struct(col("t_days").as("t"), col("value").as("v"),
         col("event_id").as("id"))).as("pts"))

@@ -160,29 +160,29 @@ class SkewSpec extends SparkSpec {
     }
   }
 
-  test("q73's unigram join is wired through the adaptive skew gate") {
-    // at fixture scale the head token is ~1.1× the mean reducer load —
-    // the gate must (correctly) choose the plain join there, and the
-    // telemetry records the decision; the salted branch's behavior under
-    // real skew is proven by the two adaptive-gate tests above
+  test("q73's type-nll probe join is wired through the adaptive skew gate") {
+    // at fixture scale the head bigram type is under the straggler
+    // budget — the gate must (correctly) choose the plain join there,
+    // and the telemetry records the decision; the salted branch's
+    // behavior under real skew is proven by the adaptive-gate tests above
     graft.Telemetry.drain()
     val df = CorpusOps.queries("q73_lm_perplexity")(spark, "/root/testdata/sf0.001")
     val evs = graft.Telemetry.drain()
-    assert(evs.exists(e => e.contains("skew key=w1") && e.contains("path=")),
+    assert(evs.exists(e => e.contains("skew key=_k") && e.contains("path=")),
       s"q73 must consult the adaptive gate: $evs")
     assert(df.columns.contains("avg_nll"))
   }
 
   test("q180's class-bucketed head FIRES the salted path on the fixture corpus") {
-    // q180's <short> class holds ~80% of token occurrences — past the
-    // 50%-of-rows straggler budget at this suite's 4 shuffle partitions
-    // (and the 6.25% budget at Bench's 32) — so this is the hash-gated
-    // query whose SALTED branch executes end to end on real data, not
-    // only under the forced-skew toys above
+    // q180's <short>-<short> class bigram holds ~64% of occurrences —
+    // past the 50%-of-rows straggler budget at this suite's 4 shuffle
+    // partitions (and the 6.25% budget at Bench's 32) — so this is the
+    // hash-gated query whose SALTED branch executes end to end on real
+    // data, not only under the forced-skew toys above
     graft.Telemetry.drain()
     val df = CorpusOps.queries("q180_skewed_perplexity")(spark, "/root/testdata/sf0.001")
     val evs = graft.Telemetry.drain()
-    assert(evs.exists(e => e.contains("skew key=cls1") && e.contains("path=salted")),
+    assert(evs.exists(e => e.contains("skew key=_k") && e.contains("path=salted")),
       s"q180 must take the salted path on the fixture corpus: $evs")
     // and the salted result is the oracle-shaped frame (hash equality vs
     // DuckDB is the driver gate; row count + schema pin it here)
