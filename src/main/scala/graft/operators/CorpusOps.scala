@@ -416,6 +416,16 @@ object CorpusOps {
     */
   private[graft] val KN_SEP = "\u0001"
 
+  /** Exact integer arithmetic for the KN nll ratio forms: decimal(38,0)
+    * keeps the products exact far past the 64-bit range (the trigram
+    * numerator overflows long around 500k zipf docs), and the final
+    * cast-to-double rounds the same exact integer a long cast would -
+    * so fixture-scale results are bit-identical while the 100 TB rungs
+    * stop overflowing. Cost rides the TYPE table only (the r18
+    * restructure), never the occurrence stream.
+    */
+  private def dec38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+
   def q73LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
     // NO Spread.scan here (measured −0.7 s to +0.2 s at sf0.1): the
     // tokenize kernel is cheap and the downstream type-table partial
@@ -637,10 +647,12 @@ object CorpusOps {
     val typeNll = graft.CacheScope.cache(big
       .join(ctx, Seq("w1")).join(hist, Seq("w2"))
       .crossJoin(broadcast(types))
+      // decimal(38,0) for the same overflow-safety as the trigram form
+      // (the 64-bit bound c12*t < 2^61 binds around the 50M-doc rung)
       .withColumn("nll",
-        log((lit(4L) * col("c1") * col("t")).cast("double")) -
-          log(((lit(4L) * col("c12") - 3L) * col("t") +
-            lit(3L) * col("n1p_w1") * col("n1p_w2")).cast("double")))
+        log((lit(4L) * dec38(col("c1")) * dec38(col("t"))).cast("double")) -
+          log(((lit(4L) * dec38(col("c12")) - 3L) * dec38(col("t")) +
+            lit(3L) * dec38(col("n1p_w1")) * dec38(col("n1p_w2"))).cast("double")))
       .withColumn("_nm", round(col("nll") * 1e6, 0).cast("long"))
       .select(concat_ws(KN_SEP, col("w1"), col("w2")).as("_k"),
         col("c12"), col("_nm")))
@@ -698,11 +710,11 @@ object CorpusOps {
       .join(ctx, Seq("w1")).join(hist, Seq("w2"))
       .crossJoin(broadcast(types))
       .withColumn("nll",
-        log((lit(4L) * col("c1") * col("t")).cast("double")) -
+        log((lit(4L) * dec38(col("c1")) * dec38(col("t"))).cast("double")) -
           log(when(col("c12") < minCount,
-            lit(3L) * col("n1p_w1") * col("n1p_w2"))
-            .otherwise((lit(4L) * col("c12") - 3L) * col("t") +
-              lit(3L) * col("n1p_w1") * col("n1p_w2")).cast("double")))
+            lit(3L) * dec38(col("n1p_w1")) * dec38(col("n1p_w2")))
+            .otherwise((lit(4L) * dec38(col("c12")) - 3L) * dec38(col("t")) +
+              lit(3L) * dec38(col("n1p_w1")) * dec38(col("n1p_w2"))).cast("double")))
       .withColumn("_nm", round(col("nll") * 1e6, 0).cast("long"))
       .select(concat_ws(KN_SEP, col("w1"), col("w2")).as("_k"),
         col("c12"), col("_nm")))
@@ -819,16 +831,24 @@ object CorpusOps {
       .join(w2stats, Seq("w2"))
       .join(w3stats, Seq("w3"))
       .crossJoin(broadcast(t3))
+      // exact DECIMAL(38,0) integer arithmetic: the 64-bit form overflows
+      // once c123*n1p_mid*t grows past 2^59 (measured: the 500k-doc zipf
+      // ladder rung died on ANSI ARITHMETIC_OVERFLOW in r18) - decimal
+      // keeps the integer exact to 10^38 and its cast-to-double rounds
+      // the same exact integer a long cast would, so every fixture-scale
+      // hash is unchanged (oracle-verified)
       .withColumn("p2num",
-        (lit(4L) * col("n1p_w2w3") - 3L) * col("t") +
-          lit(3L) * col("n1p_fol") * col("n1p_w3"))
+        (lit(4L) * dec38(col("n1p_w2w3")) - 3L) * dec38(col("t")) +
+          lit(3L) * dec38(col("n1p_fol")) * dec38(col("n1p_w3")))
       .withColumn("nll",
-        log((lit(16L) * col("c12") * col("n1p_mid") * col("t")).cast("double")) -
+        log((lit(16L) * dec38(col("c12")) * dec38(col("n1p_mid")) *
+            dec38(col("t"))).cast("double")) -
           log(when(col("c123") < minCount,
-            lit(3L) * col("n1p_ctx") * col("p2num"))
+            lit(3L) * dec38(col("n1p_ctx")) * col("p2num"))
             .otherwise(
-              (lit(4L) * col("c123") - 3L) * lit(4L) * col("n1p_mid") * col("t") +
-                lit(3L) * col("n1p_ctx") * col("p2num")).cast("double")))
+              (lit(4L) * dec38(col("c123")) - 3L) * lit(4L) *
+                dec38(col("n1p_mid")) * dec38(col("t")) +
+                lit(3L) * dec38(col("n1p_ctx")) * col("p2num")).cast("double")))
       .withColumn("_nm", round(col("nll") * 1e6, 0).cast("long"))
       .select(concat_ws(KN_SEP, col("w1"), col("w2"), col("w3")).as("_k"),
         col("c123"), col("_nm")))
@@ -1015,7 +1035,7 @@ object CorpusOps {
     * (spec-pinned via md5).
     */
   def q103DedupScrub(spark: SparkSession, dir: String): DataFrame =
-    scrubVerdicts(firstOccurrenceKeep(scrubBlocks(Spread.scan(docs(spark, dir)))))
+    scrubVerdicts(firstOccurrenceKeep(scrubBlocks(docs(spark, dir))))
 
   /** Occurrence count at which a block is "hot" and dropped EVERYWHERE. */
   val HOT_BLOCK_MIN = 3
@@ -1041,7 +1061,7 @@ object CorpusOps {
     // cached: the frequency aggregate and the join back both read the
     // exploded block stream
     val blocks = graft.CacheScope.cache(
-      scrubBlocks(Spread.scan(docs(spark, dir))).withColumn("h", md5(col("btxt"))))
+      scrubBlocks(docs(spark, dir)).withColumn("h", md5(col("btxt"))))
     val hot = blocks.groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= HOT_BLOCK_MIN)

@@ -174,7 +174,13 @@ object Dedup {
     // returned plan, so it must outlive this call; the harness clears
     // per-query caches (Bench/Verify clearCache) once the result is
     // materialized.
-    val sh = graft.CacheScope.cache(shingleArrays(spark, dir))
+    // deliberately NOT Spread.scan'd (unlike the minhash users of
+    // shingleArrays): q45's next stage is the shingle-frequency
+    // aggregation, whose map-side combine dedups best over few large
+    // partitions — the respread measured +0.5 s here while the
+    // minhash-kernel siblings gained 30-45%
+    val sh = graft.CacheScope.cache(
+      shingleArraysOf(docs(spark, dir), Seq("lang", "source")))
     ngramVerify(ngramCandidates(sh), sh)
   }
 
@@ -1147,7 +1153,9 @@ object Dedup {
       out
     }
     val sh = stage("shingle") {
-      val d = graft.CacheScope.cache(shingleArrays(spark, dir))
+      // mirrors q45's exact (un-respread) shingle frame - probe fidelity
+      val d = graft.CacheScope.cache(
+        shingleArraysOf(docs(spark, dir), Seq("lang", "source")))
       (d, d.count())
     }
     val pref = stage("prefix_build") {
