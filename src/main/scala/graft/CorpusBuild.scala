@@ -50,12 +50,13 @@ object CorpusBuild {
     * convention; `materialize` and the driver harness both wrap the
     * terminal action in `CacheScope.run`).
     */
-  private[graft] def buildFrames(spark: SparkSession, sfDir: String): BuildFrames = {
+  private[graft] def buildFrames(spark: SparkSession, sfDir: String,
+                                 cacheCurated: Boolean = true): BuildFrames = {
     val verdicts = ingestStage(spark, sfDir)
     val survivors = survivorsStage(spark, sfDir, verdicts)
     val scrubbed = scrubStage(survivors)
     val nonEmpty = CacheScope.cache(scrubbed.filter(length(col("text")) > 0))
-    val curated = curatedStage(survivors, nonEmpty)
+    val curated = curatedStage(survivors, nonEmpty, cacheCurated)
     BuildFrames(verdicts, scrubbed, curated)
   }
 
@@ -87,7 +88,15 @@ object CorpusBuild {
         .groupBy(col("doc_id"))
         .agg(operators.CorpusOps.scrubAssembled.as("text"),
           count(lit(1)).as("n_blocks"),
-          sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed")),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+        // r19: the scrubbed text's md5 is computed ONCE, here, ahead of
+        // the checkpoint barrier — both downstream consumers (the q80
+        // split bucket and q104's scrubbed_md5 output column) used to
+        // recompute md5 over the full text (guide §2.3: decide on a
+        // 32-char proxy, not the payload; at 100 TB that is two whole-
+        // corpus md5 passes saved and the text column stays prunable
+        // out of every downstream exchange)
+        .withColumn("scrubbed_md5", md5(col("text"))),
       "q104_scrub")
 
   /** q80's content-hash split over the CURATED text + q89's shared
@@ -97,15 +106,23 @@ object CorpusBuild {
     * and the manifest count) — uncached, the assembly joins and the
     * ordinal windows would run a second full pass just for a count.
     */
-  private[graft] def curatedStage(survivors: DataFrame, nonEmpty: DataFrame): DataFrame = {
-    val bucket = pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
+  private[graft] def curatedStage(survivors: DataFrame, nonEmpty: DataFrame,
+                                  cache: Boolean = true): DataFrame = {
+    // the q80 bucket over the PRE-COMPUTED scrub md5 (same value as
+    // md5(text) — computed once in scrubStage, ahead of the barrier)
+    val bucket = pmod(conv(substring(col("scrubbed_md5"), 1, 15), 16, 10)
       .cast("long"), lit(100))
-    CacheScope.cache(nonEmpty
+    val curated = nonEmpty
       .join(survivors.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
       .withColumn("split",
         when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test"))
       .join(operators.CorpusOps.shardOrdinals(nonEmpty.select(col("doc_id"))),
-        Seq("doc_id")))
+        Seq("doc_id"))
+    // `materialize` consumes the curated frame twice (parquet write +
+    // manifest count) — cached there; q104's query path consumes it ONCE,
+    // where the cache only forced materializing every column (text, lang,
+    // source) that the query's final projection would otherwise prune
+    if (cache) CacheScope.cache(curated) else curated
   }
 
   /** Per-stage probe for q104 — the heaviest query in the artifact needs
@@ -144,7 +161,9 @@ object CorpusBuild {
           (d, d.count())
         }
         stage("split_shard") {
-          val d = curatedStage(survivors, nonEmpty); (d, d.count())
+          // cache=false: the probe attributes the QUERY's wall (q104's
+          // single-consumer path), not the builder's two-consumer cache
+          val d = curatedStage(survivors, nonEmpty, cache = false); (d, d.count())
         }
         out.result()
       }
@@ -161,9 +180,9 @@ object CorpusBuild {
     * hauling it), plus split/shard/ordinal.
     */
   def q104CorpusBuild(spark: SparkSession, dir: String): DataFrame =
-    buildFrames(spark, dir).curated
+    buildFrames(spark, dir, cacheCurated = false).curated
       .select(col("doc_id"), col("n_blocks"), col("n_removed"),
-        md5(col("text")).as("scrubbed_md5"),
+        col("scrubbed_md5"),
         col("split"), col("shard"), col("ordinal"))
 
   def materialize(spark: SparkSession, sfDir: String,

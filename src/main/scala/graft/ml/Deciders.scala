@@ -437,11 +437,16 @@ private[ml] final case class GaussianClass(
 private[ml] object GaussianFit {
   type Moments = (Long, BDV[Double], BDM[Double])
 
-  /** (n, Σx, Σxxᵀ) for BOTH classes in one distributed pass. */
-  def momentsBoth(df: DataFrame): (Moments, Moments) = {
+  /** (n, Σx, Σxxᵀ) for BOTH classes in one distributed pass.
+    *
+    * `dim` > 0 skips the `first()` probe job (callers that know the feature
+    * dimension — e.g. StarsFilter via `featureCols.length` — save one
+    * driver round-trip; guide §5, no needless driver actions).
+    */
+  def momentsBoth(df: DataFrame, dim: Int = -1): (Moments, Moments) = {
     val rows = df.select("label", "features")
       .rdd.map(r => (r.getDouble(0), r.getAs[Vector](1).toArray))
-    val d = rows.first()._2.length
+    val d = if (dim > 0) dim else rows.first()._2.length
     def zero: Moments = (0L, BDV.zeros[Double](d), BDM.zeros[Double](d, d))
     def add(acc: Moments, x: Array[Double]): Moments = {
       val v = BDV(x)
@@ -486,13 +491,29 @@ private[ml] class GaussianDiscriminantModel(
     finishProb(df, GaussianFit.probUdf(g0, g1)(col("features")))
 }
 
+/** A decider whose fit is a closed form over the per-class Gaussian moment
+  * sums (n, Σx, Σxxᵀ). [[StarsFilter.learnOnCoords]] exploits this: when
+  * every decider is moment-based, ONE shared treeAggregate pass replaces
+  * the per-decider count + probe + aggregate jobs (guide §1 fewer jobs /
+  * §5 driver round-trips). `learnFromMoments` must produce the exact model
+  * `learn` would: both run the same `GaussianFit.momentsBoth` arithmetic,
+  * so the models are bit-identical.
+  */
+private[ml] trait MomentDecider extends Decider {
+  def learnFromMoments(mom0: GaussianFit.Moments, mom1: GaussianFit.Moments): DeciderModel
+}
+
 /** `QDADec`: per-class mean + covariance, closed form
   * (`supervised_deciders.py:38-49` — no MLlib equivalent).
   */
-class QDADec(val threshold: Double = 0.5) extends Decider {
+class QDADec(val threshold: Double = 0.5) extends Decider with MomentDecider {
   val name = "QDADec"
   def learn(train: DataFrame): DeciderModel = {
-    val ((n0, sx0, sxx0), (n1, sx1, sxx1)) = GaussianFit.momentsBoth(train)
+    val (mom0, mom1) = GaussianFit.momentsBoth(train)
+    learnFromMoments(mom0, mom1)
+  }
+  def learnFromMoments(mom0: GaussianFit.Moments, mom1: GaussianFit.Moments): DeciderModel = {
+    val ((n0, sx0, sxx0), (n1, sx1, sxx1)) = (mom0, mom1)
     val total = n0 + n1
     new GaussianDiscriminantModel(name, threshold,
       GaussianFit.gaussian(n0, sx0, sxx0, total),
@@ -503,10 +524,14 @@ class QDADec(val threshold: Double = 0.5) extends Decider {
 /** `LDADec`: shared (pooled) covariance linear discriminant
   * (`supervised_deciders.py:12-23` — no MLlib LDA classifier).
   */
-class LDADec(val threshold: Double = 0.5) extends Decider {
+class LDADec(val threshold: Double = 0.5) extends Decider with MomentDecider {
   val name = "LDADec"
   def learn(train: DataFrame): DeciderModel = {
-    val ((n0, sx0, sxx0), (n1, sx1, sxx1)) = GaussianFit.momentsBoth(train)
+    val (mom0, mom1) = GaussianFit.momentsBoth(train)
+    learnFromMoments(mom0, mom1)
+  }
+  def learnFromMoments(mom0: GaussianFit.Moments, mom1: GaussianFit.Moments): DeciderModel = {
+    val ((n0, sx0, sxx0), (n1, sx1, sxx1)) = (mom0, mom1)
     val total = n0 + n1
     val d = sx0.length
     val m0 = sx0 / n0.toDouble

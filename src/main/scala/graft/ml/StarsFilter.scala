@@ -57,10 +57,22 @@ class StarsFilter(val descriptors: Seq[Descriptor], val deciders: Seq[Decider]) 
     val train = searchedCoords.withColumn("label", lit(1.0))
       .unionByName(othersCoords.withColumn("label", lit(0.0)))
       .select("features", "label")
-      .cache()
+    // Closed-form deciders (LDA/QDA) all fit from the same per-class moment
+    // sums, so when every decider is moment-based the whole learn path is
+    // ONE distributed pass: the shared treeAggregate yields (n, Σx, Σxxᵀ)
+    // per class — the class counts for the emptiness check included — and
+    // each model is solved on the driver. No cache (single consumer), no
+    // per-decider count/probe/aggregate jobs, no thread pool.
+    if (deciders.nonEmpty && deciders.forall(_.isInstanceOf[MomentDecider])) {
+      val (m0, m1) = GaussianFit.momentsBoth(train, dim = featureCols.length)
+      require(m1._1 > 0 && m0._1 > 0, "Decider can't be learned on an empty sample")
+      val models = deciders.map(_.asInstanceOf[MomentDecider].learnFromMoments(m0, m1))
+      return new StarsFilterModel(descriptors, models, featureCols)
+    }
+    val cached = train.cache()
     try {
       // one aggregation materializes the cache AND checks both classes
-      val counts = train.agg(
+      val counts = cached.agg(
         sum(when(col("label") === 1.0, 1).otherwise(0)),
         sum(when(col("label") === 0.0, 1).otherwise(0))).head()
       require(!counts.isNullAt(0) && counts.getLong(0) > 0 && counts.getLong(1) > 0,
@@ -68,7 +80,7 @@ class StarsFilter(val descriptors: Seq[Descriptor], val deciders: Seq[Decider]) 
       // deciders fit concurrently over the cached train set (each fit is a
       // distributed job; Spark interleaves them)
       val models =
-        if (deciders.lengthCompare(1) <= 0) deciders.map(_.learn(train))
+        if (deciders.lengthCompare(1) <= 0) deciders.map(_.learn(cached))
         else {
           import scala.concurrent.{Await, ExecutionContext, Future}
           import scala.concurrent.duration.Duration
@@ -77,11 +89,11 @@ class StarsFilter(val descriptors: Seq[Descriptor], val deciders: Seq[Decider]) 
           try {
             implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
             Await.result(
-              Future.sequence(deciders.map(d => Future(d.learn(train)))), Duration.Inf)
+              Future.sequence(deciders.map(d => Future(d.learn(cached)))), Duration.Inf)
           } finally pool.shutdown()
         }
       new StarsFilterModel(descriptors, models, featureCols)
-    } finally train.unpersist()
+    } finally cached.unpersist()
   }
 }
 
@@ -174,53 +186,60 @@ class StarsFilterModel(val descriptors: Seq[Descriptor],
     * consume coords, `base_decider.py:133-197`).
     */
   def getStatisticOnCoords(searchedCoords: DataFrame, othersCoords: DataFrame): DataFrame = {
-    val s = predictOnCoords(searchedCoords).cache()
-    val o = predictOnCoords(othersCoords).cache()
-    try {
-      // one aggregation per sample computes n + every decider's hit count
-      def counts(df: DataFrame, ge: Boolean): Map[String, Double] = {
-        val aggs = count(lit(1)).cast("double").as("n") +: models.map { m =>
-          val hit = if (ge) col(s"prob_${m.name}") >= m.threshold
-                    else col(s"prob_${m.name}") < m.threshold
-          sum(when(hit, 1).otherwise(0)).cast("double").as(m.name)
-        }
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        row.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> row.getDouble(i) }.toMap
+    // ONE aggregation job computes both samples' n and every decider's hit
+    // count: the two per-sample aggregates are label-conditional sums over
+    // the union (guide §1 fewer jobs). No caches — each scored branch is
+    // consumed exactly once, and the underlying coords are the caller's
+    // (already cached/checkpointed) frame.
+    val tagged = predictOnCoords(searchedCoords).withColumn("_cls", lit(1))
+      .unionByName(predictOnCoords(othersCoords).withColumn("_cls", lit(0)))
+    def cls(v: Int) = col("_cls") === v
+    val aggs =
+      Seq(sum(when(cls(1), 1).otherwise(0)).cast("double").as("s_n"),
+          sum(when(cls(0), 1).otherwise(0)).cast("double").as("o_n")) ++
+      models.flatMap { m =>
+        Seq(
+          sum(when(cls(1) && col(s"prob_${m.name}") >= m.threshold, 1).otherwise(0))
+            .cast("double").as(s"s_${m.name}"),
+          sum(when(cls(0) && col(s"prob_${m.name}") < m.threshold, 1).otherwise(0))
+            .cast("double").as(s"o_${m.name}"))
       }
-      val sc = counts(s, ge = true)
-      val oc = counts(o, ge = false)
-      val rightNum = sc("n")
-      val wrongNum = oc("n")
-      val rows = models.map { m =>
-        val tp = sc(m.name)
-        val tn = oc(m.name)
-        val fp = wrongNum - tn
-        val fn = rightNum - tp
-        val precision = if (tp + fp > 0) tp / (tp + fp) else 0.0
-        (m.name,
-          math.rint(precision * 1000) / 1000,
-          (tp + tn) / (rightNum + wrongNum),
-          2 * tp / (2 * tp + fp + fn),
-          math.rint(tp / rightNum * 1000) / 1000,
-          math.rint(tn / wrongNum * 1000) / 1000,
-          math.rint((1 - tn / wrongNum) * 1000) / 1000,
-          math.rint((1 - tp / rightNum) * 1000) / 1000)
-      }
-      val spark = searchedCoords.sparkSession
-      import spark.implicits._
-      val perDecider = rows.toDF("decider", "precision", "accuracy", "f1_score",
-        "true_positive_rate", "true_negative_rate",
-        "false_positive_rate", "false_negative_rate")
-      val meanRow = perDecider.groupBy()
-        .agg(lit("mean").as("decider"),
-          avg("precision").as("precision"), avg("accuracy").as("accuracy"),
-          avg("f1_score").as("f1_score"),
-          avg("true_positive_rate").as("true_positive_rate"),
-          avg("true_negative_rate").as("true_negative_rate"),
-          avg("false_positive_rate").as("false_positive_rate"),
-          avg("false_negative_rate").as("false_negative_rate"))
-      perDecider.unionByName(meanRow)
-    } finally { s.unpersist(); o.unpersist() }
+    val row = tagged.agg(aggs.head, aggs.tail: _*).head()
+    val all = row.schema.fieldNames.zipWithIndex
+      .map { case (f, i) => f -> row.getDouble(i) }.toMap
+    val sc = all.collect { case (k, v) if k.startsWith("s_") => k.drop(2) -> v }
+    val oc = all.collect { case (k, v) if k.startsWith("o_") => k.drop(2) -> v }
+    val rightNum = sc("n")
+    val wrongNum = oc("n")
+    val rows = models.map { m =>
+      val tp = sc(m.name)
+      val tn = oc(m.name)
+      val fp = wrongNum - tn
+      val fn = rightNum - tp
+      val precision = if (tp + fp > 0) tp / (tp + fp) else 0.0
+      (m.name,
+        math.rint(precision * 1000) / 1000,
+        (tp + tn) / (rightNum + wrongNum),
+        2 * tp / (2 * tp + fp + fn),
+        math.rint(tp / rightNum * 1000) / 1000,
+        math.rint(tn / wrongNum * 1000) / 1000,
+        math.rint((1 - tn / wrongNum) * 1000) / 1000,
+        math.rint((1 - tp / rightNum) * 1000) / 1000)
+    }
+    val spark = searchedCoords.sparkSession
+    import spark.implicits._
+    val perDecider = rows.toDF("decider", "precision", "accuracy", "f1_score",
+      "true_positive_rate", "true_negative_rate",
+      "false_positive_rate", "false_negative_rate")
+    val meanRow = perDecider.groupBy()
+      .agg(lit("mean").as("decider"),
+        avg("precision").as("precision"), avg("accuracy").as("accuracy"),
+        avg("f1_score").as("f1_score"),
+        avg("true_positive_rate").as("true_positive_rate"),
+        avg("true_negative_rate").as("true_negative_rate"),
+        avg("false_positive_rate").as("false_positive_rate"),
+        avg("false_negative_rate").as("false_negative_rate"))
+    perDecider.unionByName(meanRow)
   }
 
   /** Grid-evaluated probability space (`tools/visualization.py:117-199`

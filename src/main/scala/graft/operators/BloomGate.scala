@@ -232,8 +232,9 @@ object BloomGate {
   def q97BloomIndex(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val indexPath = Tables.derivedIndexPath("graft_bloom_gate_v1", dir, "documents")
-    if (!IndexMeta.exists(spark, indexPath))
+    IndexMeta.ensure(spark, indexPath) {
       writeBloomIndex(d.filter(col("source") === "src0"), indexPath)
+    }
     decontaminateAgainstIndex(d.filter(col("source") =!= "src0"), indexPath)
   }
 

@@ -372,7 +372,7 @@ object Bm25 {
 
   private def ensureIndex(spark: SparkSession, dir: String): String = {
     val path = Tables.derivedIndexPath("graft_bm25_v2", dir, "documents")
-    if (!IndexMeta.exists(spark, path)) writeBm25Index(docs(spark, dir), path)
+    IndexMeta.ensure(spark, path) { writeBm25Index(docs(spark, dir), path) }
     path
   }
 
@@ -397,7 +397,7 @@ object Bm25 {
     */
   private def ensureIncIndex(spark: SparkSession, dir: String): String = {
     val path = Tables.derivedIndexPath("graft_bm25_inc_v2", dir, "documents")
-    if (!IndexMeta.exists(spark, path)) {
+    IndexMeta.ensure(spark, path) {
       val d = docs(spark, dir)
       writeBm25Index(d.filter(pmod(col("doc_id"), lit(5)) =!= 0), path)
       appendBm25Delta(d.filter(pmod(col("doc_id"), lit(5)) === 0), path)

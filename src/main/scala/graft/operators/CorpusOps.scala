@@ -273,7 +273,7 @@ object CorpusOps {
   def q130HotBlockIndex(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val indexPath = Tables.derivedIndexPath("graft_hot_blocks_v1", dir, "documents")
-    if (!IndexMeta.exists(spark, indexPath)) writeHotBlockIndex(d, indexPath)
+    IndexMeta.ensure(spark, indexPath) { writeHotBlockIndex(d, indexPath) }
     hotScrubAgainstIndex(d, indexPath)
   }
 
@@ -440,12 +440,15 @@ object CorpusOps {
     val uni = graft.CacheScope.cache(toks.select(explode(col("tokens")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1")))
     val vocab = uni.select(count(lit(1)).as("v"))
-    val docBigrams = toks
+    // r19: the exploded doc-bigram stream is consumed twice (type
+    // aggregation + probe) — cached so the explode kernel runs once
+    // (guide §5; toks stays cached for the unigram pass above)
+    val docBigrams = graft.CacheScope.cache(toks
       .filter(size(col("tokens")) > 1)
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(1, size(tokens) - 1),
           |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))""".stripMargin)).as(Seq("pos", "b")))
-      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2")))
     val big = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     // r18 restructure (guide §2.3/§8: move the heavy stream once, decide
     // on the light proxy): per-bigram nll depends ONLY on the type's
@@ -521,13 +524,14 @@ object CorpusOps {
       .select(tokenClass(col("w")).as("cls1"))
       .groupBy(col("cls1")).agg(count(lit(1)).as("c1")))
     val vocab = uni.select(count(lit(1)).as("v"))
-    val docBigrams = toks
+    // r19: cached for the same two-consumer reason as q73's stream
+    val docBigrams = graft.CacheScope.cache(toks
       .filter(size(col("tokens")) > 1)
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(1, size(tokens) - 1),
           |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))""".stripMargin)).as(Seq("pos", "b")))
       .select(col("doc_id"), col("pos"),
-        tokenClass(col("b.w1")).as("cls1"), tokenClass(col("b.w2")).as("cls2"))
+        tokenClass(col("b.w1")).as("cls1"), tokenClass(col("b.w2")).as("cls2")))
     val big = docBigrams.groupBy(col("cls1"), col("cls2")).agg(count(lit(1)).as("c12"))
     // q73's r18 type-table restructure; the salt gate now reads the
     // composite class-bigram key, whose head (<short>-<short>, ~64% of
@@ -616,21 +620,22 @@ object CorpusOps {
     * on either side of the bigram).
     */
   def q151KneserNey(spark: SparkSession, dir: String): DataFrame = {
-    // cached (q73's discipline): the bigram TYPE aggregate and the
-    // doc-bigram probe stream both re-run the scan + tokenize otherwise
     // NO Spread.scan here (measured −0.7 s to +0.2 s at sf0.1): the
     // tokenize kernel is cheap and the downstream type-table partial
     // aggregation dedups best over few large partitions — the respread
     // traded that for an exchange. The KN family's CPU lives in the
     // type joins, already distributed.
-    val toks = graft.CacheScope.cache(docs(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("tokens")))
-    val docBigrams = toks
+    // r19: cache the EXPLODED doc-bigram stream, not the toks frame —
+    // both consumers (type aggregation, probe) need docBigrams, so the
+    // toks-level cache re-paid the tokenize + explode kernel twice
+    // (guide §5 cache what's reused; A/B'd in OPTIMIZATION_r19.md)
+    val docBigrams = graft.CacheScope.cache(docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
       .filter(size(col("tokens")) > 1)
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(1, size(tokens) - 1),
           |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))""".stripMargin)).as(Seq("pos", "b")))
-      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2")))
     val big = graft.CacheScope.cache(
       docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
     val ctx = big.groupBy(col("w1"))
@@ -687,14 +692,14 @@ object CorpusOps {
   private[graft] def knPerplexityPruned(docsDf: DataFrame,
                                         minCount: Long): DataFrame = {
     val spark = docsDf.sparkSession
-    val toks = graft.CacheScope.cache(docsDf
-      .select(col("doc_id"), split(col("text"), " ").as("tokens")))
-    val docBigrams = toks
+    // r19: cache on the exploded stream, not toks (see q151KneserNey)
+    val docBigrams = graft.CacheScope.cache(docsDf
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
       .filter(size(col("tokens")) > 1)
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(1, size(tokens) - 1),
           |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))""".stripMargin)).as(Seq("pos", "b")))
-      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2")))
     val big = graft.CacheScope.cache(
       docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
     val ctx = big.groupBy(col("w1"))
@@ -790,16 +795,21 @@ object CorpusOps {
   private[graft] def knTrigramPerplexity(docsDf: DataFrame,
                                          minCount: Long): DataFrame = {
     
-    val toks = graft.CacheScope.cache(docsDf
-      .select(col("doc_id"), split(col("text"), " ").as("tokens")))
-    val docTri = toks
+    // r19: the cache sits on the EXPLODED doc-trigram stream, not the toks
+    // frame — both consumers (type aggregation, probe) need docTri, so a
+    // toks-level cache re-paid the tokenize + explode kernel twice
+    // (guide §5 cache what's reused). Trade: ~3 strings per trigram
+    // occurrence at rest vs one token array per doc — measured at sf0.1
+    // and the 500k rung (OPTIMIZATION_r19.md) before keeping.
+    val docTri = graft.CacheScope.cache(docsDf
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
       .filter(size(col("tokens")) > 2)
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(1, size(tokens) - 2),
           |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2,
           |              tokens[i + 1] AS w3))""".stripMargin)).as(Seq("pos", "b")))
       .select(col("doc_id"), col("pos"),
-        col("b.w1").as("w1"), col("b.w2").as("w2"), col("b.w3").as("w3"))
+        col("b.w1").as("w1"), col("b.w2").as("w2"), col("b.w3").as("w3")))
     val tri = graft.CacheScope.cache(
       docTri.groupBy(col("w1"), col("w2"), col("w3"))
         .agg(count(lit(1)).as("c123")))
@@ -1333,7 +1343,7 @@ object CorpusOps {
     */
   def q113DsirIndex(spark: SparkSession, dir: String): DataFrame = {
     val path = Tables.derivedIndexPath("graft_dsir_llr_v2", dir, "documents")
-    if (!IndexMeta.exists(spark, path)) writeDsirIndex(spark, dir, path)
+    IndexMeta.ensure(spark, path) { writeDsirIndex(spark, dir, path) }
     dsirAgainstLoaded(
       docs(spark, dir).filter(col("source") =!= "src0")
         .select(col("doc_id"), col("text")),
@@ -1565,12 +1575,20 @@ object CorpusOps {
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
     val totals = graft.CacheScope.cache(counts.groupBy(col("source"))
       .agg(sum(col("c")).as("n_s")))
-    val m = totals.count() // bounded scalar: #sources
+    // ONE construction job computes both bounded scalars (guide §1 fewer
+    // jobs): m = distinct sources = totals' row count, vocab = distinct
+    // tokens — a single aggregate over the counts cache, which it also
+    // materializes (the totals cache then builds from cached data, so the
+    // r18 cache-race storm cannot occur: by the time the cells job's two
+    // totals consumers run, counts is already materialized and totals is
+    // trivial to compute even if raced).
+    val mv = counts.agg(countDistinct(col("source")), countDistinct(col("w"))).head()
+    val m = mv.getLong(0) // bounded scalar: #sources
     require(m <= MAX_CONFUSION_SOURCES,
       s"q161 source-confusion is O(m^2 * vocab) in the source count; " +
         s"m=$m exceeds $MAX_CONFUSION_SOURCES — bucket or sample sources first " +
         "(see MAX_CONFUSION_SOURCES)")
-    val vocab = counts.select(col("w")).distinct().count() // bounded scalar
+    val vocab = mv.getLong(1) // bounded scalar
     val cells = counts
       .select(col("source").as("s"), col("w"), col("c").as("c_s"))
       .join(totals.select(col("source").as("s"), col("n_s")), Seq("s"))
@@ -1786,7 +1804,7 @@ object CorpusOps {
     */
   def q109CcnetIndex(spark: SparkSession, dir: String): DataFrame = {
     val path = Tables.derivedIndexPath("graft_ccnet_lm_v2", dir, "documents")
-    if (!IndexMeta.exists(spark, path)) writeCcnetIndex(spark, dir, path)
+    IndexMeta.ensure(spark, path) { writeCcnetIndex(spark, dir, path) }
     ccnetAgainstLoaded(
       docs(spark, dir).filter(col("source") =!= "src0")
         .select(col("doc_id"), col("text")),

@@ -1193,8 +1193,10 @@ object Dedup {
     // v2: the stored band layout (array bk keys + meta) — versioning the
     // path retires indexes from the pre-dial m0..m3 layout
     val indexPath = graft.Tables.derivedIndexPath("graft_band_index_v2", dir, "documents")
-    if (!new java.io.File(s"$indexPath/bands/_SUCCESS").exists())
+    IndexMeta.ensureBuilt(indexPath)(
+      new java.io.File(s"$indexPath/bands/_SUCCESS").exists()) {
       writeBandIndex(d.filter(col("doc_id") % 10 =!= 0), indexPath)
+    }
     incrementalDedupAgainstIndex(d.filter(col("doc_id") % 10 === 0), indexPath)
   }
 

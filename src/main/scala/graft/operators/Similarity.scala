@@ -382,9 +382,11 @@ object Similarity {
     // invalidates the stored index instead of silently serving stale sigs
     val indexPath = graft.Tables.derivedIndexPath("graft_ann_index", dir, "embeddings")
     // a pre-meta index dir (older layout) counts as incomplete → rebuild
-    if (!new java.io.File(s"$indexPath/bands/_SUCCESS").exists() ||
-        !new java.io.File(s"$indexPath/meta.properties").exists())
+    IndexMeta.ensureBuilt(indexPath)(
+      new java.io.File(s"$indexPath/bands/_SUCCESS").exists() &&
+        new java.io.File(s"$indexPath/meta.properties").exists()) {
       writeAnnIndex(e, indexPath)
+    }
     annAgainstIndex(e.filter(col("vec_id") < 50), indexPath)
   }
 
@@ -930,9 +932,11 @@ object Similarity {
     val indexPath = graft.Tables.derivedIndexPath("graft_ivf_index", dir, "embeddings")
     // vectors written LAST → its _SUCCESS marks the whole index complete;
     // a pre-meta index dir (older layout) counts as incomplete → rebuild
-    if (!new java.io.File(s"$indexPath/vectors/_SUCCESS").exists() ||
-        !new java.io.File(s"$indexPath/meta.properties").exists())
+    IndexMeta.ensureBuilt(indexPath)(
+      new java.io.File(s"$indexPath/vectors/_SUCCESS").exists() &&
+        new java.io.File(s"$indexPath/meta.properties").exists()) {
       writeIvfIndex(e, indexPath)
+    }
     ivfSearchAgainstIndex(e.filter(col("vec_id") < 20), indexPath)
   }
 
@@ -1119,9 +1123,11 @@ object Similarity {
     val indexPath = graft.Tables.derivedIndexPath("graft_sq8_index", dir, "embeddings")
     // codes written LAST of the data tables → its _SUCCESS plus meta mark
     // the build complete; a pre-meta dir counts as incomplete → rebuild
-    if (!new java.io.File(s"$indexPath/codes/_SUCCESS").exists() ||
-        !new java.io.File(s"$indexPath/meta.properties").exists())
+    IndexMeta.ensureBuilt(indexPath)(
+      new java.io.File(s"$indexPath/codes/_SUCCESS").exists() &&
+        new java.io.File(s"$indexPath/meta.properties").exists()) {
       writeSq8Index(e, indexPath)
+    }
     sq8SearchAgainstIndex(e.filter(col("vec_id") < 20), indexPath)
   }
 
@@ -1989,9 +1995,11 @@ object Similarity {
   def q183IvfPqIndex(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val indexPath = graft.Tables.derivedIndexPath("graft_ivfpq_index", dir, "embeddings")
-    if (!new java.io.File(s"$indexPath/vectors/_SUCCESS").exists() ||
-        !new java.io.File(s"$indexPath/meta.properties").exists())
+    IndexMeta.ensureBuilt(indexPath)(
+      new java.io.File(s"$indexPath/vectors/_SUCCESS").exists() &&
+        new java.io.File(s"$indexPath/meta.properties").exists()) {
       writeIvfPqIndex(e, indexPath)
+    }
     ivfPqSearchAgainstIndex(e.filter(col("vec_id") < 20), indexPath)
   }
 
@@ -2073,9 +2081,11 @@ object Similarity {
   def q93PqIndex(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val indexPath = graft.Tables.derivedIndexPath("graft_pq_index", dir, "embeddings")
-    if (!new java.io.File(s"$indexPath/codes/_SUCCESS").exists() ||
-        !new java.io.File(s"$indexPath/meta.properties").exists())
+    IndexMeta.ensureBuilt(indexPath)(
+      new java.io.File(s"$indexPath/codes/_SUCCESS").exists() &&
+        new java.io.File(s"$indexPath/meta.properties").exists()) {
       writePqIndex(e, indexPath)
+    }
     pqSearchAgainstIndex(e.filter(col("vec_id") < 20), indexPath)
   }
 
@@ -2129,10 +2139,33 @@ object Similarity {
     * of the two pipelines.
     */
   def q76CrossmodalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val text = Dedup.q58DedupClusters(spark, dir) // compile-checked, not map-keyed
-      .select(col("doc_id"), col("cluster_id"))
-    val vec = q67EmbeddingDedupPipeline(spark, dir)
-      .select(col("vec_id"), col("canonical_id"))
+    // r19: ONE fused CC pass instead of two (guide §1 fewer jobs). The two
+    // modality graphs live in DISJOINT id spaces — text node i ↦ 2i, vec
+    // node i ↦ 2i+1 (exact bit shifts, no doubles) — so one
+    // connectedComponents call contracts and solves both graphs at once:
+    // components never cross parities, and min-label commutes with the
+    // monotonic encoding (min{2i} = 2·min{i}, min{2i+1} = 2·min{i}+1), so
+    // the decoded labels are bit-identical to the two separate CC passes
+    // q58/q67 run for their own queries (edge builders shared verbatim).
+    // One partition-local contraction job + one boundary solve + one
+    // broadcast join back replaces two of each (~0.5 s fixed cost per CC
+    // pass at bench scale; the same two driver round-trips saved on a
+    // cluster).
+    val textEdges = Dedup.q47Simhash(spark, dir)
+      .select(shiftleft(col("a_id"), 1).as("a_id"),
+        shiftleft(col("b_id"), 1).as("b_id"))
+    val vecEdges = q56EmbeddingNeardup(spark, dir)
+      .select((shiftleft(col("a_id"), 1) + 1).as("a_id"),
+        (shiftleft(col("b_id"), 1) + 1).as("b_id"))
+    val nodes = Dedup.docs(spark, dir).select(shiftleft(col("doc_id"), 1).as("id"))
+      .unionByName(emb(spark, dir).select((shiftleft(col("vec_id"), 1) + 1).as("id")))
+    val cc = Dedup.connectedComponents(textEdges.unionByName(vecEdges), nodes)
+    val text = cc.filter(col("id").bitwiseAND(1) === 0)
+      .select(shiftright(col("id"), 1).as("doc_id"),
+        shiftright(col("label"), 1).as("cluster_id"))
+    val vec = cc.filter(col("id").bitwiseAND(1) === 1)
+      .select(shiftright(col("id"), 1).as("vec_id"),
+        shiftright(col("label"), 1).as("canonical_id"))
     text.join(vec, col("doc_id") === col("vec_id"))
       .select(col("doc_id"),
         col("cluster_id").as("text_cluster"),
@@ -2404,7 +2437,7 @@ object Similarity {
     */
   def q118ClusterPruneIndex(spark: SparkSession, dir: String): DataFrame = {
     val path = Tables.derivedIndexPath("graft_cluster_prune_v1", dir, "embeddings")
-    if (!IndexMeta.exists(spark, path)) writeClusterPruneIndex(spark, dir, path)
+    IndexMeta.ensure(spark, path) { writeClusterPruneIndex(spark, dir, path) }
     val docsWithEmb = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
       .join(emb(spark, dir).select(col("vec_id"), col("embedding")),

@@ -655,8 +655,7 @@ object TextAnalysis {
     val d = docs(spark, dir)
     val bucket = CorpusOps.contentBucket // q80's rule — one definition
     val path = Tables.derivedIndexPath("graft_stats_view_v1", dir, "documents")
-    if (!IndexMeta.exists(spark, path))
-      writeStatsIndex(d.filter(bucket < 90), path)
+    IndexMeta.ensure(spark, path) { writeStatsIndex(d.filter(bucket < 90), path) }
     IndexMeta.read(spark, path, "writeStatsIndex") // refuse meta-less dirs
     val base = spark.read.parquet(s"$path/partials")
     val delta = statsPartials(d.filter(bucket >= 90))
@@ -831,8 +830,7 @@ object TextAnalysis {
     val d = docs(spark, dir)
     val bucket = CorpusOps.contentBucket // q80's rule — one definition
     val path = Tables.derivedIndexPath("graft_hll_view_v1", dir, "documents")
-    if (!IndexMeta.exists(spark, path))
-      writeHllIndex(d.filter(bucket < 90), path)
+    IndexMeta.ensure(spark, path) { writeHllIndex(d.filter(bucket < 90), path) }
     IndexMeta.read(spark, path, "writeHllIndex") // refuse meta-less dirs
     val base = spark.read.parquet(s"$path/registers")
     val delta = hllPartials(d.filter(bucket >= 90))

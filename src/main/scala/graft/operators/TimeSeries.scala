@@ -511,7 +511,7 @@ object TimeSeries {
     val e = ev(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts"), col("value"))
     val path = graft.Tables.derivedIndexPath("graft_phase_tpl_v1", dir, "events")
-    if (!IndexMeta.exists(spark, path)) writePhaseIndex(e, path)
+    IndexMeta.ensure(spark, path) { writePhaseIndex(e, path) }
     val (period, template) = loadPhaseIndex(spark, path)
     phaseResidualsAgainstIndex(e, period, template)
   }
@@ -630,7 +630,7 @@ object TimeSeries {
   def q138OutlierIndex(spark: SparkSession, dir: String): DataFrame = {
     val e = ev(spark, dir).select(col("user_id"), col("value"))
     val path = graft.Tables.derivedIndexPath("graft_mad_bounds_v1", dir, "events")
-    if (!IndexMeta.exists(spark, path)) writeOutlierIndex(e, path)
+    IndexMeta.ensure(spark, path) { writeOutlierIndex(e, path) }
     outliersAgainstBounds(e, loadOutlierBounds(spark, path))
   }
 

@@ -180,4 +180,27 @@ class StarsFilterSpec extends SparkSpec {
       r.getAs[Double]("combined_prob"))).toSet
     assert(again == first)
   }
+
+  test("r19 single-pass moment path is bit-identical to per-decider learn") {
+    // learnOnCoords now fits all-MomentDecider panels from ONE shared
+    // treeAggregate; this pins that the fused path's models equal the
+    // per-decider learn() models EXACTLY (same momentsBoth arithmetic)
+    val sf = new StarsFilter(descriptors, Seq(new LDADec(), new QDADec()))
+    val sc = sf.spaceCoordinates(searched).cache()
+    val oc = sf.spaceCoordinates(others).cache()
+    try {
+      val fused = sf.learnOnCoords(sc, oc)
+      val train = sc.withColumn("label", lit(1.0))
+        .unionByName(oc.withColumn("label", lit(0.0)))
+        .select("features", "label")
+      val separate = new StarsFilterModel(descriptors,
+        Seq(new LDADec(), new QDADec()).map(_.learn(train)), sf.featureCols)
+      def probs(m: StarsFilterModel) = m.predictOnCoords(sc)
+        .select(col("starId"), col("prob_LDADec"), col("prob_QDADec"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      assert(probs(fused) == probs(separate),
+        "fused single-pass models must score bit-identically")
+    } finally { sc.unpersist(); oc.unpersist() }
+  }
 }
