@@ -440,15 +440,17 @@ object CorpusOps {
     val uni = graft.CacheScope.cache(toks.select(explode(col("tokens")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1")))
     val vocab = uni.select(count(lit(1)).as("v"))
-    // r19: the exploded doc-bigram stream is consumed twice (type
-    // aggregation + probe) — cached so the explode kernel runs once
-    // (guide §5; toks stays cached for the unigram pass above)
-    val docBigrams = graft.CacheScope.cache(toks
+    // NOTE r19: caching the exploded doc-bigram stream here (so the
+    // explode runs once) was A/B'd and REVERTED — min-envelope regressed
+    // (q73 1.69→2.05, q116 3.14→3.32): the explode is cheap next to
+    // serializing the 2-string-per-occurrence frame into the cache. Same
+    // empirical rule as r18's respread reverts.
+    val docBigrams = toks
       .filter(size(col("tokens")) > 1)
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(1, size(tokens) - 1),
           |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))""".stripMargin)).as(Seq("pos", "b")))
-      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val big = docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     // r18 restructure (guide §2.3/§8: move the heavy stream once, decide
     // on the light proxy): per-bigram nll depends ONLY on the type's
@@ -524,14 +526,13 @@ object CorpusOps {
       .select(tokenClass(col("w")).as("cls1"))
       .groupBy(col("cls1")).agg(count(lit(1)).as("c1")))
     val vocab = uni.select(count(lit(1)).as("v"))
-    // r19: cached for the same two-consumer reason as q73's stream
-    val docBigrams = graft.CacheScope.cache(toks
+    val docBigrams = toks
       .filter(size(col("tokens")) > 1)
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(1, size(tokens) - 1),
           |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))""".stripMargin)).as(Seq("pos", "b")))
       .select(col("doc_id"), col("pos"),
-        tokenClass(col("b.w1")).as("cls1"), tokenClass(col("b.w2")).as("cls2")))
+        tokenClass(col("b.w1")).as("cls1"), tokenClass(col("b.w2")).as("cls2"))
     val big = docBigrams.groupBy(col("cls1"), col("cls2")).agg(count(lit(1)).as("c12"))
     // q73's r18 type-table restructure; the salt gate now reads the
     // composite class-bigram key, whose head (<short>-<short>, ~64% of
@@ -625,17 +626,18 @@ object CorpusOps {
     // aggregation dedups best over few large partitions — the respread
     // traded that for an exchange. The KN family's CPU lives in the
     // type joins, already distributed.
-    // r19: cache the EXPLODED doc-bigram stream, not the toks frame —
-    // both consumers (type aggregation, probe) need docBigrams, so the
-    // toks-level cache re-paid the tokenize + explode kernel twice
-    // (guide §5 cache what's reused; A/B'd in OPTIMIZATION_r19.md)
-    val docBigrams = graft.CacheScope.cache(docs(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    // cached (q73's discipline): the bigram TYPE aggregate and the
+    // doc-bigram probe stream both re-run the scan + tokenize otherwise.
+    // (r19: moving this cache onto the exploded stream was A/B'd and
+    // reverted — flat at best; see q73's note)
+    val toks = graft.CacheScope.cache(docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens")))
+    val docBigrams = toks
       .filter(size(col("tokens")) > 1)
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(1, size(tokens) - 1),
           |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))""".stripMargin)).as(Seq("pos", "b")))
-      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val big = graft.CacheScope.cache(
       docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
     val ctx = big.groupBy(col("w1"))
@@ -692,14 +694,14 @@ object CorpusOps {
   private[graft] def knPerplexityPruned(docsDf: DataFrame,
                                         minCount: Long): DataFrame = {
     val spark = docsDf.sparkSession
-    // r19: cache on the exploded stream, not toks (see q151KneserNey)
-    val docBigrams = graft.CacheScope.cache(docsDf
-      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    val toks = graft.CacheScope.cache(docsDf
+      .select(col("doc_id"), split(col("text"), " ").as("tokens")))
+    val docBigrams = toks
       .filter(size(col("tokens")) > 1)
       .select(col("doc_id"), posexplode(expr(
         """transform(sequence(1, size(tokens) - 1),
           |  i -> struct(tokens[i - 1] AS w1, tokens[i] AS w2))""".stripMargin)).as(Seq("pos", "b")))
-      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+      .select(col("doc_id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val big = graft.CacheScope.cache(
       docBigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")))
     val ctx = big.groupBy(col("w1"))
@@ -1570,7 +1572,11 @@ object CorpusOps {
   val MAX_CONFUSION_SOURCES = 64L
 
   def q161SourceConfusion(spark: SparkSession, dir: String): DataFrame = {
-    val counts = graft.CacheScope.cache(Spread.scan(docs(spark, dir))
+    // NO Spread.scan (r19 same-set repeat-5 A/B, adjudicating the r18
+    // verdict's q161 suspicion: 1.46/1.43 respread vs 1.03/0.87 plain —
+    // the tokenize+explode is cheap and the (source, w) aggregation's
+    // map-side combine dedups best over few large partitions)
+    val counts = graft.CacheScope.cache(docs(spark, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
     val totals = graft.CacheScope.cache(counts.groupBy(col("source"))

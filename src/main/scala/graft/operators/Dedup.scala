@@ -533,9 +533,15 @@ object Dedup {
     // the oracle's unnest) — the native codegen'd SimhashBitsExpr replaces
     // the earlier (doc × token × bit) explode and the ScalaUDF after it
     def attempt(b: Int): DataFrame = {
-      // Spread.scan: the simhash kernel pass is otherwise bounded by the
-      // scan's split count (one core on a single-split fixture table)
-      val sim = graft.CacheScope.cache(Spread.scan(docsDf)
+      // Spread.scan per DIAL (r19 same-set repeat-5 A/B, adjudicating the
+      // r18 verdict's q178 suspicion): at the 16-bit dial the respread
+      // keeps its r18 win (q47/q58/q131 unchanged-or-better without it on
+      // the 48-bit sibling in the same run), but at 48 bits it LOST
+      // outright — q178 2.44/2.13 respread vs 1.68/1.37 plain (med/min s)
+      // — the wider signature's band join dominates and the respread only
+      // added an exchange. Production inputs hit the no-op path either way.
+      val sim = graft.CacheScope.cache(
+        (if (b <= 16) Spread.scan(docsDf) else docsDf)
         .select(col("doc_id"), col("lang"),
           expr(s"simhash_bits(split(text, ' '), $b)").as("simhash")))
       simhashCandidates(sim, b, maxHamming)

@@ -929,7 +929,10 @@ object TextAnalysis {
     * vocabulary² frame.
     */
   def q152Collocations(spark: SparkSession, dir: String): DataFrame = {
-    val big = graft.CacheScope.cache(Spread.scan(docs(spark, dir))
+    // NO Spread.scan (r19 same-set repeat-5 A/B, adjudicating the r18
+    // verdict's q152 suspicion: 2.10/1.73 respread vs 2.05/1.60 plain —
+    // same cheap-tokenize-into-type-aggregate rule as q73/q151/q161)
+    val big = graft.CacheScope.cache(docs(spark, dir)
       .select(split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) > 1)
       .select(explode(expr(
