@@ -423,6 +423,15 @@ object CorpusOps {
     * so fixture-scale results are bit-identical while the 100 TB rungs
     * stop overflowing. Cost rides the TYPE table only (the r18
     * restructure), never the occurrence stream.
+    *
+    * Range bound (the decimal successor of the old long-overflow note):
+    * the largest product form is the trigram denominator
+    * `16·c12·n1p_mid·t` — with c12 ≤ corpus tokens N, n1p_mid ≤ bigram
+    * types and t ≤ bigram types, the form stays under 10^38 while
+    * N·types² < ~6·10^36, i.e. ~10 orders of magnitude past the old
+    * 2^59 long bound (a 10^12-token corpus with 10^12 bigram types
+    * sits at 10^36). Past THAT, ANSI decimal overflow fails loudly —
+    * the correct behavior; no silent float degradation is implemented.
     */
   private def dec38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
 

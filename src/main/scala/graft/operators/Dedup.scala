@@ -159,6 +159,10 @@ object Dedup {
       .distinct()
 
   private[operators] def ngramCandidates(sh: DataFrame): DataFrame =
+    // the self-join's two prefix subtrees deliberately recompute (x/y
+    // sides): caching the prefix table instead was A/B'd at +0.26 s med
+    // (serialization costs more than the second window chain at this
+    // selectivity), r19
     ngramPrefixJoin(ngramPrefixes(sh))
 
   /** Exact Jaccard verify on the in-row shingle sets, with the
